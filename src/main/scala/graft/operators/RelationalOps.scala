@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY §2 Table B X-ops): scans, filters, hash and
+  * broadcast joins, multi-joins, semi/anti joins, window functions, top-k,
+  * set operations, rollup, distinct counting, tumbling buckets, JSON
+  * extraction.
+  *
+  * Scale notes (100 TB): every query is declarative Column algebra, so
+  * Catalyst gets predicate pushdown + column pruning into the parquet scans
+  * for free. Small dimensions (`nation`, `region`) are explicitly
+  * `broadcast()` so the big fact-side joins never shuffle the fact table on
+  * the dimension key. Aggregations are hash aggs with map-side partial
+  * aggregation; `sort_topk` compiles to TakeOrderedAndProject (no global
+  * sort). Floating-point aggregates are rounded in BOTH engines so the
+  * driver's hash compare is stable across summation orders.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables(spark, sfDir, name)
+
+  /** Oracle-side normalization of events.ts (TIMESTAMP_NS -> µs). */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ---- scans / filters ---------------------------------------------------
+
+  /** A2: parquet scan + derived-column projection. */
+  private def ingestScan(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A5/A7: predicate filter + projection; predicates push to the scan. */
+  private def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_discount") > 0.05 && col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- aggregation -------------------------------------------------------
+
+  /** TPC-H Q1-style multi-aggregate (hash agg, partial + final). */
+  private def aggGroup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base"),
+        Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        Num.davg(col("l_quantity")).as("avg_qty"),
+        Num.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def distinctCount(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** A16 analog: min/avg/max/count per key. */
+  private def pingRtt(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        min("value").as("min_v"),
+        Num.davg(col("value")).as("avg_v"),
+        max("value").as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ---- joins -------------------------------------------------------------
+
+  private def joinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Same shape against small dims with an explicit broadcast hint — at
+    * 100 TB the fact side never shuffles; the dims replicate.
+    */
+  private def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), Num.dsum(col("c_acctbal")).as("acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q5-style 5-way join with region filter. */
+  private def joinMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val s = t(spark, sfDir, "supplier")
+    val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA"
+        && o("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && o("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  private def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- windows / sort ----------------------------------------------------
+
+  private def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  private def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, sfDir, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select("user_id", "event_id", "ts", "gap_us")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Global top-k — compiles to TakeOrderedAndProject, not a full sort. */
+  private def sortTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  // ---- set ops / rollup --------------------------------------------------
+
+  private def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val buyers = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+    val highbal = t(spark, sfDir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey")
+    def tag(df: DataFrame, op: String) = df.select(lit(op).as("op"), col("c_custkey"))
+    tag(buyers.union(highbal).distinct(), "union")
+      .union(tag(buyers.except(highbal), "except"))
+      .union(tag(buyers.intersect(highbal), "intersect"))
+      .orderBy("op", "c_custkey")
+  }
+
+  private def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"), col("o_totalprice").as("price"))
+      // Rollup implemented as fine-grained agg + re-aggregation of the tiny
+      // result instead of Dataset.rollup: (a) Spark's Expand-based rollup
+      // would push the fact stream through the shuffle 3x (one copy per
+      // grouping set) — re-agg touches only |region x nation| rows; (b) the
+      // Expand node trips Spark's ambiguous-column check after multi-joins.
+      // Decimal sums stay exact through the re-aggregation.
+      .groupBy("region", "nation")
+      .agg(sum(col("price").cast("decimal(18,6)")).as("rev_d"), count(lit(1)).as("n_orders")) match { case fine =>
+        // `fine` appears in all three branches with an identical subplan, so
+        // the physical plan shares one shuffle via ReuseExchange — the scan +
+        // joins + partial agg execute once.
+        val lvl2 = fine.select(col("region"), col("nation"), col("rev_d"), col("n_orders"))
+        val lvl1 = fine.groupBy("region")
+          .agg(sum("rev_d").as("rev_d"), sum("n_orders").as("n_orders"))
+          .select(col("region"), lit("ALL").as("nation"), col("rev_d"), col("n_orders"))
+        val lvl0 = fine.groupBy()
+          .agg(sum("rev_d").as("rev_d"), sum("n_orders").as("n_orders"))
+          .select(lit("ALL").as("region"), lit("ALL").as("nation"), col("rev_d"), col("n_orders"))
+        lvl2.union(lvl1).union(lvl0)
+          .select(col("region"), col("nation"),
+            col("rev_d").cast("double").as("revenue"), col("n_orders"))
+          .orderBy("region", "nation")
+      }
+  }
+
+  // ---- time buckets / json ----------------------------------------------
+
+  /** Batch analog of a streaming tumbling window (1 hour). */
+  private def windowTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("hour")
+
+  private def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), avg("k").as("avg_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "ingest_scan" -> QueryDef(ingestScan,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS revenue
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "filter_project" -> QueryDef(filterProject,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05 AND l_quantity < 25
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "agg_group" -> QueryDef(aggGroup,
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+             |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "distinct_count" -> QueryDef(distinctCount,
+      Some(s"""$evCte
+              |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              |       count(*) AS n_events
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "ping_rtt" -> QueryDef(pingRtt,
+      Some(s"""$evCte
+              |SELECT event_type, min(value) AS min_v,
+              |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_v,
+              |       max(value) AS max_v, count(*) AS n
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "join_hash" -> QueryDef(joinHash,
+      Some("""SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "join_broadcast" -> QueryDef(joinBroadcast,
+      Some("""SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    "join_multi" -> QueryDef(joinMulti,
+      Some("""SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    "join_semi" -> QueryDef(joinSemi,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "join_anti" -> QueryDef(joinAnti,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "window_rank" -> QueryDef(windowRank,
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    "window_lag" -> QueryDef(windowLag,
+      Some(s"""$evCte
+              |SELECT user_id, event_id, ts,
+              |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              |FROM ev ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    "sort_topk" -> QueryDef(sortTopk,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "set_ops" -> QueryDef(setOps,
+      Some("""WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+             |     highbal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM buyers UNION SELECT c_custkey FROM highbal)
+             |UNION ALL
+             |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM buyers EXCEPT SELECT c_custkey FROM highbal)
+             |UNION ALL
+             |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM buyers INTERSECT SELECT c_custkey FROM highbal)
+             |ORDER BY op, c_custkey""".stripMargin)),
+
+    "rollup_revenue" -> QueryDef(rollupRevenue,
+      Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, count(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    "window_tumbling" -> QueryDef(windowTumbling,
+      Some(s"""$evCte
+              |SELECT date_trunc('hour', ts) AS hour, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "json_extract" -> QueryDef(jsonExtract,
+      Some(s"""$evCte
+              |SELECT event_type,
+              |       CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              |       avg(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS avg_k,
+              |       count(*) AS n
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
