@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators from the reference's utility layer: IP
+  * validation + ip:port formatting (`src/network.cpp:885-920`), the
+  * brute-force nearest-color search with redmean distance
+  * (`src/ansi.tpp:339-363`), and HSL→RGB conversion (`src/ansi.tpp:365-402`).
+  *
+  * The redmean distance is re-expressed in exact integer math (×512):
+  * 512·d = (1024 + (r+R))·dr² + 2048·dg² + (1534 − (r+R))·db², which
+  * preserves the argmin and makes the oracle comparison exact.
+  *
+  * Scale notes: `color_nearest` is a broadcast nested-loop join against a
+  * 16-row palette — the fact side streams, nothing shuffles except the
+  * final per-key argmin (window over p_partkey is a no-shuffle projection
+  * after the broadcast). This is the archetype for brute-force kNN
+  * (VectorOps.knn_cosine): N×K compare with broadcast small side.
+  */
+object ScalarOps {
+
+  /** The 16 SYSTEM palette entries, MAP_256C[0..15] (`src/ansi.tpp:81-96`). */
+  val SystemPalette: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 0, 0), (128, 0, 0, 1), (0, 128, 0, 2), (128, 128, 0, 3),
+    (0, 0, 128, 4), (128, 0, 128, 5), (0, 128, 128, 6), (192, 192, 192, 7),
+    (128, 128, 128, 8), (255, 0, 0, 9), (0, 255, 0, 10), (255, 255, 0, 11),
+    (0, 0, 255, 12), (255, 0, 255, 13), (0, 255, 255, 14), (255, 255, 255, 15))
+
+  private val paletteValuesSql: String =
+    SystemPalette.map { case (r, g, b, c) => s"($r, $g, $b, $c)" }.mkString(", ")
+
+  // ---- validate_ip_port (A26, A27) --------------------------------------
+
+  private def validateIpPort(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        expr("""CASE WHEN c_custkey % 10 = 0
+               |       THEN concat('fe80::', CAST(c_custkey % 9999 AS STRING))
+               |       ELSE concat('10.0.', CAST((c_custkey div 256) % 256 AS STRING),
+               |                   '.', CAST(c_custkey % 256 AS STRING)) END""".stripMargin).as("ip"),
+        (lit(8000L) + col("c_custkey") % 1000).as("port"))
+      .withColumn("endpoint",
+        when(col("ip").contains(":"), concat(lit("["), col("ip"), lit("]:"), col("port")))
+          .otherwise(concat(col("ip"), lit(":"), col("port"))))
+      .withColumn("valid_v4", regexp_like(col("ip"), lit("^10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}$")))
+      .orderBy("c_custkey")
+
+  // ---- color_nearest (A28) ----------------------------------------------
+
+  private def colorNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val palette = SystemPalette.toDF("cr", "cg", "cb", "code")
+    val pts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        (col("p_partkey") % 256).as("r"),
+        (col("p_partkey") * 7 % 256).as("g"),
+        (col("p_partkey") * 13 % 256).as("b"))
+    val scored = pts.crossJoin(broadcast(palette))
+      .withColumn("dist",
+        expr("""(1024 + (r + cr)) * (r - cr) * (r - cr)
+               | + 2048 * (g - cg) * (g - cg)
+               | + (1534 - (r + cr)) * (b - cb) * (b - cb)""".stripMargin))
+    val wBest = Window.partitionBy("p_partkey").orderBy(col("dist"), col("code"))
+    scored
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("r"), col("g"), col("b"),
+        col("code").cast("int").as("code"), col("dist"))
+      .orderBy("p_partkey")
+  }
+
+  // ---- color_hsl (A29) ---------------------------------------------------
+
+  /** Reference hsl_to_rgb: f(n) = l − α·max(−1, min(k−3, 9−k, 1)) with
+    * k = fmod(n + h·12, 12), α = s·min(l, 1−l); channel = clamp(round(f·255)).
+    * Pure double math, expressed identically in both engines (the custom
+    * fmod/round in the reference reduce to floor forms for positive input).
+    */
+  private def fChan(k: String): String =
+    s"least(greatest(CAST(floor((l - alpha * greatest(-1.0, least($k - 3, 9 - $k, 1.0))) * 255 + 0.5) AS BIGINT), 0), 255)"
+
+  private def colorHsl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "part")
+      // NB: `360.0` alone would parse as a DECIMAL literal in Spark SQL and
+      // drag the whole chain into decimal arithmetic (observed: scale-6
+      // truncation diverging from the oracle); the D suffix forces DOUBLE.
+      .selectExpr("p_partkey",
+        "(p_partkey % 360) / 360.0D AS h",
+        "(p_partkey % 100) / 100.0D AS s",
+        "((p_partkey % 50) + 25) / 100.0D AS l")
+      .selectExpr("p_partkey", "h", "s", "l", "s * least(l, 1 - l) AS alpha", "h * 12 AS h12")
+      .selectExpr("p_partkey", "l", "alpha",
+        "(0 + h12) - 12 * floor((0 + h12) / 12) AS k0",
+        "(8 + h12) - 12 * floor((8 + h12) / 12) AS k8",
+        "(4 + h12) - 12 * floor((4 + h12) / 12) AS k4")
+      .selectExpr("p_partkey",
+        s"${fChan("k0")} AS r", s"${fChan("k8")} AS g", s"${fChan("k4")} AS b")
+      .orderBy("p_partkey")
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "validate_ip_port" -> QueryDef(validateIpPort,
+      Some("""WITH p AS (
+             |  SELECT c_custkey,
+             |         CASE WHEN c_custkey % 10 = 0
+             |              THEN 'fe80::' || CAST(c_custkey % 9999 AS VARCHAR)
+             |              ELSE '10.0.' || CAST((c_custkey // 256) % 256 AS VARCHAR)
+             |                   || '.' || CAST(c_custkey % 256 AS VARCHAR) END AS ip,
+             |         8000 + c_custkey % 1000 AS port
+             |  FROM customer)
+             |SELECT c_custkey, ip, CAST(port AS BIGINT) AS port,
+             |       CASE WHEN contains(ip, ':') THEN '[' || ip || ']:' || CAST(port AS VARCHAR)
+             |            ELSE ip || ':' || CAST(port AS VARCHAR) END AS endpoint,
+             |       regexp_matches(ip, '^10\.0\.[0-9]{1,3}\.[0-9]{1,3}$') AS valid_v4
+             |FROM p ORDER BY c_custkey""".stripMargin)),
+
+    "color_nearest" -> QueryDef(colorNearest,
+      Some(s"""WITH pal(cr, cg, cb, code) AS (VALUES $paletteValuesSql),
+              |pts AS (
+              |  SELECT p_partkey, p_partkey % 256 AS r, p_partkey * 7 % 256 AS g,
+              |         p_partkey * 13 % 256 AS b
+              |  FROM part),
+              |scored AS (
+              |  SELECT p_partkey, r, g, b, code,
+              |         (1024 + (r + cr)) * (r - cr) * (r - cr)
+              |           + 2048 * (g - cg) * (g - cg)
+              |           + (1534 - (r + cr)) * (b - cb) * (b - cb) AS dist,
+              |         row_number() OVER (PARTITION BY p_partkey ORDER BY
+              |           (1024 + (r + cr)) * (r - cr) * (r - cr)
+              |             + 2048 * (g - cg) * (g - cg)
+              |             + (1534 - (r + cr)) * (b - cb) * (b - cb), code) AS rn
+              |  FROM pts CROSS JOIN pal)
+              |SELECT p_partkey, r, g, b, code, dist
+              |FROM scored WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+
+    "color_hsl" -> QueryDef(colorHsl,
+      Some(s"""WITH base AS (
+              |  SELECT p_partkey, (p_partkey % 360) / 360.0 AS h,
+              |         (p_partkey % 100) / 100.0 AS s,
+              |         ((p_partkey % 50) + 25) / 100.0 AS l
+              |  FROM part),
+              |a AS (SELECT p_partkey, l, alpha, h12 FROM (
+              |  SELECT p_partkey, l, s * least(l, 1 - l) AS alpha, h * 12 AS h12 FROM base)),
+              |k AS (
+              |  SELECT p_partkey, l, alpha,
+              |         (0 + h12) - 12 * floor((0 + h12) / 12) AS k0,
+              |         (8 + h12) - 12 * floor((8 + h12) / 12) AS k8,
+              |         (4 + h12) - 12 * floor((4 + h12) / 12) AS k4
+              |  FROM a)
+              |SELECT p_partkey, ${fChan("k0")} AS r, ${fChan("k8")} AS g, ${fChan("k4")} AS b
+              |FROM k ORDER BY p_partkey""".stripMargin))
+  )
+}
