@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.FmtSize
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -101,9 +102,34 @@ object ScalarOps {
         s"${fChan("k0")} AS r", s"${fChan("k8")} AS g", s"${fChan("k4")} AS b")
       .orderBy("p_partkey")
 
+  // ---- fmt_size (A19) ----------------------------------------------------
+
+  /** A19: humanized size via the custom Catalyst expression [[FmtSize]],
+    * exercised across the B..TB bands (o_totalprice as bytes, and scaled
+    * by 1 MiB).
+    */
+  private def fmtSizeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("bytes_small"),
+        (expr("CAST(floor(o_totalprice) AS BIGINT)") * 1048576L).as("bytes_big"))
+      .select(col("o_orderkey"),
+        col("bytes_small"), FmtSize.fmt_size(col("bytes_small")).as("fmt_small"),
+        col("bytes_big"), FmtSize.fmt_size(col("bytes_big")).as("fmt_big"))
+      .orderBy("o_orderkey")
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "fmt_size" -> QueryDef(fmtSizeQuery,
+      Some(s"""WITH b AS (
+              |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS bytes_small,
+              |         CAST(floor(o_totalprice) AS BIGINT) * 1048576 AS bytes_big
+              |  FROM orders)
+              |SELECT o_orderkey, bytes_small, ${FmtSize.fmtSizeSql("bytes_small")} AS fmt_small,
+              |       bytes_big, ${FmtSize.fmtSizeSql("bytes_big")} AS fmt_big
+              |FROM b ORDER BY o_orderkey""".stripMargin)),
+
     "validate_ip_port" -> QueryDef(validateIpPort,
       Some("""WITH p AS (
              |  SELECT c_custkey,
