@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private lazy val all: Map[String, QueryDef] =
-    PipelineOps.defs ++ RelationalOps.defs ++ SessionOps.defs ++ ScalarOps.defs
+    PipelineOps.defs ++ RelationalOps.defs ++ SessionOps.defs ++ ScalarOps.defs ++
+      TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full transfer-pipeline round trip: chunk → frame encode → decode →

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline: token-set
+  * Jaccard (exact, on a bounded pair set), MinHash+LSH banding (the scale
+  * path — candidates only where a band collides), and SimHash signatures.
+  * Exact dedup lives in [[TextOps]] (`dedup_exact`).
+  *
+  * Scale notes: the exact Jaccard pair join is quadratic and exists as the
+  * verification baseline on a bounded id range; the production path is
+  * `dedup_minhash` — shingle → 16 minhashes → 4 bands -> bucket join, which
+  * shuffles once on (band, band_hash) and only materializes colliding
+  * candidates. All hashing is seeded xxhash64 (deterministic across runs
+  * and executors). SimHash gives a 64-bit per-doc signature whose prefix
+  * can be range-partitioned for hamming-neighbor search.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Exact token-set Jaccard over pairs within a bounded id range. */
+  private def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= 0.5)
+      .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding: 3-token shingles → 16 seeded minhashes → 4
+    * bands of 4 → candidate pairs where any band collides. No SQL oracle
+    * (pair generation is not ANSI-expressible portably); deterministic by
+    * construction and property-tested.
+    */
+  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("shingles",
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .withColumn("sig",
+        expr("transform(sequence(0, 15), k -> array_min(transform(shingles, s -> xxhash64(s, k))))"))
+      .withColumn("band", explode(expr(
+        """transform(sequence(0, 3), j -> struct(j AS band_id,
+          |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
+      .select(col("doc_id"), col("band.band_id"), col("band.bh"))
+      .groupBy("band_id", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+
+  /** 64-bit SimHash over distinct tokens (seeded xxhash64 bit votes). */
+  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
+          |  if(aggregate(toks, 0L, (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, i), 0L))""".stripMargin))
+      .withColumn("prefix16", expr("shiftright(simhash, 48) & 65535"))
+      .select("doc_id", "simhash", "prefix16")
+      .orderBy("doc_id")
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_jaccard" -> QueryDef(dedupJaccard,
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents WHERE doc_id < 300),
+             |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, p.inter,
+             |       p.inter / (sa.n + sb.n - p.inter) AS jacc
+             |FROM p
+             |JOIN s sa ON p.doc_a = sa.doc_id
+             |JOIN s sb ON p.doc_b = sb.doc_id
+             |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "dedup_minhash" -> QueryDef(dedupMinhash, None),
+
+    "dedup_simhash" -> QueryDef(dedupSimhash, None)
+  )
+}

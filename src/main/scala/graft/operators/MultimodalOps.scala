@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, fixed-size framing, and a feature-extraction pass over the
+  * bytes via a typed Dataset + mapPartitions.
+  *
+  * The decode step is a STUB: real image/audio decoding libraries are not
+  * in this container, so `multimodal_features` computes a deterministic
+  * fake feature (per-32-byte-frame byte means). The Spark-side plumbing —
+  * binary column, case-class encoders, partition-iterator batch shape — is
+  * real and is exactly where a JNI/Pandas-style decoder would slot in.
+  *
+  * Scale notes: payload bytes never leave their partition (narrow map);
+  * metadata projections are codegen'd; at 100 TB the binary column would
+  * live in its own parquet column chunk and column pruning keeps metadata
+  * queries from reading payload bytes at all.
+  */
+object MultimodalOps {
+
+  final case class DocBytes(doc_id: Long, payload: Array[Byte])
+  final case class DocFeat(doc_id: Long, n_bytes: Int, mean_byte: Double, frames: Array[Float])
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Binary payload + typed metadata (kind, frame count, dimensions). */
+  private def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .select(col("doc_id"), col("byte_len"),
+        expr("(byte_len + 255) div 256").as("n_frames"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        (lit(64L) + col("doc_id") % 576).as("width"),
+        (lit(64L) + col("doc_id") % 416).as("height"))
+      .orderBy("doc_id")
+
+  /** Typed feature extraction over the binary column (stubbed decode). */
+  private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = docs(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocBytes]
+    ds.mapPartitions { it =>
+      it.map { d =>
+        // STUB decode: a real pipeline decodes image/audio bytes here.
+        // Deterministic fake: mean byte value per 32-byte frame.
+        val frames = d.payload.grouped(32)
+          .map(fr => fr.map(_ & 0xff).sum.toFloat / fr.length).toArray
+        val mean =
+          if (d.payload.isEmpty) 0.0
+          else d.payload.map(_ & 0xff).sum.toDouble / d.payload.length
+        DocFeat(d.doc_id, d.payload.length, mean, frames)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+        size(col("frames")).as("n_frames"), element_at(col("frames"), 1).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "multimodal_meta" -> QueryDef(multimodalMeta,
+      Some("""WITH b AS (
+             |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents)
+             |SELECT doc_id, byte_len, (byte_len + 255) // 256 AS n_frames,
+             |       CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             |       64 + doc_id % 576 AS width, 64 + doc_id % 416 AS height
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    "multimodal_features" -> QueryDef(multimodalFeatures, None)
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, regex token counting, quality scoring, heuristic
+  * language ID, fingerprinting, and exact dedup.
+  *
+  * Scale notes: all per-document math is codegen'd Column algebra over the
+  * split token array — a narrow map, no shuffle; only the final grouped
+  * stats shuffle (on `lang` or the hash key). At 100 TB these ops are scan-
+  * bound, which is as good as it gets.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Stopword list used by quality scoring and language ID. */
+  private val Stop = Seq("the", "a", "of", "and", "to")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Per-language marker-token lists for the n-gram/stopword language-ID
+    * heuristic. (The synthetic corpus shares one vocabulary across langs,
+    * so accuracy is incidental — the operator shape is what matters.)
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "batch", "hash"),
+    "en" -> Seq("the", "a", "window", "order"),
+    "es" -> Seq("el", "la", "agg", "merge"),
+    "fr" -> Seq("le", "la", "scan", "query"),
+    "zh" -> Seq("de", "shi", "join", "row"))
+
+  // ---- queries -----------------------------------------------------------
+
+  private def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        avg("n_chars").as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  /** Whitespace tokens, regex word tokens, and a BPE-ish subword count. */
+  private def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long").as("word_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("subword_tokens"))
+      .orderBy("doc_id")
+
+  /** Length / stopword / distinctness ratios + a composite quality score. */
+  private def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tok"),
+        expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))").as("n_stop"),
+        size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_tok").cast("long").as("n_tokens"),
+        (col("n_nonspace") / col("n_tok")).as("avg_tok_len"),
+        (col("n_stop") / col("n_tok")).as("stop_ratio"),
+        (col("n_uniq") / col("n_tok")).as("distinct_ratio"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.25 + col("distinct_ratio") * 0.5
+          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.25)
+      .orderBy("doc_id")
+
+  /** Marker-token scoring language ID; argmax with alphabetical tie-break. */
+  private def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Markers.foldLeft(docs(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          expr(s"size(filter(split(text, ' '), x -> x IN (${inList(ws)})))").cast("long"))
+    }
+    val best = greatest(Markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Markers.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, _), acc) => when(col(s"s_$l") === best, l).otherwise(acc)
+    }
+    // foldRight gives earliest (alphabetical) match priority: de,en,es,fr,zh
+    scored
+      .withColumn("predicted", pred)
+      .withColumn("hit", col("predicted") === col("lang"))
+      .select(Seq(col("doc_id"), col("lang")) ++ Markers.map { case (l, _) => col(s"s_$l") }
+        ++ Seq(col("predicted"), col("hit")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprints: full/head/tail md5 (hex) + a 16-hex-digit key. */
+  private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp16"),
+        md5(substring(col("text"), 1, 100)).as("fp_head"),
+        md5(expr("substring(text, greatest(length(text) - 99, 1), 100)")).as("fp_tail"))
+      .orderBy("doc_id")
+
+  /** Exact dedup by content hash: canonical doc + duplicate count. */
+  private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "text_stats" -> QueryDef(textStats,
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |       avg(n_chars) AS avg_chars,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "token_count" -> QueryDef(tokenCount,
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS subword_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "text_quality" -> QueryDef(textQuality,
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, n_chars,
+              |         len(string_split(text, ' ')) AS n_tok,
+              |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
+              |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              |         length(replace(text, ' ', '')) AS n_nonspace
+              |  FROM documents)
+              |SELECT doc_id, n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
+              |       n_nonspace / n_tok AS avg_tok_len,
+              |       n_stop / n_tok AS stop_ratio,
+              |       n_uniq / n_tok AS distinct_ratio,
+              |       (n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5
+              |         + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25 AS quality
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    "lang_id" -> QueryDef(langId,
+      Some {
+        val scores = Markers.map { case (l, ws) =>
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+        }.mkString(",\n             |         ")
+        val best = s"greatest(${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+        val pred = Markers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH s AS (
+           |  SELECT doc_id, lang,
+           |         $scores
+           |  FROM documents)
+           |SELECT doc_id, lang, ${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")},
+           |       $pred AS predicted,
+           |       ($pred) = lang AS hit
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    "doc_fingerprint" -> QueryDef(docFingerprint,
+      Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 16) AS fp16,
+             |       md5(substring(text, 1, 100)) AS fp_head,
+             |       md5(substring(text, greatest(length(text) - 99, 1), 100)) AS fp_tail
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "dedup_exact" -> QueryDef(dedupExact,
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin))
+  )
+}

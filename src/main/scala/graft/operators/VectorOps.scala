@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine kNN (the correctness baseline), random-hyperplane
+  * LSH bucketing (the scale path), pairwise near-duplicate detection, and
+  * the multimodal join.
+  *
+  * Cross-engine float parity: dot products fold left-to-right with a 0.0
+  * double seed (`aggregate(zip_with(...))`); the DuckDB oracles use
+  * `list_reduce` over the same products list, which performs the identical
+  * sequential fold — results are bit-identical, so no rounding is needed.
+  *
+  * Scale notes: kNN broadcasts the (small) query set and streams the
+  * target table — one pass, no shuffle on the big side; the argmax is a
+  * window partitioned by query id over the small cross product. At 100 TB
+  * the LSH variant bounds candidates per query by bucket collision instead
+  * of scanning all vectors; its signatures are computed in one scan-side
+  * projection and could be persisted/bucketed by `bucket` for repeated
+  * queries (the analog of an IVF coarse quantizer).
+  */
+object VectorOps {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+
+  /** Sequential-fold dot product of two double-cast float arrays. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0.0D, (acc, v) -> acc + v)"
+
+  private def normCol(e: String): Column = sqrt(expr(dotExpr(e, e)))
+
+  /** DuckDB equivalents (list_reduce = same left fold; x[1]/x[2] are the
+    * unnamed zip-struct fields).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+  private def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
+
+  // ---- knn_cosine --------------------------------------------------------
+
+  /** Brute-force cosine 1-NN for query vectors (vec_id < 10) against all
+    * other embeddings — broadcast queries, stream targets.
+    */
+  private def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .filter(col("q_id") < 10)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(dotExpr("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("sim"))
+      .orderBy("q_id")
+  }
+
+  // ---- embed_neardup -----------------------------------------------------
+
+  /** Pairwise cosine near-duplicates within a bounded id range (the
+    * corpus is near-random, so the 0.3 threshold marks the far tail).
+    */
+  private def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("label"), col("embedding"), normCol("embedding").as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", expr(dotExpr("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") > 0.3)
+      .select("id_a", "id_b", "label_a", "label_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- ann_lsh -----------------------------------------------------------
+
+  /** Random-hyperplane LSH: 6 deterministic pseudo-random hyperplanes
+    * (seeded xxhash64 per (plane, dim), scaled to [-1, 1]) → 64 buckets;
+    * few enough planes that buckets stay populated on a near-random corpus;
+    * query candidates = same-bucket vectors, ranked by true cosine. No SQL
+    * oracle (bucket join not portably expressible); deterministic.
+    */
+  private val bucketExpr: String =
+    """aggregate(sequence(0, 5), 0L, (acc, k) -> acc +
+      |  if(aggregate(sequence(0, 63), 0.0D,
+      |       (s, d) -> s + double(element_at(embedding, d + 1)) * (double(xxhash64(k, d)) / 9.223372036854775807E18)) >= 0.0D,
+      |     shiftleft(1L, k), 0L))""".stripMargin
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
+        expr(bucketExpr).as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val cands = e.join(broadcast(q),
+      col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(dotExpr("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("bucket"), col("sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  // ---- multimodal_join ---------------------------------------------------
+
+  /** `documents` ⋈ `embeddings` on doc_id = vec_id: text metadata + vector
+    * norm + label in one row — the typed join backing multimodal pipelines.
+    */
+  private def multimodalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"), normCol("embedding").as("nrm"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"), col("nrm"))
+      .orderBy("doc_id")
+  }
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "knn_cosine" -> QueryDef(knnCosine,
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |ranked AS (
+              |  SELECT q_id, vec_id, sim,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              |  FROM scored)
+              |SELECT q_id, vec_id AS nn_id, sim FROM ranked WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
+    "embed_neardup" -> QueryDef(embedNeardup,
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+              |  FROM embeddings WHERE vec_id < 300)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+              |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    "ann_lsh" -> QueryDef(annLsh, None),
+
+    "multimodal_join" -> QueryDef(multimodalJoin,
+      Some(s"""SELECT d.doc_id, d.lang, d.n_chars, e.label, ${normSql("e.embedding")} AS nrm
+              |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+              |ORDER BY d.doc_id""".stripMargin))
+  )
+}
