@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+
+/** End-to-end streaming demo: chunks real documents (sf0.001) into frames,
+  * feeds them through a MemoryStream in adversarial patterns, and verifies
+  * the reassembled content against the source text.
+  *
+  *   - doc A: frames in order → RECEIVED* then DONE, content round-trips
+  *   - doc B: duplicate first frame + premature final frame (REJECTed),
+  *     then completes in a LATER RUN — state survives a checkpoint restart
+  *   - doc C: last frame withheld → session stays pending (would EXPIRE
+  *     after the 20 s TTL; the timeout path is unit-tested with
+  *     TestGroupState since wall-clock waits don't belong in a demo)
+  *
+  * Each phase runs with Trigger.AvailableNow against a shared checkpoint:
+  * with ProcessingTimeTimeout the engine schedules no-data batches on every
+  * trigger forever (so `processAllAvailable` on an unbounded query never
+  * settles); AvailableNow processes what exists and terminates cleanly.
+  */
+object StreamDemo {
+
+  /** Runs one bounded pass of the reassembly stream over `input`,
+    * collecting acks via foreachBatch (the memory sink cannot recover from
+    * a checkpoint; foreachBatch is also the realistic production sink).
+    */
+  def runPhase(
+      spark: SparkSession, input: MemoryStream[Frame], checkpoint: String,
+      acc: java.util.concurrent.ConcurrentLinkedQueue[AckEvent]): Unit = {
+    val q = Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[AckEvent], _: Long) =>
+        ds.collect().foreach(acc.add)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 3)
+      .select(col("doc_id").cast("string").as("uuid"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val C = 64
+    def frames(uuid: String, text: String): Seq[Frame] =
+      text.grouped(C).zipWithIndex.map { case (chunk, i) =>
+        Frame(uuid, i + 1, chunk, text.length.toLong)
+      }.toSeq
+
+    val Seq((ua, ta), (ub, tb), (uc, tc)) = docs.toSeq
+    val fa = frames(ua, ta)
+    val fb = frames(ub, tb)
+    val fc = frames(uc, tc)
+    val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    val input = MemoryStream[Frame](implicitly[org.apache.spark.sql.Encoder[Frame]], spark.sqlContext)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[AckEvent]()
+    // Phase 1: doc A complete; doc B dup + premature final (REJECTs); C partial.
+    input.addData(fa ++ Seq(fb.head, fb.head, fb.last) ++ fc.dropRight(1))
+    runPhase(spark, input, checkpoint, acc)
+    // Phase 2 (restarted query, state recovered from checkpoint): B completes.
+    input.addData(fb.tail)
+    runPhase(spark, input, checkpoint, acc)
+
+    import scala.jdk.CollectionConverters._
+    val acks = acc.asScala.toSeq.toDF()
+    acks.orderBy("uuid", "next_seq", "kind").show(50, truncate = false)
+
+    val done = acks.filter(col("kind") === "DONE").select("uuid", "content").as[(String, String)].collect().toMap
+    val rejects = acks.filter(col("kind") === "REJECT").count()
+    val okA = done.get(ua).contains(ta)
+    val okB = done.get(ub).contains(tb)
+    val pendingC = !done.contains(uc)
+    println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects")
+    spark.stop()
+    if (!(okA && okB && pendingC && rejects >= 2)) sys.exit(1)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import graft.streaming.{AckEvent, Frame, Reassembly, SessionState}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A9/A10/A11/A13 streaming semantics per FIXTURES.md §B2/B4: ordered
+  * completion, duplicate/out-of-order rejection, final-chunk clamping,
+  * TTL state eviction, and checkpoint recovery.
+  *
+  * Bounded runs use NoTimeout + Trigger.AvailableNow (ProcessingTimeTimeout
+  * schedules no-data batches forever — see Reassembly.stream); the timeout
+  * path is driven directly with TestGroupState.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def frames(uuid: String, text: String, c: Int = 8): Seq[Frame] =
+    text.grouped(c).zipWithIndex.map { case (ch, i) => Frame(uuid, i + 1, ch, text.length.toLong) }.toSeq
+
+  /** Feeds each batch of frames through a fresh bounded query run sharing
+    * one checkpoint (phase N+1 recovers phase N's state), returns all acks.
+    */
+  private def run(batches: Seq[Frame]*): Seq[AckEvent] = {
+    val enc = {
+      import spark.implicits._
+      implicitly[Encoder[Frame]]
+    }
+    val input = MemoryStream[Frame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[AckEvent]()
+    batches.foreach { b =>
+      input.addData(b)
+      val q = Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: Dataset[AckEvent], _: Long) => ds.collect().foreach(acc.add) }
+        .start()
+      q.awaitTermination()
+    }
+    acc.asScala.toSeq
+  }
+
+  test("in-order frames reassemble byte-identically and DONE closes the session") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val acks = run(frames("a", text)).sortBy(_.next_seq)
+    assert(acks.last.kind == "DONE")
+    assert(acks.last.content == text)
+    assert(acks.count(_.kind == "RECEIVED") == frames("a", text).size - 1)
+  }
+
+  test("duplicate and premature frames are rejected; completes across restart") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val fs = frames("b", text)
+    val acks = run(
+      Seq(fs.head, fs.head, fs.last), // dup + premature final
+      fs.tail) // completes in recovered run
+    assert(acks.count(_.kind == "REJECT") == 2)
+    assert(acks.exists(a => a.kind == "DONE" && a.content == text))
+  }
+
+  test("overlong final chunk is clamped to filesize (A10 clamp)") {
+    // declared size 5, payloads total 8 -> trailing 3 bytes ignored
+    val acks = run(Seq(Frame("c", 1, "hell", 5), Frame("c", 2, "oXXX", 5)))
+    val done = acks.filter(_.kind == "DONE")
+    assert(done.length == 1 && done.head.content == "hello" && done.head.written == 5)
+  }
+
+  test("TTL timeout evicts idle session and discards partial state (A13)") {
+    val st = SessionState(expected = 3, written = 16, content = "partial-content!", filesize = 100, rejected = 0)
+    val state = TestGroupState.create[SessionState](
+      Optional.of(st), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = Reassembly.update(ttl = true)("d", Iterator.empty, state).toSeq
+    assert(out == Seq(AckEvent("d", "EXPIRED", 3, 16, "")))
+    assert(state.isRemoved)
+  }
+
+  test("uuid reuse after DONE starts a clean new session") {
+    val text = "0123456789abcdef"
+    val fs = frames("e", text)
+    val acks = run(fs, Seq(fs.head)) // replay frame 1 after completion
+    // exactly one DONE with the full text; the replayed frame opens a new
+    // session (state was erased on DONE) and simply RECEIVEs
+    assert(acks.count(_.kind == "DONE") == 1)
+    assert(acks.filter(_.kind == "DONE").head.content == text)
+    assert(acks.last.kind == "RECEIVED")
+  }
+}
