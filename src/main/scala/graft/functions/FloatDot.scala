@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two ARRAY<FLOAT> columns as a native codegen expression.
+  *
+  * Semantics are EXACTLY the sequential left fold
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0D, +)` —
+  * each float pair is widened to double, multiplied, and accumulated left
+  * to right — so results are bit-identical to the DuckDB `list_reduce`
+  * oracles. The win is purely mechanical: Spark's higher-order functions
+  * are interpreted (no whole-stage codegen, per-element lambda dispatch and
+  * intermediate array allocation); this compiles to a tight primitive loop
+  * inside the codegen span. At 100 TB vector scans this is the difference
+  * between scan-bound and lambda-bound.
+  */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDot {
+  def float_dot(a: Column, b: Column): Column =
+    GraftShim.column(FloatDot(GraftShim.expression(a), GraftShim.expression(b)))
+}

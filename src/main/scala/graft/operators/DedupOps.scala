@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.MinHashSig.minhash_sig
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,8 +53,7 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
-      .withColumn("sig",
-        expr("transform(sequence(0, 15), k -> array_min(transform(shingles, s -> xxhash64(s, k))))"))
+      .withColumn("sig", minhash_sig(col("shingles"), 16))
       .withColumn("band", explode(expr(
         """transform(sequence(0, 3), j -> struct(j AS band_id,
           |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))

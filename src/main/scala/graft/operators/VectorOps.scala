@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.FloatDot.float_dot
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -29,11 +30,14 @@ object VectorOps {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "embeddings")
 
-  /** Sequential-fold dot product of two double-cast float arrays. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0.0D, (acc, v) -> acc + v)"
+  /** Sequential-fold dot product via the native codegen expression
+    * [[graft.functions.FloatDot]] (bit-identical to the
+    * `aggregate(zip_with(...))` fold and to the DuckDB list_reduce oracle,
+    * but whole-stage-codegen'd instead of interpreted).
+    */
+  private def dot(a: String, b: String): Column = float_dot(col(a), col(b))
 
-  private def normCol(e: String): Column = sqrt(expr(dotExpr(e, e)))
+  private def normCol(e: String): Column = sqrt(dot(e, e))
 
   /** DuckDB equivalents (list_reduce = same left fold; x[1]/x[2] are the
     * unnamed zip-struct fields).
@@ -52,7 +56,7 @@ object VectorOps {
     val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       .filter(col("q_id") < 10)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(dotExpr("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     scored
       .withColumn("rn", row_number().over(w))
@@ -74,7 +78,7 @@ object VectorOps {
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", expr(dotExpr("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("sim", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") > 0.3)
       .select("id_a", "id_b", "label_a", "label_b", "sim")
       .orderBy("id_a", "id_b")
@@ -103,7 +107,7 @@ object VectorOps {
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val cands = e.join(broadcast(q),
       col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(dotExpr("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     cands
       .withColumn("rn", row_number().over(w))
