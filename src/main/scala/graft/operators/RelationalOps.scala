@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * `broadcast()` so the big fact-side joins never shuffle the fact table on
   * the dimension key. Aggregations are hash aggs with map-side partial
   * aggregation; `sort_topk` compiles to TakeOrderedAndProject (no global
-  * sort). Floating-point aggregates are rounded in BOTH engines so the
-  * driver's hash compare is stable across summation orders.
+  * sort). Floating-point aggregates use exact decimal accumulation ([[Num]])
+  * so results are bit-stable across engines and summation orders.
   */
 object RelationalOps {
 
