@@ -34,11 +34,17 @@ object PipelineOps {
   private val TagSql = "chr(11) || 'TRANSFER'"
 
   private def chunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunksAt(spark, sfDir, C)
+
+  /** Width-parameterized chunking (package-visible for the round-trip
+    * property tests over degenerate widths, FIXTURES.md §B1).
+    */
+  private[graft] def chunksAt(spark: SparkSession, sfDir: String, width: Int): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(
         col("doc_id"), col("text"), col("n_chars"),
         posexplode(expr(
-          s"transform(sequence(1, greatest(1, cast(ceil(length(text)/$C.0) as int))), i -> substring(text, (i-1)*$C+1, $C))"
+          s"transform(sequence(1, greatest(1, cast(ceil(length(text)/$width.0) as int))), i -> substring(text, (i-1)*$width+1, $width))"
         )).as(Seq("pos", "chunk")))
       .withColumn("seq", (col("pos") + 1).cast("long"))
       .drop("pos")

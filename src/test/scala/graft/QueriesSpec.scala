@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One spec per declared operator: every key in SparkEntry.queries must
+  * materialize at sf0.001, plus targeted semantic invariants for keys whose
+  * correctness is not fully captured by row counts. (Exact value parity vs
+  * DuckDB is the driver's gate — scripts/check.py; these are the fast local
+  * regression net.)
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Keys allowed to be empty at this scale (filters that may select nothing).
+  private val mayBeEmpty = Set("join_anti", "embed_neardup", "dedup_jaccard", "dedup_minhash")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name materializes at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, "no columns")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle SQL exists for every key except the declared non-SQL ops") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("dedup_minhash", "dedup_simhash", "ann_lsh", "multimodal_features"),
+      s"unexpected oracle-less keys: $noOracle")
+  }
+
+  test("roundtrip_pipeline reproduces every document") {
+    val df = SparkEntry.queries("roundtrip_pipeline")(spark, sfDir)
+    assert(df.filter(not(col("ok"))).count() == 0)
+  }
+
+  test("validate_filename output contains no rejected path shapes") {
+    val df = SparkEntry.queries("validate_filename")(spark, sfDir)
+    assert(df.filter(col("path") === "" || col("path").startsWith("/") || col("path").contains("..")).count() == 0)
+  }
+
+  test("join_semi + join_anti partition the customer table") {
+    val semi = SparkEntry.queries("join_semi")(spark, sfDir).count()
+    val anti = SparkEntry.queries("join_anti")(spark, sfDir).count()
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(semi + anti == customers)
+  }
+
+  test("set_ops algebra: intersect <= union; except and intersect partition buyers") {
+    val df = SparkEntry.queries("set_ops")(spark, sfDir).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("intersect") <= df("union"))
+    val buyers = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(df("except") + df("intersect") == buyers)
+  }
+
+  test("progress_rate stays in [0, 100] and ends at 100") {
+    val df = SparkEntry.queries("progress_rate")(spark, sfDir)
+    assert(df.filter(col("rate") < 0 || col("rate") > 100).count() == 0)
+    val lastPerUser = df.groupBy("user_id").agg(max("rate").as("m"))
+    assert(lastPerUser.filter(col("m") =!= 100).count() == 0)
+  }
+
+  test("knn_cosine similarities lie in [-1, 1]") {
+    val df = SparkEntry.queries("knn_cosine")(spark, sfDir)
+    assert(df.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+  }
+
+  test("fmt_size output matches the humanized format shape") {
+    val df = SparkEntry.queries("fmt_size")(spark, sfDir)
+    val bad = df.filter(not(col("fmt_small").rlike("^[0-9]+(\\.[0-9]{1,2})? (B|KB|MB|GB|TB)$"))).count()
+    assert(bad == 0)
+  }
+
+  test("ttl_expire marks exactly the users idle >20s before stream end") {
+    val df = SparkEntry.queries("ttl_expire")(spark, sfDir)
+    // the global max user must not be expired
+    assert(df.orderBy(desc("last_ts")).limit(1).filter(col("expired")).count() == 0)
+  }
+}
