@@ -4,10 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with warm per-query seconds
-  * (each query runs once to warm codegen/caches, then once timed —
-  * matching BASELINE.md §2 methodology).
+  * (each query runs once to warm codegen/caches, then `Reps` timed runs;
+  * the reported number is the median — matching BASELINE.md §2 methodology
+  * while de-noising the 0.1-1 s magnitudes).
+  *
+  * Failures are never swallowed: a query that throws (warmup or timed run)
+  * is recorded in the `errors` map with a null timing, and the process
+  * exits nonzero — a regression can only make the bench fail loudly, not
+  * "improve" it.
   */
 object Bench {
+
+  /** Timed repetitions per query (median reported). */
+  val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,21 +28,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    final case class Res(name: String, median: Double, min: Double, max: Double, err: Option[String])
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Long = {
+      def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        System.nanoTime() - t0
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
       }
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
+      try {
+        once() // warmup
+        val times = Seq.fill(Reps)(once()).sorted
+        Res(name, times(Reps / 2), times.head, times.last, None)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Res(name, -1.0, -1.0, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
-      name -> once() / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val ok = results.filter(_.err.isEmpty)
+    val qs = ok.map(r => jstr(r.name) + ":" + r.median).mkString("{", ",", "}")
+    val spread = ok.map(r => jstr(r.name) + s""":[${r.min},${r.max}]""").mkString("{", ",", "}")
+    val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e))).mkString("{", ",", "}")
+    val total = ok.map(_.median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$Reps,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }
 }

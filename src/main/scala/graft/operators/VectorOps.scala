@@ -4,7 +4,6 @@ import graft.QueryDef
 import graft.functions.FloatDot.float_dot
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
@@ -18,12 +17,14 @@ import org.apache.spark.sql.functions._
   * sequential fold — results are bit-identical, so no rounding is needed.
   *
   * Scale notes: kNN broadcasts the (small) query set and streams the
-  * target table — one pass, no shuffle on the big side; the argmax is a
-  * window partitioned by query id over the small cross product. At 100 TB
-  * the LSH variant bounds candidates per query by bucket collision instead
-  * of scanning all vectors; its signatures are computed in one scan-side
-  * projection and could be persisted/bucketed by `bucket` for repeated
-  * queries (the analog of an IVF coarse quantizer).
+  * target table — one pass, no shuffle on the big side; the per-query
+  * argmax / top-k run as partial aggregations (map-side combine), so the
+  * only exchange carries a few rows per (query, task) — no skewed window
+  * sort on the query key. At 100 TB the LSH variant bounds candidates per
+  * query by bucket collision instead of scanning all vectors; its
+  * signatures are computed in one scan-side projection and could be
+  * persisted/bucketed by `bucket` for repeated queries (the analog of an
+  * IVF coarse quantizer).
   */
 object VectorOps {
 
@@ -50,6 +51,16 @@ object VectorOps {
 
   /** Brute-force cosine 1-NN for query vectors (vec_id < 10) against all
     * other embeddings — broadcast queries, stream targets.
+    *
+    * The argmax is `max(struct(sim, -vec_id, vec_id))` — lexicographic
+    * struct ordering reproduces (sim DESC, vec_id ASC) exactly, matching
+    * the reference 1-NN tie-break (`src/ansi.tpp:351-363`: strict `<`
+    * keeps the first/lowest id on equal distance). Unlike a
+    * `row_number().over(partitionBy(q_id))` window, max(struct) partial-
+    * aggregates map-side: each scan task reduces its slice to |queries|
+    * rows before the shuffle, so at 1e9 vectors the exchange carries
+    * |queries| x |tasks| rows instead of funneling 1e10 scored rows into
+    * <=|queries| window-sort partitions.
     */
   private def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
@@ -57,11 +68,10 @@ object VectorOps {
       .filter(col("q_id") < 10)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("sim"))
+      .groupBy("q_id")
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("neg_id"), col("vec_id").as("nn_id"))).as("best"))
+      .select(col("q_id"), col("best.nn_id").as("nn_id"), col("best.sim").as("sim"))
       .orderBy("q_id")
   }
 
@@ -86,35 +96,67 @@ object VectorOps {
 
   // ---- ann_lsh -----------------------------------------------------------
 
-  /** Random-hyperplane LSH: 6 deterministic pseudo-random hyperplanes
-    * (seeded xxhash64 per (plane, dim), scaled to [-1, 1]) → 64 buckets;
-    * few enough planes that buckets stay populated on a near-random corpus;
-    * query candidates = same-bucket vectors, ranked by true cosine. No SQL
-    * oracle (bucket join not portably expressible); deterministic.
+  /** Random-hyperplane LSH bucket id over `nBits` deterministic
+    * pseudo-random hyperplanes (seeded xxhash64 per (plane, dim), scaled to
+    * [-1, 1]) → 2^nBits buckets.
     */
-  private val bucketExpr: String =
-    """aggregate(sequence(0, 5), 0L, (acc, k) -> acc +
-      |  if(aggregate(sequence(0, 63), 0.0D,
-      |       (s, d) -> s + double(element_at(embedding, d + 1)) * (double(xxhash64(k, d)) / 9.223372036854775807E18)) >= 0.0D,
-      |     shiftleft(1L, k), 0L))""".stripMargin
+  private def bucketExpr(nBits: Int): String =
+    s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, k) -> acc +
+       |  if(aggregate(sequence(0, 63), 0.0D,
+       |       (s, d) -> s + double(element_at(embedding, d + 1)) * (double(xxhash64(k, d)) / 9.223372036854775807E18)) >= 0.0D,
+       |     shiftleft(1L, k), 0L))""".stripMargin
 
-  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
-        expr(bucketExpr).as("bucket"))
+  /** Bucket bits sized to the corpus: 2^bits buckets targeting ~32
+    * candidates per bucket, clamped to [4, 24]. At 1e9 vectors this yields
+    * ~2^25-capped buckets instead of a fixed 64 — bucket population stays
+    * bounded as N grows (the row count comes from parquet metadata, so the
+    * sizing job is a cheap statistics read, the analog of CBO stats).
+    */
+  private[graft] def bitsFor(n: Long): Int =
+    math.min(24, math.max(4, math.ceil(math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
+
+  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-1 multi-probe
+    * + true-cosine top-k via the bounded [[graft.functions.TopK]]
+    * aggregate. Queries are broadcast with their probe set exploded
+    * (nBits+1 probes each: exact bucket + each single-bit flip — the
+    * standard multi-probe recall recovery, since a near neighbor most
+    * likely differs in exactly one hyperplane sign); candidates stream
+    * from the scan and partial-aggregate map-side, so no all-candidate
+    * shuffle and no skewed window sort. No SQL oracle (bucket join not
+    * portably expressible); deterministic; recall@k vs brute force is
+    * measured in VectorSpec.
+    */
+  private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
+      multiProbe: Boolean = true): DataFrame = {
+    import graft.functions.TopK.top_k
+    val base = emb(spark, sfDir)
+    val nBits = nBitsOpt.getOrElse(bitsFor(base.count()))
+    val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
+      expr(bucketExpr(nBits)).as("bucket"))
+    // hamming-1 probe set; buckets are distinct, so each candidate can
+    // match at most one probe of a given query (no dedup needed).
+    val probes =
+      if (multiProbe)
+        s"concat(array(q_bucket), transform(sequence(0, ${nBits - 1}), i -> q_bucket ^ shiftleft(1L, i)))"
+      else "array(q_bucket)"
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      .withColumn("probe", explode(expr(probes)))
     val cands = e.join(broadcast(q),
-      col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     cands
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("vec_id").as("cand_id"), col("bucket"), col("sim"), col("rn"))
+      .groupBy("q_id")
+      .agg(top_k(col("sim"), col("vec_id"), col("bucket"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("cand_id"), col("t.payload").as("bucket"),
+        col("t.score").as("sim"), (col("pos") + 1).as("rn"))
       .orderBy("q_id", "rn")
   }
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    annLshAt(spark, sfDir, None, 3)
 
   // ---- multimodal_join ---------------------------------------------------
 

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.TopK
+import graft.operators.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search semantics and scale-shape checks: the TopK bounded
+  * aggregation buffer, the skew-free knn/ann physical plans (partial
+  * aggregation, no small-partition window sort), bucket-bit sizing, and
+  * the measured ANN recall vs brute force (VERDICT r1 item 6).
+  */
+class VectorSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- TopK buffer unit tests ---------------------------------------------
+
+  test("TopK.Buf keeps the k best by (score DESC, id ASC)") {
+    val b = new TopK.Buf(3)
+    Seq((0.5, 10L), (0.9, 20L), (0.1, 30L), (0.9, 5L), (0.7, 40L)).foreach {
+      case (s, i) => b.insert(s, i, i * 100)
+    }
+    assert(b.size == 3)
+    assert((0 until b.size).map(i => (b.scores(i), b.ids(i))) ==
+      Seq((0.9, 5L), (0.9, 20L), (0.7, 40L))) // tie at 0.9 → lower id first
+    assert(b.payloads(0) == 500L) // payload rides along
+  }
+
+  test("TopK.Buf merge == insert-all (order-insensitive)") {
+    val all = (1 to 50).map(i => (math.sin(i.toDouble), i.toLong))
+    val (l, r) = all.splitAt(25)
+    val whole = new TopK.Buf(5)
+    all.foreach { case (s, i) => whole.insert(s, i, 0L) }
+    val a = new TopK.Buf(5); l.foreach { case (s, i) => a.insert(s, i, 0L) }
+    val bb = new TopK.Buf(5); r.foreach { case (s, i) => bb.insert(s, i, 0L) }
+    (0 until bb.size).foreach(i => a.insert(bb.scores(i), bb.ids(i), bb.payloads(i)))
+    assert((0 until 5).map(i => (a.scores(i), a.ids(i))) ==
+      (0 until 5).map(i => (whole.scores(i), whole.ids(i))))
+  }
+
+  // ---- physical-plan shape ------------------------------------------------
+
+  test("knn_cosine plan partial-aggregates (no window exec, no sort on q_id)") {
+    val plan = SparkEntry.queries("knn_cosine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exec leaked into knn plan:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregation in knn plan:\n$plan")
+  }
+
+  test("ann_lsh plan uses bounded top_k aggregation, not a window") {
+    val plan = VectorOps.annLshAt(spark, sfDir, Some(4), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exec leaked into ann plan:\n$plan")
+    assert(plan.toLowerCase.contains("top_k"), s"top_k aggregate missing:\n$plan")
+  }
+
+  test("bucket bits scale with corpus size and stay clamped") {
+    assert(VectorOps.bitsFor(0) == 4)
+    assert(VectorOps.bitsFor(500) == 4)
+    assert(VectorOps.bitsFor(100000) == 12)
+    assert(VectorOps.bitsFor(1000000000L) == 24) // 1e9 vectors → 16M buckets
+    assert(VectorOps.bitsFor(Long.MaxValue) == 24)
+  }
+
+  // ---- recall vs brute force ---------------------------------------------
+
+  test("ann_lsh recall@3 vs brute-force knn is measured (multi-probe ≥ exact-bucket)") {
+    import graft.functions.FloatDot.float_dot
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    val bf = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", float_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val rMulti = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3))
+    val rExact = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, multiProbe = false))
+    info(f"ann_lsh recall@3 vs brute force at sf0.01, 4 bits: multi-probe $rMulti%.2f, exact-bucket $rExact%.2f")
+    // multi-probe exists to recover recall: candidate set is a strict
+    // superset of the exact-bucket one, so recall can only improve
+    assert(rMulti >= rExact)
+    assert(rMulti > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
+  }
+}
