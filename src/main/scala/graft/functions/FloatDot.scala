@@ -12,24 +12,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0D, +)` —
   * each float pair is widened to double, multiplied, and accumulated left
   * to right — so results are bit-identical to the DuckDB `list_reduce`
-  * oracles. The win is purely mechanical: Spark's higher-order functions
-  * are interpreted (no whole-stage codegen, per-element lambda dispatch and
-  * intermediate array allocation); this compiles to a tight primitive loop
-  * inside the codegen span. At 100 TB vector scans this is the difference
-  * between scan-bound and lambda-bound.
+  * oracles. That includes the null cases: zip_with null-pads the shorter
+  * array and a null element nulls its product, so a length mismatch or any
+  * null element yields NULL here too (not a silent truncation). The win is
+  * purely mechanical: Spark's higher-order functions are interpreted (no
+  * whole-stage codegen, per-element lambda dispatch and intermediate array
+  * allocation); this compiles to a tight primitive loop inside the codegen
+  * span. At 100 TB vector scans this is the difference between scan-bound
+  * and lambda-bound.
   */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null is also produced on length mismatch / null elements, regardless
+  // of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -42,12 +50,20 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

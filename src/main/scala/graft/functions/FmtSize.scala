@@ -40,9 +40,15 @@ case class FmtSize(child: Expression) extends UnaryExpression {
 object FmtSize {
   private val Units = Array("B", "KB", "MB", "GB", "TB")
 
-  /** Reference algorithm verbatim (utils.tpp:18-33), widened to Long. */
+  /** Reference algorithm verbatim (utils.tpp:18-33), widened to Long.
+    *
+    * The reference takes `u_long` (unsigned), so negative input cannot
+    * occur there; since `fmt_size(c)` casts arbitrary columns to LONG,
+    * negatives ARE reachable here and are clamped to 0 ("0 B") — the same
+    * guard is applied in [[fmtSizeSql]] so both engines agree.
+    */
   def format(size: Long): String = {
-    var s = size
+    var s = math.max(0L, size)
     var p = 0L
     var i = 0
     while (s >= 1024 && i < 4) {
@@ -66,10 +72,12 @@ object FmtSize {
   def register(spark: SparkSession): Unit =
     GraftShim.register(spark, "fmt_size", exprs => FmtSize(Cast(exprs.head, LongType)))
 
-  /** Oracle-SQL equivalent of [[format]] for a non-negative BIGINT
-    * expression `v` (portable integer CASE math; `//` = DuckDB int div).
+  /** Oracle-SQL equivalent of [[format]] for a BIGINT expression `vRaw`
+    * (portable integer CASE math; `//` = DuckDB int div). Negatives clamp
+    * to 0 exactly like [[format]].
     */
-  def fmtSizeSql(v: String): String = {
+  def fmtSizeSql(vRaw: String): String = {
+    val v = s"greatest($vRaw, 0)"
     val i = s"(CASE WHEN $v < 1024 THEN 0 WHEN $v < 1048576 THEN 1 WHEN $v < 1073741824 THEN 2 WHEN $v < 1099511627776 THEN 3 ELSE 4 END)"
     val s = s"($v // CASE $i WHEN 0 THEN 1 WHEN 1 THEN 1024 WHEN 2 THEN 1048576 WHEN 3 THEN 1073741824 ELSE 1099511627776 END)"
     val p = s"(CASE WHEN $i = 0 THEN 0 ELSE (($v // CASE $i WHEN 1 THEN 1 WHEN 2 THEN 1024 WHEN 3 THEN 1048576 ELSE 1073741824 END) % 1024) * 100 // 1024 % 100 END)"

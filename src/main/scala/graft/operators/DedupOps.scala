@@ -43,14 +43,24 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH banding: 3-token shingles → 16 seeded minhashes → 4
-    * bands of 4 → candidate pairs where any band collides. No SQL oracle
-    * (pair generation is not ANSI-expressible portably); deterministic by
-    * construction and property-tested.
+  /** Buckets larger than this emit star pairs (each id linked to the
+    * bucket's minimum id) instead of all pairs: a degenerate bucket — e.g.
+    * thousands of near-empty docs sharing a shingle — would otherwise
+    * concentrate O(b²) pair rows on one reducer. The star keeps every
+    * member transitively connected to the same duplicate cluster (the
+    * connected-components view is identical) at O(b) rows, so no reducer
+    * ever materializes more than `cap·(cap-1)/2 + (b-cap)` pairs.
     */
-  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  val HotBucketCap = 32
+
+  /** MinHash + LSH banding over any (doc_id, text) frame: 3-token shingles
+    * → 16 seeded minhashes → 4 bands of 4 → candidate pairs where any band
+    * collides, with the hot-bucket star-pair guard above. No SQL oracle
+    * (pair generation is not ANSI-expressible portably); deterministic by
+    * construction and property-tested in DedupSpec.
+    */
+  private[graft] def minhashPairs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
       .withColumn("sig", minhash_sig(col("shingles"), 16))
@@ -62,11 +72,18 @@ object DedupOps {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+        s"""CASE WHEN size(ids) <= $HotBucketCap THEN
+           |  flatten(transform(ids, (x, i) ->
+           |    transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))
+           |ELSE
+           |  transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b))
+           |END""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+
+  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(docs(spark, sfDir))
 
   /** 64-bit SimHash over distinct tokens (seeded xxhash64 bit votes). */
   private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

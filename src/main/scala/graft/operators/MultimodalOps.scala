@@ -41,28 +41,53 @@ object MultimodalOps {
         (lit(64L) + col("doc_id") % 416).as("height"))
       .orderBy("doc_id")
 
-  /** Typed feature extraction over the binary column (stubbed decode). */
-  private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Typed feature extraction over any (doc_id, payload: BINARY) frame
+    * (stubbed decode): the shared pass behind [[multimodalFeatures]] (text
+    * cast to bytes, oracle-comparable) and the real opaque-file path
+    * ([[binaryFeatures]] via the `binaryFile` source).
+    */
+  private[graft] def featuresOf(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds = docs(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[DocBytes]
-    ds.mapPartitions { it =>
-      it.map { d =>
-        // STUB decode: a real pipeline decodes image/audio bytes here.
-        // Deterministic fake: mean byte value per 32-byte frame.
-        val frames = d.payload.grouped(32)
-          .map(fr => fr.map(_ & 0xff).sum.toFloat / fr.length).toArray
-        val mean =
-          if (d.payload.isEmpty) 0.0
-          else d.payload.map(_ & 0xff).sum.toDouble / d.payload.length
-        DocFeat(d.doc_id, d.payload.length, mean, frames)
-      }
-    }.toDF()
+    payloads.select(col("doc_id"), col("payload")).as[DocBytes]
+      .mapPartitions { it =>
+        it.map { d =>
+          // STUB decode: a real pipeline decodes image/audio bytes here.
+          // Deterministic fake: mean byte value per 32-byte frame.
+          val frames = d.payload.grouped(32)
+            .map(fr => fr.map(_ & 0xff).sum.toFloat / fr.length).toArray
+          val mean =
+            if (d.payload.isEmpty) 0.0
+            else d.payload.map(_ & 0xff).sum.toDouble / d.payload.length
+          DocFeat(d.doc_id, d.payload.length, mean, frames)
+        }
+      }.toDF()
       .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
         size(col("frames")).as("n_frames"), element_at(col("frames"), 1).as("f0"))
       .orderBy("doc_id")
   }
+
+  private def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    featuresOf(spark,
+      docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Opaque files through the REAL `binaryFile` source (SURVEY §1.4 row 1:
+    * the client's `std::ifstream(..., std::ios::binary)`,
+    * `transf_client.cpp:102`): one row per file with path/length/bytes,
+    * doc_id recovered from digits in the filename. The scan is
+    * partition-parallel and prunes to metadata columns when `payload`
+    * is not selected.
+    */
+  private[graft] def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\D*$", 1).cast("long").as("doc_id"),
+        col("path"), col("length"), col("content").as("payload"))
+
+  /** Feature extraction over real opaque files: binaryFile scan → the same
+    * typed mapPartitions decode slot as the parquet path.
+    */
+  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(spark, readBinaryDir(spark, dir))
 
   // ---- declarations ------------------------------------------------------
 

@@ -141,6 +141,34 @@ object PipelineOps {
       .filter(not(col("path") === "" or col("path").like("/%") or col("path").like("%..%")))
       .orderBy("doc_id")
 
+  /** A12: client-side ack verification (`transf_client.cpp:174-194`) —
+    * after each TRANSFER the client requires an ack that (a) arrived,
+    * (b) echoes the session uuid, and (c) carries seq+1; anything else
+    * aborts the send. Replayed relationally: acks are synthesized from the
+    * sent frames with deterministic fault injection (lost ack, corrupted
+    * uuid echo, stale seq echo), and the query returns exactly the frames
+    * a client would abort on — the sent-vs-acked anti-join, with the
+    * failure classified. The join is a co-partitioned equi-join on
+    * (doc_id, seq); at scale both sides shuffle once on the same composite
+    * key.
+    */
+  private def ackVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val sent = chunks(spark, sfDir).select(col("doc_id"), col("seq"))
+    val acks = sent
+      .filter(expr("(doc_id * 31 + seq) % 97 <> 0")) // lost in transit
+      .select(col("doc_id"), col("seq"),
+        expr("CASE WHEN (doc_id * 13 + seq) % 83 = 0 THEN doc_id + 1 ELSE doc_id END").as("ack_doc"),
+        expr("CASE WHEN (doc_id * 17 + seq) % 89 = 0 THEN seq ELSE seq + 1 END").as("ack_seq"))
+    sent.join(acks, Seq("doc_id", "seq"), "left")
+      .withColumn("reason",
+        when(col("ack_seq").isNull, "MISSING")
+          .when(col("ack_doc") =!= col("doc_id"), "BAD_UUID")
+          .when(col("ack_seq") =!= col("seq") + 1, "BAD_SEQ"))
+      .filter(col("reason").isNotNull)
+      .select("doc_id", "seq", "reason")
+      .orderBy("doc_id", "seq")
+  }
+
   /** A20: basename extraction (find_last_of("/\\") + substr). */
   private def extractBasename(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
@@ -199,6 +227,21 @@ object PipelineOps {
               |       CAST(length(chunk) AS BIGINT) AS payload_len,
               |       least(greatest(n_chars - (seq-1)*$C, 0), $C) = CAST(length(chunk) AS BIGINT) AS ok
               |FROM c ORDER BY doc_id, seq""".stripMargin)),
+
+    "ack_verify" -> QueryDef(ackVerify,
+      Some(s"""$chunksCte, sent AS (SELECT doc_id, seq FROM c),
+              |acks AS (
+              |  SELECT doc_id, seq,
+              |         CASE WHEN (doc_id * 13 + seq) % 83 = 0 THEN doc_id + 1 ELSE doc_id END AS ack_doc,
+              |         CASE WHEN (doc_id * 17 + seq) % 89 = 0 THEN seq ELSE seq + 1 END AS ack_seq
+              |  FROM sent WHERE (doc_id * 31 + seq) % 97 <> 0)
+              |SELECT s.doc_id, s.seq,
+              |       CASE WHEN a.ack_seq IS NULL THEN 'MISSING'
+              |            WHEN a.ack_doc <> s.doc_id THEN 'BAD_UUID'
+              |            WHEN a.ack_seq <> s.seq + 1 THEN 'BAD_SEQ' END AS reason
+              |FROM sent s LEFT JOIN acks a ON s.doc_id = a.doc_id AND s.seq = a.seq
+              |WHERE a.ack_seq IS NULL OR a.ack_doc <> s.doc_id OR a.ack_seq <> s.seq + 1
+              |ORDER BY s.doc_id, s.seq""".stripMargin)),
 
     "validate_filename" -> QueryDef(validateFilename,
       Some("""WITH p AS (

@@ -61,10 +61,28 @@ object RelationalOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  private def distinctCount(spark: SparkSession, sfDir: String): DataFrame =
+  /** Exact + HLL cardinality per key. The exact `countDistinct` is the
+    * oracle-checked column; the HLL sketch value itself is not
+    * cross-engine-comparable (Spark HLL++ vs DuckDB HLL produce different
+    * estimates), so the oracle-visible column is `approx_ok` — each engine
+    * checks its OWN sketch against its exact count at the default ±5% rsd
+    * (asserted here at 10% slack); the raw estimate is tolerance-asserted
+    * in QueriesSpec. At 100 TB the approx path is the production one:
+    * exact distinct shuffles the whole key set, HLL partial-aggregates a
+    * constant-size sketch.
+    */
+  private[graft] def distinctCountRaw(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .groupBy("event_type")
-      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"))
+
+  private def distinctCount(spark: SparkSession, sfDir: String): DataFrame =
+    distinctCountRaw(spark, sfDir)
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.1).as("approx_ok"))
       .orderBy("event_type")
 
   /** A16 analog: min/avg/max/count per key. */
@@ -256,7 +274,9 @@ object RelationalOps {
     "distinct_count" -> QueryDef(distinctCount,
       Some(s"""$evCte
               |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-              |       count(*) AS n_events
+              |       count(*) AS n_events,
+              |       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+              |         <= count(DISTINCT user_id) * 0.1 AS approx_ok
               |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     "ping_rtt" -> QueryDef(pingRtt,

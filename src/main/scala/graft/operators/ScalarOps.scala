@@ -36,18 +36,54 @@ object ScalarOps {
 
   // ---- validate_ip_port (A26, A27) --------------------------------------
 
+  /** IPv4 octet: 0-255, no leading zeros — `inet_pton(AF_INET, ...)`
+    * semantics (`src/network.cpp:885-905` delegates to inet_pton, which
+    * rejects out-of-range octets and leading zeros).
+    */
+  private val OctRe = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9][0-9]|[0-9])"
+  private[graft] val V4Re = s"^$OctRe(\\.$OctRe){3}$$"
+
+  /** Full IPv6 grammar (hex groups + one `::` compression at any position;
+    * embedded-IPv4 tails excluded — the reference never formats them):
+    * the standard 9-branch alternation equivalent to
+    * `inet_pton(AF_INET6, ...)` acceptance for pure-hex addresses.
+    */
+  private[graft] val V6Re = {
+    val h = "[0-9A-Fa-f]{1,4}"
+    s"^(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|($h:){1,4}(:$h){1,3}" +
+      s"|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|$h:(:$h){1,6}|:((:$h){1,7}|:))$$"
+  }
+
+  /** A26+A27 over synthesized endpoints, including deliberately INVALID
+    * ones so the validators are exercised: custkey%10==0 → valid v6;
+    * %10==5 → malformed v6 (triple colon); %7==3 → v4 with an octet >255;
+    * else valid v4. Ports run 8000..67999 so the upper tail exceeds
+    * 65535 (`check_port`, `src/network.cpp:897-905`). `ip_version`
+    * mirrors `get_ipversion` (4 / 6 / 0 on invalid); `endpoint` mirrors
+    * `join_ip_port` (`src/network.cpp:907-920`: v6 bracketed).
+    */
   private def validateIpPort(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "customer")
       .select(col("c_custkey"),
         expr("""CASE WHEN c_custkey % 10 = 0
                |       THEN concat('fe80::', CAST(c_custkey % 9999 AS STRING))
+               |     WHEN c_custkey % 10 = 5
+               |       THEN concat('fe80:::', CAST(c_custkey % 99 AS STRING))
+               |     WHEN c_custkey % 7 = 3
+               |       THEN concat('10.0.', CAST(256 + c_custkey % 300 AS STRING),
+               |                   '.', CAST(c_custkey % 256 AS STRING))
                |       ELSE concat('10.0.', CAST((c_custkey div 256) % 256 AS STRING),
                |                   '.', CAST(c_custkey % 256 AS STRING)) END""".stripMargin).as("ip"),
-        (lit(8000L) + col("c_custkey") % 1000).as("port"))
+        (lit(8000L) + (col("c_custkey") * 97) % 60000).as("port"))
+      .withColumn("valid_v4", regexp_like(col("ip"), lit(V4Re)))
+      .withColumn("valid_v6", regexp_like(col("ip"), lit(V6Re)))
+      .withColumn("ip_version",
+        when(col("valid_v4"), 4L).when(col("valid_v6"), 6L).otherwise(0L))
+      .withColumn("valid_port", col("port") > 0 && col("port") <= 65535)
       .withColumn("endpoint",
-        when(col("ip").contains(":"), concat(lit("["), col("ip"), lit("]:"), col("port")))
+        when(col("ip_version") === 6L, concat(lit("["), col("ip"), lit("]:"), col("port")))
           .otherwise(concat(col("ip"), lit(":"), col("port"))))
-      .withColumn("valid_v4", regexp_like(col("ip"), lit("^10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}$")))
+      .select("c_custkey", "ip", "port", "endpoint", "valid_v4", "valid_v6", "ip_version", "valid_port")
       .orderBy("c_custkey")
 
   // ---- color_nearest (A28) ----------------------------------------------
@@ -131,19 +167,32 @@ object ScalarOps {
               |FROM b ORDER BY o_orderkey""".stripMargin)),
 
     "validate_ip_port" -> QueryDef(validateIpPort,
-      Some("""WITH p AS (
-             |  SELECT c_custkey,
-             |         CASE WHEN c_custkey % 10 = 0
-             |              THEN 'fe80::' || CAST(c_custkey % 9999 AS VARCHAR)
-             |              ELSE '10.0.' || CAST((c_custkey // 256) % 256 AS VARCHAR)
-             |                   || '.' || CAST(c_custkey % 256 AS VARCHAR) END AS ip,
-             |         8000 + c_custkey % 1000 AS port
-             |  FROM customer)
-             |SELECT c_custkey, ip, CAST(port AS BIGINT) AS port,
-             |       CASE WHEN contains(ip, ':') THEN '[' || ip || ']:' || CAST(port AS VARCHAR)
-             |            ELSE ip || ':' || CAST(port AS VARCHAR) END AS endpoint,
-             |       regexp_matches(ip, '^10\.0\.[0-9]{1,3}\.[0-9]{1,3}$') AS valid_v4
-             |FROM p ORDER BY c_custkey""".stripMargin)),
+      Some(s"""WITH p AS (
+              |  SELECT c_custkey,
+              |         CASE WHEN c_custkey % 10 = 0
+              |              THEN 'fe80::' || CAST(c_custkey % 9999 AS VARCHAR)
+              |              WHEN c_custkey % 10 = 5
+              |              THEN 'fe80:::' || CAST(c_custkey % 99 AS VARCHAR)
+              |              WHEN c_custkey % 7 = 3
+              |              THEN '10.0.' || CAST(256 + c_custkey % 300 AS VARCHAR)
+              |                   || '.' || CAST(c_custkey % 256 AS VARCHAR)
+              |              ELSE '10.0.' || CAST((c_custkey // 256) % 256 AS VARCHAR)
+              |                   || '.' || CAST(c_custkey % 256 AS VARCHAR) END AS ip,
+              |         8000 + (c_custkey * 97) % 60000 AS port
+              |  FROM customer),
+              |v AS (
+              |  SELECT c_custkey, ip, CAST(port AS BIGINT) AS port,
+              |         regexp_matches(ip, '$V4Re') AS valid_v4,
+              |         regexp_matches(ip, '$V6Re') AS valid_v6
+              |  FROM p)
+              |SELECT c_custkey, ip, port,
+              |       CASE WHEN NOT valid_v4 AND valid_v6
+              |            THEN '[' || ip || ']:' || CAST(port AS VARCHAR)
+              |            ELSE ip || ':' || CAST(port AS VARCHAR) END AS endpoint,
+              |       valid_v4, valid_v6,
+              |       CAST(CASE WHEN valid_v4 THEN 4 WHEN valid_v6 THEN 6 ELSE 0 END AS BIGINT) AS ip_version,
+              |       port > 0 AND port <= 65535 AS valid_port
+              |FROM v ORDER BY c_custkey""".stripMargin)),
 
     "color_nearest" -> QueryDef(colorNearest,
       Some(s"""WITH pal(cr, cg, cb, code) AS (VALUES $paletteValuesSql),

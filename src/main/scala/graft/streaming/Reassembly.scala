@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -10,6 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * of the HS handshake's filesize field, `transf_server.cpp:156-161`).
   */
 final case class Frame(uuid: String, seq: Int, payload: String, filesize: Long)
+
+/** A frame with an event timestamp — the input of the event-time variant
+  * ([[Reassembly.streamEventTime]]), where idle-session expiry follows the
+  * WATERMARK (stream time) rather than the wall clock.
+  */
+final case class TimedFrame(uuid: String, seq: Int, payload: String, filesize: Long, ts: Timestamp)
 
 /** Keyed session state — the `TransferInfo` struct of the reference
   * (`transf_server.cpp:49-70`): next expected seq, bytes written, content
@@ -26,63 +34,93 @@ final case class SessionState(
 final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Long, content: String)
 
 /** Structured-Streaming ordered reassembly with TTL state expiry — the
-  * streaming form of the `roundtrip_pipeline` batch query.
+  * streaming form of the `roundtrip_pipeline` batch query, in two flavors:
+  *
+  *   - [[stream]]: processing-time TTL — the literal replay of the
+  *     reference's wall-clock GC sweep (`transf_server.cpp:653-655`);
+  *   - [[streamEventTime]]: event-time TTL — `withWatermark` +
+  *     `EventTimeTimeout`, the semantics an event pipeline actually needs:
+  *     sessions expire when the STREAM has provably moved past their last
+  *     frame (watermark > last event time + TTL), independent of wall
+  *     clock, and late frames older than the watermark are dropped before
+  *     they can corrupt state (the reference has no analog — UDP just
+  *     loses them; SURVEY §1.4 maps A13 to exactly this pair).
   *
   * Scale notes: state lives in the state store partitioned by uuid (no
   * global locks — the reference's mutex-per-session maps to partition
-  * locality); per-key state is bounded by the declared filesize; the
-  * processing-time timeout replays the reference's 20 s GC sweep
-  * (`transf_server.cpp:653-655`) without a sweeper thread. Exactly-once
-  * sink semantics come from checkpointing, vs the reference's at-most-once
-  * seq-equality dedup.
+  * locality); per-key state is bounded by the declared filesize; timeouts
+  * replace the reference's sweeper thread. Exactly-once sink semantics
+  * come from checkpointing, vs the reference's at-most-once seq-equality
+  * dedup.
   */
 object Reassembly {
 
   /** Reference default: timeout_send + timeout_recv = 20 s. */
   val DefaultTtl: String = "20 seconds"
+  val DefaultTtlMs: Long = 20000L
 
-  /** State-update function, factored out so unit tests can drive it
-    * directly with `TestGroupState` (incl. the timeout path, which wall
-    * clocks make impractical to exercise through a real trigger).
+  /** Core per-batch session-state transition, shared by both time modes.
+    *
+    * Within a micro-batch, frames may arrive unordered; the protocol is
+    * stop-and-wait so seq order is the delivery order — process in seq
+    * order and REJECT anything that isn't the next expected frame. Once
+    * the session completes, it is closed (`transf_server.cpp:295-326`
+    * erases the map entry): trailing frames in the same batch draw REJECT,
+    * not a second DONE.
+    *
+    * Returns (final state, acks, completed).
+    */
+  private[streaming] def processFrames(
+      uuid: String, st0: SessionState, frames: Seq[Frame]): (SessionState, Seq[AckEvent], Boolean) = {
+    var st = st0
+    var done = false
+    val acks = ArrayBuffer.empty[AckEvent]
+    frames.sortBy(_.seq).foreach { f =>
+      if (st.filesize < 0) st = st.copy(filesize = f.filesize)
+      if (done || f.seq != st.expected) {
+        st = st.copy(rejected = st.rejected + 1)
+        acks += AckEvent(uuid, "REJECT", st.expected, st.written, "")
+      } else {
+        // A10 clamp: never write past the declared filesize.
+        val room = st.filesize - st.written
+        val take = math.max(0L, math.min(room, f.payload.length.toLong)).toInt
+        st = SessionState(st.expected + 1, st.written + take,
+          st.content + f.payload.substring(0, take), st.filesize, st.rejected)
+        if (st.written >= st.filesize) {
+          done = true
+          acks += AckEvent(uuid, "DONE", st.expected, st.written, st.content)
+        } else {
+          acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, "")
+        }
+      }
+    }
+    (st, acks.toSeq, done)
+  }
+
+  private def expire(uuid: String, state: GroupState[SessionState]): Iterator[AckEvent] = {
+    // A13: evict the idle session; partial content is discarded, exactly
+    // like the sweeper deleting the partial file.
+    val st = state.getOption
+    state.remove()
+    Iterator.single(AckEvent(uuid, "EXPIRED",
+      st.map(_.expected).getOrElse(1), st.map(_.written).getOrElse(0L), ""))
+  }
+
+  /** Processing-time state-update function, factored out so unit tests can
+    * drive it directly with `TestGroupState` (incl. the timeout path, which
+    * wall clocks make impractical to exercise through a real trigger).
     *
     * `ttl` mirrors the wiring's timeout mode: with NoTimeout,
     * `setTimeoutDuration` would throw, so bounded (batch-like) runs pass
     * ttl = false.
     */
   def update(ttl: Boolean)(uuid: String, frames: Iterator[Frame], state: GroupState[SessionState]): Iterator[AckEvent] = {
-    if (state.hasTimedOut) {
-      // A13: evict the idle session; partial content is discarded, exactly
-      // like the sweeper deleting the partial file.
-      val st = state.getOption
-      state.remove()
-      Iterator.single(AckEvent(uuid, "EXPIRED",
-        st.map(_.expected).getOrElse(1), st.map(_.written).getOrElse(0L), ""))
-    } else {
-      var st = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
-      val acks = ArrayBuffer.empty[AckEvent]
-      // Within a micro-batch, frames may arrive unordered; the protocol is
-      // stop-and-wait so seq order is the delivery order — process in seq
-      // order and REJECT anything that isn't the next expected frame.
-      frames.toSeq.sortBy(_.seq).foreach { f =>
-        if (st.filesize < 0) st = st.copy(filesize = f.filesize)
-        if (f.seq != st.expected) {
-          st = st.copy(rejected = st.rejected + 1)
-          acks += AckEvent(uuid, "REJECT", st.expected, st.written, "")
-        } else {
-          // A10 clamp: never write past the declared filesize.
-          val room = st.filesize - st.written
-          val take = math.max(0L, math.min(room, f.payload.length.toLong)).toInt
-          st = SessionState(st.expected + 1, st.written + take,
-            st.content + f.payload.substring(0, take), st.filesize, st.rejected)
-          if (st.written >= st.filesize)
-            acks += AckEvent(uuid, "DONE", st.expected, st.written, st.content)
-          else
-            acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, "")
-        }
-      }
-      if (acks.exists(_.kind == "DONE")) {
-        // A11: close + erase session (even if trailing duplicates in the
-        // same batch drew REJECTs after completion).
+    if (state.hasTimedOut) expire(uuid, state)
+    else {
+      val st0 = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
+      val (st, acks, done) = processFrames(uuid, st0, frames.toSeq)
+      if (done) {
+        // A11: close + erase session.
         state.remove()
       } else {
         state.update(st)
@@ -92,7 +130,32 @@ object Reassembly {
     }
   }
 
-  /** Wires the stateful op over a (streaming or batch) Dataset of frames.
+  /** Event-time state-update function: the TTL deadline is
+    * `max(last event time, watermark) + ttlMs` — the session expires once
+    * the watermark passes 20 s beyond its newest frame, the event-time
+    * reading of the reference's `last_update_time` sweep
+    * (`transf_server.cpp:78-131`).
+    */
+  def updateEventTime(ttlMs: Long = DefaultTtlMs)(
+      uuid: String, frames: Iterator[TimedFrame], state: GroupState[SessionState]): Iterator[AckEvent] = {
+    if (state.hasTimedOut) expire(uuid, state)
+    else {
+      val fs = frames.toSeq
+      val st0 = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
+      val (st, acks, done) =
+        processFrames(uuid, st0, fs.map(f => Frame(f.uuid, f.seq, f.payload, f.filesize)))
+      if (done) state.remove()
+      else {
+        state.update(st)
+        val lastEvent = fs.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(math.max(lastEvent, state.getCurrentWatermarkMs()) + ttlMs)
+      }
+      acks.iterator
+    }
+  }
+
+  /** Wires the processing-time stateful op over a (streaming or batch)
+    * Dataset of frames.
     *
     * Default = production mode with the 20 s processing-time TTL. NOTE:
     * with ProcessingTimeTimeout Spark schedules no-data batches on every
@@ -109,5 +172,22 @@ object Reassembly {
     frames
       .groupByKey(_.uuid)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update(ttl))
+  }
+
+  /** Event-time wiring: watermark on `ts` (late frames below the watermark
+    * are dropped by the stateful operator before reaching [[updateEventTime]])
+    * + `EventTimeTimeout` eviction. Timeouts fire on watermark advancement —
+    * driven by data, not wall clock, so bounded runs terminate naturally.
+    */
+  def streamEventTime(
+      spark: SparkSession,
+      frames: Dataset[TimedFrame],
+      delayThreshold: String = DefaultTtl,
+      ttlMs: Long = DefaultTtlMs): Dataset[AckEvent] = {
+    import spark.implicits._
+    frames
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.uuid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateEventTime(ttlMs))
   }
 }

@@ -21,7 +21,9 @@ class FmtSizeSpec extends AnyFunSuite {
     5L * 1024 * 1024 * 1024 -> "5 GB",
     1099511627776L -> "1 TB",
     1024L * 1099511627776L -> "1024 TB", // unit index capped at TB (i < 4)
-    4294967295L -> "3.99 GB" // u32 max
+    4294967295L -> "3.99 GB", // u32 max
+    -1L -> "0 B", // negatives (unreachable in the reference's u_long) clamp to 0
+    Long.MinValue -> "0 B"
   )
 
   test("format matches reference integer algorithm on boundaries") {

@@ -72,6 +72,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(lastPerUser.filter(col("m") =!= 100).count() == 0)
   }
 
+  test("distinct_count HLL estimate is within 10% of exact per group") {
+    val rows = operators.RelationalOps.distinctCountRaw(spark, sfDir)
+      .select("event_type", "n_users", "approx_users").collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) <= exact * 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("knn_cosine similarities lie in [-1, 1]") {
     val df = SparkEntry.queries("knn_cosine")(spark, sfDir)
     assert(df.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)

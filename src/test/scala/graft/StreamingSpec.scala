@@ -5,7 +5,9 @@ import java.util.concurrent.ConcurrentLinkedQueue
 
 import scala.jdk.CollectionConverters._
 
-import graft.streaming.{AckEvent, Frame, Reassembly, SessionState}
+import java.sql.Timestamp
+
+import graft.streaming.{AckEvent, Frame, Reassembly, SessionState, TimedFrame}
 import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -88,6 +90,73 @@ class StreamingSpec extends AnyFunSuite {
     val out = Reassembly.update(ttl = true)("d", Iterator.empty, state).toSeq
     assert(out == Seq(AckEvent("d", "EXPIRED", 3, 16, "")))
     assert(state.isRemoved)
+  }
+
+  test("trailing frame after in-batch completion draws REJECT, not a second DONE") {
+    // filesize 4 reached at seq 2; seq 3 arrives in the SAME batch — the
+    // session is closed at DONE (transf_server.cpp:295-326), so the extra
+    // frame must be rejected rather than re-emitting DONE with content
+    val acks = run(Seq(Frame("g", 1, "he", 4), Frame("g", 2, "llo", 4), Frame("g", 3, "xx", 4)))
+    assert(acks.map(_.kind).sorted == Seq("DONE", "RECEIVED", "REJECT"))
+    assert(acks.count(_.kind == "DONE") == 1)
+  }
+
+  // ---- event-time variant (withWatermark + EventTimeTimeout) -------------
+
+  /** Like [[run]] but through the event-time wiring; watermark state is
+    * recovered from the shared checkpoint between phases.
+    */
+  private def runET(batches: Seq[TimedFrame]*): Seq[AckEvent] = {
+    val enc = {
+      import spark.implicits._
+      implicitly[Encoder[TimedFrame]]
+    }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-et-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[AckEvent]()
+    batches.foreach { b =>
+      input.addData(b)
+      val q = Reassembly.streamEventTime(spark, input.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: Dataset[AckEvent], _: Long) => ds.collect().foreach(acc.add) }
+        .start()
+      q.awaitTermination()
+    }
+    acc.asScala.toSeq
+  }
+
+  private def tf(uuid: String, seq: Int, payload: String, size: Long, tsSec: Long): TimedFrame =
+    TimedFrame(uuid, seq, payload, size, new Timestamp(tsSec * 1000L))
+
+  test("event-time timeout evicts a session once the watermark passes its TTL (A13)") {
+    val acks = runET(
+      // w1 receives 2 of 3 chunks at t=10s,20s -> TTL deadline 40s
+      Seq(tf("w1", 1, "aaaa", 12, 10), tf("w1", 2, "bbbb", 12, 20)),
+      // unrelated traffic advances the watermark to 120-20 = 100s > 40s
+      Seq(tf("w2", 1, "x", 1, 120)),
+      // next batch evaluates timeouts against watermark 100s -> w1 expires
+      Seq(tf("w3", 1, "y", 1, 130)))
+    val expired = acks.filter(_.kind == "EXPIRED")
+    assert(expired.map(_.uuid) == Seq("w1"), s"acks: $acks")
+    assert(expired.head.written == 8) // partial progress discarded at eviction
+    assert(!acks.exists(a => a.uuid == "w1" && a.kind == "DONE"))
+  }
+
+  test("late frame below the watermark is dropped before reaching state") {
+    val acks = runET(
+      // seq 1 at t=200s -> watermark after batch = 180s; expected next = 2
+      Seq(tf("x", 1, "aaaa", 100, 200)),
+      // seq 2 arrives with ts=50s < watermark 180s: dropped by the
+      // watermark filter — were it delivered, it IS the expected seq and
+      // would ack RECEIVED, so the missing ack proves the drop
+      Seq(tf("x", 2, "bbbb", 100, 50)),
+      // an in-time seq 2 then lands normally: state was not corrupted
+      Seq(tf("x", 2, "bbbb", 100, 210)))
+    val forX = acks.filter(_.uuid == "x").sortBy(_.next_seq)
+    assert(forX.map(_.kind) == Seq("RECEIVED", "RECEIVED"), s"acks: $forX")
+    assert(forX.last.written == 8)
   }
 
   test("uuid reuse after DONE starts a clean new session") {

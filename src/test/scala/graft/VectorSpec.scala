@@ -48,6 +48,27 @@ class VectorSpec extends AnyFunSuite {
       (0 until 5).map(i => (whole.scores(i), whole.ids(i))))
   }
 
+  // ---- FloatDot null semantics (== the zip_with/aggregate HOF form) ------
+
+  test("float_dot nulls on length mismatch and null elements, like the HOF form") {
+    import graft.functions.FloatDot.float_dot
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (CAST(NULL AS ARRAY<FLOAT>), array(CAST(3.0 AS FLOAT)))
+        |  AS t(a, b)""".stripMargin)
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0D, (p, q) -> p + q)")
+    val rows = df.select(float_dot(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"value disagreement: $r")
+    }
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows.drop(1).forall(_.isNullAt(0)))
+  }
+
   // ---- physical-plan shape ------------------------------------------------
 
   test("knn_cosine plan partial-aggregates (no window exec, no sort on q_id)") {
