@@ -85,17 +85,62 @@ object DedupOps {
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(docs(spark, sfDir))
 
-  /** 64-bit SimHash over distinct tokens (seeded xxhash64 bit votes). */
-  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+  /** 64-bit SimHash signature column (seeded xxhash64 bit votes over
+    * distinct tokens), shared by the signature query and the neighbor join.
+    */
+  private def withSimhash(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
           |  if(aggregate(toks, 0L, (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
           |     shiftleft(1L, i), 0L))""".stripMargin))
+
+  /** 64-bit SimHash over distinct tokens (seeded xxhash64 bit votes). */
+  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    withSimhash(docs(spark, sfDir))
       .withColumn("prefix16", expr("shiftright(simhash, 48) & 65535"))
       .select("doc_id", "simhash", "prefix16")
       .orderBy("doc_id")
+
+  /** SimHash hamming-neighbor join — the consumer the signatures exist
+    * for. Pigeonhole banding: the 64-bit signature splits into 4 16-bit
+    * bands; hamming distance ≤ 3 can disturb at most 3 bands, so every
+    * ≤3-neighbor pair shares at least one exact band key — candidates come
+    * from a (band_id, band_key) equi-bucket join (one shuffle, no all-pairs
+    * scan), then the true `bit_count(a XOR b)` filter keeps real neighbors.
+    * The same hot-bucket star guard as minhash bounds degenerate buckets
+    * (identical docs have hamming 0, so star pairs always survive the
+    * filter and keep the cluster connected). Deterministic; no SQL oracle
+    * (xxhash64 is not available in DuckDB); property-tested in DedupSpec.
+    */
+  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame =
+    withSimhash(d)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(
+          """transform(sequence(0, 3), j -> struct(j AS band_id,
+            |  shiftright(simhash, j * 16) & 65535 AS bk))""".stripMargin)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.bk"))
+      .groupBy("band_id", "bk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(
+        s"""CASE WHEN size(items) <= $HotBucketCap THEN
+           |  flatten(transform(items, (x, i) ->
+           |    transform(slice(items, i + 2, size(items)), y ->
+           |      struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |             bit_count(x.simhash ^ y.simhash) AS hamming))))
+           |ELSE
+           |  transform(slice(items, 2, size(items)), y ->
+           |    struct(element_at(items, 1).doc_id AS doc_a, y.doc_id AS doc_b,
+           |           bit_count(element_at(items, 1).simhash ^ y.simhash) AS hamming))
+           |END""".stripMargin)).as("p"))
+      .filter(col("p.hamming") <= maxHamming)
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+
+  private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(docs(spark, sfDir))
 
   // ---- declarations ------------------------------------------------------
 
@@ -119,6 +164,8 @@ object DedupOps {
 
     "dedup_minhash" -> QueryDef(dedupMinhash, None),
 
-    "dedup_simhash" -> QueryDef(dedupSimhash, None)
+    "dedup_simhash" -> QueryDef(dedupSimhash, None),
+
+    "dedup_simhash_pairs" -> QueryDef(dedupSimhashPairs, None)
   )
 }

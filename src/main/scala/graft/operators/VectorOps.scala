@@ -158,6 +158,39 @@ object VectorOps {
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshAt(spark, sfDir, None, 3)
 
+  // ---- embed_neardup_lsh -------------------------------------------------
+
+  /** Production-form embedding near-dup: the same corpus-sized LSH buckets
+    * as ann_lsh, but self-joined — pairs are generated only WITHIN a
+    * bucket (equi-join on the bucket id, one shuffle of each side), then
+    * kept by true cosine. Per-bucket population is held at ~32 by
+    * [[bitsFor]], so the within-bucket quadratic is a bounded constant
+    * (~1k candidate rows per bucket) no matter how large the corpus grows —
+    * this replaces the bounded-id quadratic `embed_neardup` baseline as the
+    * path you'd actually run at 100 TB. True near-duplicates (cosine ≈ 1)
+    * land in the same bucket with probability (1 - θ/π)^bits ≈ 1, so
+    * exact-bucket recall is high precisely for the pairs that matter;
+    * recall vs the brute-force baseline is measured in DedupSpec.
+    * Deterministic; no SQL oracle (seeded-hash buckets not portable).
+    */
+  private[graft] def embedNeardupLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+    val base = emb(spark, sfDir)
+    val nBits = bitsFor(base.count())
+    val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
+      expr(bucketExpr(nBits)).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") > threshold)
+      .select("id_a", "id_b", "bucket", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  private def embedNeardupLshQuery(spark: SparkSession, sfDir: String): DataFrame =
+    embedNeardupLsh(spark, sfDir)
+
   // ---- multimodal_join ---------------------------------------------------
 
   /** `documents` ⋈ `embeddings` on doc_id = vec_id: text metadata + vector
@@ -200,6 +233,8 @@ object VectorOps {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     "ann_lsh" -> QueryDef(annLsh, None),
+
+    "embed_neardup_lsh" -> QueryDef(embedNeardupLshQuery, None),
 
     "multimodal_join" -> QueryDef(multimodalJoin,
       Some(s"""SELECT d.doc_id, d.lang, d.n_chars, e.label, ${normSql("e.embedding")} AS nrm

@@ -49,6 +49,52 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated filler docs paired: ${pairs.filter(p => p._1 >= 100L)}")
   }
 
+  test("simhash pairs: exact duplicates found at hamming 0, random docs not paired") {
+    import spark.implicits._
+    val dupText = (1 to 25).map(i => s"dup$i").mkString(" ")
+    val rand = (10L to 60L).map(i => i -> (1 to 25).map(j => s"r${i}_$j").mkString(" "))
+    val d = (Seq(1L -> dupText, 2L -> dupText, 3L -> dupText) ++ rand).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dupPairs = pairs.filter(p => p._1 <= 3 && p._2 <= 3)
+    assert(dupPairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"identical docs must all pair: ${dupPairs.toSeq}")
+    assert(dupPairs.forall(_._3 == 0))
+    assert(!pairs.exists(p => p._1 >= 10L), s"random docs paired: ${pairs.toSeq}")
+  }
+
+  test("simhash pairs: 500 identical docs stay O(n) under the hot-bucket star guard") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = (1L to 500L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(d).collect()
+    assert(pairs.length == 499)
+    assert(pairs.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+  }
+
+  test("embed_neardup_lsh finds the high-sim brute-force pairs (recall measured)") {
+    import graft.operators.VectorOps
+    // brute-force pairs above threshold on the full sf0.01 corpus
+    val brute = {
+      import graft.functions.FloatDot.float_dot
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", float_dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("sim") > 0.3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = VectorOps.embedNeardupLsh(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must not produce false positives (true sim is recomputed)")
+    val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
+    info(f"embed_neardup_lsh recall vs brute force at sf0.01: $recall%.2f (${lsh.size}/${brute.size} pairs)")
+  }
+
   test("candidate quality: LSH candidates are far more similar than random pairs") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()

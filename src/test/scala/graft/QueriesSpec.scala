@@ -22,7 +22,8 @@ class QueriesSpec extends AnyFunSuite {
     .getOrCreate()
 
   // Keys allowed to be empty at this scale (filters that may select nothing).
-  private val mayBeEmpty = Set("join_anti", "embed_neardup", "dedup_jaccard", "dedup_minhash")
+  private val mayBeEmpty = Set("join_anti", "embed_neardup", "embed_neardup_lsh",
+    "dedup_jaccard", "dedup_minhash", "dedup_simhash_pairs")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name materializes at sf0.001") {
@@ -35,7 +36,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for every key except the declared non-SQL ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("dedup_minhash", "dedup_simhash", "ann_lsh", "multimodal_features"),
+    assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+      "ann_lsh", "embed_neardup_lsh", "multimodal_features"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
