@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these
+  * operators survive a 100 TB scale-up are checked against the actual
+  * planned output, so a refactor that silently defeats pushdown, pruning,
+  * broadcast selection, or top-k short-circuiting fails here rather than
+  * in production. (Plan strings come from the pre-execution AQE plan —
+  * broadcast hints, scan pushdown and TakeOrderedAndProject are all
+  * decided by then.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter_project pushes predicates into the parquet scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("LessThan"), s"no comparison pushed:\n$p")
+  }
+
+  test("ingest_scan prunes to the projected columns only") {
+    val p = plan("ingest_scan")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("join_broadcast and join_multi broadcast the small dimensions") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    val multi = plan("join_multi")
+    assert(multi.contains("BroadcastHashJoin"), multi)
+  }
+
+  test("sort_topk compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations partial-aggregate map-side and run inside whole-stage codegen") {
+    val df = SparkEntry.queries("agg_group")(spark, sfDir)
+    assert(plan("agg_group").contains("partial_sum"), "no map-side partial aggregation")
+    df.collect() // finalize THIS adaptive plan — codegen stages appear post-execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the final-plan rendering
+    assert(p.contains("*("), s"no whole-stage codegen span:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("no nested-loop or cartesian joins outside the declared baselines") {
+    // embed_neardup/dedup_jaccard are bounded verification baselines and
+    // color_nearest is a 16-row broadcast palette — everything else must
+    // plan hash/sort-merge joins only
+    val exempt = Set("embed_neardup", "dedup_jaccard", "color_nearest")
+    SparkEntry.queries.keys.filterNot(exempt).toSeq.sorted.foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
+      // BroadcastNestedLoopJoin with a broadcast query side is fine for the
+      // knn scan (non-equi != condition on a 10-row side); flag only
+      // non-broadcast NLJ
+      assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$k plans a non-broadcast nested-loop join")
+    }
+  }
+
+  test("dedup_exact groups on the hash with map-side partial aggregation") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2,
+      s"dedup_exact shuffles more than hash-agg + order:\n$p")
+  }
+
+  test("ack_verify joins without broadcasting the full sent side") {
+    // both sides are the same scale — must be a shuffled equi-join
+    val p = plan("ack_verify")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+}
