@@ -17,6 +17,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
   *   - doc C: last frame withheld → session stays pending (would EXPIRE
   *     after the 20 s TTL; the timeout path is unit-tested with
   *     TestGroupState since wall-clock waits don't belong in a demo)
+  *   - event-time epilogue: doc C's frames replayed through the
+  *     watermark + EventTimeTimeout wiring, then unrelated traffic
+  *     advances the watermark past C's TTL → the engine emits EXPIRED
+  *     without any wall-clock wait (expiry is data-driven)
   *
   * Each phase runs with Trigger.AvailableNow against a shared checkpoint:
   * with ProcessingTimeTimeout the engine schedules no-data batches on every
@@ -89,8 +93,38 @@ object StreamDemo {
     val okA = done.get(ua).contains(ta)
     val okB = done.get(ub).contains(tb)
     val pendingC = !done.contains(uc)
-    println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects")
+
+    // Event-time epilogue: C's partial session again, but expiry is driven
+    // by the watermark (no wall-clock wait) — unrelated later traffic moves
+    // the watermark past C's last-frame + TTL and the engine evicts it.
+    val etInput = MemoryStream[TimedFrame](
+      implicitly[org.apache.spark.sql.Encoder[TimedFrame]], spark.sqlContext)
+    val etAcc = new java.util.concurrent.ConcurrentLinkedQueue[AckEvent]()
+    val etCkpt = Files.createTempDirectory("graft-stream-et-ckpt").toString
+    def runEtPhase(): Unit = {
+      val q = Reassembly.streamEventTime(spark, etInput.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", etCkpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[AckEvent], _: Long) =>
+          ds.collect().foreach(etAcc.add)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    etInput.addData(fc.dropRight(1).zipWithIndex.map { case (f, i) =>
+      TimedFrame(f.uuid, f.seq, f.payload, f.filesize, at(10 + i))
+    })
+    runEtPhase()
+    etInput.addData(Seq(TimedFrame("advancer", 1, "x", 1, at(200))))
+    runEtPhase()
+    etInput.addData(Seq(TimedFrame("advancer2", 1, "y", 1, at(210))))
+    runEtPhase()
+    val etExpired = etAcc.asScala.exists(a => a.uuid == uc && a.kind == "EXPIRED")
+
+    println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects eventTimeExpired=$etExpired")
     spark.stop()
-    if (!(okA && okB && pendingC && rejects >= 2)) sys.exit(1)
+    if (!(okA && okB && pendingC && rejects >= 2 && etExpired)) sys.exit(1)
   }
 }
