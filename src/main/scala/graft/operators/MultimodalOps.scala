@@ -23,7 +23,16 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   final case class DocBytes(doc_id: Long, payload: Array[Byte])
-  final case class DocFeat(doc_id: Long, n_bytes: Int, mean_byte: Double, frames: Array[Float])
+  final case class DocFeat(
+      doc_id: Long, n_bytes: Int, mean_byte: Double, frames: Array[Float],
+      sampled: Array[Float], resized: Array[Float])
+
+  /** Stride for frame sampling (every k-th frame — the video keyframe
+    * analog) and the fixed bin count for resize (mean-pool to a constant
+    * resolution regardless of payload size — the image-resize analog).
+    */
+  val SampleStride = 4
+  val ResizeBins = 8
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
@@ -58,11 +67,28 @@ object MultimodalOps {
           val mean =
             if (d.payload.isEmpty) 0.0
             else d.payload.map(_ & 0xff).sum.toDouble / d.payload.length
-          DocFeat(d.doc_id, d.payload.length, mean, frames)
+          // frame-sample: every SampleStride-th frame (keyframe analog)
+          val sampled = frames.indices.collect {
+            case i if i % SampleStride == 0 => frames(i)
+          }.toArray
+          // resize: mean-pool to ResizeBins fixed bins (bin b covers
+          // frames [b*n/8, max(that+1, (b+1)*n/8)) — every payload maps to
+          // the same output shape)
+          val n = frames.length
+          val resized =
+            if (n == 0) Array.fill(ResizeBins)(0f)
+            else Array.tabulate(ResizeBins) { b =>
+              val lo = b * n / ResizeBins
+              val hi = math.min(n, math.max(lo + 1, (b + 1) * n / ResizeBins))
+              val slice = frames.slice(lo, hi)
+              slice.sum / slice.length
+            }
+          DocFeat(d.doc_id, d.payload.length, mean, frames, sampled, resized)
         }
       }.toDF()
       .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
-        size(col("frames")).as("n_frames"), element_at(col("frames"), 1).as("f0"))
+        size(col("frames")).as("n_frames"), element_at(col("frames"), 1).as("f0"),
+        size(col("sampled")).as("n_sampled"), element_at(col("resized"), 1).as("r0"))
       .orderBy("doc_id")
   }
 

@@ -94,14 +94,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Content fingerprints: full/head/tail md5 (hex) + a 16-hex-digit key. */
+  /** Content fingerprints: full/head/tail md5 (hex), a 16-hex-digit key,
+    * and a Karp-Rabin polynomial rolling hash (base 131 mod 1e9+7 over the
+    * character stream — the incremental-fingerprint primitive; here the
+    * full-document fold, computed identically by the DuckDB oracle).
+    */
   private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"),
         md5(col("text")).as("fp"),
         substring(md5(col("text")), 1, 16).as("fp16"),
         md5(substring(col("text"), 1, 100)).as("fp_head"),
-        md5(expr("substring(text, greatest(length(text) - 99, 1), 100)")).as("fp_tail"))
+        md5(expr("substring(text, greatest(length(text) - 99, 1), 100)")).as("fp_tail"),
+        expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
+          .as("fp_roll"))
       .orderBy("doc_id")
 
   /** Exact dedup by content hash: canonical doc + duplicate count. */
@@ -165,7 +171,10 @@ object TextOps {
     "doc_fingerprint" -> QueryDef(docFingerprint,
       Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 16) AS fp16,
              |       md5(substring(text, 1, 100)) AS fp_head,
-             |       md5(substring(text, greatest(length(text) - 99, 1), 100)) AS fp_tail
+             |       md5(substring(text, greatest(length(text) - 99, 1), 100)) AS fp_tail,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(string_split(text, ''), c -> ord(c))),
+             |         (a, b) -> (a * 131 + b) % 1000000007) AS fp_roll
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "dedup_exact" -> QueryDef(dedupExact,

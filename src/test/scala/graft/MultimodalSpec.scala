@@ -61,6 +61,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(byId(3L)._5 - b3.take(32).sum.toFloat / 32) < 1e-4)
   }
 
+  test("frame sampling and fixed-bin resize have the declared shapes") {
+    val dir = writeFixtures()
+    val rows = MultimodalOps.binaryFeatures(spark, dir.toString)
+      .select("doc_id", "n_frames", "n_sampled", "r0").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getFloat(3))).toMap
+    // sampled = ceil(n_frames / stride); doc 2 has 8 frames -> 2 sampled
+    rows.foreach { case (id, (nf, ns, _)) =>
+      assert(ns == (nf + MultimodalOps.SampleStride - 1) / MultimodalOps.SampleStride,
+        s"doc $id: $ns sampled of $nf frames")
+    }
+    // doc 3 (2 frames): resize bin 0 pools frames [0,1) -> exactly frame 0
+    val b3 = Array.tabulate(33)(i => (i * 7 + 3 * 13) % 256)
+    assert(math.abs(rows(3L)._3 - b3.take(32).sum.toFloat / 32) < 1e-4)
+  }
+
   test("metadata-only projection does not read payload bytes (column pruning)") {
     val dir = writeFixtures()
     val plan = MultimodalOps.readBinaryDir(spark, dir.toString)
