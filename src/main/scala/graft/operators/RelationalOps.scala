@@ -85,6 +85,41 @@ object RelationalOps {
         (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.1).as("approx_ok"))
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles (both engines use the same
+    * lower + (higher-lower)*frac definition, so values hash-match) plus a
+    * t-digest/KLL approx sketch each engine validates against its own
+    * exact value (`approx_ok`, same pattern as `distinct_count`) — at
+    * 100 TB the sketch is the production path: exact percentile sorts the
+    * group, the sketch partial-aggregates a constant-size summary.
+    */
+  private def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5D)").as("p50"),
+        expr("percentile(value, 0.95D)").as("p95"),
+        count(lit(1)).as("n"),
+        (abs(expr("approx_percentile(value, 0.5D)") - expr("percentile(value, 0.5D)"))
+          <= abs(expr("percentile(value, 0.5D)")) * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
+  /** Event counts pivoted to one column per type (explicit value list —
+    * dynamic pivot would need a driver-side distinct): compiles to a
+    * single hash aggregation with conditional counts, one shuffle on
+    * user_id. Missing combinations coalesce to 0 to match the
+    * conditional-count oracle.
+    */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: PivotTypes.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("user_id")
+  }
+
   /** A16 analog: min/avg/max/count per key. */
   private def pingRtt(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
@@ -278,6 +313,26 @@ object RelationalOps {
               |       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
               |         <= count(DISTINCT user_id) * 0.1 AS approx_ok
               |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "quantiles" -> QueryDef(quantiles,
+      Some(s"""$evCte
+              |SELECT event_type,
+              |       quantile_cont(value, 0.5) AS p50,
+              |       quantile_cont(value, 0.95) AS p95,
+              |       count(*) AS n,
+              |       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+              |         <= abs(quantile_cont(value, 0.5)) * 0.05 AS approx_ok
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "pivot_counts" -> QueryDef(pivotCounts,
+      Some(s"""$evCte
+              |SELECT user_id,
+              |       count(*) FILTER (WHERE event_type = 'click') AS click,
+              |       count(*) FILTER (WHERE event_type = 'error') AS error,
+              |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+              |       count(*) FILTER (WHERE event_type = 'view') AS view
+              |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     "ping_rtt" -> QueryDef(pingRtt,
       Some(s"""$evCte
