@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{FloatDot, FmtSize, MinHashSig, TopK}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Session-extension injector — the standard packaging for a Spark
+  * extension library: users enable every graft custom expression for SQL
+  * with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * after which `fmt_size`, `float_dot`, `minhash_sig` and the `top_k`
+  * aggregate are callable from `spark.sql(...)` / `selectExpr` alongside
+  * the built-ins (they resolve through the same function registry, so
+  * Catalyst optimizes and codegens them like any built-in).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fmt_size"),
+      info("fmt_size", "fmt_size(bytes) - humanized size, reference integer semantics"),
+      (exprs: Seq[Expression]) => FmtSize(Cast(exprs.head, LongType))))
+
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      info("float_dot", "float_dot(a, b) - ARRAY<FLOAT> dot product (codegen)"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      info("top_k", "top_k(score, id, payload, k) - bounded k-best aggregate (score DESC, id ASC)"),
+      (exprs: Seq[Expression]) =>
+        TopK(exprs(0), exprs(1), exprs(2), intLit(exprs(3), "top_k k")).toAggregateExpression()))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions packaging: a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` can call every custom
+  * expression straight from SQL — the library integrates the way a Spark
+  * extension is supposed to.
+  *
+  * NOTE: needs its own SparkSession (extensions apply at session build),
+  * so this spec builds one with a distinct app name; getOrCreate would
+  * otherwise reuse a session built without the extension.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // a prior suite's session would be reused by getOrCreate and lacks the
+    // extension — clear it so this builder takes effect
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("fmt_size is callable from SQL") {
+    assert(spark.sql("SELECT fmt_size(1536)").head().getString(0) == "1.5 KB")
+  }
+
+  test("float_dot is callable from SQL") {
+    val v = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("minhash_sig is callable from SQL") {
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 4)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    // deterministic: same input, same signature
+    val sig2 = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 4)")
+      .head().getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
+  test("top_k aggregate is callable from SQL") {
+    val rows = spark.sql(
+      """SELECT g, top_k(s, id, p, 2) FROM VALUES
+        |  ('a', 0.5D, 1L, 10L), ('a', 0.9D, 2L, 20L), ('a', 0.7D, 3L, 30L),
+        |  ('b', 0.1D, 4L, 40L)
+        |  AS t(g, s, id, p)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 2L), (0.7, 3L)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
+  }
+}
