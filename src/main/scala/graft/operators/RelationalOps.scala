@@ -265,7 +265,60 @@ object RelationalOps {
       }
   }
 
+  /** CUBE over (region, nation) via the same fine-agg + re-aggregation
+    * pattern as [[rollupRevenue]]: the fact stream shuffles ONCE into the
+    * |region × nation| fine grid (shared across all four branches via
+    * ReuseExchange), and the three coarser grouping sets re-aggregate that
+    * tiny result — vs Spark's Expand-based cube, which would push every
+    * fact row through the shuffle 4×. Decimal sums stay exact through the
+    * re-aggregation, so all levels are bit-consistent.
+    */
+  private def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"), col("o_totalprice").as("price"))
+      .groupBy("region", "nation")
+      .agg(sum(col("price").cast("decimal(18,6)")).as("rev_d"), count(lit(1)).as("n_orders")) match { case fine =>
+        val both = fine.select(col("region"), col("nation"), col("rev_d"), col("n_orders"))
+        val byRegion = fine.groupBy("region")
+          .agg(sum("rev_d").as("rev_d"), sum("n_orders").as("n_orders"))
+          .select(col("region"), lit("ALL").as("nation"), col("rev_d"), col("n_orders"))
+        val byNation = fine.groupBy("nation")
+          .agg(sum("rev_d").as("rev_d"), sum("n_orders").as("n_orders"))
+          .select(lit("ALL").as("region"), col("nation"), col("rev_d"), col("n_orders"))
+        val grand = fine.groupBy()
+          .agg(sum("rev_d").as("rev_d"), sum("n_orders").as("n_orders"))
+          .select(lit("ALL").as("region"), lit("ALL").as("nation"), col("rev_d"), col("n_orders"))
+        both.union(byRegion).union(byNation).union(grand)
+          .select(col("region"), col("nation"),
+            col("rev_d").cast("double").as("revenue"), col("n_orders"))
+          .orderBy("region", "nation")
+      }
+  }
+
   // ---- time buckets / json ----------------------------------------------
+
+  /** Time-RANGE window frame: per-user sliding 5-minute sum — every event
+    * sees the exact-decimal sum of its user's values in the trailing 300 s
+    * (rangeBetween on unix_micros, which DuckDB mirrors with RANGE
+    * INTERVAL). Unlike rowsBetween this is value-based, so it is the
+    * batch analog of a sliding stream window.
+    */
+  private def windowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-300000000L, 0L)
+    t(spark, sfDir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("sliding_5m",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts", "sliding_5m")
+      .orderBy("user_id", "ts", "event_id")
+  }
 
   /** Batch analog of a streaming tumbling window (1 hour). */
   private def windowTumbling(spark: SparkSession, sfDir: String): DataFrame =
@@ -412,6 +465,24 @@ object RelationalOps {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY region, nation""".stripMargin)),
+
+    "cube_revenue" -> QueryDef(cubeRevenue,
+      Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue, count(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY CUBE(r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    "window_range" -> QueryDef(windowRange,
+      Some(s"""$evCte
+              |SELECT user_id, event_id, ts,
+              |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+              |         PARTITION BY user_id ORDER BY epoch_us(ts)
+              |         RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_5m
+              |FROM ev ORDER BY user_id, ts, event_id""".stripMargin)),
 
     "window_tumbling" -> QueryDef(windowTumbling,
       Some(s"""$evCte
