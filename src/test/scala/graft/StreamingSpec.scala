@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import java.sql.Timestamp
 
-import graft.streaming.{AckEvent, Frame, Reassembly, SessionState, TimedFrame}
+import graft.streaming.{AckEvent, AckFrame, AckMatch, Frame, Reassembly, SentFrame, SessionState, TimedFrame}
 import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -157,6 +157,43 @@ class StreamingSpec extends AnyFunSuite {
     val forX = acks.filter(_.uuid == "x").sortBy(_.next_seq)
     assert(forX.map(_.kind) == Seq("RECEIVED", "RECEIVED"), s"acks: $forX")
     assert(forX.last.written == 8)
+  }
+
+  test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
+    import org.apache.spark.sql.Row
+    val sentEnc = { import spark.implicits._; implicitly[Encoder[SentFrame]] }
+    val ackEnc = { import spark.implicits._; implicitly[Encoder[AckFrame]] }
+    val sentIn = MemoryStream[SentFrame](sentEnc, spark.sqlContext)
+    val ackIn = MemoryStream[AckFrame](ackEnc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-ss-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(String, Int, Boolean)]()
+    def phase(): Unit = {
+      val q = AckMatch.stream(spark, sentIn.toDS(), ackIn.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.collect().foreach(r => acc.add((r.getString(0), r.getInt(1), r.getBoolean(3))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // s1 acked in-window; s2 never acked; s3 acked too late (outside 20 s)
+    sentIn.addData(Seq(SentFrame("s1", 1, at(10)), SentFrame("s2", 1, at(11)), SentFrame("s3", 1, at(12))))
+    ackIn.addData(Seq(AckFrame("s1", 2, at(15)), AckFrame("s3", 2, at(50))))
+    phase()
+    // advance BOTH watermarks past every window (watermark = min of inputs)
+    sentIn.addData(Seq(SentFrame("adv", 1, at(200))))
+    ackIn.addData(Seq(AckFrame("adv", 2, at(201))))
+    phase()
+    sentIn.addData(Seq(SentFrame("adv2", 1, at(210))))
+    ackIn.addData(Seq(AckFrame("adv2", 2, at(211))))
+    phase()
+    val results = acc.asScala.toSeq.filter(_._1.startsWith("s")).sortBy(_._1)
+    assert(results.contains(("s1", 1, true)), s"results: $results")
+    assert(results.contains(("s2", 1, false)), s"s2 must surface unmatched after watermark: $results")
+    assert(results.contains(("s3", 1, false)), s"late ack must not match: $results")
   }
 
   test("uuid reuse after DONE starts a clean new session") {
