@@ -85,6 +85,30 @@ object RelationalOps {
         (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.1).as("approx_ok"))
       .orderBy("event_type")
 
+  /** The skew-salting pattern, oracle-verified equal to [[aggGroup]]:
+    * phase 1 groups by (key, salt16) so a pathologically hot key spreads
+    * over 16 reducers; phase 2 re-aggregates the (|keys| × 16)-row result
+    * by key alone. Decimal accumulation keeps both phases bit-exact, so
+    * the salted plan is value-identical to the direct one — which is the
+    * point: salting must be a pure physical rewrite. (lineitem's 6-value
+    * returnflag×linestatus grouping IS the canonical skewed-key shape: at
+    * 100 TB a direct groupBy funnels the table into 6 reducers.)
+    */
+  private def aggSalted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "l_linestatus", "salt")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qty_d"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("price_d"),
+        count(lit(1)).as("n"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty_d").cast("double").as("sum_qty"),
+        sum("price_d").cast("double").as("sum_base"),
+        sum("n").as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Exact interpolated percentiles (both engines use the same
     * lower + (higher-lower)*frac definition, so values hash-match) plus a
     * t-digest/KLL approx sketch each engine validates against its own
@@ -366,6 +390,14 @@ object RelationalOps {
               |       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
               |         <= count(DISTINCT user_id) * 0.1 AS approx_ok
               |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "agg_salted" -> QueryDef(aggSalted,
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     "quantiles" -> QueryDef(quantiles,
       Some(s"""$evCte
