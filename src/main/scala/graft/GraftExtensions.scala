@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, FmtSize, MinHashSig, TopK}
+import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(tokens) - 64-bit SimHash signature"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
 
     ext.injectFunction((
       FunctionIdentifier("top_k"),

@@ -85,15 +85,14 @@ object DedupOps {
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(docs(spark, sfDir))
 
-  /** 64-bit SimHash signature column (seeded xxhash64 bit votes over
-    * distinct tokens), shared by the signature query and the neighbor join.
+  /** 64-bit SimHash signature column over distinct tokens via the native
+    * [[graft.functions.SimHashSig]] (bit-identical to the interpreted
+    * HOF bit-vote form it replaced — equivalence asserted in DedupSpec),
+    * shared by the signature query and the neighbor join.
     */
   private def withSimhash(d: DataFrame): DataFrame =
     d.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
-          |  if(aggregate(toks, 0L, (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
-          |     shiftleft(1L, i), 0L))""".stripMargin))
+      .withColumn("simhash", graft.functions.SimHashSig.simhash_sig(col("toks")))
 
   /** 64-bit SimHash over distinct tokens (seeded xxhash64 bit votes). */
   private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

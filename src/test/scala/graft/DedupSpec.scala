@@ -95,6 +95,18 @@ class DedupSpec extends AnyFunSuite {
     info(f"embed_neardup_lsh recall vs brute force at sf0.01: $recall%.2f (${lsh.size}/${brute.size} pairs)")
   }
 
+  test("native SimHashSig is bit-identical to the interpreted HOF bit-vote form") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("native", graft.functions.SimHashSig.simhash_sig(col("toks")))
+      .withColumn("hof", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc +
+          |  if(aggregate(toks, 0L, (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, i), 0L))""".stripMargin))
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("candidate quality: LSH candidates are far more similar than random pairs") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()

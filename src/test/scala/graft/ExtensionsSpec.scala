@@ -50,6 +50,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig == sig2)
   }
 
+  test("simhash_sig is callable from SQL and deterministic") {
+    val a = spark.sql("SELECT simhash_sig(array('a', 'b', 'c'))").head().getLong(0)
+    val b = spark.sql("SELECT simhash_sig(array('a', 'b', 'c'))").head().getLong(0)
+    assert(a == b && a != 0L)
+  }
+
   test("top_k aggregate is callable from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k(s, id, p, 2) FROM VALUES
