@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Timed repetitions per query (median reported). */
-  val Reps = 3
+  /** Timed repetitions per query (median reported). 5 because the host
+    * occasionally suffers multi-second external CPU bursts that pollute up
+    * to two consecutive reps; the median of 5 still lands on a clean run.
+    */
+  val Reps = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
