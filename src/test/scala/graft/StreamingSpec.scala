@@ -159,6 +159,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(forX.last.written == 8)
   }
 
+  test("file sink lands completed sessions as parquet, idempotently per batch (A14)") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
+    val input = MemoryStream[Frame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-sink-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-sink-out").toString
+    val textA = "sink test content alpha"
+    val textB = "sink test content beta, longer than the first one"
+    def phase(fs: Seq[Frame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.completedToParquet(
+        Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    phase(frames("sa", textA))
+    phase(frames("sb", textB)) // second batch -> its own batch= subdir
+    val written = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(written == Map(
+      "sa" -> (textA.length.toLong, textA),
+      "sb" -> (textB.length.toLong, textB)))
+  }
+
   test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
     import org.apache.spark.sql.Row
     val sentEnc = { import spark.implicits._; implicitly[Encoder[SentFrame]] }
