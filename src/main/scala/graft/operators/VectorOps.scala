@@ -37,6 +37,7 @@ object VectorOps {
     * but whole-stage-codegen'd instead of interpreted).
     */
   private def dot(a: String, b: String): Column = float_dot(col(a), col(b))
+  private def dot2(a: Column, b: Column): Column = float_dot(a, b)
 
   private def normCol(e: String): Column = sqrt(dot(e, e))
 
@@ -158,6 +159,65 @@ object VectorOps {
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshAt(spark, sfDir, None, 3)
 
+  // ---- ann_ivf -----------------------------------------------------------
+
+  /** IVF (inverted-file) ANN — the second ANN family next to LSH, the
+    * IVF-Flat shape: a coarse quantizer of k ≈ √N centroids partitions
+    * the corpus into cells; queries probe their `nProbe` nearest cells
+    * and rank only those candidates by true cosine.
+    *
+    * Centroids are picked deterministically (every ⌊N/k⌋-th vec_id) and
+    * collected to the driver — k ≤ 64 × 64 floats, i.e. quantizer
+    * *metadata*, the IVF analog of CBO statistics (real IVF trains its
+    * codebook offline on the driver too). Cell assignment is a narrow
+    * map: `greatest(struct(sim_c, -c, c))` over k literal-centroid
+    * [[graft.functions.FloatDot]] calls — all codegen, no shuffle, no
+    * per-row interpretation; the only exchange is the final per-query
+    * [[graft.functions.TopK]] partial aggregation, exactly like ann_lsh.
+    * Deterministic; no SQL oracle; recall@3 measured in VectorSpec.
+    */
+  private[graft] def annIvf(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    import graft.functions.TopK.top_k
+    val base = emb(spark, sfDir)
+    val n = base.count()
+    val k = kOpt.getOrElse(math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt)))
+    val step = math.max(1L, n / k)
+    val cents: Seq[(Int, Array[Float], Double)] = base
+      .filter(col("vec_id") % step === 0).orderBy("vec_id").limit(k)
+      .select("embedding").collect().toSeq
+      .map(_.getSeq[Float](0).toArray)
+      .zipWithIndex
+      .map { case (arr, i) => (i, arr, math.sqrt(arr.map(x => x.toDouble * x).sum)) }
+
+    def centSims(embCol: String, nrmCol: String): Seq[Column] = cents.map { case (i, arr, cn) =>
+      struct((dot2(col(embCol), typedLit(arr)) / (col(nrmCol) * cn)).as("s"),
+        lit(-i).as("negc"), lit(i).as("c"))
+    }
+    val e = base
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+      .withColumn("cent", greatest(centSims("embedding", "nrm"): _*).getField("c"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normCol("embedding").as("q_nrm"))
+      .withColumn("probe", explode(transform(
+        slice(reverse(array_sort(array(centSims("q_emb", "q_nrm"): _*))), 1, nProbe),
+        s => s.getField("c"))))
+    val cands = e.join(broadcast(q),
+      col("cent") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
+    cands
+      .groupBy("q_id")
+      .agg(top_k(col("sim"), col("vec_id"), col("cent").cast("long"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("cand_id"), col("t.payload").as("cent"),
+        col("t.score").as("sim"), (col("pos") + 1).as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame =
+    annIvf(spark, sfDir)
+
   // ---- embed_neardup_lsh -------------------------------------------------
 
   /** Production-form embedding near-dup: the same corpus-sized LSH buckets
@@ -233,6 +293,8 @@ object VectorOps {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     "ann_lsh" -> QueryDef(annLsh, None),
+
+    "ann_ivf" -> QueryDef(annIvfQuery, None),
 
     "embed_neardup_lsh" -> QueryDef(embedNeardupLshQuery, None),
 

@@ -121,5 +121,20 @@ class VectorSpec extends AnyFunSuite {
     // superset of the exact-bucket one, so recall can only improve
     assert(rMulti >= rExact)
     assert(rMulti > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
+
+    val rIvf2 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 2))
+    val rIvf1 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 1))
+    info(f"ann_ivf recall@3 vs brute force at sf0.01: nProbe=2 $rIvf2%.2f, nProbe=1 $rIvf1%.2f")
+    assert(rIvf2 >= rIvf1, "probing more cells must not lose candidates")
+    assert(rIvf2 > 0.0, "IVF found none of the true top-3 — quantizer is broken")
+  }
+
+  test("ann_ivf plan has no window exec and assigns cells without a shuffle join") {
+    val plan = VectorOps.annIvf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exec leaked into ivf plan:\n$plan")
+    assert(plan.toLowerCase.contains("top_k"), s"top_k aggregate missing:\n$plan")
+    // cell assignment is a projection over literal centroids — the ONLY
+    // joins in the plan are the broadcast query probe join
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 }
