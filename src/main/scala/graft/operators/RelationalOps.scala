@@ -351,6 +351,39 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("hour")
 
+  /** Interval-containment range join via granule bucketing — the pattern
+    * that keeps a range join off the nested-loop path: 48 deliberately
+    * hour-MISaligned windows (5.5 h stride, 4.75 h length, derived from
+    * the stream's min ts inside the query so both engines see identical
+    * intervals) are exploded to the hour granules they cover; events map
+    * narrowly to their own hour granule; the join is then a plain EQUI
+    * join on the granule plus a residual bounds filter. Here the tiny
+    * window side broadcasts; at millions of intervals the same plan
+    * becomes a shuffled equi-join on the granule — either way no
+    * BroadcastNestedLoopJoin over a theta condition, which is what a
+    * naive `ts BETWEEN start AND end` join plans.
+    */
+  private def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val strideUs = 19800000000L // 5.5 h
+    val lenUs = 17100000000L // 4.75 h
+    val e = t(spark, sfDir, "events")
+      .select(col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val wins = e.agg(min("us").as("min_us"))
+      .select(explode(sequence(lit(0), lit(47))).as("window_id"), col("min_us"))
+      .select(col("window_id"),
+        (col("min_us") + col("window_id") * strideUs).as("w_start"),
+        (col("min_us") + col("window_id") * strideUs + lenUs).as("w_end"))
+    val winGranules = wins.withColumn("g",
+      explode(sequence(floor(col("w_start") / hourUs), floor((col("w_end") - 1) / hourUs))))
+    e.withColumn("g", floor(col("us") / hourUs))
+      .join(broadcast(winGranules), "g")
+      .filter(col("us") >= col("w_start") && col("us") < col("w_end"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("window_id")
+  }
+
   private def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -520,6 +553,19 @@ object RelationalOps {
       Some(s"""$evCte
               |SELECT date_trunc('hour', ts) AS hour, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "range_join" -> QueryDef(rangeJoin,
+      Some(s"""$evCte, b AS (SELECT min(epoch_us(ts)) AS min_us FROM ev),
+              |wins AS (
+              |  SELECT i AS window_id,
+              |         min_us + i * 19800000000 AS w_start,
+              |         min_us + i * 19800000000 + 17100000000 AS w_end
+              |  FROM b, (SELECT unnest(generate_series(0, 47)) AS i))
+              |SELECT w.window_id, count(*) AS n,
+              |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM wins w JOIN ev e
+              |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+              |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin)),
 
     "json_extract" -> QueryDef(jsonExtract,
       Some(s"""$evCte

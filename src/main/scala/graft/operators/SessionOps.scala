@@ -121,6 +121,37 @@ object SessionOps {
         col("rate"), col("changed"))
       .orderBy("user_id", "seq")
 
+  /** As-of join — the time-series join Spark lacks natively: every
+    * `purchase` event picks up the value of the most recent `view` at or
+    * before it (per user, ties by event_id). Implemented with the
+    * union + `last(_, ignoreNulls)` carry-forward idiom: both sides union
+    * into ONE stream, sort per user by (ts, side, event_id) inside a
+    * single window, and the view value propagates forward — one shuffle
+    * on the session key, no range join, no per-row probe. The naive
+    * alternative (non-equi theta join + argmax) explodes quadratically;
+    * this form is linear in the union and is the scale-correct as-of.
+    */
+  private def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
+        col("value").as("view_value"), col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+        lit(null).cast("double").as("view_value"), lit(null).cast("long").as("view_id"))
+    // views sort before purchases at equal ts (side 0 < 1), so "at or
+    // before" includes same-timestamp views; among tied views the largest
+    // event_id wins, matching the oracle's ORDER BY ts DESC, event_id DESC
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.union(purchases)
+      .withColumn("last_view_value", last("view_value", ignoreNulls = true).over(w))
+      .withColumn("last_view_id", last("view_id", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("user_id", "event_id", "ts", "last_view_id", "last_view_value")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** 30-min-gap sessionization (windowed gap-flag prefix sum idiom). */
   private def windowSession(spark: SparkSession, sfDir: String): DataFrame =
     ev(spark, sfDir)
@@ -202,6 +233,18 @@ object SessionOps {
               |       coalesce(rate <> lag(rate) OVER (PARTITION BY user_id ORDER BY seq), TRUE) AS changed
               |FROM rated
               |ORDER BY user_id, seq""".stripMargin)),
+
+    "asof_join" -> QueryDef(asofJoin,
+      Some(s"""$evCte
+              |SELECT p.user_id, p.event_id, p.ts,
+              |       (SELECT v.event_id FROM ev v
+              |        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+              |        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id,
+              |       (SELECT v.value FROM ev v
+              |        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+              |        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+              |FROM ev p WHERE p.event_type = 'purchase'
+              |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin)),
 
     "window_session" -> QueryDef(windowSession,
       Some(s"""$evCte, flags AS (
