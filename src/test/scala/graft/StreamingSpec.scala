@@ -159,6 +159,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(forX.last.written == 8)
   }
 
+  test("windowed aggregation emits a window exactly once, when the watermark closes it") {
+    import graft.streaming.WindowedCounts
+    import org.apache.spark.sql.Row
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-win-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(java.sql.Timestamp, String, Long, Long)]()
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = WindowedCounts.stream(spark, input.toDS(), windowLength = "1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.collect().foreach(r => acc.add((r.getTimestamp(0), r.getString(2), r.getLong(3), r.getLong(4))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def tfAt(uuid: String, seq: Int, sec: Long) =
+      TimedFrame(uuid, seq, "abcd", 100L, new java.sql.Timestamp(sec * 1000L))
+    // window [60,120) gets 3 frames for u1; nothing emits yet (watermark 0)
+    phase(Seq(tfAt("u1", 1, 61), tfAt("u1", 2, 70), tfAt("u1", 3, 119)))
+    assert(acc.isEmpty, "window must not emit while it can still receive data")
+    // advance the watermark past 120 -> [60,120) closes and emits once
+    phase(Seq(tfAt("u2", 1, 300)))
+    phase(Seq(tfAt("u2", 2, 400)))
+    val rows = acc.asScala.toSeq
+    val u1 = rows.filter(_._2 == "u1")
+    assert(u1 == Seq((new java.sql.Timestamp(60 * 1000L), "u1", 3L, 12L)), s"rows: $rows")
+  }
+
   test("file sink lands completed sessions as parquet, idempotently per batch (A14)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
