@@ -43,6 +43,31 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Character n-gram Jaccard (3-grams) over a bounded id range — the
+    * character-level companion to the token-set [[dedupJaccard]] baseline
+    * (robust to tokenization differences; the verification baseline for
+    * fuzzy near-dup). Same bounded quadratic shape, same production
+    * escape hatch: at scale the minhash path runs over these shingles.
+    */
+  private def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= 0.35)
+      .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Buckets larger than this emit star pairs (each id linked to the
     * bucket's minimum id) instead of all pairs: a degenerate bucket — e.g.
     * thousands of near-empty docs sharing a shingle — would otherwise
@@ -159,6 +184,25 @@ object DedupOps {
              |JOIN s sa ON p.doc_a = sa.doc_id
              |JOIN s sb ON p.doc_b = sb.doc_id
              |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "ngram_jaccard" -> QueryDef(ngramJaccard,
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+             |                   i -> substring(text, CAST(i AS BIGINT), 3)))) AS g
+             |  FROM documents WHERE doc_id < 150),
+             |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, p.inter,
+             |       p.inter / (sa.n + sb.n - p.inter) AS jacc
+             |FROM p
+             |JOIN s sa ON p.doc_a = sa.doc_id
+             |JOIN s sb ON p.doc_b = sb.doc_id
+             |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.35
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "dedup_minhash" -> QueryDef(dedupMinhash, None),
