@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Co-located joins via bucketed tables — the pre-partitioning pattern
@@ -10,8 +11,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * `bucketBy` the join key land partition-aligned, so the join plans with
   * NO Exchange on either side (only per-bucket sorts). At 100 TB this is
   * the difference between shuffling two fact tables and streaming them.
+  *
+  * This suite's session carries special conf (no auto-broadcast, its own
+  * warehouse/metastore), so it is stopped after the suite — later suites
+  * must not inherit it through getOrCreate.
   */
-class BucketingSpec extends AnyFunSuite {
+class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   private val sfDir = "/root/testdata/sf0.001"
 

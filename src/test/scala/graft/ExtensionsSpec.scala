@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions packaging: a session configured with
@@ -12,7 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * so this spec builds one with a distinct app name; getOrCreate would
   * otherwise reuse a session built without the extension.
   */
-class ExtensionsSpec extends AnyFunSuite {
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // this session carries the extensions conf; stop it after the suite so
+  // later suites build their own via getOrCreate
+  override def afterAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   lazy val spark: SparkSession = {
     // a prior suite's session would be reused by getOrCreate and lacks the
