@@ -70,7 +70,7 @@ object Reassembly {
     *
     * Returns (final state, acks, completed).
     */
-  private[streaming] def processFrames(
+  private[graft] def processFrames(
       uuid: String, st0: SessionState, frames: Seq[Frame]): (SessionState, Seq[AckEvent], Boolean) = {
     var st = st0
     var done = false
