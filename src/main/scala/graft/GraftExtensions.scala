@@ -4,7 +4,7 @@ import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Session-extension injector — the standard packaging for a Spark
   * extension library: users enable every graft custom expression for SQL
@@ -41,7 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       info("float_dot", "float_dot(a, b) - ARRAY<FLOAT> dot product (codegen)"),
-      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+      // SQL arrays of numbers default to ARRAY<DOUBLE>/<INT>; cast to the
+      // float element width the expression requires (its own type check
+      // rejects anything else)
+      (exprs: Seq[Expression]) => FloatDot(
+        Cast(exprs(0), ArrayType(FloatType)), Cast(exprs(1), ArrayType(FloatType)))))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
@@ -57,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k"),
       info("top_k", "top_k(score, id, payload, k) - bounded k-best aggregate (score DESC, id ASC)"),
       (exprs: Seq[Expression]) =>
-        TopK(exprs(0), exprs(1), exprs(2), intLit(exprs(3), "top_k k")).toAggregateExpression()))
+        TopK(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), Cast(exprs(2), LongType),
+          intLit(exprs(3), "top_k k")).toAggregateExpression()))
   }
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Dot product of two ARRAY<FLOAT> columns as a native codegen expression.
   *
@@ -28,6 +29,14 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   // of child nullability
   override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
+
+  // getFloat on the ArrayData would silently misread any other element
+  // width (e.g. ARRAY<DOUBLE>), so reject at analysis time
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires two ARRAY<FLOAT> arguments, got ${l.simpleString} and ${r.simpleString}")
+  }
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -39,6 +40,15 @@ case class TopK(
   override def children: Seq[Expression] = Seq(score, id, payload)
   override def nullable: Boolean = false
   override def prettyName: String = "top_k"
+
+  // update() casts these blindly, so mistyped args must fail analysis,
+  // not throw ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType, payload.dataType) match {
+      case (DoubleType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i, p) => TypeCheckResult.TypeCheckFailure(
+        s"top_k requires (DOUBLE score, BIGINT id, BIGINT payload), got ${s.simpleString}, ${i.simpleString}, ${p.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -120,6 +130,11 @@ object TopK {
       s > scores(at) || (s == scores(at) && i < ids(at))
 
     def insert(s: Double, i: Long, p: Long): Unit = {
+      // NaN scores (e.g. a zero-norm vector's cosine) are dropped: NaN
+      // compares false both ways, so admitting one would make the kept
+      // set depend on arrival order — a nondeterminism across task/merge
+      // schedules. Dropping is deterministic and matches "rank by score".
+      if (s.isNaN) return
       if (size < k || better(s, i, size - 1)) {
         var pos = if (size < k) size else size - 1
         if (size < k) size += 1

@@ -132,10 +132,15 @@ object DedupOps {
     * ≤3-neighbor pair shares at least one exact band key — candidates come
     * from a (band_id, band_key) equi-bucket join (one shuffle, no all-pairs
     * scan), then the true `bit_count(a XOR b)` filter keeps real neighbors.
-    * The same hot-bucket star guard as minhash bounds degenerate buckets
-    * (identical docs have hamming 0, so star pairs always survive the
-    * filter and keep the cluster connected). Deterministic; no SQL oracle
-    * (xxhash64 is not available in DuckDB); property-tested in DedupSpec.
+    * The same hot-bucket star guard as minhash bounds degenerate buckets.
+    * Star-guard recall contract: in an oversized bucket only pairs within
+    * hamming ≤ 3 of the bucket MINIMUM survive the filter — identical/
+    * near-identical floods (the realistic degenerate case, hamming ≈ 0)
+    * keep full cluster connectivity, but a >cap bucket mixing several
+    * distinct neighbor groups trades their cross pairs for boundedness;
+    * raise [[HotBucketCap]] if that recall matters more than the O(b²)
+    * bound. Deterministic; no SQL oracle (xxhash64 is not available in
+    * DuckDB); property-tested in DedupSpec.
     */
   private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame =
     withSimhash(d)

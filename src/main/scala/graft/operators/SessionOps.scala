@@ -133,22 +133,26 @@ object SessionOps {
     */
   private def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = ev(spark, sfDir)
+    // the carried view is ONE struct (id + value travel together): two
+    // independent last(ignoreNulls) columns could split across rows when
+    // a view's value is NULL — the struct is null exactly on non-view
+    // rows, so ignoreNulls lands on the newest view row as a unit
     val views = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
-        col("value").as("view_value"), col("event_id").as("view_id"))
+        struct(col("event_id").as("view_id"), col("value").as("view_value")).as("v"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
-        lit(null).cast("double").as("view_value"), lit(null).cast("long").as("view_id"))
+        lit(null).cast("struct<view_id:bigint,view_value:double>").as("v"))
     // views sort before purchases at equal ts (side 0 < 1), so "at or
     // before" includes same-timestamp views; among tied views the largest
     // event_id wins, matching the oracle's ORDER BY ts DESC, event_id DESC
     val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.union(purchases)
-      .withColumn("last_view_value", last("view_value", ignoreNulls = true).over(w))
-      .withColumn("last_view_id", last("view_id", ignoreNulls = true).over(w))
+      .withColumn("lastv", last("v", ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .select("user_id", "event_id", "ts", "last_view_id", "last_view_value")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("lastv.view_id").as("last_view_id"), col("lastv.view_value").as("last_view_value"))
       .orderBy("user_id", "ts", "event_id")
   }
 

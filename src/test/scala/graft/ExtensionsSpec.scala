@@ -47,6 +47,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
       .head().getDouble(0)
     assert(v == 11.0)
+    // plain double-literal arrays work too — the builder casts to
+    // ARRAY<FLOAT> so SQL users get float semantics, not silent garbage
+    val w = spark.sql("SELECT float_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(w == 11.0)
   }
 
   test("minhash_sig is callable from SQL") {

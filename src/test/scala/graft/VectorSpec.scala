@@ -36,6 +36,23 @@ class VectorSpec extends AnyFunSuite {
     assert(b.payloads(0) == 500L) // payload rides along
   }
 
+  test("TopK.Buf drops NaN scores (deterministic under any arrival order)") {
+    val a = new TopK.Buf(2)
+    Seq(Double.NaN, 0.9, 0.7, Double.NaN, 0.8).zipWithIndex.foreach {
+      case (s, i) => a.insert(s, i.toLong, 0L)
+    }
+    assert((0 until a.size).map(i => (a.scores(i), a.ids(i))) == Seq((0.9, 1L), (0.8, 4L)))
+  }
+
+  test("float_dot rejects non-ARRAY<FLOAT> arguments at analysis time") {
+    import graft.functions.FloatDot.float_dot
+    val ex = intercept[Exception] {
+      spark.sql("SELECT array(1.0D, 2.0D) AS a")
+        .select(float_dot(col("a"), col("a"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("float"), ex.getMessage)
+  }
+
   test("TopK.Buf merge == insert-all (order-insensitive)") {
     val all = (1 to 50).map(i => (math.sin(i.toDouble), i.toLong))
     val (l, r) = all.splitAt(25)
