@@ -62,6 +62,10 @@ case class TopK(
   override def update(buf: TopK.Buf, input: InternalRow): TopK.Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
+    // a row without a score or id cannot be ranked and is skipped; a NULL
+    // payload does NOT disqualify the candidate — payload is carried
+    // metadata, and the output struct field is non-nullable, so NULL maps
+    // to the documented sentinel 0L
     if (s != null && i != null) {
       val p = payload.eval(input)
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long],

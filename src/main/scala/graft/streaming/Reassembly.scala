@@ -22,9 +22,13 @@ final case class TimedFrame(uuid: String, seq: Int, payload: String, filesize: L
 /** Keyed session state — the `TransferInfo` struct of the reference
   * (`transf_server.cpp:49-70`): next expected seq, bytes written, content
   * accumulated so far, declared size, and a rejected-frame counter.
+  * `lastEventMs` (event-time mode only) carries the newest frame
+  * timestamp seen across batches, so the TTL deadline never moves
+  * backward when an out-of-order frame arrives in a later batch.
   */
 final case class SessionState(
-    expected: Int, written: Long, content: String, filesize: Long, rejected: Int)
+    expected: Int, written: Long, content: String, filesize: Long, rejected: Int,
+    lastEventMs: Long = 0L)
 
 /** Per-frame server replies: RECEIVED/DONE (`transf_server.cpp:295-326`),
   * REJECT for dup/out-of-order seq (`transf_server.cpp:267-273`), and
@@ -131,10 +135,12 @@ object Reassembly {
   }
 
   /** Event-time state-update function: the TTL deadline is
-    * `max(last event time, watermark) + ttlMs` — the session expires once
-    * the watermark passes 20 s beyond its newest frame, the event-time
-    * reading of the reference's `last_update_time` sweep
-    * (`transf_server.cpp:78-131`).
+    * `max(newest frame time EVER seen, watermark) + ttlMs` — the session
+    * expires once the watermark passes 20 s beyond its newest frame, the
+    * event-time reading of the reference's `last_update_time` sweep
+    * (`transf_server.cpp:78-131`). The newest-seen time persists in
+    * state (`lastEventMs`): a late out-of-order frame in a later batch
+    * must not shrink the deadline below what earlier frames established.
     */
   def updateEventTime(ttlMs: Long = DefaultTtlMs)(
       uuid: String, frames: Iterator[TimedFrame], state: GroupState[SessionState]): Iterator[AckEvent] = {
@@ -142,13 +148,13 @@ object Reassembly {
     else {
       val fs = frames.toSeq
       val st0 = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
-      val (st, acks, done) =
+      val (st1, acks, done) =
         processFrames(uuid, st0, fs.map(f => Frame(f.uuid, f.seq, f.payload, f.filesize)))
       if (done) state.remove()
       else {
-        state.update(st)
-        val lastEvent = fs.map(_.ts.getTime).max
-        state.setTimeoutTimestamp(math.max(lastEvent, state.getCurrentWatermarkMs()) + ttlMs)
+        val newest = math.max(st0.lastEventMs, fs.map(_.ts.getTime).max)
+        state.update(st1.copy(lastEventMs = newest))
+        state.setTimeoutTimestamp(math.max(newest, state.getCurrentWatermarkMs()) + ttlMs)
       }
       acks.iterator
     }

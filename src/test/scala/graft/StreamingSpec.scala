@@ -144,6 +144,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!acks.exists(a => a.uuid == "w1" && a.kind == "DONE"))
   }
 
+  test("out-of-order frame cannot shrink the event-time TTL deadline") {
+    val acks = runET(
+      // newest frame at t=100 -> deadline 120
+      Seq(tf("m", 1, "aaaa", 100, 100)),
+      // out-of-order (rejected) frame at t=90: deadline must STAY 120,
+      // not reset to 90+20=110
+      Seq(tf("m", 3, "cccc", 100, 90)),
+      // watermark advances to 135-20 = 115: past the WRONG deadline (110)
+      // but short of the correct one (120) -> session must stay alive
+      Seq(tf("adv3", 1, "x", 1, 135)),
+      // continuation lands normally
+      Seq(tf("m", 2, "bbbb", 100, 116)))
+    assert(!acks.exists(a => a.uuid == "m" && a.kind == "EXPIRED"),
+      s"session expired although newest-frame+TTL had not passed: $acks")
+    val m = acks.filter(a => a.uuid == "m")
+    assert(m.map(_.kind).sorted == Seq("RECEIVED", "RECEIVED", "REJECT"), s"acks: $m")
+    assert(m.exists(a => a.kind == "RECEIVED" && a.written == 8), "continuation frame accepted")
+  }
+
   test("late frame below the watermark is dropped before reaching state") {
     val acks = runET(
       // seq 1 at t=200s -> watermark after batch = 180s; expected next = 2
