@@ -43,6 +43,61 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate clustering — the step AFTER candidate generation in a real
+    * dedup pipeline: connected components over the similarity-pair graph,
+    * labeling every doc with its component's minimum doc_id (the canonical
+    * representative to keep). Spark side runs iterative min-label
+    * propagation (the standard large-graph CC: each round, a node adopts
+    * the min label among itself and its neighbors; converges in
+    * O(diameter) rounds, each round one equi-join + partial-agg shuffle —
+    * no driver-side graph, labels cached per round and unpersisted). The
+    * DuckDB oracle computes the same components with a recursive CTE.
+    * Edge set: token-set Jaccard ≥ 0.8 on the bounded verification range.
+    */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
+
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(labels("doc_id"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
+        .cache()
+      next.count() // materialize before comparing / unpersisting the old
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val comp = labels.select(col("doc_id"), col("lbl").as("cluster"))
+    val csize = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    comp.join(csize, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Character n-gram Jaccard (3-grams) over a bounded id range — the
     * character-level companion to the token-set [[dedupJaccard]] baseline
     * (robust to tokenization differences; the verification baseline for
@@ -190,6 +245,34 @@ object DedupOps {
              |JOIN s sb ON p.doc_b = sb.doc_id
              |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "dedup_clusters" -> QueryDef(dedupClusters,
+      Some("""WITH RECURSIVE
+             |t AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents WHERE doc_id < 300),
+             |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pr
+             |  JOIN s sa ON pr.doc_a = sa.doc_id JOIN s sb ON pr.doc_b = sb.doc_id
+             |  WHERE pr.inter / (sa.n + sb.n - pr.inter) >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM pr
+             |  JOIN s sa ON pr.doc_a = sa.doc_id JOIN s sb ON pr.doc_b = sb.doc_id
+             |  WHERE pr.inter / (sa.n + sb.n - pr.inter) >= 0.8),
+             |reach(src, dst) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+             |SELECT c.doc_id, c.cluster, cnt.n AS cluster_size, c.doc_id = c.cluster AS is_rep
+             |FROM comp c
+             |JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) cnt USING (cluster)
+             |ORDER BY c.doc_id""".stripMargin)),
 
     "ngram_jaccard" -> QueryDef(ngramJaccard,
       Some("""WITH t AS (
