@@ -4,7 +4,7 @@ import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType}
 
 /** Session-extension injector — the standard packaging for a Spark
   * extension library: users enable every graft custom expression for SQL
@@ -32,6 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Widens NUMERIC inputs to the expression's required type; anything
+    * else passes through raw so the expression's own checkInputDataTypes
+    * rejects it at analysis — an unconditional cast would turn e.g.
+    * ARRAY<STRING> into silent all-NULL floats instead of an error.
+    */
+  private def castNumeric(e: Expression, to: DataType): Expression = (e.dataType, to) match {
+    case (ArrayType(_: NumericType, _), ArrayType(_, _)) => Cast(e, to)
+    case (_: NumericType, _) => Cast(e, to)
+    case _ => e
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fmt_size"),
@@ -41,11 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       info("float_dot", "float_dot(a, b) - ARRAY<FLOAT> dot product (codegen)"),
-      // SQL arrays of numbers default to ARRAY<DOUBLE>/<INT>; cast to the
-      // float element width the expression requires (its own type check
-      // rejects anything else)
+      // SQL arrays of numbers default to ARRAY<DOUBLE>/<INT>; widen
+      // numeric arrays to the float element width, let everything else
+      // hit the expression's analysis-time rejection
       (exprs: Seq[Expression]) => FloatDot(
-        Cast(exprs(0), ArrayType(FloatType)), Cast(exprs(1), ArrayType(FloatType)))))
+        castNumeric(exprs(0), ArrayType(FloatType)), castNumeric(exprs(1), ArrayType(FloatType)))))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
@@ -61,7 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k"),
       info("top_k", "top_k(score, id, payload, k) - bounded k-best aggregate (score DESC, id ASC)"),
       (exprs: Seq[Expression]) =>
-        TopK(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), Cast(exprs(2), LongType),
-          intLit(exprs(3), "top_k k")).toAggregateExpression()))
+        TopK(castNumeric(exprs(0), DoubleType), castNumeric(exprs(1), LongType),
+          castNumeric(exprs(2), LongType), intLit(exprs(3), "top_k k")).toAggregateExpression()))
   }
 }

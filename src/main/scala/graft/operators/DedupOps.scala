@@ -24,24 +24,31 @@ object DedupOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
 
-  /** Exact token-set Jaccard over pairs within a bounded id range. */
-  private def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Token-set Jaccard pair scoring within a bounded id range — shared by
+    * the pair baseline ([[dedupJaccard]]) and the clustering edge set
+    * ([[dedupClusters]]) so tokenization/formula fixes land once.
+    * Columns: doc_a, doc_b, na, nb, inter, jacc (unfiltered).
+    */
+  private def jaccardScored(spark: SparkSession, sfDir: String, maxId: Long): DataFrame = {
     val toks = docs(spark, sfDir)
-      .filter(col("doc_id") < 300)
+      .filter(col("doc_id") < maxId)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = toks.as("a")
+    toks.as("a")
       .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Exact token-set Jaccard over pairs within a bounded id range. */
+  private def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardScored(spark, sfDir, 300)
       .filter(col("jacc") >= 0.5)
       .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Duplicate clustering — the step AFTER candidate generation in a real
     * dedup pipeline: connected components over the similarity-pair graph,
@@ -60,27 +67,22 @@ object DedupOps {
     * Edge set: token-set Jaccard ≥ 0.8 on the bounded verification range.
     */
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir)
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = toks.as("a")
-      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
-      .select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    import spark.implicits._
+    // both edge directions in ONE pass over the scored pairs (a union of
+    // two selects would evaluate the expensive pair subtree twice)
+    val edges = jaccardScored(spark, sfDir, 300)
+      .filter(col("jacc") >= 0.8)
+      .select(explode(expr(
+        "array(struct(doc_a AS src, doc_b AS dst), struct(doc_b AS src, doc_a AS dst))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .cache()
     val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
 
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).cache()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
@@ -95,8 +97,19 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    if (changed > 0) {
+      labels.unpersist(); edges.unpersist()
+      // a silent truncation would emit WRONG cluster labels — fail loudly
+      sys.error(s"dedup_clusters did not converge within $maxIter rounds (graph diameter too large)")
+    }
+    // the loop's subgraph is bounded (<300 nodes by construction), so the
+    // final labels collapse to the driver: this frees every cached round
+    // and truncates the 50-round lineage in one step. At unbounded scale
+    // the same loop would checkpoint to storage instead of collecting.
+    val finalLabels = labels.select("doc_id", "lbl").as[(Long, Long)].collect().toSeq
+    labels.unpersist()
     edges.unpersist()
-    val comp = labels.select(col("doc_id"), col("lbl").as("cluster"))
+    val comp = finalLabels.toDF("doc_id", "cluster")
     val csize = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
     comp.join(csize, "cluster")
       .select(col("doc_id"), col("cluster"), col("cluster_size"),

@@ -107,13 +107,14 @@ object MultimodalOps {
     spark.read.format("binaryFile").load(dir)
       // id = last digit run of the FILENAME (a digit run in a parent
       // directory must not leak in); files without digits fall back to a
-      // path hash so doc_id is never null (the typed decode reads it as a
-      // primitive Long)
+      // NEGATIVE path hash — a disjoint namespace from the non-negative
+      // digit-derived ids, so a hash can never collide with a real id —
+      // and doc_id is never null (the typed decode reads a primitive Long)
       .withColumn("fname", element_at(split(col("path"), "/"), -1))
       .select(
         coalesce(
           nullif(regexp_extract(col("fname"), "([0-9]+)[^0-9]*$", 1), lit("")).cast("long"),
-          pmod(xxhash64(col("path")), lit(1000000007L))).as("doc_id"),
+          -lit(1L) - pmod(xxhash64(col("path")), lit(1000000007L))).as("doc_id"),
         col("path"), col("length"), col("content").as("payload"))
 
   /** Feature extraction over real opaque files: binaryFile scan → the same

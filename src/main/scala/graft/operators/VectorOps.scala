@@ -46,7 +46,9 @@ object VectorOps {
     */
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def corpusCount(df: DataFrame, sfDir: String): Long =
-    countCache.getOrElseUpdate(sfDir, df.count())
+    // keyed per table path, not per directory, so a future caller counting
+    // a different table under the same sfDir cannot hit a stale entry
+    countCache.getOrElseUpdate(s"$sfDir/embeddings", df.count())
 
   /** IVF codebooks memoized per (directory, k) — same immutability
     * contract as [[countCache]]; the codebook is driver-side quantizer

@@ -25,6 +25,11 @@ final case class TimedFrame(uuid: String, seq: Int, payload: String, filesize: L
   * `lastEventMs` (event-time mode only) carries the newest frame
   * timestamp seen across batches, so the TTL deadline never moves
   * backward when an out-of-order frame arrives in a later batch.
+  *
+  * NOTE: adding this field changed the state-store schema — streaming
+  * queries CANNOT resume from checkpoints written by the 5-field state
+  * (Spark fails the state schema compatibility check); restart such
+  * queries from a fresh checkpoint location.
   */
 final case class SessionState(
     expected: Int, written: Long, content: String, filesize: Long, rejected: Int,

@@ -51,6 +51,12 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ARRAY<FLOAT> so SQL users get float semantics, not silent garbage
     val w = spark.sql("SELECT float_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
     assert(w == 11.0)
+    // non-numeric arrays must ERROR at analysis, not degrade to NULLs via
+    // a lenient string->float cast
+    val ex = intercept[Exception] {
+      spark.sql("SELECT float_dot(array('x'), array('y'))").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("float"), ex.getMessage)
   }
 
   test("minhash_sig is callable from SQL") {
