@@ -110,6 +110,28 @@ object TextOps {
           .as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Deterministic hash sampling — the reproducible subsample/shard
+    * primitive of a training-data pipeline: a doc is in the sample iff
+    * the first hex digit of md5("salt42:" + doc_id) falls in {0,1}
+    * (≈ 2/16 = 12.5% expected rate), so membership is a pure function of
+    * the key — stable across runs, engines, partitionings and cluster
+    * sizes (unlike `DataFrame.sample`, which is seed- and partition-
+    * dependent). Reported per language stratum with the realized rate;
+    * the filter is a narrow codegen'd map, the only shuffle is the
+    * stratum aggregation.
+    */
+  private def sampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val inSample =
+      substring(md5(concat(lit("salt42:"), col("doc_id").cast("string"))), 1, 1).isin("0", "1")
+    docs(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate", col("n_sampled") / col("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Exact dedup by content hash: canonical doc + duplicate count. */
   private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -176,6 +198,12 @@ object TextOps {
              |         list_transform(string_split(text, ''), c -> ord(c))),
              |         (a, b) -> (a * 131 + b) % 1000000007) AS fp_roll
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "sample_hash" -> QueryDef(sampleHash,
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS BIGINT) AS n_sampled,
+             |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS DOUBLE) / count(*) AS rate
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     "dedup_exact" -> QueryDef(dedupExact,
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
