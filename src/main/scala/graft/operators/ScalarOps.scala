@@ -4,7 +4,6 @@ import graft.QueryDef
 import graft.functions.FmtSize
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar-function operators from the reference's utility layer: IP
@@ -17,10 +16,11 @@ import org.apache.spark.sql.functions._
   * preserves the argmin and makes the oracle comparison exact.
   *
   * Scale notes: `color_nearest` is a broadcast nested-loop join against a
-  * 16-row palette — the fact side streams, nothing shuffles except the
-  * final per-key argmin (window over p_partkey is a no-shuffle projection
-  * after the broadcast). This is the archetype for brute-force kNN
-  * (VectorOps.knn_cosine): N×K compare with broadcast small side.
+  * 16-row palette — the fact side streams, and the per-key argmin is a
+  * `min(struct(...))` partial aggregation that combines map-side to one
+  * row per key before any exchange. This is the archetype for brute-force
+  * kNN (VectorOps.knn_cosine): N×K compare with broadcast small side and
+  * an agg-based argmin/argmax, never a window over the exploded rows.
   */
 object ScalarOps {
 
@@ -88,6 +88,15 @@ object ScalarOps {
 
   // ---- color_nearest (A28) ----------------------------------------------
 
+  /** Per-key argmin as a PARTIAL AGGREGATION, not a window: `min` over
+    * `struct(dist, code, ...)` compares lexicographically (min dist, ties
+    * broken by min code — the reference's first-wins scan order,
+    * `src/ansi.tpp:339-363`), and HashAggregate combines map-side, so the
+    * exchange moves one row per p_partkey instead of sorting all 16N
+    * scored rows through a window (the same shape as knn_cosine's
+    * `max(struct)` argmax, VectorOps). r/g/b ride along in the struct tail
+    * (constant within a key, below the deciding fields).
+    */
   private def colorNearest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val palette = SystemPalette.toDF("cr", "cg", "cb", "code")
@@ -96,17 +105,16 @@ object ScalarOps {
         (col("p_partkey") % 256).as("r"),
         (col("p_partkey") * 7 % 256).as("g"),
         (col("p_partkey") * 13 % 256).as("b"))
-    val scored = pts.crossJoin(broadcast(palette))
+    pts.crossJoin(broadcast(palette))
       .withColumn("dist",
         expr("""(1024 + (r + cr)) * (r - cr) * (r - cr)
                | + 2048 * (g - cg) * (g - cg)
                | + (1534 - (r + cr)) * (b - cb) * (b - cb)""".stripMargin))
-    val wBest = Window.partitionBy("p_partkey").orderBy(col("dist"), col("code"))
-    scored
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("p_partkey"), col("r"), col("g"), col("b"),
-        col("code").cast("int").as("code"), col("dist"))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("dist"), col("code"), col("r"), col("g"), col("b"))).as("best"))
+      .select(col("p_partkey"),
+        col("best.r").as("r"), col("best.g").as("g"), col("best.b").as("b"),
+        col("best.code").cast("int").as("code"), col("best.dist").as("dist"))
       .orderBy("p_partkey")
   }
 
@@ -153,6 +161,32 @@ object ScalarOps {
         col("bytes_small"), FmtSize.fmt_size(col("bytes_small")).as("fmt_small"),
         col("bytes_big"), FmtSize.fmt_size(col("bytes_big")).as("fmt_big"))
       .orderBy("o_orderkey")
+
+  // ---- surrogate_id (A24 analog) ----------------------------------------
+
+  /** Deterministic surrogate id — the pipeline-safe analog of the
+    * reference's UUIDv1 session id (`src/utils.tpp:35-63`). UUIDv1 mixes
+    * wall clock + MAC and is nondeterministic by design (excluded from the
+    * oracle surface, SURVEY §2); a data pipeline wants the *same* row to
+    * get the *same* id on every run, so this derives a name-based
+    * (UUIDv3-shaped) id from the row content: md5 over a namespaced key,
+    * formatted 8-4-4-4-12 with the version nibble forced to 3 and the
+    * variant nibble to 8. Pure per-row scalar math — no shuffle, no state,
+    * partition-independent, identical on any cluster layout.
+    */
+  /** 8-4-4-4-12 formatting over a 32-hex-char column `h` — identical text
+    * in Spark SQL and DuckDB, so the oracle comparison is exact.
+    */
+  private[graft] val UuidShapeSql: String =
+    "concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-3', substr(h, 14, 3), " +
+      "'-8', substr(h, 18, 3), '-', substr(h, 21, 12))"
+
+  private def surrogateId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "md5(concat('graft:', CAST(doc_id AS STRING), ':', text)) AS h")
+      .selectExpr("doc_id", s"$UuidShapeSql AS sid")
+      .orderBy("doc_id")
 
   // ---- declarations ------------------------------------------------------
 
@@ -212,6 +246,14 @@ object ScalarOps {
               |  FROM pts CROSS JOIN pal)
               |SELECT p_partkey, r, g, b, code, dist
               |FROM scored WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+
+    "surrogate_id" -> QueryDef(surrogateId,
+      Some(s"""WITH b AS (
+              |  SELECT doc_id,
+              |         md5(concat('graft:', CAST(doc_id AS VARCHAR), ':', text)) AS h
+              |  FROM documents)
+              |SELECT doc_id, $UuidShapeSql AS sid
+              |FROM b ORDER BY doc_id""".stripMargin)),
 
     "color_hsl" -> QueryDef(colorHsl,
       Some(s"""WITH base AS (

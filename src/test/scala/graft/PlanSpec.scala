@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("color_nearest argmin is a partial aggregation, not a window sort") {
+    val p = plan("color_nearest")
+    assert(!p.contains("Window"), s"argmin still plans a window over the 16x scored rows:\n$p")
+    assert(p.contains("partial_min"), s"no map-side partial argmin:\n$p")
+  }
+
   test("dedup_exact groups on the hash with map-side partial aggregation") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
