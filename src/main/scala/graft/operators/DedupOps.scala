@@ -50,71 +50,103 @@ object DedupOps {
       .select("doc_a", "doc_b", "na", "nb", "inter", "jacc")
       .orderBy("doc_a", "doc_b")
 
-  /** Duplicate clustering — the step AFTER candidate generation in a real
-    * dedup pipeline: connected components over the similarity-pair graph,
-    * labeling every doc with its component's minimum doc_id (the canonical
-    * representative to keep). Spark side runs iterative min-label
-    * propagation (the standard large-graph CC: each round, a node adopts
-    * the min label among itself and its neighbors; converges in
-    * O(diameter) rounds, each round one equi-join + partial-agg shuffle —
-    * no driver-side graph, labels cached per round and unpersisted). The
-    * DuckDB oracle computes the same components with a recursive CTE.
-    * Cost shape: wall time is rounds x per-round scheduling (the bounded
-    * 300-node graph runs ~4 rounds of multi-stage jobs whose data fits
-    * one task) — at real scale the SAME round count runs with each round
-    * scaling horizontally, so the fixed scheduling floor amortizes; this
-    * is the expected profile for iterative CC, not a data bottleneck.
-    * Edge set: token-set Jaccard ≥ 0.8 on the bounded verification range.
+  /** Connected components over ANY (doc_id) node frame and (src, dst)
+    * candidate-edge frame — the corpus-scale core of duplicate clustering,
+    * decoupled from how edges were generated (exact Jaccard for the
+    * bounded oracle key, [[minhashPairs]] for the production composition).
+    *
+    * Iterative min-label propagation: each round a node adopts the minimum
+    * label among itself and its neighbors; converges in O(diameter)
+    * rounds, each round one equi-join + partial-agg shuffle. Every round
+    * `localCheckpoint`s the new labels — an EAGER materialization that
+    * truncates the growing iterative lineage (without it, round r's plan
+    * nests r copies of the join tree and the optimizer re-walks an
+    * exponentially growing DAG; with it, each round plans against the
+    * previous round's materialized blocks). NOTHING is drained through the
+    * driver — the only driver-side values are the per-round change count
+    * and the returned (distributed) label frame; on a real cluster the
+    * same code runs with labels spread over all executors. Superseded
+    * rounds' blocks are dropped by the ContextCleaner once unreferenced.
+    *
+    * Fails loudly if not converged within `maxIter` — a silent truncation
+    * would emit WRONG cluster labels.
+    *
+    * Returns (doc_id, lbl): every node labeled with its component minimum.
     */
-  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     // both edge directions in ONE pass over the scored pairs (a union of
-    // two selects would evaluate the expensive pair subtree twice)
-    val edges = jaccardScored(spark, sfDir, 300)
-      .filter(col("jacc") >= 0.8)
+    // two selects would evaluate the expensive edge subtree twice), then
+    // materialize: every round re-reads the edges, so they must not
+    // re-derive from the (possibly LSH-expensive) candidate pipeline
+    val edges = edges0
       .select(explode(expr(
-        "array(struct(doc_a AS src, doc_b AS dst), struct(doc_b AS src, doc_a AS dst))")).as("e"))
+        "array(struct(src AS src, dst AS dst), struct(dst AS src, src AS dst))")).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .cache()
-    val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
+      .localCheckpoint()
 
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    val maxIter = 50
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
+      // localCheckpoint is eager: this materializes the round AND truncates
+      // its lineage in one step
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
         .select(labels("doc_id"),
           least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
-        .cache()
-      // the convergence check is the round's one action: it materializes
-      // `next` into the cache and counts label changes in the same job
+        .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    if (changed > 0) {
-      labels.unpersist(); edges.unpersist()
-      // a silent truncation would emit WRONG cluster labels — fail loudly
-      sys.error(s"dedup_clusters did not converge within $maxIter rounds (graph diameter too large)")
-    }
-    // the loop's subgraph is bounded (<300 nodes by construction), so the
-    // final labels collapse to the driver: this frees every cached round
-    // and truncates the 50-round lineage in one step. At unbounded scale
-    // the same loop would checkpoint to storage instead of collecting.
-    val finalLabels = labels.select("doc_id", "lbl").as[(Long, Long)].collect().toSeq
-    labels.unpersist()
-    edges.unpersist()
-    val comp = finalLabels.toDF("doc_id", "cluster")
-    val csize = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    comp.join(csize, "cluster")
+    if (changed > 0)
+      sys.error(s"connectedComponents did not converge within $maxIter rounds (graph diameter too large)")
+    labels
+  }
+
+  /** Decorates component labels into the declared output shape:
+    * (doc_id, cluster, cluster_size, is_rep) with the min-id member as the
+    * kept representative (the reference's keyed-session "first wins"
+    * spirit, `transf_server.cpp:267-273`).
+    */
+  private def clusterReport(comp: DataFrame): DataFrame = {
+    val labeled = comp.select(col("doc_id"), col("lbl").as("cluster"))
+    val csize = labeled.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(csize, "cluster")
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).as("is_rep"))
       .orderBy("doc_id")
+  }
+
+  /** Oracle-checkable clustering: exact-Jaccard edges on the bounded
+    * verification range through [[connectedComponents]]; the DuckDB oracle
+    * computes the same components with a recursive CTE.
+    */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = jaccardScored(spark, sfDir, 300)
+      .filter(col("jacc") >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
+    clusterReport(connectedComponents(nodes, edges))
+  }
+
+  /** The PRODUCTION dedup composition at corpus scale: MinHash+LSH
+    * candidate pairs over the FULL document table → connected components →
+    * min-id representative per cluster. No bounded id range, no driver
+    * drain, no quadratic stage anywhere: candidates are bucket-join
+    * output ([[minhashPairs]]), clustering is the checkpointed iterative
+    * loop ([[connectedComponents]]). Deterministic (seeded hashing), no
+    * SQL oracle (LSH is not ANSI-expressible) — invariants are
+    * property-tested in DedupSpec (every candidate pair shares a label;
+    * every cluster is labeled by its minimum member).
+    */
+  private def dedupClustersMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val edges = minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterReport(connectedComponents(d.select("doc_id"), edges))
   }
 
   /** Character n-gram Jaccard (3-grams) over a bounded id range — the
@@ -149,8 +181,34 @@ object DedupOps {
     * member transitively connected to the same duplicate cluster (the
     * connected-components view is identical) at O(b) rows, so no reducer
     * ever materializes more than `cap·(cap-1)/2 + (b-cap)` pairs.
+    *
+    * Materialization is bounded too, not just pair output: bucket rows are
+    * annotated with (size, min-id representative) by a window over the
+    * band key — the window buffer is spillable row storage, never one
+    * unbounded `collect_list` row — and only ≤cap buckets ever reach a
+    * `collect_list` (so no aggregation row is ever wider than cap).
+    * Oversized buckets stream their star pairs row-by-row straight off the
+    * annotated rows. Net: one shuffle on the band key, one signature scan,
+    * O(cap) worst-case row width anywhere in the plan.
     */
   val HotBucketCap = 32
+
+  /** Annotates banded rows with bucket population and the bucket's min-id
+    * representative in ONE pass (single hash-partition exchange on the
+    * band key + per-partition sort; the window buffer spills rather than
+    * building an O(b) aggregation row). Drops singleton buckets — they
+    * can't produce pairs. Input must have columns `keyCols ++ (idCol +:
+    * carryCols)`; output adds `bucket_n` and `rep_<idCol/carry>` fields
+    * via a min(struct) over the bucket (doc ids are unique within a
+    * bucket, so the struct min is the min-id member's row).
+    */
+  private def annotateBuckets(
+      d: DataFrame, keyCols: Seq[String], idCol: String, carryCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    d.withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("rep", min(struct((idCol +: carryCols).map(col): _*)).over(w))
+      .filter(col("bucket_n") > 1)
+  }
 
   /** MinHash + LSH banding over any (doc_id, text) frame: 3-token shingles
     * → 16 seeded minhashes → 4 bands of 4 → candidate pairs where any band
@@ -158,8 +216,8 @@ object DedupOps {
     * (pair generation is not ANSI-expressible portably); deterministic by
     * construction and property-tested in DedupSpec.
     */
-  private[graft] def minhashPairs(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  private[graft] def minhashPairs(d: DataFrame): DataFrame = {
+    val banded = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
       .withColumn("sig", minhash_sig(col("shingles"), 16))
@@ -167,19 +225,31 @@ object DedupOps {
         """transform(sequence(0, 3), j -> struct(j AS band_id,
           |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.bh"))
+    pairsFromBuckets(banded)
+  }
+
+  /** Shared pair emission over banded (doc_id, band_id, bh) rows: small
+    * buckets collect bounded membership (≤ [[HotBucketCap]]) and emit all
+    * pairs; oversized buckets stream star pairs directly off the annotated
+    * rows — no aggregation row ever exceeds cap width. The small-bucket
+    * groupBy reuses the window's (band_id, bh) hash partitioning, so the
+    * whole emission costs ONE exchange.
+    */
+  private def pairsFromBuckets(banded: DataFrame): DataFrame = {
+    val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Nil)
+    val small = ann.filter(col("bucket_n") <= HotBucketCap)
       .groupBy("band_id", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(expr(
-        s"""CASE WHEN size(ids) <= $HotBucketCap THEN
-           |  flatten(transform(ids, (x, i) ->
-           |    transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))
-           |ELSE
-           |  transform(slice(ids, 2, size(ids)), y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b))
-           |END""".stripMargin)).as("p"))
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+    val large = ann.filter(col("bucket_n") > HotBucketCap && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    small.union(large)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
 
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(docs(spark, sfDir))
@@ -216,31 +286,31 @@ object DedupOps {
     * bound. Deterministic; no SQL oracle (xxhash64 is not available in
     * DuckDB); property-tested in DedupSpec.
     */
-  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame =
-    withSimhash(d)
+  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = withSimhash(d)
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 3), j -> struct(j AS band_id,
             |  shiftright(simhash, j * 16) & 65535 AS bk))""".stripMargin)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.bk"))
+    val ann = annotateBuckets(banded, Seq("band_id", "bk"), "doc_id", Seq("simhash"))
+    val small = ann.filter(col("bucket_n") <= HotBucketCap)
       .groupBy("band_id", "bk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
-      .filter(size(col("items")) > 1)
       .select(explode(expr(
-        s"""CASE WHEN size(items) <= $HotBucketCap THEN
-           |  flatten(transform(items, (x, i) ->
-           |    transform(slice(items, i + 2, size(items)), y ->
-           |      struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-           |             bit_count(x.simhash ^ y.simhash) AS hamming))))
-           |ELSE
-           |  transform(slice(items, 2, size(items)), y ->
-           |    struct(element_at(items, 1).doc_id AS doc_a, y.doc_id AS doc_b,
-           |           bit_count(element_at(items, 1).simhash ^ y.simhash) AS hamming))
-           |END""".stripMargin)).as("p"))
-      .filter(col("p.hamming") <= maxHamming)
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           bit_count(x.simhash ^ y.simhash) AS hamming))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+    val large = ann.filter(col("bucket_n") > HotBucketCap && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("bit_count(rep.simhash ^ simhash)").as("hamming"))
+    small.union(large)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
 
   private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(docs(spark, sfDir))
@@ -311,6 +381,8 @@ object DedupOps {
              |JOIN s sb ON p.doc_b = sb.doc_id
              |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.35
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
 
     "dedup_minhash" -> QueryDef(dedupMinhash, None),
 

@@ -72,6 +72,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
   }
 
+  test("flood bucket (3000 identical docs): membership aggregation is cap-guarded, connectivity kept") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = (1L to 3000L).map(i => (i, text)).toDF("doc_id", "text")
+    val q = DedupOps.minhashPairs(d)
+    // plan proof of bounded row width: the only collect_list in the plan
+    // sits above the bucket_n <= cap filter, so a flood bucket can never
+    // materialize as one O(b) aggregation row — it takes the streamed
+    // star-pair branch instead
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"), plan.takeWhile(_ != '\n'))
+    assert(plan.contains("bucket_n"), "bucket annotation missing from plan")
+    assert(plan.contains(s"<= ${DedupOps.HotBucketCap}"),
+      s"no bucket-size cap filter guarding the membership aggregation")
+    val pairs = q.collect()
+    assert(pairs.length == 2999, s"star must keep every member connected, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 1L))
+    assert(pairs.map(_.getLong(1)).toSet == (2L to 3000L).toSet)
+  }
+
+  test("dedup_clusters_minhash: candidate pairs share labels, clusters keep their min id as rep") {
+    val out = SparkEntry.queries("dedup_clusters_minhash")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == nDocs, "every document must receive a cluster label")
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no minhash candidates at sf0.01 — composition test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"candidate pair ($a,$b) split across clusters")
+    }
+    label.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by its minimum member")
+    }
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)), "is_rep must mark the label row")
+    }
+  }
+
   test("embed_neardup_lsh finds the high-sim brute-force pairs (recall measured)") {
     import graft.operators.VectorOps
     // brute-force pairs above threshold on the full sf0.01 corpus
