@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   * live in its own parquet column chunk and column pruning keeps metadata
   * queries from reading payload bytes at all.
   */
+/** The decode extension point: turns an opaque payload into per-frame
+  * feature values. Implementations must be Serializable — they ship into
+  * the executors inside the mapPartitions closure. A real deployment plugs
+  * in a JNI/FFI codec (image decode, audio PCM, video keyframes) here; the
+  * container has no codec libraries, so the default is the deterministic
+  * [[StubFrameDecoder]]. Everything around the interface — binary column
+  * pruning, typed encoders, partition-local batch shape, sampling/resize —
+  * is real and decoder-independent.
+  */
+trait FrameDecoder extends Serializable {
+  /** One float per decoded frame; empty payload → empty array. */
+  def decode(payload: Array[Byte]): Array[Float]
+}
+
+/** STUB decode (declared, SURVEY §2): mean byte value per 32-byte frame —
+  * deterministic, codec-free, preserves the real batch/shape contract.
+  */
+object StubFrameDecoder extends FrameDecoder {
+  override def decode(payload: Array[Byte]): Array[Float] =
+    payload.grouped(32).map(fr => fr.map(_ & 0xff).sum.toFloat / fr.length).toArray
+}
+
 object MultimodalOps {
 
   final case class DocBytes(doc_id: Long, payload: Array[Byte])
@@ -50,20 +72,20 @@ object MultimodalOps {
         (lit(64L) + col("doc_id") % 416).as("height"))
       .orderBy("doc_id")
 
-  /** Typed feature extraction over any (doc_id, payload: BINARY) frame
-    * (stubbed decode): the shared pass behind [[multimodalFeatures]] (text
-    * cast to bytes, oracle-comparable) and the real opaque-file path
-    * ([[binaryFeatures]] via the `binaryFile` source).
+  /** Typed feature extraction over any (doc_id, payload: BINARY) frame:
+    * the shared pass behind [[multimodalFeatures]] (text cast to bytes,
+    * oracle-comparable) and the real opaque-file path ([[binaryFeatures]]
+    * via the `binaryFile` source). The decode step is injected via
+    * [[FrameDecoder]] (default: the container-necessitated stub).
     */
-  private[graft] def featuresOf(spark: SparkSession, payloads: DataFrame): DataFrame = {
+  private[graft] def featuresOf(
+      spark: SparkSession, payloads: DataFrame,
+      decoder: FrameDecoder = StubFrameDecoder): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[DocBytes]
       .mapPartitions { it =>
         it.map { d =>
-          // STUB decode: a real pipeline decodes image/audio bytes here.
-          // Deterministic fake: mean byte value per 32-byte frame.
-          val frames = d.payload.grouped(32)
-            .map(fr => fr.map(_ & 0xff).sum.toFloat / fr.length).toArray
+          val frames = decoder.decode(d.payload)
           val mean =
             if (d.payload.isEmpty) 0.0
             else d.payload.map(_ & 0xff).sum.toDouble / d.payload.length
@@ -118,10 +140,13 @@ object MultimodalOps {
         col("path"), col("length"), col("content").as("payload"))
 
   /** Feature extraction over real opaque files: binaryFile scan → the same
-    * typed mapPartitions decode slot as the parquet path.
+    * typed mapPartitions decode slot as the parquet path, with the decoder
+    * injectable per call site.
     */
-  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
-    featuresOf(spark, readBinaryDir(spark, dir))
+  def binaryFeatures(
+      spark: SparkSession, dir: String,
+      decoder: FrameDecoder = StubFrameDecoder): DataFrame =
+    featuresOf(spark, readBinaryDir(spark, dir), decoder)
 
   // ---- declarations ------------------------------------------------------
 

@@ -1,35 +1,62 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** The reference's file sink (A14: `CreateDirectory` + binary ofstream
   * write + overwrite-on-collision, `transf_server.cpp:171-184`) as a
-  * streaming parquet sink: completed sessions (DONE acks carry the full
-  * reassembled content) land as parquet rows under `path`.
+  * streaming parquet sink. The reference appends each accepted frame to
+  * the open file as it arrives (`transf_server.cpp:275-294`) — the
+  * parquet-native analog is one CHUNK ROW per accepted frame, flushed per
+  * micro-batch, with [[assembled]] reconstructing completed transfers at
+  * read time. Nothing upstream buffers a whole file: the stateful operator
+  * keeps offsets only (see [[SessionState]]) and each batch lands only the
+  * bytes it received.
   *
   * Exactly-once: foreachBatch can replay a micro-batch after a failure,
   * so the write must be idempotent — each batch overwrites its own
   * `batch=<id>` subdirectory (the deterministic batch id is the replay
-  * key), which together with the checkpoint gives end-to-end
-  * exactly-once file output, strictly stronger than the reference's
-  * at-most-once overwrite. Readers see one row per completed session:
-  * `(uuid, written, content)`.
+  * key), which together with the checkpoint gives end-to-end exactly-once
+  * chunk output, strictly stronger than the reference's at-most-once
+  * overwrite.
   */
 object FileSink {
 
   /** Wires `acks` (from [[Reassembly.stream]] or
-    * [[Reassembly.streamEventTime]]) to an idempotent parquet sink.
+    * [[Reassembly.streamEventTime]]) to an idempotent per-chunk parquet
+    * sink: one row per ACCEPTED frame `(uuid, seq, chunk, done, written)`.
     * Returns the writer so callers pick trigger/checkpoint placement.
     */
-  def completedToParquet(acks: Dataset[AckEvent], path: String): DataStreamWriter[AckEvent] =
+  def chunksToParquet(acks: Dataset[AckEvent], path: String): DataStreamWriter[AckEvent] =
     acks.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ds: Dataset[AckEvent], batchId: Long) =>
-        ds.filter(_.kind == "DONE")
-          .select("uuid", "written", "content")
+        ds.filter(a => a.kind == "RECEIVED" || a.kind == "DONE")
+          .toDF()
+          .select(col("uuid"), (col("next_seq") - 1).as("seq"), col("chunk"),
+            (col("kind") === "DONE").as("done"), col("written"))
           .write.mode("overwrite")
           .parquet(s"$path/batch=$batchId")
       }
+
+  /** Read-side reassembly over the chunk rows: completed sessions (those
+    * with a DONE chunk) concatenated in seq order → one row per transfer
+    * `(uuid, written, content)`, byte-identical to the source. The
+    * per-session collect is bounded by the transfer's own chunk count and
+    * runs as one hash-partitioned aggregation — sessions assemble in
+    * parallel across the cluster.
+    */
+  def assembled(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/batch=*")
+      .groupBy("uuid")
+      .agg(
+        max(when(col("done"), col("written"))).as("written"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
+            x => x.getField("chunk")), "").as("content"),
+        max(col("done")).as("complete"))
+      .filter(col("complete"))
+      .select("uuid", "written", "content")
 }

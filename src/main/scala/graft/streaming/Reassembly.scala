@@ -20,27 +20,38 @@ final case class Frame(uuid: String, seq: Int, payload: String, filesize: Long)
 final case class TimedFrame(uuid: String, seq: Int, payload: String, filesize: Long, ts: Timestamp)
 
 /** Keyed session state — the `TransferInfo` struct of the reference
-  * (`transf_server.cpp:49-70`): next expected seq, bytes written, content
-  * accumulated so far, declared size, and a rejected-frame counter.
-  * `lastEventMs` (event-time mode only) carries the newest frame
-  * timestamp seen across batches, so the TTL deadline never moves
-  * backward when an out-of-order frame arrives in a later batch.
+  * (`transf_server.cpp:49-70`): next expected seq, bytes written, declared
+  * size, and a rejected-frame counter. `lastEventMs` (event-time mode
+  * only) carries the newest frame timestamp seen across batches, so the
+  * TTL deadline never moves backward when an out-of-order frame arrives in
+  * a later batch.
   *
-  * NOTE: adding this field changed the state-store schema — streaming
-  * queries CANNOT resume from checkpoints written by the 5-field state
+  * Deliberately O(1) PER KEY: the state holds offsets only — accepted
+  * payload bytes leave the operator on their ack ([[AckEvent.chunk]]) in
+  * the same micro-batch and are flushed by the sink, exactly as the
+  * reference streams each frame straight to the open file
+  * (`transf_server.cpp:275-294`) instead of buffering the transfer in the
+  * session map. A 100 GB transfer costs the state store the same ~40
+  * bytes as a 1 KB one.
+  *
+  * NOTE: changing these fields changes the state-store schema — streaming
+  * queries CANNOT resume from checkpoints written by an older state shape
   * (Spark fails the state schema compatibility check); restart such
   * queries from a fresh checkpoint location.
   */
 final case class SessionState(
-    expected: Int, written: Long, content: String, filesize: Long, rejected: Int,
+    expected: Int, written: Long, filesize: Long, rejected: Int,
     lastEventMs: Long = 0L)
 
 /** Per-frame server replies: RECEIVED/DONE (`transf_server.cpp:295-326`),
   * REJECT for dup/out-of-order seq (`transf_server.cpp:267-273`), and
   * EXPIRED when the TTL sweep evicts an idle session
-  * (`transf_server.cpp:78-131`). `content` is populated only on DONE.
+  * (`transf_server.cpp:78-131`). `chunk` carries the ACCEPTED (clamped)
+  * payload slice on RECEIVED/DONE — the per-frame byte flow to the sink —
+  * and is empty on REJECT/EXPIRED. The accepted frame's seq is
+  * `next_seq - 1`.
   */
-final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Long, content: String)
+final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Long, chunk: String)
 
 /** Structured-Streaming ordered reassembly with TTL state expiry — the
   * streaming form of the `roundtrip_pipeline` batch query, in two flavors:
@@ -57,7 +68,7 @@ final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Lo
   *
   * Scale notes: state lives in the state store partitioned by uuid (no
   * global locks — the reference's mutex-per-session maps to partition
-  * locality); per-key state is bounded by the declared filesize; timeouts
+  * locality); per-key state is O(1) — offsets only, bytes flush per batch; timeouts
   * replace the reference's sweeper thread. Exactly-once sink semantics
   * come from checkpointing, vs the reference's at-most-once seq-equality
   * dedup.
@@ -93,13 +104,14 @@ object Reassembly {
         // A10 clamp: never write past the declared filesize.
         val room = st.filesize - st.written
         val take = math.max(0L, math.min(room, f.payload.length.toLong)).toInt
-        st = SessionState(st.expected + 1, st.written + take,
-          st.content + f.payload.substring(0, take), st.filesize, st.rejected)
+        val accepted = f.payload.substring(0, take)
+        st = SessionState(st.expected + 1, st.written + take, st.filesize, st.rejected)
+        // the accepted bytes leave on the ack — state keeps offsets only
         if (st.written >= st.filesize) {
           done = true
-          acks += AckEvent(uuid, "DONE", st.expected, st.written, st.content)
+          acks += AckEvent(uuid, "DONE", st.expected, st.written, accepted)
         } else {
-          acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, "")
+          acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, accepted)
         }
       }
     }
@@ -126,7 +138,7 @@ object Reassembly {
   def update(ttl: Boolean)(uuid: String, frames: Iterator[Frame], state: GroupState[SessionState]): Iterator[AckEvent] = {
     if (state.hasTimedOut) expire(uuid, state)
     else {
-      val st0 = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
+      val st0 = state.getOption.getOrElse(SessionState(1, 0L, -1L, 0))
       val (st, acks, done) = processFrames(uuid, st0, frames.toSeq)
       if (done) {
         // A11: close + erase session.
@@ -152,7 +164,7 @@ object Reassembly {
     if (state.hasTimedOut) expire(uuid, state)
     else {
       val fs = frames.toSeq
-      val st0 = state.getOption.getOrElse(SessionState(1, 0L, "", -1L, 0))
+      val st0 = state.getOption.getOrElse(SessionState(1, 0L, -1L, 0))
       val (st1, acks, done) =
         processFrames(uuid, st0, fs.map(f => Frame(f.uuid, f.seq, f.payload, f.filesize)))
       if (done) state.remove()

@@ -88,11 +88,17 @@ object StreamDemo {
     val acks = acc.asScala.toSeq.toDF()
     acks.orderBy("uuid", "next_seq", "kind").show(50, truncate = false)
 
-    val done = acks.filter(col("kind") === "DONE").select("uuid", "content").as[(String, String)].collect().toMap
+    // sink-side reassembly: accepted chunks in seq order (state holds no
+    // content — the byte flow rides the RECEIVED/DONE acks)
+    val ackSeq = acc.asScala.toSeq
+    def contentOf(u: String): String =
+      ackSeq.filter(a => a.uuid == u && (a.kind == "RECEIVED" || a.kind == "DONE"))
+        .sortBy(_.next_seq).map(_.chunk).mkString
+    val doneSet = ackSeq.filter(_.kind == "DONE").map(_.uuid).toSet
     val rejects = acks.filter(col("kind") === "REJECT").count()
-    val okA = done.get(ua).contains(ta)
-    val okB = done.get(ub).contains(tb)
-    val pendingC = !done.contains(uc)
+    val okA = doneSet.contains(ua) && contentOf(ua) == ta
+    val okB = doneSet.contains(ub) && contentOf(ub) == tb
+    val pendingC = !doneSet.contains(uc)
 
     // Event-time epilogue: C's partial session again, but expiry is driven
     // by the watermark (no wall-clock wait) — unrelated later traffic moves

@@ -76,6 +76,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(rows(3L)._3 - b3.take(32).sum.toFloat / 32) < 1e-4)
   }
 
+  test("a custom FrameDecoder injects through the full pipeline (interface is real)") {
+    import graft.operators.FrameDecoder
+    val dir = writeFixtures()
+    // per-byte identity decode: one frame per byte — shapes downstream of
+    // the interface must follow the DECODER's output, not the stub's
+    object ByteDecoder extends FrameDecoder {
+      override def decode(payload: Array[Byte]): Array[Float] =
+        payload.map(b => (b & 0xff).toFloat)
+    }
+    val rows = MultimodalOps.binaryFeatures(spark, dir.toString, ByteDecoder)
+      .select("doc_id", "n_frames", "n_sampled", "f0").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getFloat(3))).toMap
+    // doc 3: 33 bytes -> 33 frames under ByteDecoder (2 under the stub)
+    assert(rows(3L)._1 == 33, s"decoder output ignored: ${rows(3L)}")
+    assert(rows(3L)._2 == (33 + MultimodalOps.SampleStride - 1) / MultimodalOps.SampleStride)
+    assert(rows(3L)._3 == ((0 * 7 + 3 * 13) % 256).toFloat)
+  }
+
   test("metadata-only projection does not read payload bytes (column pruning)") {
     val dir = writeFixtures()
     val plan = MultimodalOps.readBinaryDir(spark, dir.toString)

@@ -34,11 +34,11 @@ class PropertySpec extends AnyFunSuite {
       val frames = List.fill(rnd.nextInt(12)) {
         Frame("u", 1 + rnd.nextInt(6), List.fill(4)(('a' + rnd.nextInt(26)).toChar).mkString, 16L)
       }
-      val (st, acks, done) = Reassembly.processFrames("u", SessionState(1, 0L, "", -1L, 0), frames)
+      val (st, acks, done) = Reassembly.processFrames("u", SessionState(1, 0L, -1L, 0), frames)
       assert(acks.length == frames.length, "exactly one ack per frame")
       assert(acks.count(_.kind == "DONE") <= 1, "DONE at most once")
       assert(st.written <= 16L, "clamp: never write past filesize")
-      assert(st.content.length.toLong == st.written, "content tracks written")
+      assert(acks.map(_.chunk.length).sum.toLong == st.written, "ack chunk flow tracks written")
       assert(st.rejected == acks.count(_.kind == "REJECT"))
       assert(st.expected - 1 == acks.count(a => a.kind == "RECEIVED" || a.kind == "DONE"))
       if (done) {
@@ -54,9 +54,10 @@ class PropertySpec extends AnyFunSuite {
     (1 to 100).foreach { _ =>
       val text = List.fill(16)(('a' + rnd.nextInt(26)).toChar).mkString
       val frames = text.grouped(4).zipWithIndex.map { case (c, i) => Frame("u", i + 1, c, 16L) }.toSeq
-      val (_, acks, done) = Reassembly.processFrames("u", SessionState(1, 0L, "", -1L, 0), frames)
+      val (_, acks, done) = Reassembly.processFrames("u", SessionState(1, 0L, -1L, 0), frames)
       assert(done)
-      assert(acks.last.kind == "DONE" && acks.last.content == text)
+      assert(acks.last.kind == "DONE")
+      assert(acks.sortBy(_.next_seq).map(_.chunk).mkString == text)
     }
   }
 }

@@ -57,11 +57,18 @@ class StreamingSpec extends AnyFunSuite {
     acc.asScala.toSeq
   }
 
+  /** Reassembles the accepted byte flow from the acks — the same
+    * concatenation the sink performs ([[graft.streaming.FileSink.assembled]]).
+    */
+  private def chunksOf(acks: Seq[AckEvent], uuid: String): String =
+    acks.filter(a => a.uuid == uuid && (a.kind == "RECEIVED" || a.kind == "DONE"))
+      .sortBy(_.next_seq).map(_.chunk).mkString
+
   test("in-order frames reassemble byte-identically and DONE closes the session") {
     val text = "the quick brown fox jumps over the lazy dog"
     val acks = run(frames("a", text)).sortBy(_.next_seq)
     assert(acks.last.kind == "DONE")
-    assert(acks.last.content == text)
+    assert(chunksOf(acks, "a") == text)
     assert(acks.count(_.kind == "RECEIVED") == frames("a", text).size - 1)
   }
 
@@ -72,18 +79,40 @@ class StreamingSpec extends AnyFunSuite {
       Seq(fs.head, fs.head, fs.last), // dup + premature final
       fs.tail) // completes in recovered run
     assert(acks.count(_.kind == "REJECT") == 2)
-    assert(acks.exists(a => a.kind == "DONE" && a.content == text))
+    assert(acks.exists(_.kind == "DONE"))
+    assert(chunksOf(acks, "b") == text)
   }
 
   test("overlong final chunk is clamped to filesize (A10 clamp)") {
     // declared size 5, payloads total 8 -> trailing 3 bytes ignored
     val acks = run(Seq(Frame("c", 1, "hell", 5), Frame("c", 2, "oXXX", 5)))
     val done = acks.filter(_.kind == "DONE")
-    assert(done.length == 1 && done.head.content == "hello" && done.head.written == 5)
+    assert(done.length == 1 && done.head.written == 5)
+    assert(chunksOf(acks, "c") == "hello", "accepted chunk flow must carry the CLAMPED bytes")
+  }
+
+  test("session state is O(1) in filesize: bytes ride the acks, not the state") {
+    def stateSizeFor(totalBytes: Int): Int = {
+      val state = TestGroupState.create[SessionState](
+        Optional.empty[SessionState], GroupStateTimeout.NoTimeout,
+        1000L, Optional.empty[Long], hasTimedOut = false)
+      // all frames but the last: the session stays open with state present
+      val fs = (1 to totalBytes / 8).map(i => Frame("z", i, "01234567", totalBytes.toLong))
+      val acks = Reassembly.update(ttl = false)("z", fs.dropRight(1).iterator, state).toSeq
+      assert(acks.map(_.chunk.length).sum == totalBytes - 8, "bytes must leave on the acks")
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(state.get); oos.close()
+      bos.size
+    }
+    val small = stateSizeFor(80)
+    val large = stateSizeFor(80000)
+    assert(small == large,
+      s"state must not grow with transferred bytes: $small B at 80 B vs $large B at 80 KB")
   }
 
   test("TTL timeout evicts idle session and discards partial state (A13)") {
-    val st = SessionState(expected = 3, written = 16, content = "partial-content!", filesize = 100, rejected = 0)
+    val st = SessionState(expected = 3, written = 16, filesize = 100, rejected = 0)
     val state = TestGroupState.create[SessionState](
       Optional.of(st), GroupStateTimeout.ProcessingTimeTimeout,
       1000L, Optional.empty[Long], hasTimedOut = true)
@@ -210,7 +239,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1 == Seq((new java.sql.Timestamp(60 * 1000L), "u1", 3L, 12L)), s"rows: $rows")
   }
 
-  test("file sink lands completed sessions as parquet, idempotently per batch (A14)") {
+  test("file sink streams chunks per batch and reassembles byte-identically (A14)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
     val input = MemoryStream[Frame](enc, spark.sqlContext)
@@ -220,19 +249,26 @@ class StreamingSpec extends AnyFunSuite {
     val textB = "sink test content beta, longer than the first one"
     def phase(fs: Seq[Frame]): Unit = {
       input.addData(fs)
-      val q = FileSink.completedToParquet(
+      val q = FileSink.chunksToParquet(
         Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout), outDir)
         .option("checkpointLocation", checkpoint)
         .start()
       q.awaitTermination()
     }
-    phase(frames("sa", textA))
-    phase(frames("sb", textB)) // second batch -> its own batch= subdir
-    val written = spark.read.parquet(s"$outDir/batch=*")
+    // sb's transfer SPANS batches: its early chunks land in batch 0, the
+    // remainder in batch 1 — assembly must stitch across batch dirs
+    val fb = frames("sb", textB)
+    phase(frames("sa", textA) ++ fb.take(2))
+    phase(fb.drop(2))
+    val assembledRows = FileSink.assembled(spark, outDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
-    assert(written == Map(
+    assert(assembledRows == Map(
       "sa" -> (textA.length.toLong, textA),
       "sb" -> (textB.length.toLong, textB)))
+    // per-batch dirs hold only that batch's bytes (incremental flush, the
+    // reference's append-as-you-go), never a whole buffered file
+    val batch0 = spark.read.parquet(s"$outDir/batch=0")
+    assert(batch0.filter("uuid = 'sb'").count() == 2)
   }
 
   test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
@@ -279,7 +315,8 @@ class StreamingSpec extends AnyFunSuite {
     // exactly one DONE with the full text; the replayed frame opens a new
     // session (state was erased on DONE) and simply RECEIVEs
     assert(acks.count(_.kind == "DONE") == 1)
-    assert(acks.filter(_.kind == "DONE").head.content == text)
+    val firstSession = acks.takeWhile(_.kind != "DONE") :+ acks.find(_.kind == "DONE").get
+    assert(chunksOf(firstSession, "e") == text)
     assert(acks.last.kind == "RECEIVED")
   }
 }
