@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // first-row-per-key window → partial-aggregable argmin (narrow
+    // conditions; see the rule's scaladoc for the tie-break contract)
+    ext.injectOptimizerRule(_ => graft.plans.WindowArgminToAggregate)
+
     ext.injectFunction((
       FunctionIdentifier("fmt_size"),
       info("fmt_size", "fmt_size(bytes) - humanized size, reference integer semantics"),

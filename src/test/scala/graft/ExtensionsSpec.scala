@@ -75,6 +75,51 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a != 0L)
   }
 
+  test("window argmin rule: rn=1 window collapses to a partial-aggregable argmin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0, "x"), (1, 3.0, "y"), (2, 7.0, "z"), (2, 9.0, "w"))
+      .toDF("k", "v", "tag")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+    val q = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("k", "v", "tag")
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window survived the rewrite:\n$opt")
+    assert(opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"no aggregate in rewritten plan:\n$opt")
+    // values: the per-key order-key minimum survives with its payload row
+    assert(q.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      == Set((1, 3.0, "y"), (2, 7.0, "z")))
+    // and the physical form partial-aggregates (map-side combine)
+    assert(q.queryExecution.executedPlan.toString.contains("partial_min"),
+      "rewritten argmin must combine map-side")
+  }
+
+  test("window argmin rule leaves non-matching shapes alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0), (1, 3.0), (2, 7.0)).toDF("k", "v")
+    def hasWindow(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    // descending order: min(struct) would flip the pick — must not fire
+    val desc = df.withColumn("rn", row_number().over(w.orderBy($"v".desc)))
+      .filter($"rn" === 1).select("k", "v")
+    assert(hasWindow(desc), "rule fired on a DESCENDING window order")
+    assert(desc.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      == Set((1, 5.0), (2, 7.0)))
+    // rank 2 filter: not an argmin — must not fire
+    val rank2 = df.withColumn("rn", row_number().over(w.orderBy($"v")))
+      .filter($"rn" === 2).select("k", "v")
+    assert(hasWindow(rank2), "rule fired on a rank-2 filter")
+    // rank referenced downstream: must not fire
+    val keepsRn = df.withColumn("rn", row_number().over(w.orderBy($"v")))
+      .filter($"rn" === 1).select("k", "v", "rn")
+    assert(hasWindow(keepsRn), "rule fired although the rank is projected")
+  }
+
   test("top_k aggregate is callable from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k(s, id, p, 2) FROM VALUES
