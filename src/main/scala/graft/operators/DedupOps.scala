@@ -91,15 +91,17 @@ object DedupOps {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
-      // localCheckpoint is eager: this materializes the round AND truncates
-      // its lineage in one step
+      // the new label rides NEXT TO the old one through the round's single
+      // checkpoint, so convergence is a narrow filter-count over the
+      // materialized blocks — no extra join (and no extra shuffle) per
+      // round just to compare generations. localCheckpoint is eager: it
+      // materializes the round AND truncates its lineage in one step.
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("lbl").as("old_lbl"),
           least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next.select("doc_id", "lbl")
       iter += 1
     }
     if (changed > 0)

@@ -132,6 +132,43 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** The composed corpus filter — the end-to-end keep/drop decision a
+    * pretraining-data pipeline applies per document, with the drop REASON
+    * recorded (what a data auditor actually asks for): exact-dup removal
+    * (keep the min-id canonical), minimum length, then the composite
+    * quality threshold, in that precedence. Reuses the exact same quality
+    * formula as [[textQuality]] and the same canonical rule as
+    * [[dedupExact]], so the composition can't drift from its parts.
+    *
+    * Scale shape: one narrow codegen'd pass computes hash + quality, one
+    * partial-agg'd groupBy finds each content-hash's canonical id, one
+    * equi-join (both sides partitioned on the hash) tags canonicity —
+    * no window, no driver state; the decision CASE is free.
+    */
+  private def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("n_tok"),
+        expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))").as("n_stop"),
+        size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+      .select(col("doc_id"), col("lang"), col("h"),
+        col("n_tok").cast("long").as("n_tokens"),
+        ((col("n_stop") / col("n_tok")) * 0.25 + (col("n_uniq") / col("n_tok")) * 0.5
+          + least((col("n_nonspace") / col("n_tok")) / 10.0, lit(1.0)) * 0.25).as("quality"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
+    base.join(canon, "h")
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .withColumn("decision",
+        when(not(col("is_canonical")), "dup")
+          .when(col("n_tokens") < 20, "short")
+          .when(col("quality") < 0.4, "quality")
+          .otherwise("keep"))
+      .withColumn("keep", col("decision") === "keep")
+      .select("doc_id", "lang", "n_tokens", "quality", "is_canonical", "decision", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup by content hash: canonical doc + duplicate count. */
   private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -204,6 +241,29 @@ object TextOps {
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS BIGINT) AS n_sampled,
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS DOUBLE) / count(*) AS rate
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "corpus_filter" -> QueryDef(corpusFilter,
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, lang, md5(text) AS h,
+              |         len(string_split(text, ' ')) AS n_tok,
+              |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
+              |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              |         length(replace(text, ' ', '')) AS n_nonspace
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, lang, h, CAST(n_tok AS BIGINT) AS n_tokens,
+              |         (n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5
+              |           + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25 AS quality
+              |  FROM q),
+              |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h)
+              |SELECT s.doc_id, s.lang, s.n_tokens, s.quality,
+              |       s.doc_id = c.keep_id AS is_canonical,
+              |       CASE WHEN s.doc_id <> c.keep_id THEN 'dup'
+              |            WHEN s.n_tokens < 20 THEN 'short'
+              |            WHEN s.quality < 0.4 THEN 'quality'
+              |            ELSE 'keep' END AS decision,
+              |       (s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4) AS keep
+              |FROM s JOIN c USING (h) ORDER BY s.doc_id""".stripMargin)),
 
     "dedup_exact" -> QueryDef(dedupExact,
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

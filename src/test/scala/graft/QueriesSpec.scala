@@ -42,6 +42,20 @@ class QueriesSpec extends AnyFunSuite {
       s"unexpected oracle-less keys: $noOracle")
   }
 
+  test("corpus_filter: keep implies every gate passed, and both outcomes occur") {
+    val rows = SparkEntry.queries("corpus_filter")(spark, sfDir).collect()
+    val decisions = rows.map(_.getString(5)).toSet
+    assert(decisions.contains("keep") && decisions.size >= 2,
+      s"filter is degenerate at this sf: $decisions")
+    rows.foreach { r =>
+      val (nTok, q, canon, dec, keep) =
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4), r.getString(5), r.getBoolean(6))
+      assert(keep == (dec == "keep"))
+      if (keep) assert(canon && nTok >= 20 && q >= 0.4, s"kept doc fails a gate: $r")
+      if (dec == "quality") assert(canon && nTok >= 20 && q < 0.4, s"wrong precedence: $r")
+    }
+  }
+
   test("roundtrip_pipeline reproduces every document") {
     val df = SparkEntry.queries("roundtrip_pipeline")(spark, sfDir)
     assert(df.filter(not(col("ok"))).count() == 0)
