@@ -132,6 +132,33 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Vocabulary frequency analysis — top-5 tokens per language, the
+    * vocab-building primitive of a tokenizer pipeline. Computed as a
+    * SALTED TWO-PHASE top-k (the same shape `agg_salted` proves for sums):
+    * token counts partial-aggregate on (lang, token); phase 1 takes top-5
+    * within (lang, salt-of-token) sub-groups — 8 parallel sorts per
+    * language over disjoint vocab slices; phase 2 re-ranks the ≤40
+    * survivors per language. Any global top-5 token is top-5 in its own
+    * salt slice, so the result is IDENTICAL to a direct per-language
+    * window — which is exactly what the oracle computes, proving the
+    * salted rewrite semantics-preserving. At 100 TB a 100M-token
+    * per-language vocab never funnels into one window sort; the salt
+    * fan-out bounds each sorted run.
+    */
+  private def vocabTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("salt", expr("ascii(substring(tok, 1, 1)) % 8"))
+    val w1 = Window.partitionBy("lang", "salt").orderBy(col("cnt").desc, col("tok"))
+    val w2 = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 5)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= 5)
+      .select("lang", "rank", "tok", "cnt")
+      .orderBy("lang", "rank")
+  }
+
   /** The composed corpus filter — the end-to-end keep/drop decision a
     * pretraining-data pipeline applies per document, with the drop REASON
     * recorded (what a data auditor actually asks for): exact-dup removal
@@ -241,6 +268,17 @@ object TextOps {
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS BIGINT) AS n_sampled,
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS DOUBLE) / count(*) AS rate
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "vocab_topk" -> QueryDef(vocabTopk,
+      Some("""WITH t AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |r AS (
+             |  SELECT lang, tok, cnt,
+             |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+             |  FROM c)
+             |SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt
+             |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
 
     "corpus_filter" -> QueryDef(corpusFilter,
       Some(s"""WITH q AS (

@@ -94,6 +94,31 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  // ---- knn_topk ----------------------------------------------------------
+
+  /** Brute-force cosine top-3 per query — [[knnCosine]] generalized from
+    * argmax to the bounded [[graft.functions.TopK]] aggregate, and the
+    * oracle proof that TopK's (score DESC, id ASC) semantics match ANSI
+    * `row_number()` exactly: DuckDB computes the same top-3 with a window
+    * over the full cross join, Spark never materializes more than k rows
+    * per (group, task) thanks to the bounded map-side partial aggregation.
+    * Same broadcast-queries/stream-corpus shape as knn_cosine.
+    */
+  private def knnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TopK.top_k
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .filter(col("q_id") < 10)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
+      .groupBy("q_id")
+      .agg(top_k(col("sim"), col("vec_id"), col("vec_id"), 3).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("nn_id"), col("t.score").as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- embed_neardup -----------------------------------------------------
 
   /** Pairwise cosine near-duplicates within a bounded id range (the
@@ -298,6 +323,21 @@ object VectorOps {
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "knn_topk" -> QueryDef(knnTopk,
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS sim
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |ranked AS (
+              |  SELECT q_id, vec_id, sim,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              |  FROM scored)
+              |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS nn_id, sim
+              |FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     "knn_cosine" -> QueryDef(knnCosine,
       Some(s"""WITH e AS (
               |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
