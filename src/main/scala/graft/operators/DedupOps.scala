@@ -233,9 +233,12 @@ object DedupOps {
   /** Shared pair emission over banded (doc_id, band_id, bh) rows: small
     * buckets collect bounded membership (≤ [[HotBucketCap]]) and emit all
     * pairs; oversized buckets stream star pairs directly off the annotated
-    * rows — no aggregation row ever exceeds cap width. The small-bucket
-    * groupBy reuses the window's (band_id, bh) hash partitioning, so the
-    * whole emission costs ONE exchange.
+    * rows — no aggregation row ever exceeds cap width. Cost shape: the two
+    * union branches share the band-key exchange via AQE stage reuse (the
+    * signature scan + shuffle write run ONCE — asserted on the final
+    * adaptive plan in DedupSpec), each branch then re-reads and re-sorts
+    * the shuffled rows; the small-bucket groupBy adds no exchange (the
+    * window output already satisfies its distribution).
     */
   private def pairsFromBuckets(banded: DataFrame): DataFrame = {
     val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Nil)

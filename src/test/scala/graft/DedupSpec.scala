@@ -90,6 +90,12 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == 2999, s"star must keep every member connected, got ${pairs.length}")
     assert(pairs.forall(_.getLong(0) == 1L))
     assert(pairs.map(_.getLong(1)).toSet == (2L to 3000L).toSet)
+    // the small/large branches both derive from the banded subtree; AQE
+    // stage reuse must materialize the signature scan + band shuffle ONCE
+    // (final adaptive plan replaces the second exchange with a reuse)
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"band-key exchange not reused across union branches:\n${finalPlan.take(3000)}")
   }
 
   test("dedup_clusters_minhash: candidate pairs share labels, clusters keep their min id as rep") {
