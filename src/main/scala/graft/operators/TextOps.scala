@@ -196,6 +196,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment — the split primitive of a
+    * training pipeline, same device as [[sampleHash]]: the first hex digit
+    * of a salted key hash buckets each doc 12/2/2-sixteenths into
+    * train/val/test. Assignment is a pure function of the key — a doc
+    * lands in the same split on every run, engine, partitioning, and
+    * cluster size, and the splits are disjoint & exhaustive by
+    * construction. Narrow codegen'd map; no shuffle until the final sort.
+    */
+  private def shardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 1).as("hx"))
+      .withColumn("split",
+        when(col("hx").isin("c", "d"), "val")
+          .when(col("hx").isin("e", "f"), "test")
+          .otherwise("train"))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
   /** Exact dedup by content hash: canonical doc + duplicate count. */
   private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -302,6 +321,17 @@ object TextOps {
               |            ELSE 'keep' END AS decision,
               |       (s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4) AS keep
               |FROM s JOIN c USING (h) ORDER BY s.doc_id""".stripMargin)),
+
+    "shard_assign" -> QueryDef(shardAssign,
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |         substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |       CASE WHEN hx IN ('c', 'd') THEN 'val'
+             |            WHEN hx IN ('e', 'f') THEN 'test'
+             |            ELSE 'train' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     "dedup_exact" -> QueryDef(dedupExact,
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

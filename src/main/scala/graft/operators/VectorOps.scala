@@ -119,6 +119,30 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  // ---- embed_centroid ----------------------------------------------------
+
+  /** Per-label embedding centroid — the class-prototype/clustering-init
+    * primitive: elementwise mean over each label's vectors, computed as
+    * posexplode → groupBy (label, dimension) → partial-agg'd sum. Floats
+    * are widened to exact decimals BEFORE summing: double addition is not
+    * associative, so a double sum would depend on partition order and
+    * could never hash-match a single-threaded oracle — the decimal(18,9)
+    * fold is exact and order-independent (same device as `agg_group`'s
+    * revenue sums), and the mean divides once at the end. Scale shape:
+    * the explode is a narrow generator (64 rows per vector), the single
+    * shuffle carries one partial sum per (label, dim, task).
+    */
+  private def embedCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        col("v").cast("double").cast("decimal(18,9)").as("dv"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("dv").cast("decimal(28,9)").as("c_sum"))
+      .withColumn("mean_val", col("c_sum").cast("double") / col("n"))
+      .select("label", "pos", "n", "c_sum", "mean_val")
+      .orderBy("label", "pos")
+
   // ---- embed_neardup -----------------------------------------------------
 
   /** Pairwise cosine near-duplicates within a bounded id range (the
@@ -323,6 +347,13 @@ object VectorOps {
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "embed_centroid" -> QueryDef(embedCentroid,
+      Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
+             |       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS c_sum,
+             |       CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS mean_val
+             |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "knn_topk" -> QueryDef(knnTopk,
       Some(s"""WITH e AS (
               |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
