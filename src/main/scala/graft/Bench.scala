@@ -61,15 +61,18 @@ object Bench {
     // the driver captures only the TAIL of the build output, so the primary
     // line must stay small: 4-decimal medians, no per-query spread (r03's
     // full-precision line overflowed the capture window and parsed as null).
-    // Full precision + min/max spread goes to BENCH_DETAIL.json instead.
-    def f4(d: Double): String = "%.4f".format(d)
+    // Full-precision medians + min/max spread go to BENCH_DETAIL.json.
+    // Locale.ROOT: a comma-decimal default locale would otherwise format
+    // "1,2345" and break the JSON.
+    def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(r => jstr(r.name) + ":" + f4(r.median)).mkString("{", ",", "}")
+    val qsFull = ok.map(r => jstr(r.name) + ":" + r.median).mkString("{", ",", "}")
     val spread = ok.map(r => jstr(r.name) + s""":[${r.min},${r.max}]""").mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e))).mkString("{", ",", "}")
     val total = ok.map(_.median).sum
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"reps":$Reps,"total":$total,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"reps":$Reps,"total":$total,"queries":$qsFull,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"reps":$Reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

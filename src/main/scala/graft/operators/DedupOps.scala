@@ -57,16 +57,18 @@ object DedupOps {
     *
     * Iterative min-label propagation: each round a node adopts the minimum
     * label among itself and its neighbors; converges in O(diameter)
-    * rounds, each round one equi-join + partial-agg shuffle. Every round
-    * `localCheckpoint`s the new labels — an EAGER materialization that
-    * truncates the growing iterative lineage (without it, round r's plan
-    * nests r copies of the join tree and the optimizer re-walks an
-    * exponentially growing DAG; with it, each round plans against the
-    * previous round's materialized blocks). NOTHING is drained through the
-    * driver — the only driver-side values are the per-round change count
-    * and the returned (distributed) label frame; on a real cluster the
-    * same code runs with labels spread over all executors. Superseded
-    * rounds' blocks are dropped by the ContextCleaner once unreferenced.
+    * rounds, each round one equi-join + partial-agg shuffle. Each round
+    * CACHES its labels and explicitly unpersists the superseded round
+    * (deterministic block release — ContextCleaner would only free them
+    * after a driver GC, letting up to maxIter generations pile up on
+    * executors); the cache substitutes an InMemoryRelation LEAF into the
+    * next round's plan, so lineage never grows either. The returned frame
+    * is a final `localCheckpoint` — self-contained blocks, so every
+    * intermediate cache (and the edge cache) is released before return.
+    * NOTHING is drained through the driver — the only driver-side values
+    * are the per-round change count and the returned (distributed) label
+    * frame; on a real cluster the same code runs with labels spread over
+    * all executors.
     *
     * Fails loudly if not converged within `maxIter` — a silent truncation
     * would emit WRONG cluster labels.
@@ -83,30 +85,39 @@ object DedupOps {
       .select(explode(expr(
         "array(struct(src AS src, dst AS dst), struct(dst AS src, src AS dst))")).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .localCheckpoint()
+      .cache()
 
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var prev = nodes.select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    var labels = prev
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
-      // the new label rides NEXT TO the old one through the round's single
-      // checkpoint, so convergence is a narrow filter-count over the
-      // materialized blocks — no extra join (and no extra shuffle) per
-      // round just to compare generations. localCheckpoint is eager: it
-      // materializes the round AND truncates its lineage in one step.
+      // the new label rides NEXT TO the old one through the round's cache,
+      // so convergence is a narrow filter-count over the materialized
+      // blocks — no extra join (and no extra shuffle) per round just to
+      // compare generations; the count() is also the action that fills
+      // the cache
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
         .select(labels("doc_id"), labels("lbl").as("old_lbl"),
           least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .cache()
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      prev.unpersist()
+      prev = next
       labels = next.select("doc_id", "lbl")
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      prev.unpersist(); edges.unpersist()
       sys.error(s"connectedComponents did not converge within $maxIter rounds (graph diameter too large)")
-    labels
+    }
+    // self-contained final blocks: after this, every loop cache can go
+    val result = labels.localCheckpoint()
+    prev.unpersist()
+    edges.unpersist()
+    result
   }
 
   /** Decorates component labels into the declared output shape:

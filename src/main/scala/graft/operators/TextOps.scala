@@ -56,22 +56,41 @@ object TextOps {
         expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("subword_tokens"))
       .orderBy("doc_id")
 
+  /** Appends the raw quality counters + THE composite quality score to any
+    * frame with a `text` column — the single definition shared by
+    * `text_quality` and `corpus_filter`, so the composed filter cannot
+    * drift from the standalone metric. (The DuckDB oracles share the
+    * corresponding [[QualityCountersSql]]/[[QualityExprSql]] fragments.)
+    */
+  private def withQualityScore(d: DataFrame): DataFrame =
+    d.withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("n_stop", expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))"))
+      .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))))
+      .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("quality",
+        (col("n_stop") / col("n_tok")) * 0.25 + (col("n_uniq") / col("n_tok")) * 0.5
+          + least((col("n_nonspace") / col("n_tok")) / 10.0, lit(1.0)) * 0.25)
+
+  /** Oracle fragments mirroring [[withQualityScore]]. */
+  private val QualityCountersSql: String =
+    s"""SELECT doc_id, lang, n_chars, md5(text) AS h,
+       |         len(string_split(text, ' ')) AS n_tok,
+       |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
+       |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |         length(replace(text, ' ', '')) AS n_nonspace
+       |  FROM documents""".stripMargin
+  private val QualityExprSql: String =
+    "(n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5 + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25"
+
   /** Length / stopword / distinctness ratios + a composite quality score. */
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), " ")).as("n_tok"),
-        expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))").as("n_stop"),
-        size(array_distinct(split(col("text"), " "))).as("n_uniq"),
-        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+    withQualityScore(docs(spark, sfDir))
       .select(col("doc_id"), col("n_chars"),
         col("n_tok").cast("long").as("n_tokens"),
         (col("n_nonspace") / col("n_tok")).as("avg_tok_len"),
         (col("n_stop") / col("n_tok")).as("stop_ratio"),
-        (col("n_uniq") / col("n_tok")).as("distinct_ratio"))
-      .withColumn("quality",
-        col("stop_ratio") * 0.25 + col("distinct_ratio") * 0.5
-          + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.25)
+        (col("n_uniq") / col("n_tok")).as("distinct_ratio"),
+        col("quality"))
       .orderBy("doc_id")
 
   /** Marker-token scoring language ID; argmax with alphabetical tie-break. */
@@ -173,16 +192,9 @@ object TextOps {
     * no window, no driver state; the decision CASE is free.
     */
   private def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = docs(spark, sfDir)
+    val base = withQualityScore(docs(spark, sfDir))
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
-        size(split(col("text"), " ")).as("n_tok"),
-        expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))").as("n_stop"),
-        size(array_distinct(split(col("text"), " "))).as("n_uniq"),
-        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
-      .select(col("doc_id"), col("lang"), col("h"),
-        col("n_tok").cast("long").as("n_tokens"),
-        ((col("n_stop") / col("n_tok")) * 0.25 + (col("n_uniq") / col("n_tok")) * 0.5
-          + least((col("n_nonspace") / col("n_tok")) / 10.0, lit(1.0)) * 0.25).as("quality"))
+        col("n_tok").cast("long").as("n_tokens"), col("quality"))
     val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
     base.join(canon, "h")
       .withColumn("is_canonical", col("doc_id") === col("keep_id"))
@@ -241,18 +253,12 @@ object TextOps {
 
     "text_quality" -> QueryDef(textQuality,
       Some(s"""WITH q AS (
-              |  SELECT doc_id, n_chars,
-              |         len(string_split(text, ' ')) AS n_tok,
-              |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
-              |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
-              |         length(replace(text, ' ', '')) AS n_nonspace
-              |  FROM documents)
+              |  $QualityCountersSql)
               |SELECT doc_id, n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
               |       n_nonspace / n_tok AS avg_tok_len,
               |       n_stop / n_tok AS stop_ratio,
               |       n_uniq / n_tok AS distinct_ratio,
-              |       (n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5
-              |         + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25 AS quality
+              |       $QualityExprSql AS quality
               |FROM q ORDER BY doc_id""".stripMargin)),
 
     "lang_id" -> QueryDef(langId,
@@ -301,16 +307,10 @@ object TextOps {
 
     "corpus_filter" -> QueryDef(corpusFilter,
       Some(s"""WITH q AS (
-              |  SELECT doc_id, lang, md5(text) AS h,
-              |         len(string_split(text, ' ')) AS n_tok,
-              |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
-              |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
-              |         length(replace(text, ' ', '')) AS n_nonspace
-              |  FROM documents),
+              |  $QualityCountersSql),
               |s AS (
               |  SELECT doc_id, lang, h, CAST(n_tok AS BIGINT) AS n_tokens,
-              |         (n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5
-              |           + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25 AS quality
+              |         $QualityExprSql AS quality
               |  FROM q),
               |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h)
               |SELECT s.doc_id, s.lang, s.n_tokens, s.quality,

@@ -42,7 +42,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - the filter keeps exactly rank 1 (`rn = 1`, `1 = rn`, `rn <= 1`,
   *     `rn < 2`);
   *   - the parent projection does not reference the rank itself;
-  *   - partition keys are plain attributes;
+  *   - partition keys are plain attributes, and NONEMPTY — a global
+  *     (unpartitioned) argmin over empty input returns 0 rows from the
+  *     window but 1 all-null row from a grand-total Aggregate, so the
+  *     rewrite is only sound per-key;
   *   - every struct field type is orderable (no maps).
   *
   * Registered via [[graft.GraftExtensions]] (injectOptimizerRule); the
@@ -71,6 +74,10 @@ object WindowArgminToAggregate extends Rule[LogicalPlan] {
             if ascNullsFirst(orderSpec) &&
               keepsRankOne(cond, al.toAttribute) &&
               !outerList.exists(_.references.contains(al.toAttribute)) &&
+              // nonEmpty: an UNpartitioned argmin over empty input yields 0
+              // rows from the window but 1 all-null row from a global
+              // Aggregate — the rewrite is only sound per-key
+              w.partitionSpec.nonEmpty &&
               w.partitionSpec.forall(_.isInstanceOf[AttributeReference]) =>
           val child = w.child
           val orderKeys = orderSpec.map(_.child)

@@ -47,16 +47,36 @@ object FileSink {
     * per-session collect is bounded by the transfer's own chunk count and
     * runs as one hash-partitioned aggregation — sessions assemble in
     * parallel across the cluster.
+    *
+    * A uuid can carry MULTIPLE session generations (state is erased on
+    * DONE, so a replayed frame opens a fresh session; an expired session
+    * may be retried): chunk rows from different generations share (uuid,
+    * seq). The reference's semantics are overwrite-on-collision
+    * (`transf_server.cpp:171-184`), reproduced here by (a) keeping the
+    * LATEST batch's chunk per (uuid, seq) and (b) truncating the
+    * concatenation to the latest DONE's `written` — a newer complete
+    * generation fully masks an older one's bytes, including a stale
+    * longer tail. (As in the reference, a NEWER partial overwrite on top
+    * of an older complete file is unrecoverable corruption either way.)
     */
-  def assembled(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/batch=*")
+  def assembled(spark: SparkSession, path: String): DataFrame = {
+    // basePath keeps the batch=N partition column for latest-wins ordering
+    val rows = spark.read.option("basePath", path).parquet(path)
+    val latest = rows
+      .groupBy("uuid", "seq")
+      .agg(max(struct(col("batch"), col("chunk"))).as("lc"))
+      .select(col("uuid"), col("seq"), col("lc.chunk").as("chunk"))
+    val doneInfo = rows.filter(col("done"))
       .groupBy("uuid")
-      .agg(
-        max(when(col("done"), col("written"))).as("written"),
+      .agg(max(struct(col("batch"), col("seq"), col("written"))).as("d"))
+      .select(col("uuid"), col("d.written").as("written"))
+    latest.join(doneInfo, "uuid")
+      .groupBy("uuid")
+      .agg(min("written").as("written"),
         array_join(
           transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
-            x => x.getField("chunk")), "").as("content"),
-        max(col("done")).as("complete"))
-      .filter(col("complete"))
-      .select("uuid", "written", "content")
+            x => x.getField("chunk")), "").as("raw"))
+      .select(col("uuid"), col("written"),
+        expr("substr(raw, 1, CAST(written AS INT))").as("content"))
+  }
 }

@@ -118,6 +118,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keepsRn = df.withColumn("rn", row_number().over(w.orderBy($"v")))
       .filter($"rn" === 1).select("k", "v", "rn")
     assert(hasWindow(keepsRn), "rule fired although the rank is projected")
+    // GLOBAL (unpartitioned) argmin: must not fire — a grand-total
+    // Aggregate would emit one all-null row on empty input where the
+    // window emits none
+    val globalW = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val global = df.withColumn("rn", row_number().over(globalW))
+      .filter($"rn" === 1).select("k", "v")
+    assert(hasWindow(global), "rule fired on an unpartitioned window")
+    // and the empty-input case yields zero rows (Catalyst's own
+    // empty-relation propagation removes the window here; the point is
+    // the rewrite must never turn this into a 1-row grand-total agg)
+    val globalEmpty = df.filter($"v" > 100.0)
+      .withColumn("rn", row_number().over(globalW)).filter($"rn" === 1).select("k", "v")
+    assert(globalEmpty.collect().isEmpty, "empty input must yield zero rows")
   }
 
   test("top_k aggregate is callable from SQL") {

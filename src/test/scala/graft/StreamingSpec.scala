@@ -271,6 +271,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch0.filter("uuid = 'sb'").count() == 2)
   }
 
+  test("file sink: a retried uuid overwrites the old generation (overwrite-on-collision)") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
+    val input = MemoryStream[Frame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-gen-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-gen-out").toString
+    // generation 1 is LONGER than generation 2: the stale tail beyond the
+    // new DONE's written must not leak into the reassembled content
+    val gen1 = "the first, longer transfer content for this uuid"
+    val gen2 = "the shorter retry"
+    def phase(fs: Seq[Frame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    phase(frames("r", gen1)) // completes; state erased on DONE
+    phase(frames("r", gen2)) // same uuid reopens -> second generation
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map("r" -> (gen2.length.toLong, gen2)),
+      s"latest generation must fully mask the older one: $out")
+  }
+
   test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
     import org.apache.spark.sql.Row
     val sentEnc = { import spark.implicits._; implicitly[Encoder[SentFrame]] }
