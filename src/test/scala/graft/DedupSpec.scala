@@ -117,6 +117,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents releases superseded checkpoint generations") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    SparkEntry.queries("dedup_clusters_minhash")(spark, sfDir).collect()
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= 1,
+      s"CC left $leaked persisted generations; only the final labels may survive")
+  }
+
   test("embed_neardup_lsh finds the high-sim brute-force pairs (recall measured)") {
     import graft.operators.VectorOps
     // brute-force pairs above threshold on the full sf0.01 corpus
