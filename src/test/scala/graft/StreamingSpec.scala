@@ -334,6 +334,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.contains(("s3", 1, false)), s"late ack must not match: $results")
   }
 
+  test("frame dedup drops retransmits within the watermark, keeps distinct seqs") {
+    import graft.streaming.FrameDedup
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-dedup-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(String, Int)]()
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FrameDedup.stream(spark, input.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: Dataset[TimedFrame], _: Long) =>
+          ds.collect().foreach(f => acc.add((f.uuid, f.seq)))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // seq 1 retransmitted twice in-batch and once in the next batch (all
+    // within the 20 s watermark delay): one survivor
+    phase(Seq(tf("d1", 1, "aaaa", 12, 10), tf("d1", 1, "aaaa", 12, 11), tf("d1", 2, "bbbb", 12, 12)))
+    phase(Seq(tf("d1", 1, "aaaa", 12, 13), tf("d1", 3, "cccc", 12, 14)))
+    val d1 = acc.asScala.toSeq.filter(_._1 == "d1").sorted
+    assert(d1 == Seq(("d1", 1), ("d1", 2), ("d1", 3)),
+      s"retransmits must collapse to one frame per (uuid, seq): $d1")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
