@@ -62,11 +62,12 @@ object DedupOps {
     * both truncates the iterative lineage and stores raw row blocks
     * (measurably ~2.5× faster per round than `cache()`, whose columnar
     * InMemoryRelation pays encode/decode on every iteration). Superseded
-    * rounds are released DETERMINISTICALLY: each round's newly-persisted
-    * checkpoint RDDs are tracked via `getPersistentRDDs` and explicitly
-    * unpersisted once the next round lands — without this, ContextCleaner
-    * frees them only after a driver GC and up to maxIter generations pile
-    * up on executors. Only the final round's blocks survive (the returned
+    * rounds are released DETERMINISTICALLY: the checkpoint is taken
+    * through [[org.apache.spark.sql.GraftShim.localCheckpointTracked]],
+    * which hands back the exact checkpointed RDD so it unpersists once
+    * the next round lands — without this, ContextCleaner frees blocks
+    * only after a driver GC and up to maxIter generations pile up on
+    * executors. Only the final round's blocks survive (the returned
     * frame reads them); the symmetrized edge checkpoint is freed too.
     * NOTHING is drained through the driver — the only driver-side values
     * are the per-round change count and the returned (distributed) label
@@ -84,22 +85,18 @@ object DedupOps {
     // two selects would evaluate the expensive edge subtree twice), then
     // materialize: every round re-reads the edges, so they must not
     // re-derive from the (possibly LSH-expensive) candidate pipeline
-    val sc = nodes.sparkSession.sparkContext
-    // localCheckpoint + the RDD ids it newly persisted, so a superseded
-    // round's blocks can be freed explicitly (Dataset has no handle on
-    // its checkpoint RDD; the persistent-RDD registry diff recovers it)
-    def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      val added = sc.getPersistentRDDs.collect { case (k, r) if !before.contains(k) => r }.toSeq
-      (out, added)
-    }
-    val (edges, edgeRdds) = tracked(edges0
+    // eager localCheckpoint that hands back the exact checkpointed RDD,
+    // so a superseded round's blocks free deterministically (see
+    // GraftShim.localCheckpointTracked — a registry diff would race with
+    // concurrent jobs on the shared context)
+    import org.apache.spark.sql.GraftShim.localCheckpointTracked
+    val (edges, edgeRdd) = localCheckpointTracked(edges0
       .select(explode(expr(
         "array(struct(src AS src, dst AS dst), struct(dst AS src, src AS dst))")).as("e"))
       .select(col("e.src"), col("e.dst")))
 
-    var (labels, prevRdds) = tracked(nodes.select(col("doc_id"), col("doc_id").as("lbl")))
+    var (labels, prevRdd) = localCheckpointTracked(
+      nodes.select(col("doc_id"), col("doc_id").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -109,21 +106,22 @@ object DedupOps {
       // checkpoint, so convergence is a narrow filter-count over the
       // materialized blocks — no extra join (and no extra shuffle) per
       // round just to compare generations
-      val (next, nextRdds) = tracked(
+      val (next, nextRdd) = localCheckpointTracked(
         labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
           .select(labels("doc_id"), labels("lbl").as("old_lbl"),
             least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl")))
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
-      prevRdds.foreach(_.unpersist(blocking = false))
-      prevRdds = nextRdds
+      prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
       labels = next.select("doc_id", "lbl")
       iter += 1
     }
     if (changed > 0) {
-      (prevRdds ++ edgeRdds).foreach(_.unpersist(blocking = false))
+      prevRdd.unpersist(blocking = false)
+      edgeRdd.unpersist(blocking = false)
       sys.error(s"connectedComponents did not converge within $maxIter rounds (graph diameter too large)")
     }
-    edgeRdds.foreach(_.unpersist(blocking = false))
+    edgeRdd.unpersist(blocking = false)
     // the final round's blocks stay alive — the returned frame reads them
     labels
   }

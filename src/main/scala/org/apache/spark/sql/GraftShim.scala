@@ -1,5 +1,7 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -17,4 +19,20 @@ object GraftShim {
     */
   def register(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "builtin")
+
+  /** Eager localCheckpoint that also returns the EXACT checkpointed RDD
+    * handle, so iterative callers can `unpersist` a superseded
+    * generation's blocks deterministically — `Dataset.localCheckpoint`
+    * offers no handle, and diffing the context-global persistent-RDD
+    * registry would mis-attribute a concurrent job's RDDs. Mirrors the
+    * Dataset.checkpoint internals: `toRdd` rows are buffer-reused
+    * UnsafeRows, so they MUST be copied before persisting.
+    */
+  def localCheckpointTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager: materialize blocks + truncate lineage now
+    (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd)
+  }
 }

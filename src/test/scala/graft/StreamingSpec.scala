@@ -334,7 +334,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.contains(("s3", 1, false)), s"late ack must not match: $results")
   }
 
-  test("frame dedup drops retransmits within the watermark, keeps distinct seqs") {
+  test("ingest dedup collapses duplicate deliveries within the watermark, keeps distinct keys") {
     import graft.streaming.FrameDedup
     val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
     val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
@@ -342,7 +342,7 @@ class StreamingSpec extends AnyFunSuite {
     val acc = new ConcurrentLinkedQueue[(String, Int)]()
     def phase(fs: Seq[TimedFrame]): Unit = {
       input.addData(fs)
-      val q = FrameDedup.stream(spark, input.toDS())
+      val q = FrameDedup.stream(input.toDS())
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
@@ -352,13 +352,13 @@ class StreamingSpec extends AnyFunSuite {
         .start()
       q.awaitTermination()
     }
-    // seq 1 retransmitted twice in-batch and once in the next batch (all
-    // within the 20 s watermark delay): one survivor
+    // key (d1, 1) delivered twice in-batch and once in the next batch
+    // (all within the 20 s watermark delay): one survivor
     phase(Seq(tf("d1", 1, "aaaa", 12, 10), tf("d1", 1, "aaaa", 12, 11), tf("d1", 2, "bbbb", 12, 12)))
     phase(Seq(tf("d1", 1, "aaaa", 12, 13), tf("d1", 3, "cccc", 12, 14)))
     val d1 = acc.asScala.toSeq.filter(_._1 == "d1").sorted
     assert(d1 == Seq(("d1", 1), ("d1", 2), ("d1", 3)),
-      s"retransmits must collapse to one frame per (uuid, seq): $d1")
+      s"duplicate deliveries must collapse to one row per (uuid, seq): $d1")
   }
 
   test("uuid reuse after DONE starts a clean new session") {
