@@ -81,6 +81,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"no map-side partial argmin:\n$p")
   }
 
+  test("corpus_filter composes with aggregation + join only — no window") {
+    val p = plan("corpus_filter")
+    assert(!p.contains("Window"), s"corpus_filter must not window:\n$p")
+    assert(p.contains("partial_min"), "canonical-id groupBy must partial-aggregate")
+  }
+
+  test("vocab_topk phase-1 window partitions by (lang, salt), not lang alone") {
+    val p = plan("vocab_topk")
+    // the first (vocab-sized) sort must fan out over the salt — only the
+    // <=40-row survivor re-rank may partition by lang alone
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(_.contains("salt")),
+      s"no salted window partition found:\n${windowLines.mkString("\n")}")
+  }
+
+  test("knn_topk broadcasts the query side and partial-aggregates the top-k") {
+    val p = plan("knn_topk")
+    assert(p.contains("Broadcast"), s"queries not broadcast:\n$p")
+    assert(p.contains("partial_top_k") || p.contains("ObjectHashAggregate"),
+      s"TopK must partial-aggregate map-side:\n$p")
+  }
+
   test("dedup_exact groups on the hash with map-side partial aggregation") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
