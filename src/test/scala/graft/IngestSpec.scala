@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+import graft.sources.JsonLines
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Permissive JSONL ingestion: valid lines parse to the declared schema,
+  * malformed lines are quarantined (not dropped, not fatal), and a
+  * parquet → JSONL → parse round trip is lossless for the documents
+  * shape.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  test("valid and corrupt lines separate cleanly; neither is lost") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    // NB: Jackson tolerates trailing garbage after a complete object, so
+    // such lines parse as VALID — corrupt here means structurally broken
+    val lines = Seq(
+      """{"doc_id": 1, "lang": "en", "text": "hello world"}""",
+      """{"doc_id": 2, "lang": "de", "text": }""",
+      """not json at all""",
+      """{"doc_id": 3, "lang": "fr", "text": "bonjour"}""")
+    Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val parsed = JsonLines.read(spark, dir.toString, docSchema)
+    val good = parsed.filter(col(JsonLines.CorruptCol).isNull)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good == Map(1L -> "en", 3L -> "fr"), s"clean rows wrong: $good")
+
+    val corrupt = JsonLines.corruptLines(spark, dir.toString, docSchema)
+      .collect().map(_.getString(0)).toSet
+    assert(corrupt == Set(lines(1), lines(2)),
+      s"quarantine must capture exactly the malformed lines: $corrupt")
+  }
+
+  test("parquet -> JSONL -> parse round trip is lossless for documents") {
+    val out = Files.createTempDirectory("graft-jsonl-rt").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").json(out)
+    // cache the parsed result: Spark's sanctioned way to query the
+    // corrupt column in isolation
+    val back = JsonLines.read(spark, out, docSchema).cache()
+    assert(back.filter(col(JsonLines.CorruptCol).isNotNull).count() == 0)
+    assert(back.select("doc_id", "lang", "text").exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back.select("doc_id", "lang", "text")).count() == 0)
+  }
+}
