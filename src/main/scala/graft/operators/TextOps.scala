@@ -234,6 +234,34 @@ object TextOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Incremental corpus merge — the CDC-style ingestion step: an incoming
+    * batch (docs re-ingested under NEW ids plus genuinely new docs) is
+    * classified against the existing corpus by CONTENT hash: `insert` for
+    * unseen content, `skip_dup` (with the existing canonical id) for
+    * content the corpus already holds — so re-crawled pages don't
+    * duplicate into the training set. The delta here is synthesized from
+    * the same table (ids <50 re-ingested as id+10000, plus ids ≥400 as
+    * the new tail) so both engines derive identical inputs.
+    *
+    * Scale shape: one partial-agg'd groupBy builds the corpus hash index,
+    * one hash-partitioned left join classifies the delta — at 100 TB the
+    * index side is (hash, id) only, orders smaller than the corpus text.
+    */
+  private def corpusMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val delta = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 400))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val base = d.filter(col("doc_id") < 400)
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    delta.join(base, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
+        col("existing_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
@@ -321,6 +349,20 @@ object TextOps {
               |            ELSE 'keep' END AS decision,
               |       (s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4) AS keep
               |FROM s JOIN c USING (h) ORDER BY s.doc_id""".stripMargin)),
+
+    "corpus_merge" -> QueryDef(corpusMerge,
+      Some("""WITH delta AS (
+             |  SELECT doc_id + 10000 AS doc_id, md5(text) AS h FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
+             |base AS (
+             |  SELECT md5(text) AS h, min(doc_id) AS existing_id
+             |  FROM documents WHERE doc_id < 400 GROUP BY 1)
+             |SELECT d.doc_id, d.h,
+             |       CASE WHEN b.existing_id IS NULL THEN 'insert' ELSE 'skip_dup' END AS action,
+             |       b.existing_id
+             |FROM delta d LEFT JOIN base b USING (h)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     "shard_assign" -> QueryDef(shardAssign,
       Some("""WITH h AS (
