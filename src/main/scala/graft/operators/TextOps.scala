@@ -236,16 +236,19 @@ object TextOps {
 
   /** Incremental corpus merge — the CDC-style ingestion step: an incoming
     * batch (docs re-ingested under NEW ids plus genuinely new docs) is
-    * classified against the existing corpus by CONTENT hash: `insert` for
-    * unseen content, `skip_dup` (with the existing canonical id) for
-    * content the corpus already holds — so re-crawled pages don't
-    * duplicate into the training set. The delta here is synthesized from
-    * the same table (ids <50 re-ingested as id+10000, plus ids ≥400 as
-    * the new tail) so both engines derive identical inputs.
+    * classified by CONTENT hash against the existing corpus AND against
+    * itself: `insert` for the batch-canonical copy of unseen content,
+    * `skip_dup` (with the existing canonical id) for content the corpus
+    * already holds, `dup_in_batch` (with the batch-canonical id) for
+    * extra copies arriving in the same batch — the invariant is that
+    * every content hash keeps exactly ONE document across base ∪ delta.
+    * The delta here is synthesized from the same table (ids <50
+    * re-ingested as id+10000, plus ids ≥400 as the new tail) so both
+    * engines derive identical inputs.
     *
-    * Scale shape: one partial-agg'd groupBy builds the corpus hash index,
-    * one hash-partitioned left join classifies the delta — at 100 TB the
-    * index side is (hash, id) only, orders smaller than the corpus text.
+    * Scale shape: two partial-agg'd groupBys build the corpus and batch
+    * hash indexes, hash-partitioned joins classify the delta — at 100 TB
+    * the index sides are (hash, id) only, orders smaller than the text.
     */
   private def corpusMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
@@ -255,10 +258,14 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("h"))
     val base = d.filter(col("doc_id") < 400)
       .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
-    delta.join(base, Seq("h"), "left")
+    val batchCanon = delta.groupBy("h").agg(min("doc_id").as("batch_id"))
+    delta.join(base, Seq("h"), "left").join(batchCanon, Seq("h"))
       .select(col("doc_id"), col("h"),
-        when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
-        col("existing_id"))
+        when(col("existing_id").isNotNull, "skip_dup")
+          .when(col("doc_id") =!= col("batch_id"), "dup_in_batch")
+          .otherwise("insert").as("action"),
+        coalesce(col("existing_id"),
+          when(col("doc_id") =!= col("batch_id"), col("batch_id"))).as("existing_id"))
       .orderBy("doc_id")
   }
 
@@ -357,11 +364,15 @@ object TextOps {
              |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
              |base AS (
              |  SELECT md5(text) AS h, min(doc_id) AS existing_id
-             |  FROM documents WHERE doc_id < 400 GROUP BY 1)
+             |  FROM documents WHERE doc_id < 400 GROUP BY 1),
+             |bc AS (SELECT h, min(doc_id) AS batch_id FROM delta GROUP BY 1)
              |SELECT d.doc_id, d.h,
-             |       CASE WHEN b.existing_id IS NULL THEN 'insert' ELSE 'skip_dup' END AS action,
-             |       b.existing_id
-             |FROM delta d LEFT JOIN base b USING (h)
+             |       CASE WHEN b.existing_id IS NOT NULL THEN 'skip_dup'
+             |            WHEN d.doc_id <> bc.batch_id THEN 'dup_in_batch'
+             |            ELSE 'insert' END AS action,
+             |       coalesce(b.existing_id,
+             |                CASE WHEN d.doc_id <> bc.batch_id THEN bc.batch_id END) AS existing_id
+             |FROM delta d LEFT JOIN base b USING (h) JOIN bc USING (h)
              |ORDER BY d.doc_id""".stripMargin)),
 
     "shard_assign" -> QueryDef(shardAssign,

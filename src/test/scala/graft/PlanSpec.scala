@@ -89,11 +89,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("vocab_topk phase-1 window partitions by (lang, salt), not lang alone") {
     val p = plan("vocab_topk")
-    // the first (vocab-sized) sort must fan out over the salt — only the
-    // <=40-row survivor re-rank may partition by lang alone
+    // the plan prints top-down, so the LAST window line is the deepest =
+    // phase 1, the one that sorts the full vocabulary — it must fan out
+    // over the salt; only the <=40-row survivor re-rank (the earlier,
+    // upper line) may partition by lang alone
     val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowLines.exists(_.contains("salt")),
-      s"no salted window partition found:\n${windowLines.mkString("\n")}")
+    assert(windowLines.size == 2, s"expected exactly two windows:\n${windowLines.mkString("\n")}")
+    assert(windowLines.last.contains("salt"),
+      s"the vocab-sized phase-1 window is not salted:\n${windowLines.mkString("\n")}")
   }
 
   test("knn_topk broadcasts the query side and partial-aggregates the top-k") {
