@@ -61,8 +61,11 @@ object TextOps {
     * `text_quality` and `corpus_filter`, so the composed filter cannot
     * drift from the standalone metric. (The DuckDB oracles share the
     * corresponding [[QualityCountersSql]]/[[QualityExprSql]] fragments.)
+    * Pure stateless Column algebra, so it applies unchanged to a
+    * STREAMING frame (StreamingSpec proves batch/stream parity) — per-doc
+    * scoring needs no adaptation to run over a live ingest feed.
     */
-  private def withQualityScore(d: DataFrame): DataFrame =
+  private[graft] def withQualityScore(d: DataFrame): DataFrame =
     d.withColumn("n_tok", size(split(col("text"), " ")))
       .withColumn("n_stop", expr(s"size(filter(split(text, ' '), x -> x IN (${inList(Stop)})))"))
       .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))))

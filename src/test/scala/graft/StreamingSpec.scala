@@ -361,6 +361,39 @@ class StreamingSpec extends AnyFunSuite {
       s"duplicate deliveries must collapse to one row per (uuid, seq): $d1")
   }
 
+  test("batch text-quality scoring runs unchanged on a stream (unified Column algebra)") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a a a a"),
+      (3L, "completely distinct tokens everywhere here now"))
+    // batch scoring of the same rows is the parity reference
+    val batch = {
+      import spark.implicits._
+      TextOps.withQualityScore(docs.toDF("doc_id", "text"))
+        .select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String)]] }
+    val input = MemoryStream[(Long, String)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-q-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, Double)]()
+    input.addData(docs)
+    // the SAME function over the streaming frame — no adaptation
+    val q = TextOps.withQualityScore(input.toDS().toDF("doc_id", "text"))
+      .select("doc_id", "quality")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r => acc.add((r.getLong(0), r.getDouble(1))))
+      }
+      .start()
+    q.awaitTermination()
+    assert(acc.asScala.toMap == batch, "stream scoring must equal batch scoring bit-for-bit")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
