@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus merge — the stream-static join form of the batch
+  * `corpus_merge` key: a live document feed is classified against a
+  * STATIC corpus hash index (`h`, `existing_id`) as it arrives —
+  * `insert` for unseen content, `skip_dup` with the existing canonical
+  * id for content the corpus already holds.
+  *
+  * Stream-static joins are stateless on the stream side (each micro-batch
+  * joins against the static relation; nothing accumulates in the state
+  * store), so this scales with the batch size, not the stream history —
+  * the right shape for continuous ingestion against a large frozen
+  * corpus snapshot. Within-batch self-duplicates are NOT collapsed here
+  * (that needs stream state — compose [[FrameDedup]]-style
+  * `dropDuplicatesWithinWatermark` on `h` upstream if required);
+  * the batch `corpus_merge` remains the full-semantics consolidation.
+  */
+object StreamMerge {
+
+  /** `docs` is a streaming frame with (doc_id, text); `baseIndex` is the
+    * static (h, existing_id) corpus index, e.g.
+    * `base.groupBy(md5(text) as h).agg(min(doc_id) as existing_id)`.
+    */
+  def stream(docs: DataFrame, baseIndex: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
+        col("existing_id"))
+}

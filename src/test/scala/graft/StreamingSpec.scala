@@ -394,6 +394,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.asScala.toMap == batch, "stream scoring must equal batch scoring bit-for-bit")
   }
 
+  test("stream-static corpus merge classifies a live feed against the frozen index") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, "existing content one"), (11L, "existing content two"))
+        .toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String)]] }
+    val input = MemoryStream[(Long, String)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-merge-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Any)]()
+    input.addData(Seq(
+      (100L, "existing content one"), // re-crawl of known content
+      (101L, "genuinely new content")))
+    val q = StreamMerge.stream(input.toDS().toDF("doc_id", "text"), staticBase)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r => acc.add((r.getLong(0), r.getString(2),
+          if (r.isNullAt(3)) null else r.getLong(3))))
+      }
+      .start()
+    q.awaitTermination()
+    val out = acc.asScala.toSet
+    assert(out == Set((100L, "skip_dup", 10L), (101L, "insert", null)),
+      s"stream-static classification wrong: $out")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
