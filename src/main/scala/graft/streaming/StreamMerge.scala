@@ -31,4 +31,22 @@ object StreamMerge {
       .select(col("doc_id"), col("h"),
         when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
         col("existing_id"))
+
+  /** The full streaming ingestion pipeline: within-stream content dedup
+    * (first arrival per hash wins, state bounded by the watermark — the
+    * streaming reading of batch `corpus_merge`'s batch-canonical rule)
+    * THEN stream-static classification against the frozen corpus.
+    * `docs` must carry an event-time column `ts` for the watermark.
+    */
+  def dedupedStream(
+      docs: DataFrame, baseIndex: DataFrame,
+      delayThreshold: String = Reassembly.DefaultTtl): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("h")
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
+        col("existing_id"))
 }

@@ -426,6 +426,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-static classification wrong: $out")
   }
 
+  test("streaming ingestion pipeline: in-stream content dedup then stream-static merge") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, "known content")).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-pipe-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String)]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // two in-stream copies of fresh content (within the watermark) + a
+    // re-crawl of known content: copies collapse to the first arrival,
+    // the re-crawl classifies skip_dup
+    input.addData(Seq(
+      (200L, "fresh content", at(10)),
+      (201L, "fresh content", at(11)),
+      (202L, "known content", at(12))))
+    val q = StreamMerge.dedupedStream(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r => acc.add((r.getLong(0), r.getString(2))))
+      }
+      .start()
+    q.awaitTermination()
+    val out = acc.asScala.toSet
+    assert(out == Set((200L, "insert"), (202L, "skip_dup")),
+      s"pipeline must collapse in-stream dups then classify: $out")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
