@@ -184,30 +184,40 @@ object VectorOps {
   private[graft] def bitsFor(n: Long): Int =
     math.min(24, math.max(4, math.ceil(math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
 
-  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-1 multi-probe
-    * + true-cosine top-k via the bounded [[graft.functions.TopK]]
-    * aggregate. Queries are broadcast with their probe set exploded
-    * (nBits+1 probes each: exact bucket + each single-bit flip — the
-    * standard multi-probe recall recovery, since a near neighbor most
-    * likely differs in exactly one hyperplane sign); candidates stream
-    * from the scan and partial-aggregate map-side, so no all-candidate
-    * shuffle and no skewed window sort. No SQL oracle (bucket join not
-    * portably expressible); deterministic; recall@k vs brute force is
-    * measured in VectorSpec.
+  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-`probeRadius`
+    * multi-probe + true-cosine top-k via the bounded
+    * [[graft.functions.TopK]] aggregate. Queries are broadcast with their
+    * probe set exploded — radius 0 probes only the exact bucket, radius 1
+    * adds every single-bit flip (nBits+1 probes, the standard recall
+    * recovery: a near neighbor most likely differs in exactly one
+    * hyperplane sign), radius 2 adds the two-bit flips
+    * (+nBits·(nBits−1)/2 probes) — the recall/latency OPERATING KNOB: a
+    * user trades probe count (∝ candidates scanned) for recall, measured
+    * per radius in VectorSpec. Candidates stream from the scan and
+    * partial-aggregate map-side, so no all-candidate shuffle and no
+    * skewed window sort. No SQL oracle (bucket join not portably
+    * expressible); deterministic.
     */
   private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
-      multiProbe: Boolean = true): DataFrame = {
+      probeRadius: Int = 1): DataFrame = {
     import graft.functions.TopK.top_k
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1, or 2")
     val base = emb(spark, sfDir)
     val nBits = nBitsOpt.getOrElse(bitsFor(corpusCount(base, sfDir)))
     val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
       expr(bucketExpr(nBits)).as("bucket"))
-    // hamming-1 probe set; buckets are distinct, so each candidate can
-    // match at most one probe of a given query (no dedup needed).
-    val probes =
-      if (multiProbe)
-        s"concat(array(q_bucket), transform(sequence(0, ${nBits - 1}), i -> q_bucket ^ shiftleft(1L, i)))"
-      else "array(q_bucket)"
+    // probe sets are distinct buckets, so each candidate can match at
+    // most one probe of a given query (no dedup needed).
+    val r1 =
+      s"concat(array(q_bucket), transform(sequence(0, ${nBits - 1}), i -> q_bucket ^ shiftleft(1L, i)))"
+    val probes = probeRadius match {
+      case 0 => "array(q_bucket)"
+      case 1 => r1
+      case 2 =>
+        s"""concat($r1, flatten(transform(sequence(0, ${nBits - 2}), i ->
+           |  transform(sequence(i + 1, ${nBits - 1}), j ->
+           |    q_bucket ^ shiftleft(1L, i) ^ shiftleft(1L, j)))))""".stripMargin
+    }
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))

@@ -131,13 +131,15 @@ class VectorSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       got.intersect(bf).size.toDouble / bf.size
     }
-    val rMulti = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3))
-    val rExact = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, multiProbe = false))
-    info(f"ann_lsh recall@3 vs brute force at sf0.01, 4 bits: multi-probe $rMulti%.2f, exact-bucket $rExact%.2f")
-    // multi-probe exists to recover recall: candidate set is a strict
-    // superset of the exact-bucket one, so recall can only improve
-    assert(rMulti >= rExact)
-    assert(rMulti > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
+    // the probe-radius OPERATING KNOB: each radius step widens the probe
+    // set (strict candidate superset), so recall is monotone in radius —
+    // the measured curve is what a user tunes against latency
+    val r0 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 0))
+    val r1 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 1))
+    val r2 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 2))
+    info(f"ann_lsh recall@3 vs brute force at sf0.01, 4 bits: radius0 $r0%.2f, radius1 $r1%.2f, radius2 $r2%.2f")
+    assert(r1 >= r0 && r2 >= r1, "recall must be monotone in probe radius")
+    assert(r1 > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
 
     val rIvf2 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 2))
     val rIvf1 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 1))
