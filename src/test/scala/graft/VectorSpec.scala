@@ -141,10 +141,11 @@ class VectorSpec extends AnyFunSuite {
     assert(r1 >= r0 && r2 >= r1, "recall must be monotone in probe radius")
     assert(r1 > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
 
-    val rIvf2 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 2))
     val rIvf1 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 1))
-    info(f"ann_ivf recall@3 vs brute force at sf0.01: nProbe=2 $rIvf2%.2f, nProbe=1 $rIvf1%.2f")
-    assert(rIvf2 >= rIvf1, "probing more cells must not lose candidates")
+    val rIvf2 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 2))
+    val rIvf4 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 4))
+    info(f"ann_ivf recall@3 vs brute force at sf0.01: nProbe=1 $rIvf1%.2f, nProbe=2 $rIvf2%.2f, nProbe=4 $rIvf4%.2f")
+    assert(rIvf2 >= rIvf1 && rIvf4 >= rIvf2, "probing more cells must not lose candidates")
     assert(rIvf2 > 0.0, "IVF found none of the true top-3 — quantizer is broken")
   }
 
