@@ -124,23 +124,30 @@ object VectorOps {
   /** Per-label embedding centroid — the class-prototype/clustering-init
     * primitive: elementwise mean over each label's vectors, computed as
     * posexplode → groupBy (label, dimension) → partial-agg'd sum. Floats
-    * are widened to exact decimals BEFORE summing: double addition is not
+    * are quantized to integers BEFORE summing: double addition is not
     * associative, so a double sum would depend on partition order and
-    * could never hash-match a single-threaded oracle — the decimal(18,9)
-    * fold is exact and order-independent (same device as `agg_group`'s
-    * revenue sums), and the mean divides once at the end. Scale shape:
-    * the explode is a narrow generator (64 rows per vector), the single
-    * shuffle carries one partial sum per (label, dim, task).
+    * could never hash-match a single-threaded oracle. The quantization is
+    * `floor(v * 1e9)` — the double product is IEEE-identical in every
+    * engine and `floor` has no rounding ties (unlike a decimal(18,9)
+    * cast, where a float whose dyadic expansion lands on an exact .5 at
+    * the 9th decimal is rounded HALF_UP by Spark but half-to-even by
+    * DuckDB — observed on real data). The bigint sum is exact and
+    * order-independent; the mean divides once at the end by n·1e9.
+    * Headroom: |v| ≤ 2 ⇒ |q| ≤ 2e9, so a bigint sum holds ~4.6e9 vectors
+    * per (label, dim) group before overflow — beyond 100 TB of 64-dim
+    * float rows per label. Scale shape: the explode is a narrow generator
+    * (64 rows per vector), the single shuffle carries one partial sum per
+    * (label, dim, task).
     */
   private def embedCentroid(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
-        col("v").cast("double").cast("decimal(18,9)").as("dv"))
+        floor(col("v").cast("double") * lit(1e9)).as("qv"))
       .groupBy("label", "pos")
-      .agg(count(lit(1)).as("n"), sum("dv").cast("decimal(28,9)").as("c_sum"))
-      .withColumn("mean_val", col("c_sum").cast("double") / col("n"))
-      .select("label", "pos", "n", "c_sum", "mean_val")
+      .agg(count(lit(1)).as("n"), sum("qv").as("q_sum"))
+      .withColumn("mean_val", col("q_sum").cast("double") / (col("n") * lit(1e9)))
+      .select("label", "pos", "n", "q_sum", "mean_val")
       .orderBy("label", "pos")
 
   // ---- embed_neardup -----------------------------------------------------
@@ -359,8 +366,8 @@ object VectorOps {
   val defs: Map[String, QueryDef] = Map(
     "embed_centroid" -> QueryDef(embedCentroid,
       Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
-             |       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS c_sum,
-             |       CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS mean_val
+             |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS q_sum,
+             |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9) AS mean_val
              |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
