@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.FloatDot.float_dot
+import graft.operators.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN operating-knob sweep: recall@3 and wall latency per LSH probe
+  * radius and IVF nProbe, against the brute-force ground truth — the
+  * measured table a user tunes from (SURVEY §6). Latency is the median of
+  * 3 warm runs (the first run pays plan compilation and, for IVF, the
+  * one-time codebook training, which is cached per JVM like a real
+  * offline-trained index).
+  *
+  * Usage: runMain graft.AnnSweep [sfDir]
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    val bf = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", float_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def measure(mk: => DataFrame): (Double, Double) = {
+      val got = mk.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.select("q_id", "cand_id").collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      (got.intersect(bf).size.toDouble / bf.size, times(1))
+    }
+
+    val corpus = e.count()
+    println(s"ANN_SWEEP sfDir=$sfDir corpus=$corpus")
+    // `cands` = scored candidates across the 10 queries — the latency
+    // driver at scale (wall ms at test SF is fixed-overhead-dominated).
+    for (radius <- Seq(0, 1, 2)) {
+      val (r, ms) = measure(VectorOps.annLshAt(spark, sfDir, None, 3, probeRadius = radius))
+      val cands = VectorOps.annLshCandidates(spark, sfDir, None, radius).count()
+      println(f"ANN_SWEEP ann_lsh radius=$radius recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
+    }
+    for (ma <- Seq(2, 3); nProbe <- Seq(1, 2, 4)) {
+      val (r, ms) = measure(VectorOps.annIvf(spark, sfDir, nProbe = nProbe, multiAssign = ma))
+      val cands = VectorOps.annIvfCandidates(spark, sfDir, nProbe = nProbe, multiAssign = ma).count()
+      println(f"ANN_SWEEP ann_ivf nProbe=$nProbe ma=$ma recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
+    }
+    spark.stop()
+  }
+}

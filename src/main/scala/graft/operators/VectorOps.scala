@@ -55,7 +55,7 @@ object VectorOps {
     * metadata collected once.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Array[Float], Double)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Array[Float], Double)]]
 
   private def normCol(e: String): Column = sqrt(dot(e, e))
 
@@ -204,13 +204,19 @@ object VectorOps {
     * partial-aggregate map-side, so no all-candidate shuffle and no
     * skewed window sort. No SQL oracle (bucket join not portably
     * expressible); deterministic.
+    *
+    * This is the scored-candidate stage, split out so the sweep harness
+    * can measure candidates scanned per operating point (the latency
+    * driver at scale) without duplicating the pipeline; [[annLshAt]]
+    * adds the bounded top-k.
     */
-  private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
-      probeRadius: Int = 1): DataFrame = {
-    import graft.functions.TopK.top_k
+  private[graft] def annLshCandidates(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int],
+      probeRadius: Int): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1, or 2")
     val base = emb(spark, sfDir)
     val nBits = nBitsOpt.getOrElse(bitsFor(corpusCount(base, sfDir)))
+    require(nBits >= 2 || probeRadius < 2,
+      s"radius-2 multi-probe needs at least 2 hyperplane bits, got $nBits")
     val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
       expr(bucketExpr(nBits)).as("bucket"))
     // probe sets are distinct buckets, so each candidate can match at
@@ -229,10 +235,20 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
       .withColumn("probe", explode(expr(probes)))
-    val cands = e.join(broadcast(q),
+    e.join(broadcast(q),
       col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
-    cands
+  }
+
+  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-`probeRadius`
+    * multi-probe + true-cosine top-k via the bounded
+    * [[graft.functions.TopK]] aggregate (see [[annLshCandidates]] for the
+    * candidate stage and the probe-set construction).
+    */
+  private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
+      probeRadius: Int = 1): DataFrame = {
+    import graft.functions.TopK.top_k
+    annLshCandidates(spark, sfDir, nBitsOpt, probeRadius)
       .groupBy("q_id")
       .agg(top_k(col("sim"), col("vec_id"), col("bucket"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -246,63 +262,165 @@ object VectorOps {
 
   // ---- ann_ivf -----------------------------------------------------------
 
+  /** Per-centroid cosine scores as orderable structs: `(sim, -c, c)` so
+    * that `greatest`/`array_sort` tie-break toward the lower centroid id.
+    * `nrmCol = None` omits the query-vector norm — legal for ARGMAX use
+    * (the norm is a per-row positive constant across centroids).
+    */
+  private def centSimsFor(cents: Seq[(Int, Array[Float], Double)],
+      embCol: String, nrmCol: Option[String]): Seq[Column] = cents.map { case (i, arr, cn) =>
+    val denom = nrmCol.map(nc => col(nc) * cn).getOrElse(lit(cn))
+    struct((float_dot(col(embCol), typedLit(arr)) / denom).as("s"),
+      lit(-i).as("negc"), lit(i).as("c"))
+  }
+
+  // greatest() needs >= 2 args; a 1-centroid corpus assigns trivially
+  private def bestCentFor(cents: Seq[(Int, Array[Float], Double)],
+      embCol: String, nrmCol: Option[String]): Column = {
+    val sims = centSimsFor(cents, embCol, nrmCol)
+    (if (sims.length == 1) sims.head else greatest(sims: _*)).getField("c")
+  }
+
+  private def fnorm(arr: Array[Float]): Double =
+    math.sqrt(arr.map(x => x.toDouble * x).sum)
+
+  /** Spherical-k-means codebook: a deterministic seed (every ⌊N/k⌋-th
+    * vector by vec_id) refined by `lloydRounds` distributed Lloyd
+    * iterations. Each round is one Spark job: ASSIGN is the same narrow
+    * codegen map the operator uses at query time (`greatest(struct)` over
+    * k literal centroids — no shuffle), UPDATE computes per-(cell, dim)
+    * means with the tie-free integer quantization from `embed_centroid`
+    * (`sum(floor(v·1e9))` as bigint) so the sums are exact and
+    * partition-order-independent — the trained codebook is bit-identical
+    * run to run, keeping ann_ivf deterministic. Only the k×dim mean table
+    * (≤ 64×64 rows) is collected per round: driver-side quantizer
+    * metadata, the offline-codebook analog of real IVF builds. Empty or
+    * zero-norm cells keep their previous centroid (a zero-norm centroid
+    * would make every cosine NaN, and NaN sorts greatest in Spark).
+    *
+    * Untrained seeds (round-4 state) measured recall@3 0.30/0.33/0.47 at
+    * nProbe 1/2/4; the trained codebook is measured in VectorSpec with a
+    * ≥ 0.8 floor at nProbe 4.
+    */
+  private[graft] def trainCodebook(base: DataFrame, n: Long, k: Int,
+      lloydRounds: Int): Seq[(Int, Array[Float], Double)] = {
+    val step = math.max(1L, n / k)
+    var cents: Seq[(Int, Array[Float], Double)] = base
+      .filter(col("vec_id") % step === 0).orderBy("vec_id").limit(k)
+      .select("embedding").collect().toSeq
+      .map(_.getSeq[Float](0).toArray)
+      .zipWithIndex
+      .map { case (arr, i) => (i, arr, fnorm(arr)) }
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    for (_ <- 1 to lloydRounds) {
+      val stats = base
+        .select(bestCentFor(cents, "embedding", None).as("cent"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cent"), col("pos"),
+          floor(col("v").cast("double") * lit(1e9)).as("qv"))
+        .groupBy("cent", "pos")
+        .agg(count(lit(1)).as("cnt"), sum("qv").as("qs"))
+        .collect()
+      val byCent = stats.groupBy(_.getInt(0))
+      cents = cents.map { case (i, old, oldNrm) =>
+        byCent.get(i) match {
+          case Some(rows) =>
+            val arr = new Array[Float](dim)
+            rows.foreach { r =>
+              arr(r.getInt(1)) = (r.getLong(3).toDouble / (r.getLong(2) * 1e9)).toFloat
+            }
+            val nrm = fnorm(arr)
+            if (nrm > 0.0) (i, arr, nrm) else (i, old, oldNrm)
+          case None => (i, old, oldNrm)
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the second ANN family next to LSH, the
     * IVF-Flat shape: a coarse quantizer of k ≈ √N centroids partitions
     * the corpus into cells; queries probe their `nProbe` nearest cells
     * and rank only those candidates by true cosine.
     *
-    * Centroids are picked deterministically (every ⌊N/k⌋-th vec_id) and
-    * collected to the driver — k ≤ 64 × 64 floats, i.e. quantizer
-    * *metadata*, the IVF analog of CBO statistics (real IVF trains its
-    * codebook offline on the driver too). Cell assignment is a narrow
-    * map: `greatest(struct(sim_c, -c, c))` over k literal-centroid
-    * [[graft.functions.FloatDot]] calls — all codegen, no shuffle, no
-    * per-row interpretation; the only exchange is the final per-query
-    * [[graft.functions.TopK]] partial aggregation, exactly like ann_lsh.
-    * Deterministic; no SQL oracle; recall@3 measured in VectorSpec.
+    * The codebook comes from [[trainCodebook]] (deterministic seed +
+    * distributed Lloyd refinement) and is collected to the driver —
+    * k ≤ 64 × 64 floats, i.e. quantizer *metadata*, the IVF analog of
+    * CBO statistics (real IVF trains its codebook offline too). Cell
+    * assignment is a narrow map: `greatest(struct(sim_c, -c, c))` over k
+    * literal-centroid [[graft.functions.FloatDot]] calls — all codegen,
+    * no shuffle, no per-row interpretation; the only exchange is the
+    * final per-query [[graft.functions.TopK]] partial aggregation,
+    * exactly like ann_lsh.
+    *
+    * `multiAssign` indexes each vector under its top-m cells (boundary
+    * duplication): index size ×m, recall way up at fixed nProbe — the
+    * right trade on weakly-clustered corpora, where single-assignment
+    * recall is capped by the scanned fraction nProbe/k. Measured at
+    * sf0.01, k=√N=22 (VectorSpec, SURVEY §6): single-assign untrained
+    * 0.30/0.33/0.47 at nProbe 1/2/4 → trained+ma=2 (default)
+    * 0.43/0.57/0.83; ma=3 reaches 0.90 at nProbe 4 for 3× index. Recall
+    * is structurally monotone in nProbe: probe sets are nested, a
+    * candidate found at radius r survives at r+1, and any new candidate
+    * outscoring a true top-3 member is itself a true top-3 member.
+    * Deterministic (training is tie-free integer arithmetic); no SQL
+    * oracle; recall and latency per nProbe measured in VectorSpec /
+    * SURVEY §6.
+    *
+    * This is the scored-candidate stage (same split as
+    * [[annLshCandidates]]); [[annIvf]] adds the bounded top-k. A
+    * degenerate empty corpus yields an empty frame with the candidate
+    * columns the aggregate consumes.
     */
-  private[graft] def annIvf(spark: SparkSession, sfDir: String,
-      kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3): DataFrame = {
-    import graft.functions.TopK.top_k
+  private[graft] def annIvfCandidates(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int] = None, nProbe: Int = 2,
+      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
     val k = kOpt.getOrElse(math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt)))
-    val step = math.max(1L, n / k)
-    val cents: Seq[(Int, Array[Float], Double)] = centroidCache.getOrElseUpdate((sfDir, k), base
-      .filter(col("vec_id") % step === 0).orderBy("vec_id").limit(k)
-      .select("embedding").collect().toSeq
-      .map(_.getSeq[Float](0).toArray)
-      .zipWithIndex
-      .map { case (arr, i) => (i, arr, math.sqrt(arr.map(x => x.toDouble * x).sum)) })
+    val cents: Seq[(Int, Array[Float], Double)] =
+      centroidCache.getOrElseUpdate((sfDir, k, lloydRounds), trainCodebook(base, n, k, lloydRounds))
     if (cents.isEmpty) {
-      // degenerate corpus (no rows): empty result with the declared schema
       import spark.implicits._
-      return Seq.empty[(Long, Long, Long, Double, Int)]
-        .toDF("q_id", "cand_id", "cent", "sim", "rn")
+      return Seq.empty[(Long, Long, Int, Double)].toDF("q_id", "vec_id", "cent", "sim")
     }
 
-    def centSims(embCol: String, nrmCol: String): Seq[Column] = cents.map { case (i, arr, cn) =>
-      struct((float_dot(col(embCol), typedLit(arr)) / (col(nrmCol) * cn)).as("s"),
-        lit(-i).as("negc"), lit(i).as("c"))
-    }
-    // greatest() needs >= 2 args; a 1-centroid corpus assigns trivially
-    def bestCent(embCol: String, nrmCol: String): Column = {
-      val sims = centSims(embCol, nrmCol)
-      (if (sims.length == 1) sims.head else greatest(sims: _*)).getField("c")
-    }
+    def centSims(embCol: String, nrmCol: String): Seq[Column] =
+      centSimsFor(cents, embCol, Some(nrmCol))
+    def topCells(embCol: String, nrmCol: String, m: Int): Column = transform(
+      slice(reverse(array_sort(array(centSims(embCol, nrmCol): _*))), 1, m),
+      s => s.getField("c"))
+    // Multi-assignment: each corpus vector is indexed under its top
+    // `multiAssign` cells (boundary duplication — index size ×m). The
+    // secondary copy only matches when the PRIMARY cell is not probed, so
+    // every (query, candidate) pair joins exactly once — no dedup pass,
+    // the aggregation below stays a clean bounded TopK.
+    val m = math.min(multiAssign, cents.length)
     val e = base
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
-      .withColumn("cent", bestCent("embedding", "nrm"))
+      .withColumn("cells", topCells("embedding", "nrm", m))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cells")(0).as("cent"),
+        posexplode(col("cells")).as(Seq("cidx", "cell")))
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normCol("embedding").as("q_nrm"))
-      .withColumn("probe", explode(transform(
-        slice(reverse(array_sort(array(centSims("q_emb", "q_nrm"): _*))), 1, nProbe),
-        s => s.getField("c"))))
-    val cands = e.join(broadcast(q),
-      col("cent") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("q_probes", topCells("q_emb", "q_nrm", math.min(nProbe, cents.length)))
+      .withColumn("probe", explode(col("q_probes")))
+    e.join(broadcast(q),
+      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
       .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
-    cands
+  }
+
+  /** IVF-Flat top-k over [[annIvfCandidates]] — see that method for the
+    * quantizer, multi-assignment, and recall/latency story.
+    */
+  private[graft] def annIvf(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3,
+      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
+    import graft.functions.TopK.top_k
+    annIvfCandidates(spark, sfDir, kOpt, nProbe, lloydRounds, multiAssign)
       .groupBy("q_id")
       .agg(top_k(col("sim"), col("vec_id"), col("cent").cast("long"), topK).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))

@@ -126,27 +126,40 @@ class VectorSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def recall(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select("q_id", "cand_id").collect()
+    // recall + wall latency per operating point: the latency column is
+    // what the recall knob trades against. Warm each query once (plan
+    // compilation + IVF codebook training are one-time costs), then take
+    // the median of 3 timed runs so the table reflects steady-state scan
+    // cost, not JIT noise.
+    def measure(mk: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val got = mk.select("q_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      got.intersect(bf).size.toDouble / bf.size
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.select("q_id", "cand_id").collect()
+        (System.nanoTime() - t0) / 1e3 // µs
+      }.sorted
+      (got.intersect(bf).size.toDouble / bf.size, times(1) / 1e3) // (recall, ms)
     }
     // the probe-radius OPERATING KNOB: each radius step widens the probe
     // set (strict candidate superset), so recall is monotone in radius —
     // the measured curve is what a user tunes against latency
-    val r0 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 0))
-    val r1 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 1))
-    val r2 = recall(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 2))
-    info(f"ann_lsh recall@3 vs brute force at sf0.01, 4 bits: radius0 $r0%.2f, radius1 $r1%.2f, radius2 $r2%.2f")
+    val (r0, t0) = measure(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 0))
+    val (r1, t1) = measure(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 1))
+    val (r2, t2) = measure(VectorOps.annLshAt(spark, sfDir, Some(4), 3, probeRadius = 2))
+    info(f"ann_lsh sf0.01 4 bits | radius 0: recall@3 $r0%.2f @ $t0%.0f ms | radius 1: $r1%.2f @ $t1%.0f ms | radius 2: $r2%.2f @ $t2%.0f ms")
     assert(r1 >= r0 && r2 >= r1, "recall must be monotone in probe radius")
     assert(r1 > 0.0, "multi-probe ANN found none of the true top-3 — LSH is broken")
 
-    val rIvf1 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 1))
-    val rIvf2 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 2))
-    val rIvf4 = recall(VectorOps.annIvf(spark, sfDir, nProbe = 4))
-    info(f"ann_ivf recall@3 vs brute force at sf0.01: nProbe=1 $rIvf1%.2f, nProbe=2 $rIvf2%.2f, nProbe=4 $rIvf4%.2f")
-    assert(rIvf2 >= rIvf1 && rIvf4 >= rIvf2, "probing more cells must not lose candidates")
-    assert(rIvf2 > 0.0, "IVF found none of the true top-3 — quantizer is broken")
+    // trained codebook (10 deterministic Lloyd rounds) + multi-assignment
+    // ma=2 — the defaults; untrained single-assign measured 0.30/0.33/0.47
+    // in round 4, the trained default must clear 0.8 at nProbe 4
+    val (i1, ti1) = measure(VectorOps.annIvf(spark, sfDir, nProbe = 1))
+    val (i2, ti2) = measure(VectorOps.annIvf(spark, sfDir, nProbe = 2))
+    val (i4, ti4) = measure(VectorOps.annIvf(spark, sfDir, nProbe = 4))
+    info(f"ann_ivf sf0.01 k=√N ma=2 | nProbe 1: recall@3 $i1%.2f @ $ti1%.0f ms | nProbe 2: $i2%.2f @ $ti2%.0f ms | nProbe 4: $i4%.2f @ $ti4%.0f ms")
+    assert(i2 >= i1 && i4 >= i2, "probing more cells must not lose candidates")
+    assert(i4 >= 0.8, f"trained IVF must reach recall@3 >= 0.8 at nProbe 4, got $i4%.2f")
   }
 
   test("ann_ivf plan has no window exec and assigns cells without a shuffle join") {
