@@ -1,0 +1,136 @@
+package graft.operators
+
+/** Pure-JVM multimodal decoders for the [[FrameDecoder]] slot — the round-5
+  * answer to "make the decode real without native codec libraries":
+  * binary PNM rasters (P5 grayscale / P6 RGB) and RIFF/WAVE 16-bit PCM are
+  * both fully decodable from headers + raw sample bytes, no JNI, no
+  * external deps. [[AutoFrameDecoder]] sniffs magic bytes and dispatches;
+  * payloads in neither format keep the deterministic stub behavior, so the
+  * declared `multimodal_features` output over text payloads is unchanged.
+  *
+  * Frame semantics per modality:
+  *  - PNM image: one float per raster ROW = mean pixel intensity of that
+  *    row (P6 pools the 3 RGB planes), on the raw 0..maxval scale. The
+  *    downstream sample/resize steps then read as row subsampling /
+  *    vertical mean-pooling — the image-pipeline analog the stub only
+  *    pretended at.
+  *  - WAV audio: one float per 256-sample block = mean |amplitude| / 32768
+  *    (all channels pooled) — a loudness envelope; sample/resize read as
+  *    decimation / fixed-bin pooling of the envelope.
+  *
+  * Both parsers are TOTAL: any malformed header/truncated raster returns
+  * None from `tryDecode` and the auto decoder falls back to the stub —
+  * a corrupt file degrades to byte-statistics instead of failing the job
+  * (same quarantine philosophy as the JsonLines source).
+  */
+object Codecs {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** Next whitespace/comment-delimited ASCII token at or after `start`;
+    * PNM headers allow `#`-to-end-of-line comments anywhere between
+    * tokens. Returns (token, index just past its last byte).
+    */
+  private def token(p: Array[Byte], start: Int): Option[(String, Int)] = {
+    var i = start
+    var moved = true
+    while (moved && i < p.length) {
+      moved = false
+      while (i < p.length && isWs(p(i))) { i += 1; moved = true }
+      if (i < p.length && p(i) == '#') {
+        while (i < p.length && p(i) != '\n') i += 1
+        moved = true
+      }
+    }
+    if (i >= p.length) None
+    else {
+      val sb = new StringBuilder
+      while (i < p.length && !isWs(p(i)) && p(i) != '#') { sb.append(p(i).toChar); i += 1 }
+      Some((sb.toString, i))
+    }
+  }
+
+  private def intToken(p: Array[Byte], start: Int): Option[(Int, Int)] =
+    token(p, start).flatMap { case (s, i) => s.toIntOption.map((_, i)) }
+
+  /** Binary PNM (P5/P6, maxval ≤ 255): per-row mean intensity. */
+  def tryDecodePnm(p: Array[Byte]): Option[Array[Float]] = {
+    if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
+    val planes = if (p(1) == '6') 3 else 1
+    for {
+      (w, i1) <- intToken(p, 2)
+      (h, i2) <- intToken(p, i1)
+      (mv, i3) <- intToken(p, i2)
+      if w > 0 && h > 0 && mv > 0 && mv <= 255 && i3 < p.length && isWs(p(i3))
+      rowBytes = w.toLong * planes
+      // raster begins exactly one whitespace byte after maxval
+      if i3 + 1 + rowBytes * h <= p.length && rowBytes <= Int.MaxValue
+    } yield {
+      val start = i3 + 1
+      Array.tabulate(h) { r =>
+        var j = start + r * rowBytes.toInt
+        val end = j + rowBytes.toInt
+        var s = 0L
+        while (j < end) { s += (p(j) & 0xff); j += 1 }
+        s.toFloat / rowBytes
+      }
+    }
+  }
+
+  /** Samples per WAV envelope frame. */
+  val WavFrameSamples = 256
+
+  /** RIFF/WAVE, PCM (format 1), 16-bit: mean |amplitude|/32768 per
+    * 256-sample block. Unknown chunks (LIST, fact, …) are skipped with
+    * even-byte padding per the RIFF spec; a data chunk truncated by the
+    * container is clamped to the bytes present.
+    */
+  def tryDecodeWav(p: Array[Byte]): Option[Array[Float]] = {
+    def ascii(i: Int) = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    if (p.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var i = 12
+    var pcm16 = false
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= p.length && (data.isEmpty || !pcm16)) {
+      val id = ascii(i)
+      val sz = u32(i + 4)
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length)
+        pcm16 = u16(i + 8) == 1 && u16(i + 8 + 14) == 16
+      else if (id == "data")
+        data = Some((i + 8, math.min(sz, (p.length - i - 8).toLong).toInt))
+      i += (8 + sz + (sz & 1)).toInt max 9 // always advance, even on sz=0
+    }
+    for ((off, len) <- data if pcm16 && len >= 2) yield {
+      val nSamp = len / 2
+      val frames = (nSamp + WavFrameSamples - 1) / WavFrameSamples
+      Array.tabulate(frames) { f =>
+        val lo = f * WavFrameSamples
+        val hi = math.min(nSamp, lo + WavFrameSamples)
+        var s = 0L
+        var j = lo
+        while (j < hi) {
+          val v = (((p(off + 2 * j + 1) & 0xff) << 8) | (p(off + 2 * j) & 0xff)).toShort
+          s += math.abs(v.toLong)
+          j += 1
+        }
+        (s.toDouble / ((hi - lo) * 32768.0)).toFloat
+      }
+    }
+  }
+}
+
+/** Magic-byte-sniffing decoder: real PNM/WAV decode when the payload is
+  * one, deterministic stub byte-statistics otherwise (including malformed
+  * or truncated members of either format). This is the default decoder for
+  * the multimodal feature pass.
+  */
+object AutoFrameDecoder extends FrameDecoder {
+  override def decode(payload: Array[Byte]): Array[Float] =
+    Codecs.tryDecodePnm(payload)
+      .orElse(Codecs.tryDecodeWav(payload))
+      .getOrElse(StubFrameDecoder.decode(payload))
+}
