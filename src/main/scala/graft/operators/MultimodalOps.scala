@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * metadata, fixed-size framing, and a feature-extraction pass over the
   * bytes via a typed Dataset + mapPartitions.
   *
-  * The decode step is a STUB: real image/audio decoding libraries are not
-  * in this container, so `multimodal_features` computes a deterministic
-  * fake feature (per-32-byte-frame byte means). The Spark-side plumbing —
-  * binary column, case-class encoders, partition-iterator batch shape — is
-  * real and is exactly where a JNI/Pandas-style decoder would slot in.
+  * The decode step is REAL for the formats a pure JVM can decode — binary
+  * PNM rasters (P5/P6 → per-row mean intensity) and RIFF/WAVE 16-bit PCM
+  * (→ per-256-sample loudness envelope), via [[AutoFrameDecoder]] /
+  * [[Codecs]] — and falls back to the deterministic [[StubFrameDecoder]]
+  * byte statistics for any other (or malformed) payload, so a corrupt file
+  * degrades instead of failing the job. Native-codec formats (JPEG, MP3,
+  * H.264) would slot into the same [[FrameDecoder]] interface via
+  * JNI/FFI; those libraries are not in this container.
   *
   * Scale notes: payload bytes never leave their partition (narrow map);
   * metadata projections are codegen'd; at 100 TB the binary column would
@@ -76,11 +79,14 @@ object MultimodalOps {
     * the shared pass behind [[multimodalFeatures]] (text cast to bytes,
     * oracle-comparable) and the real opaque-file path ([[binaryFeatures]]
     * via the `binaryFile` source). The decode step is injected via
-    * [[FrameDecoder]] (default: the container-necessitated stub).
+    * [[FrameDecoder]]; the default [[AutoFrameDecoder]] really decodes
+    * PNM/WAV payloads and keeps the stub byte-statistics for everything
+    * else — text payloads (no PNM/RIFF magic) are decoded identically to
+    * the stub, so the declared `multimodal_features` output is unchanged.
     */
   private[graft] def featuresOf(
       spark: SparkSession, payloads: DataFrame,
-      decoder: FrameDecoder = StubFrameDecoder): DataFrame = {
+      decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[DocBytes]
       .mapPartitions { it =>
@@ -145,7 +151,7 @@ object MultimodalOps {
     */
   def binaryFeatures(
       spark: SparkSession, dir: String,
-      decoder: FrameDecoder = StubFrameDecoder): DataFrame =
+      decoder: FrameDecoder = AutoFrameDecoder): DataFrame =
     featuresOf(spark, readBinaryDir(spark, dir), decoder)
 
   // ---- declarations ------------------------------------------------------

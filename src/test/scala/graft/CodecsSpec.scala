@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{AutoFrameDecoder, Codecs, StubFrameDecoder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for the pure-JVM PNM/WAV decoders (no Spark
+  * session needed): hand-computed expectations on byte-level fixtures,
+  * malformed inputs falling back through [[AutoFrameDecoder]] to the stub.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  // ---- fixture builders ----------------------------------------------------
+
+  /** P5 (grayscale) with a header comment: 4x3, maxval 255, rows with
+    * hand-computed means 15.0 / 100.0 / 127.5.
+    */
+  private def p5Fixture: Array[Byte] = {
+    val header = "P5\n# a header comment\n4 3\n255\n".getBytes("US-ASCII")
+    val raster = Array[Int](
+      0, 10, 20, 30, // mean 15.0
+      100, 100, 100, 100, // mean 100.0
+      255, 0, 255, 0 // mean 127.5
+    ).map(_.toByte)
+    header ++ raster
+  }
+
+  /** P6 (RGB): 2x2, maxval 255; row means pool the 3 planes:
+    * (10+20+30+40+50+60)/6 = 35.0 and (0*3 + 255*3)/6 = 127.5.
+    */
+  private def p6Fixture: Array[Byte] = {
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Int](10, 20, 30, 40, 50, 60, 0, 0, 0, 255, 255, 255).map(_.toByte)
+    header ++ raster
+  }
+
+  private def u16le(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def u32le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** RIFF/WAVE, 16-bit PCM mono, with an odd-sized LIST chunk between fmt
+    * and data (exercises the even-byte padding skip). 300 samples:
+    * the first 256 are ±3277 (block-0 envelope exactly 3277/32768), the
+    * last 44 are 16384 (block-1 envelope exactly 0.5).
+    */
+  private def wavFixture(bitsPerSample: Int = 16): Array[Byte] = {
+    val samples: Array[Short] =
+      (Array.tabulate(256)(i => if (i % 2 == 0) 3277 else -3277) ++ Array.fill(44)(16384)).map(_.toShort)
+    val data = samples.flatMap(s => u16le(s & 0xffff))
+    val fmt = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++
+      u16le(1) ++ u16le(1) ++ u32le(8000) ++ u32le(8000 * bitsPerSample / 8) ++
+      u16le(bitsPerSample / 8) ++ u16le(bitsPerSample)
+    val list = "LIST".getBytes("US-ASCII") ++ u32le(3) ++ Array[Byte](1, 2, 3, 0) // 3 + 1 pad
+    val dataChunk = "data".getBytes("US-ASCII") ++ u32le(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ dataChunk
+    "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+  }
+
+  // ---- PNM -----------------------------------------------------------------
+
+  test("P5 decode: one float per row, mean intensity, comments skipped") {
+    val frames = Codecs.tryDecodePnm(p5Fixture).get
+    assert(frames.toSeq == Seq(15.0f, 100.0f, 127.5f))
+  }
+
+  test("P6 decode pools the three RGB planes per row") {
+    val frames = Codecs.tryDecodePnm(p6Fixture).get
+    assert(frames.toSeq == Seq(35.0f, 127.5f))
+  }
+
+  test("malformed PNM returns None: truncated raster, bad maxval, text") {
+    // truncated: header promises 4x3=12 raster bytes, supply 5
+    val truncated = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5)
+    assert(Codecs.tryDecodePnm(truncated).isEmpty)
+    // 16-bit maxval (2 bytes/sample) is out of scope and must not misparse
+    val deep = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(7)
+    assert(Codecs.tryDecodePnm(deep).isEmpty)
+    // a text doc that merely starts with 'P' is not a raster
+    assert(Codecs.tryDecodePnm("Peter piped 42 bytes".getBytes("US-ASCII")).isEmpty)
+    assert(Codecs.tryDecodePnm(Array[Byte]('P', '5')).isEmpty)
+  }
+
+  // ---- WAV -----------------------------------------------------------------
+
+  test("WAV decode: 256-sample |amplitude| envelope, unknown chunks skipped") {
+    val frames = Codecs.tryDecodeWav(wavFixture()).get
+    assert(frames.length == 2) // ceil(300 / 256)
+    assert(frames(0) == 3277.0f / 32768.0f) // hand-computed block-0 envelope
+    assert(frames(1) == 0.5f) // 16384 / 32768, 44-sample tail block
+  }
+
+  test("WAV decode rejects non-16-bit PCM and truncated containers") {
+    assert(Codecs.tryDecodeWav(wavFixture(bitsPerSample = 8)).isEmpty)
+    assert(Codecs.tryDecodeWav(wavFixture().take(40)).isEmpty) // < minimal header
+    // valid RIFF/WAVE but no data chunk
+    val noData = {
+      val fmt = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ u16le(1) ++ u16le(1) ++
+        u32le(8000) ++ u32le(16000) ++ u16le(2) ++ u16le(16)
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt
+      "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body ++ Array.fill[Byte](8)(0)
+    }
+    assert(Codecs.tryDecodeWav(noData).isEmpty)
+  }
+
+  test("WAV chunk walk always advances on a zero-size chunk (no infinite loop)") {
+    // a hostile sz=0 chunk before data must not hang the parser
+    val evil = "RIFF".getBytes("US-ASCII") ++ u32le(100) ++ "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ u32le(0) ++
+      "junk".getBytes("US-ASCII") ++ u32le(0) ++ Array.fill[Byte](64)(0)
+    assert(Codecs.tryDecodeWav(evil).isEmpty) // terminates, no data/fmt found
+  }
+
+  // ---- auto dispatch -------------------------------------------------------
+
+  test("AutoFrameDecoder dispatches by magic and falls back to the stub") {
+    assert(AutoFrameDecoder.decode(p5Fixture).toSeq == Seq(15.0f, 100.0f, 127.5f))
+    assert(AutoFrameDecoder.decode(wavFixture())(1) == 0.5f)
+    // arbitrary binary and malformed members of both formats → stub output
+    val opaque = Array.tabulate[Byte](100)(i => ((i * 7 + 13) % 256).toByte)
+    assert(AutoFrameDecoder.decode(opaque).toSeq == StubFrameDecoder.decode(opaque).toSeq)
+    val badPnm = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)
+    assert(AutoFrameDecoder.decode(badPnm).toSeq == StubFrameDecoder.decode(badPnm).toSeq)
+    assert(AutoFrameDecoder.decode(Array.emptyByteArray).isEmpty)
+  }
+}

@@ -94,6 +94,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L)._3 == ((0 * 7 + 3 * 13) % 256).toFloat)
   }
 
+  test("default decoder really decodes PNM/WAV files end-to-end; opaque stays stub") {
+    import graft.operators.StubFrameDecoder
+    val dir = Files.createTempDirectory("graft-codecfiles")
+    // P5 4x3: rows with hand-computed means 15.0 / 100.0 / 127.5
+    val pnm = "P5\n4 3\n255\n".getBytes("US-ASCII") ++
+      Array[Int](0, 10, 20, 30, 100, 100, 100, 100, 255, 0, 255, 0).map(_.toByte)
+    // WAV mono 16-bit PCM, 300 samples: 256x |±3277| then 44x 16384
+    val wav = {
+      def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val data = (Array.tabulate(256)(i => if (i % 2 == 0) 3277 else -3277) ++
+        Array.fill(44)(16384)).flatMap(s => u16(s & 0xffff))
+      val fmt = "fmt ".getBytes("US-ASCII") ++ u32(16) ++ u16(1) ++ u16(1) ++
+        u32(8000) ++ u32(16000) ++ u16(2) ++ u16(16)
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+        "data".getBytes("US-ASCII") ++ u32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+    }
+    val opaque = Array.tabulate[Byte](100)(i => ((i * 7 + 13) % 256).toByte)
+    Files.write(dir.resolve("img1.pnm"), pnm)
+    Files.write(dir.resolve("snd2.wav"), wav)
+    Files.write(dir.resolve("doc3.bin"), opaque)
+    val rows = MultimodalOps.binaryFeatures(spark, dir.toString) // default = Auto
+      .select("doc_id", "n_frames", "f0").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getFloat(2))).toMap
+    assert(rows(1L) == (3, 15.0f), s"PNM not decoded: ${rows(1L)}") // h=3 rows, row-0 mean
+    assert(rows(2L) == (2, 3277.0f / 32768.0f), s"WAV not decoded: ${rows(2L)}")
+    assert(rows(3L) == (4, StubFrameDecoder.decode(opaque)(0)), s"opaque not stub: ${rows(3L)}")
+  }
+
+  test("declared multimodal_features over text payloads is unchanged by the auto decoder") {
+    import graft.operators.{AutoFrameDecoder, StubFrameDecoder}
+    import org.apache.spark.sql.functions.col
+    // the declared key feeds document TEXT cast to binary — none of it is
+    // PNM/RIFF, so the auto default must reproduce the stub bit-for-bit
+    // (this is what keeps CORRECTNESS spec-green across the default switch)
+    val payloads = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val auto = MultimodalOps.featuresOf(spark, payloads, AutoFrameDecoder).collect()
+    val stub = MultimodalOps.featuresOf(spark, payloads, StubFrameDecoder).collect()
+    assert(auto.length == stub.length && auto.length > 0)
+    assert(auto.sameElements(stub), "auto decoder changed the declared text-payload output")
+  }
+
   test("metadata-only projection does not read payload bytes (column pruning)") {
     val dir = writeFixtures()
     val plan = MultimodalOps.readBinaryDir(spark, dir.toString)
