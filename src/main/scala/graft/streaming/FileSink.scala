@@ -36,7 +36,7 @@ object FileSink {
         ds.filter(a => a.kind == "RECEIVED" || a.kind == "DONE")
           .toDF()
           .select(col("uuid"), (col("next_seq") - 1).as("seq"), col("chunk"),
-            (col("kind") === "DONE").as("done"), col("written"))
+            (col("kind") === "DONE").as("done"), col("written"), col("gen"))
           .write.mode("overwrite")
           .parquet(s"$path/batch=$batchId")
       }
@@ -49,26 +49,31 @@ object FileSink {
     * parallel across the cluster.
     *
     * A uuid can carry MULTIPLE session generations (state is erased on
-    * DONE, so a replayed frame opens a fresh session; an expired session
-    * may be retried): chunk rows from different generations share (uuid,
-    * seq). The reference's semantics are overwrite-on-collision
-    * (`transf_server.cpp:171-184`), reproduced here by (a) keeping the
-    * LATEST batch's chunk per (uuid, seq) and (b) truncating the
-    * concatenation to the latest DONE's `written` — a newer complete
-    * generation fully masks an older one's bytes, including a stale
-    * longer tail. (As in the reference, a NEWER partial overwrite on top
-    * of an older complete file is unrecoverable corruption either way.)
+    * DONE, so a replayed frame opens a fresh session — possibly within
+    * the SAME micro-batch; an expired session may be retried): chunk rows
+    * from different generations share (uuid, seq). The reference's
+    * semantics are overwrite-on-collision (`transf_server.cpp:171-184`),
+    * reproduced here by (a) keeping the chunk of the latest `(batch,
+    * gen)` per (uuid, seq) — `gen` is the per-uuid generation counter
+    * [[Reassembly.processFrames]] assigns when a completed uuid reopens
+    * in-batch, so the pair is lexicographically the true arrival order
+    * and the winner is DETERMINISTIC even when two generations share a
+    * batch — and (b) truncating the concatenation to the latest DONE's
+    * `written`: a newer complete generation fully masks an older one's
+    * bytes, including a stale longer tail. (As in the reference, a NEWER
+    * partial overwrite on top of an older complete file is unrecoverable
+    * corruption either way.)
     */
   def assembled(spark: SparkSession, path: String): DataFrame = {
     // basePath keeps the batch=N partition column for latest-wins ordering
     val rows = spark.read.option("basePath", path).parquet(path)
     val latest = rows
       .groupBy("uuid", "seq")
-      .agg(max(struct(col("batch"), col("chunk"))).as("lc"))
+      .agg(max(struct(col("batch"), col("gen"), col("chunk"))).as("lc"))
       .select(col("uuid"), col("seq"), col("lc.chunk").as("chunk"))
     val doneInfo = rows.filter(col("done"))
       .groupBy("uuid")
-      .agg(max(struct(col("batch"), col("seq"), col("written"))).as("d"))
+      .agg(max(struct(col("batch"), col("gen"), col("seq"), col("written"))).as("d"))
       .select(col("uuid"), col("d.written").as("written"))
     latest.join(doneInfo, "uuid")
       .groupBy("uuid")

@@ -41,7 +41,7 @@ final case class TimedFrame(uuid: String, seq: Int, payload: String, filesize: L
   */
 final case class SessionState(
     expected: Int, written: Long, filesize: Long, rejected: Int,
-    lastEventMs: Long = 0L)
+    lastEventMs: Long = 0L, gen: Int = 0)
 
 /** Per-frame server replies: RECEIVED/DONE (`transf_server.cpp:295-326`),
   * REJECT for dup/out-of-order seq (`transf_server.cpp:267-273`), and
@@ -51,7 +51,15 @@ final case class SessionState(
   * and is empty on REJECT/EXPIRED. The accepted frame's seq is
   * `next_seq - 1`.
   */
-final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Long, chunk: String)
+/** `gen` is the uuid's session GENERATION within this state lifetime: 0
+  * for the first session, +1 each time a completed uuid reopens within
+  * the same micro-batch (see [[Reassembly.processFrames]]). Together with
+  * the sink's batch id it totally orders a uuid's generations — (batch,
+  * gen) is lexicographically the arrival order — which is what lets
+  * [[FileSink.assembled]] pick the newest generation deterministically
+  * instead of tie-breaking on chunk content.
+  */
+final case class AckEvent(uuid: String, kind: String, next_seq: Int, written: Long, chunk: String, gen: Int = 0)
 
 /** Structured-Streaming ordered reassembly with TTL state expiry — the
   * streaming form of the `roundtrip_pipeline` batch query, in two flavors:
@@ -85,10 +93,19 @@ object Reassembly {
     * stop-and-wait so seq order is the delivery order — process in seq
     * order and REJECT anything that isn't the next expected frame. Once
     * the session completes, it is closed (`transf_server.cpp:295-326`
-    * erases the map entry): trailing frames in the same batch draw REJECT,
-    * not a second DONE.
+    * erases the map entry): a trailing seq-1 frame REOPENS the uuid as a
+    * fresh session GENERATION (`gen + 1` — the reference's
+    * overwrite-on-collision, a new handshake on a finished uuid
+    * overwrites the file, `transf_server.cpp:171-184`); any other
+    * trailing frame draws REJECT, never a second DONE for the closed
+    * generation. Two generations fully INTERLEAVED in one batch (the new
+    * opener sorting before the old generation's closing frame) still
+    * degrade to rejects for the newcomer — seq order is the only delivery
+    * order a batch carries — and the stop-and-wait client resolves that
+    * by retrying in the next batch, where `gen`/batch ordering takes over.
     *
-    * Returns (final state, acks, completed).
+    * Returns (final state, acks, completed) — completed = the LAST
+    * generation in the batch finished (no open session remains).
     */
   private[graft] def processFrames(
       uuid: String, st0: SessionState, frames: Seq[Frame]): (SessionState, Seq[AckEvent], Boolean) = {
@@ -97,21 +114,27 @@ object Reassembly {
     val acks = ArrayBuffer.empty[AckEvent]
     frames.sortBy(_.seq).foreach { f =>
       if (st.filesize < 0) st = st.copy(filesize = f.filesize)
+      if (done && f.seq == 1) {
+        // overwrite-on-collision: completion erased the session, so a
+        // fresh seq-1 frame in the same batch opens the next generation
+        st = SessionState(1, 0L, f.filesize, 0, st.lastEventMs, st.gen + 1)
+        done = false
+      }
       if (done || f.seq != st.expected) {
         st = st.copy(rejected = st.rejected + 1)
-        acks += AckEvent(uuid, "REJECT", st.expected, st.written, "")
+        acks += AckEvent(uuid, "REJECT", st.expected, st.written, "", st.gen)
       } else {
         // A10 clamp: never write past the declared filesize.
         val room = st.filesize - st.written
         val take = math.max(0L, math.min(room, f.payload.length.toLong)).toInt
         val accepted = f.payload.substring(0, take)
-        st = SessionState(st.expected + 1, st.written + take, st.filesize, st.rejected)
+        st = st.copy(expected = st.expected + 1, written = st.written + take)
         // the accepted bytes leave on the ack — state keeps offsets only
         if (st.written >= st.filesize) {
           done = true
-          acks += AckEvent(uuid, "DONE", st.expected, st.written, accepted)
+          acks += AckEvent(uuid, "DONE", st.expected, st.written, accepted, st.gen)
         } else {
-          acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, accepted)
+          acks += AckEvent(uuid, "RECEIVED", st.expected, st.written, accepted, st.gen)
         }
       }
     }
@@ -124,7 +147,8 @@ object Reassembly {
     val st = state.getOption
     state.remove()
     Iterator.single(AckEvent(uuid, "EXPIRED",
-      st.map(_.expected).getOrElse(1), st.map(_.written).getOrElse(0L), ""))
+      st.map(_.expected).getOrElse(1), st.map(_.written).getOrElse(0L), "",
+      st.map(_.gen).getOrElse(0)))
   }
 
   /** Processing-time state-update function, factored out so unit tests can

@@ -297,6 +297,34 @@ class StreamingSpec extends AnyFunSuite {
       s"latest generation must fully mask the older one: $out")
   }
 
+  test("file sink: complete + reopen of one uuid in a SINGLE micro-batch resolves to the newer generation") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
+    val input = MemoryStream[Frame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-igen-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-igen-out").toString
+    // generation 0 completes with a single frame, then the SAME batch
+    // carries a fresh seq-1..2 run for the uuid (DONE erased the state, so
+    // it reopens as generation 1). Both generations' chunks share (uuid,
+    // seq, batch); without the gen disambiguator the seq-1 winner would be
+    // picked by CHUNK CONTENT ("old!" > "newer " lexicographically) and
+    // the assembled bytes would interleave generations.
+    input.addData(Seq(Frame("ib", 1, "old!", 4)) ++ frames("ib", "newer stuff!", 6))
+    val q = FileSink.chunksToParquet(
+      Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout), outDir)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map("ib" -> (12L, "newer stuff!")),
+      s"newer in-batch generation must win deterministically: $out")
+    // both generations' rows really landed in ONE batch directory
+    val rows = spark.read.option("basePath", outDir).parquet(outDir)
+    assert(rows.select("batch").distinct().count() == 1)
+    assert(rows.filter("seq = 1").count() == 2, "two generations of seq 1 in the batch")
+  }
+
   test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
     import org.apache.spark.sql.Row
     val sentEnc = { import spark.implicits._; implicitly[Encoder[SentFrame]] }
