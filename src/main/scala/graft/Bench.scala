@@ -74,7 +74,15 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"reps":$Reps,"total":$total,"queries":$qsFull,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"reps":$Reps,"errors":$errs,"sf":"$sfDir"}""")
+    val primary =
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"reps":$Reps,"errors":$errs,"sf":"$sfDir"}"""
+    // the driver tail-scrapes stdout for this line and has parsed it as
+    // null for five rounds running (capture-window truncation) — persist
+    // the identical object to a flat file so the totals are always
+    // machine-readable regardless of log capture
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PRIMARY.json"),
+      (primary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(primary)
     spark.stop()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }
