@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc measurement harness for the connectedComponents checkpoint
+  * modes (SURVEY §6): times the full minhash-edges clustering at the
+  * given SF dir with per-round localCheckpoint vs reliable checkpoint,
+  * median of 3. Usage: runMain graft.CcBench [sfDir].
+  */
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-bench")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DedupOps
+    val d = graft.sources.Tables(spark, sfDir, "documents")
+    def run(reliable: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val edges = DedupOps.minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val res = DedupOps.connectedComponentsTracked(d.select("doc_id"), edges, reliable = reliable)
+      res.labels.count()
+      res.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(false, true).foreach(run) // warm both paths
+    Seq("local" -> false, "reliable" -> true).foreach { case (name, rel) =>
+      val ts = (1 to 3).map(_ => run(rel)).sorted
+      println(f"CC_BENCH mode=$name median=${ts(1)}%.3f [${ts.head}%.3f, ${ts.last}%.3f] sf=$sfDir")
+    }
+    spark.stop()
+  }
+}

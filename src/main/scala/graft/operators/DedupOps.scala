@@ -69,6 +69,9 @@ object DedupOps {
     * only after a driver GC and up to maxIter generations pile up on
     * executors. Only the final round's blocks survive (the returned
     * frame reads them); the symmetrized edge checkpoint is freed too.
+    * `reliable = true` swaps every round's checkpoint for a replicated
+    * one (see [[connectedComponentsTracked]] for the tradeoff and for
+    * deterministic release of the final generation).
     * NOTHING is drained through the driver — the only driver-side values
     * are the per-round change count and the returned (distributed) label
     * frame; on a real cluster the same code runs with labels spread over
@@ -78,24 +81,59 @@ object DedupOps {
     * would emit WRONG cluster labels.
     *
     * Returns (doc_id, lbl): every node labeled with its component minimum.
+    * The final round's blocks stay alive — the returned frame reads them;
+    * callers that consume the labels and want the storage back use
+    * [[connectedComponentsTracked]] and call `release()`.
     */
   private[graft] def connectedComponents(
-      nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+      nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    connectedComponentsTracked(nodes, edges0, maxIter, reliable).labels
+
+  /** Clustering result handle: `labels` stays readable until `release()`
+    * frees the final generation's storage (blocks + reliable-checkpoint
+    * files) — after release the frame must not be read again.
+    */
+  final case class ComponentsResult(labels: DataFrame, release: () => Unit)
+
+  /** [[connectedComponents]] with explicit storage control.
+    *
+    * `reliable = false` (default): per-round `localCheckpoint` — fastest
+    * (raw unreplicated blocks), but lineage is truncated, so losing an
+    * executor mid-iteration is unrecoverable; the right mode for
+    * interactive/bench runs. `reliable = true`: each round also writes to
+    * `sparkContext.getCheckpointDir` (caller must have called
+    * `setCheckpointDir` on replicated storage) via
+    * [[org.apache.spark.sql.GraftShim.reliableCheckpointTracked]] — an
+    * executor loss recomputes the round from storage instead of failing
+    * the job, the mode a multi-hour 100 TB clustering run wants; costs
+    * one checkpoint write per round (measured via `graft.CcBench` at
+    * sf0.01: 1.345 s vs 1.310 s median — ~3% on a local-disk checkpoint
+    * dir; replicated HDFS writes cost more, which is exactly the
+    * insurance premium). Superseded generations release their blocks AND
+    * files deterministically each round in both modes.
+    */
+  private[graft] def connectedComponentsTracked(
+      nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): ComponentsResult = {
     // both edge directions in ONE pass over the scored pairs (a union of
     // two selects would evaluate the expensive edge subtree twice), then
     // materialize: every round re-reads the edges, so they must not
     // re-derive from the (possibly LSH-expensive) candidate pipeline
-    // eager localCheckpoint that hands back the exact checkpointed RDD,
-    // so a superseded round's blocks free deterministically (see
+    // eager checkpoint that hands back the exact checkpointed RDD, so a
+    // superseded round's storage frees deterministically (see
     // GraftShim.localCheckpointTracked — a registry diff would race with
     // concurrent jobs on the shared context)
-    import org.apache.spark.sql.GraftShim.localCheckpointTracked
-    val (edges, edgeRdd) = localCheckpointTracked(edges0
+    import org.apache.spark.sql.GraftShim
+    val ckpt: DataFrame => (DataFrame, org.apache.spark.rdd.RDD[_ <: Any]) =
+      if (reliable) df => GraftShim.reliableCheckpointTracked(df)
+      else df => GraftShim.localCheckpointTracked(df)
+    val (edges, edgeRdd) = ckpt(edges0
       .select(explode(expr(
         "array(struct(src AS src, dst AS dst), struct(dst AS src, src AS dst))")).as("e"))
       .select(col("e.src"), col("e.dst")))
 
-    var (labels, prevRdd) = localCheckpointTracked(
+    var (labels, prevRdd) = ckpt(
       nodes.select(col("doc_id"), col("doc_id").as("lbl")))
     var changed = 1L
     var iter = 0
@@ -106,24 +144,25 @@ object DedupOps {
       // checkpoint, so convergence is a narrow filter-count over the
       // materialized blocks — no extra join (and no extra shuffle) per
       // round just to compare generations
-      val (next, nextRdd) = localCheckpointTracked(
+      val (next, nextRdd) = ckpt(
         labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
           .select(labels("doc_id"), labels("lbl").as("old_lbl"),
             least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl")))
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
-      prevRdd.unpersist(blocking = false)
+      GraftShim.releaseCheckpoint(prevRdd)
       prevRdd = nextRdd
       labels = next.select("doc_id", "lbl")
       iter += 1
     }
     if (changed > 0) {
-      prevRdd.unpersist(blocking = false)
-      edgeRdd.unpersist(blocking = false)
+      GraftShim.releaseCheckpoint(prevRdd)
+      GraftShim.releaseCheckpoint(edgeRdd)
       sys.error(s"connectedComponents did not converge within $maxIter rounds (graph diameter too large)")
     }
-    edgeRdd.unpersist(blocking = false)
-    // the final round's blocks stay alive — the returned frame reads them
-    labels
+    GraftShim.releaseCheckpoint(edgeRdd)
+    // the final round's storage stays alive — the returned frame reads it
+    val finalRdd = prevRdd
+    ComponentsResult(labels, () => GraftShim.releaseCheckpoint(finalRdd))
   }
 
   /** Decorates component labels into the declared output shape:
@@ -221,7 +260,7 @@ object DedupOps {
     * via a min(struct) over the bucket (doc ids are unique within a
     * bucket, so the struct min is the min-id member's row).
     */
-  private def annotateBuckets(
+  private[operators] def annotateBuckets(
       d: DataFrame, keyCols: Seq[String], idCol: String, carryCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     d.withColumn("bucket_n", count(lit(1)).over(w))

@@ -445,21 +445,49 @@ object VectorOps {
     * land in the same bucket with probability (1 - θ/π)^bits ≈ 1, so
     * exact-bucket recall is high precisely for the pairs that matter;
     * recall vs the brute-force baseline is measured in DedupSpec.
-    * Deterministic; no SQL oracle (seeded-hash buckets not portable).
+    *
+    * SKEW GUARD: `bitsFor` holds the AVERAGE population at ~32, but real
+    * embedding corpora are not isotropic — a dense semantic cluster (or a
+    * mass near-duplicate flood) concentrates in ONE bucket and the
+    * within-bucket quadratic comes back as an O(b²) hot reducer. Buckets
+    * over `hotCap` therefore emit STAR pairs against the bucket's min-id
+    * member instead of all pairs — the same guard as
+    * [[DedupOps.simhashPairs]], with the same recall contract: the
+    * flood's members stay transitively connected through the
+    * representative (a near-dup flood has sim ≈ 1 to it, so the cosine
+    * filter keeps the star edges), while cross pairs between DISTINCT
+    * groups that happen to share an oversized bucket are traded for the
+    * O(b) bound. `hotCap` defaults to 8× the target population — normal
+    * buckets never hit it (declared output unchanged), only degenerate
+    * ones. Deterministic; no SQL oracle (seeded-hash buckets not
+    * portable); flood-tested in DedupSpec.
     */
-  private[graft] def embedNeardupLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
-    val base = emb(spark, sfDir)
-    val nBits = bitsFor(corpusCount(base, sfDir))
+  private[graft] def embedNeardupLshFrame(base: DataFrame, nBits: Int,
+      threshold: Double = 0.3, hotCap: Int = 256): DataFrame = {
     val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
       expr(bucketExpr(nBits)).as("bucket"))
-    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    val ann = DedupOps.annotateBuckets(e, Seq("bucket"), "vec_id", Seq("embedding", "nrm"))
+    val sm = ann.filter(col("bucket_n") <= hotCap)
+    val a = sm.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = sm.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val small = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+    // rep is the bucket min id, so star pairs are already (low, high)
+    val large = ann.filter(col("bucket_n") > hotCap && col("vec_id") =!= col("rep.vec_id"))
+      .select(col("bucket"), col("rep.vec_id").as("id_a"), col("vec_id").as("id_b"),
+        (dot("rep.embedding", "embedding") / (col("rep.nrm") * col("nrm"))).as("sim"))
+    // one bucket per vector (no banding), so the branches are disjoint
+    // and pair-unique — no distinct needed
+    small.select("id_a", "id_b", "bucket", "sim")
+      .union(large.select("id_a", "id_b", "bucket", "sim"))
       .filter(col("sim") > threshold)
-      .select("id_a", "id_b", "bucket", "sim")
       .orderBy("id_a", "id_b")
+  }
+
+  private[graft] def embedNeardupLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+    val base = emb(spark, sfDir)
+    embedNeardupLshFrame(base, bitsFor(corpusCount(base, sfDir)), threshold)
   }
 
   private def embedNeardupLshQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -35,4 +35,36 @@ object GraftShim {
     rdd.count() // eager: materialize blocks + truncate lineage now
     (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd)
   }
+
+  /** RELIABLE sibling of [[localCheckpointTracked]]: blocks are persisted
+    * for the iterative reads AND written to the context's checkpoint
+    * directory, so an executor loss mid-iteration recomputes from
+    * replicated storage instead of killing the job (`localCheckpoint`
+    * stores raw blocks with no replication and truncates lineage — its
+    * documented fault-tolerance gap). The RDD is persisted BEFORE the
+    * materializing count so the end-of-job checkpoint write reads the
+    * cached blocks rather than recomputing the whole subtree.
+    */
+  def reliableCheckpointTracked(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    require(session.sparkContext.getCheckpointDir.isDefined,
+      "reliable checkpointing needs sparkContext.setCheckpointDir(<replicated storage>) first")
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    rdd.count() // eager: materialize + write the reliable checkpoint now
+    (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd)
+  }
+
+  /** Frees everything a tracked checkpoint holds: the executor blocks,
+    * and (reliable mode) the checkpoint files — ContextCleaner would
+    * otherwise delete neither until driver GC / app end.
+    */
+  def releaseCheckpoint(rdd: RDD[_]): Unit = {
+    rdd.getCheckpointFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    rdd.unpersist(blocking = false)
+  }
 }

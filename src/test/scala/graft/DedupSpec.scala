@@ -126,6 +126,58 @@ class DedupSpec extends AnyFunSuite {
       s"CC left $leaked persisted generations; only the final labels may survive")
   }
 
+  test("embed_neardup_lsh: a planted dense cluster stays O(b) under the hot-bucket star guard") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val v0 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val neg = v0.map(x => -x)
+    // 600 identical members flood one bucket (> hotCap 256); the negated
+    // 10-vector group lands in the complement bucket (every hyperplane
+    // dot flips sign), so it stays below cap and must keep ALL pairs
+    val rows = (1L to 600L).map(i => (i, v0)) ++ (2001L to 2010L).map(i => (i, neg))
+    val d = rows.toDF("vec_id", "embedding")
+    val pairs = VectorOps.embedNeardupLshFrame(d, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val flood = pairs.filter(p => p._1 <= 600L && p._2 <= 600L)
+    assert(flood.length == 599, s"flood must emit star pairs, got ${flood.length}")
+    assert(flood.forall(_._1 == 1L), "star root must be the bucket minimum id")
+    assert(flood.map(_._2).toSet == (2L to 600L).toSet, "star must keep every member connected")
+    val mini = pairs.filter(p => p._1 >= 2001L)
+    assert(mini.length == 10 * 9 / 2, s"below-cap bucket must keep all pairs, got ${mini.length}")
+    assert(!pairs.exists(p => p._1 <= 600L && p._2 >= 2001L),
+      "opposite vectors (cosine -1) must never pair")
+  }
+
+  test("connectedComponents: reliable-checkpoint mode matches local mode; release frees storage + files") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-reliable")
+    sc.setCheckpointDir(ckptDir.toString)
+    def rddDirs(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(ckptDir)
+      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("rdd-"))
+      finally s.close()
+    }
+    val nodes = (1L to 12L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (9L, 10L)).toDF("src", "dst")
+    val local = DedupOps.connectedComponentsTracked(nodes, edges)
+    val rel = DedupOps.connectedComponentsTracked(nodes, edges, reliable = true)
+    val lm = local.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rm = rel.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == rm, "reliable mode must produce identical components")
+    assert(lm(1L) == 1L && lm(3L) == 1L && lm(5L) == 4L && lm(8L) == 6L && lm(11L) == 11L)
+    assert(rddDirs().nonEmpty, "reliable mode must have written checkpoint files")
+    val persistedBefore = sc.getPersistentRDDs.size
+    local.release()
+    rel.release()
+    assert(sc.getPersistentRDDs.size <= persistedBefore - 2,
+      "release() must drop both final-generation block sets")
+    assert(rddDirs().isEmpty,
+      s"release() must delete the reliable checkpoint files, left: ${rddDirs()}")
+  }
+
   test("embed_neardup_lsh finds the high-sim brute-force pairs (recall measured)") {
     import graft.operators.VectorOps
     // brute-force pairs above threshold on the full sf0.01 corpus
