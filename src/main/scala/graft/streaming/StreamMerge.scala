@@ -49,4 +49,39 @@ object StreamMerge {
       .select(col("doc_id"), col("h"),
         when(col("existing_id").isNull, "insert").otherwise("skip_dup").as("action"),
         col("existing_id"))
+
+  /** The COMPLETE streaming ingestion pipeline in ONE query — the
+    * streaming composition of the batch `corpus_filter` → `corpus_merge`
+    * pair: within-stream content dedup (watermark-bounded state, first
+    * arrival per hash wins — the streaming reading of the batch
+    * min-id-canonical rule) → the SAME quality gate as `corpus_filter`
+    * ([[graft.operators.TextOps.withQualityScore]], so the stream cannot
+    * drift from the batch formula; same `short` < `quality` precedence
+    * and thresholds) → stream-static classification against the frozen
+    * corpus index. Every surviving document emits exactly one decision
+    * row: `short` / `quality` (gated out), `skip_dup` + canonical id
+    * (corpus already holds the content), or `insert`.
+    *
+    * Scale shape: quality scoring is stateless Column algebra on the
+    * stream side; the only stream state is the watermark-bounded dedup
+    * hash set; the static index joins per micro-batch (broadcast when it
+    * fits, else a co-partitioned hash join) — nothing here accumulates
+    * with stream HISTORY, so the pipeline runs indefinitely.
+    */
+  def ingestPipeline(
+      docs: DataFrame, baseIndex: DataFrame,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataFrame =
+    graft.operators.TextOps.withQualityScore(docs)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("h")
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"),
+        when(col("n_tok") < minTokens, "short")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("existing_id").isNotNull, "skip_dup")
+          .otherwise("insert").as("decision"),
+        col("existing_id"))
 }

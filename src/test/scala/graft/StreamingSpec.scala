@@ -490,6 +490,62 @@ class StreamingSpec extends AnyFunSuite {
       s"pipeline must collapse in-stream dups then classify: $out")
   }
 
+  test("full streaming ingestion pipeline: dedup -> quality gate -> merge in ONE query, batch parity") {
+    import graft.streaming.StreamMerge
+    import graft.operators.TextOps
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val goodText = (1 to 20).map(i => s"g$i").mkString(" ")
+    val knownText = (1 to 20).map(i => s"k$i").mkString(" ")
+    val junkText = Seq.fill(20)("a").mkString(" ") // stopword spam: quality 0.3 < 0.4
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, knownText)).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-ingest-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, Long, Double, String, Any)]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData(Seq(
+      (301L, goodText, at(10)), // fresh, long, high quality -> insert
+      (302L, goodText, at(11)), // in-stream duplicate -> collapsed, no row
+      (303L, "tiny doc", at(12)), // 2 tokens -> short
+      (304L, junkText, at(13)), // 20 tokens but degenerate -> quality
+      (305L, knownText, at(14)))) // corpus already holds it -> skip_dup
+    val q = StreamMerge.ingestPipeline(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r => acc.add((r.getLong(0), r.getLong(2), r.getDouble(3),
+          r.getString(4), if (r.isNullAt(5)) null else r.getLong(5))))
+      }
+      .start()
+    q.awaitTermination()
+    val out = acc.asScala.toSeq
+    val byId = out.map(t => t._1 -> (t._4, t._5)).toMap
+    assert(byId == Map(
+      301L -> ("insert", null), 303L -> ("short", null),
+      304L -> ("quality", null), 305L -> ("skip_dup", 10L)),
+      s"pipeline decisions wrong (302 must be collapsed): $out")
+    // batch parity: the streamed quality scores are bit-identical to the
+    // batch corpus_filter formula over the same rows (shared definition)
+    val batchQ = {
+      import spark.implicits._
+      TextOps.withQualityScore(
+        Seq((301L, goodText), (304L, junkText)).toDF("doc_id", "text"))
+        .select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    out.filter(t => Set(301L, 304L)(t._1)).foreach { t =>
+      assert(t._3 == batchQ(t._1), s"stream quality for doc ${t._1} diverged from batch: $t")
+    }
+    assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
