@@ -373,35 +373,51 @@ object VectorOps {
     * degenerate empty corpus yields an empty frame with the candidate
     * columns the aggregate consumes.
     */
-  private[graft] def annIvfCandidates(spark: SparkSession, sfDir: String,
-      kOpt: Option[Int] = None, nProbe: Int = 2,
-      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
+  /** The trained codebook + multi-assigned cell frame `(vec_id,
+    * embedding, nrm, cent, cidx, cell)` — the IVF index CONTENT, shared
+    * by the inline query path ([[annIvfCandidates]]) and the persisted
+    * bucketed build ([[writeIvfIndex]]). `cents` is empty only for an
+    * empty corpus.
+    */
+  private[graft] def ivfAssignments(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int], lloydRounds: Int, multiAssign: Int)
+      : (Seq[(Int, Array[Float], Double)], DataFrame) = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
     val k = kOpt.getOrElse(math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt)))
     val cents: Seq[(Int, Array[Float], Double)] =
       centroidCache.getOrElseUpdate((sfDir, k, lloydRounds), trainCodebook(base, n, k, lloydRounds))
-    if (cents.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Int, Double)].toDF("q_id", "vec_id", "cent", "sim")
-    }
-
-    def centSims(embCol: String, nrmCol: String): Seq[Column] =
-      centSimsFor(cents, embCol, Some(nrmCol))
-    def topCells(embCol: String, nrmCol: String, m: Int): Column = transform(
-      slice(reverse(array_sort(array(centSims(embCol, nrmCol): _*))), 1, m),
-      s => s.getField("c"))
+    if (cents.isEmpty) return (cents, base)
     // Multi-assignment: each corpus vector is indexed under its top
     // `multiAssign` cells (boundary duplication — index size ×m). The
     // secondary copy only matches when the PRIMARY cell is not probed, so
     // every (query, candidate) pair joins exactly once — no dedup pass,
-    // the aggregation below stays a clean bounded TopK.
+    // the downstream aggregation stays a clean bounded TopK.
     val m = math.min(multiAssign, cents.length)
     val e = base
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
-      .withColumn("cells", topCells("embedding", "nrm", m))
+      .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cells")(0).as("cent"),
         posexplode(col("cells")).as(Seq("cidx", "cell")))
+    (cents, e)
+  }
+
+  private def topCellsFor(cents: Seq[(Int, Array[Float], Double)],
+      embCol: String, nrmCol: String, m: Int): Column = transform(
+    slice(reverse(array_sort(array(centSimsFor(cents, embCol, Some(nrmCol)): _*))), 1, m),
+    s => s.getField("c"))
+
+  private[graft] def annIvfCandidates(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int] = None, nProbe: Int = 2,
+      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
+    val base = emb(spark, sfDir)
+    val (cents, e) = ivfAssignments(spark, sfDir, kOpt, lloydRounds, multiAssign)
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)].toDF("q_id", "vec_id", "cent", "sim")
+    }
+    def topCells(embCol: String, nrmCol: String, m: Int): Column =
+      topCellsFor(cents, embCol, nrmCol, m)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normCol("embedding").as("q_nrm"))
@@ -431,6 +447,94 @@ object VectorOps {
 
   private def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame =
     annIvf(spark, sfDir)
+
+  // ---- persisted ANN index (bucketed build + pruned probe) ---------------
+
+  /** Writes the LSH signature index as a bucketed, bucket-sorted table —
+    * the PERSISTED form of the index both ANN families only computed
+    * inline until now. The index is partition-aligned on its probe key
+    * at rest, which buys exactly two things at query time (both asserted
+    * in BucketingSpec):
+    *
+    *  - a probe's `bucket IN (<probe set>)` filter prunes FILES — the
+    *    scan reads only the probed buckets (`SelectedBucketsCount` in
+    *    the plan), i.e. ~|probes|/2^nBits of the index instead of the
+    *    corpus;
+    *  - a batch-of-queries probe JOIN plans with no Exchange on the
+    *    index side — only the (small) query side shuffles to the
+    *    bucket layout.
+    *
+    * Build cost is one corpus scan + one bucketed write, amortized over
+    * every subsequent query batch — the offline index build of a real
+    * vector store (SURVEY §6 quantifies the tradeoff). Returns the nBits
+    * used (callers need it to compute probe sets).
+    *
+    * CONF REQUIREMENT for probe sessions:
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`.
+    * Spark's `DisableUnnecessaryBucketedScan` rule weighs only
+    * distribution requirements, so it silently disables the bucketed
+    * scan — and with it bucket-filter FILE pruning — for a filter-only
+    * probe plan, turning the probe back into a full index read.
+    */
+  /** Appends the nBits LSH `bucket` column to any frame with an
+    * `embedding` column — the one signature definition shared by the
+    * inline paths, the index build, and query-side probe frames.
+    */
+  private[graft] def withLshBucket(df: DataFrame, nBits: Int): DataFrame =
+    df.withColumn("bucket", expr(bucketExpr(nBits)))
+
+  def writeLshIndex(spark: SparkSession, sfDir: String, table: String,
+      nBuckets: Int = 16, nBitsOpt: Option[Int] = None): Int = {
+    val base = emb(spark, sfDir)
+    val nBits = nBitsOpt.getOrElse(bitsFor(corpusCount(base, sfDir)))
+    withLshBucket(
+      base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
+      .write.mode("overwrite").bucketBy(nBuckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(table)
+    nBits
+  }
+
+  /** IVF sibling of [[writeLshIndex]]: the multi-assigned cell frame
+    * persisted bucketed on `cell`. Probes prune to the probed cells'
+    * files; the codebook for probe computation is the memoized quantizer
+    * metadata ([[centroidCache]]). Returns the centroids.
+    */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, table: String,
+      nBuckets: Int = 16, kOpt: Option[Int] = None,
+      lloydRounds: Int = 10, multiAssign: Int = 2): Seq[(Int, Array[Float], Double)] = {
+    val (cents, e) = ivfAssignments(spark, sfDir, kOpt, lloydRounds, multiAssign)
+    require(cents.nonEmpty, "cannot index an empty corpus")
+    e.write.mode("overwrite").bucketBy(nBuckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+    cents
+  }
+
+  /** Radius-1 probe set for one query vector against a persisted LSH
+    * index, computed through the SAME `bucketExpr` definition as the
+    * index build (one 1-row job — quantizer-metadata scale, not a data
+    * scan), so build and probe can never disagree on the hash.
+    */
+  private[graft] def lshProbesFor(spark: SparkSession, qVec: Array[Float], nBits: Int): Seq[Long] = {
+    import spark.implicits._
+    val b = Seq(qVec).toDF("embedding").select(expr(bucketExpr(nBits))).head().getLong(0)
+    b +: (0 until nBits).map(i => b ^ (1L << i))
+  }
+
+  /** Single-query top-k against the PERSISTED LSH index: bucket-pruned
+    * scan of the probed buckets → true-cosine scoring → bounded top-k
+    * (TakeOrderedAndProject — no exchange anywhere in the plan).
+    */
+  def probeLshIndex(spark: SparkSession, table: String, qVec: Array[Float],
+      nBits: Int, k: Int): DataFrame = {
+    val probes = lshProbesFor(spark, qVec, nBits)
+    val qNrm = fnorm(qVec)
+    spark.table(table)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("sim", float_dot(col("embedding"), typedLit(qVec)) / (col("nrm") * qNrm))
+      .select("vec_id", "bucket", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   // ---- embed_neardup_lsh -------------------------------------------------
 

@@ -43,6 +43,11 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the join exercises what bucketing buys at REAL scale (where
       // neither fact side is broadcastable)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Spark's DisableUnnecessaryBucketedScan only weighs distribution
+      // requirements, not bucket-filter FILE pruning — with it on, a
+      // probe's `bucket IN (...)` reads the whole index. Probe sessions
+      // must disable it (documented on VectorOps.writeLshIndex).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // isolate the derby metastore too, so reruns don't collide
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=${Files.createTempDirectory("graft-metastore")}/db;create=true")
@@ -74,5 +79,73 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("o_orderkey", "c_name")
     assert(joined.count() == plain.count())
     assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+  }
+
+  test("persisted LSH index: single-query probe prunes buckets, no exchange anywhere") {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, "lsh_idx", nBuckets = 8)
+    val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probe = VectorOps.probeLshIndex(spark, "lsh_idx", qVec, nBits, k = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"probe filter did not prune index buckets:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"single-query probe must be exchange-free (scan + TakeOrdered):\n$plan")
+    // the pruned probe returns exactly the brute-force top-3 of the
+    // probed buckets (the query's own vector included, sim = 1)
+    val got = probe.collect().map(_.getLong(0)).toSeq
+    val probes = VectorOps.lshProbesFor(spark, qVec, nBits).toSet
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val qn = math.sqrt(dot(qVec, qVec))
+    val want = spark.table("lsh_idx").filter(col("bucket").isin(probes.toSeq: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (id, v) => (id, dot(qVec, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    assert(got == want, s"probe result $got != brute-force-over-probed-buckets $want")
+  }
+
+  test("persisted LSH index: batch probe join shuffles ONLY the query side") {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, "lsh_idx2", nBuckets = 8)
+    // queries come from the RAW parquet (not the bucketed table), so only
+    // the bucketed index side can satisfy the join distribution for free
+    val q = VectorOps.withLshBucket(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 5), nBits)
+      .select(col("vec_id").as("q_id"), col("bucket").as("probe"))
+    val joined = spark.table("lsh_idx2").join(q, col("bucket") === col("probe"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one exchange (query side only), got $exchanges:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"index side did not use the bucketed scan:\n$plan")
+    // every query matches its own signature row in the index (sanity)
+    val hits = joined.filter(col("vec_id") === col("q_id")).count()
+    assert(hits == 5, s"each query must at least hit its own bucket row, got $hits")
+  }
+
+  test("persisted IVF index: probing nProbe cells prunes to those cells' files") {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    val cents = VectorOps.writeIvfIndex(spark, sfDir, "ivf_idx", nBuckets = 8)
+    val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    // probe cells from the returned codebook — driver-side quantizer math
+    val probeCells = cents.map { case (i, arr, nrm) => (i, dot(qVec, arr) / nrm) }
+      .sortBy { case (i, s) => (-s, i) }.take(2).map(_._1)
+    val probed = spark.table("ivf_idx").filter(col("cell").isin(probeCells: _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"cell probe did not prune the IVF index files:\n$plan")
+    assert(probed.count() > 0)
+    // the query's own vector is assigned to its top cell, so it must be
+    // among the probed candidates
+    assert(probed.filter(col("vec_id") === 1).count() >= 1)
   }
 }
