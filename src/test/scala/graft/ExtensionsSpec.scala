@@ -104,11 +104,12 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.queryExecution.optimizedPlan
         .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
-    // descending order: min(struct) would flip the pick — must not fire
-    val desc = df.withColumn("rn", row_number().over(w.orderBy($"v".desc)))
+    // MIXED directions: no single struct ordering agrees — must not fire
+    val mixed = df.withColumn("u", $"v" * -1)
+      .withColumn("rn", row_number().over(w.orderBy($"v".desc, $"u".asc)))
       .filter($"rn" === 1).select("k", "v")
-    assert(hasWindow(desc), "rule fired on a DESCENDING window order")
-    assert(desc.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(hasWindow(mixed), "rule fired on MIXED window order directions")
+    assert(mixed.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
       == Set((1, 5.0), (2, 7.0)))
     // rank 2 filter: not an argmin — must not fire
     val rank2 = df.withColumn("rn", row_number().over(w.orderBy($"v")))
@@ -131,6 +132,58 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val globalEmpty = df.filter($"v" > 100.0)
       .withColumn("rn", row_number().over(globalW)).filter($"rn" === 1).select("k", "v")
     assert(globalEmpty.collect().isEmpty, "empty input must yield zero rows")
+  }
+
+  test("window argmin rule: DESC NULLS LAST ordering collapses to max(struct)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0, "x"), (1, 3.0, "y"), (2, 7.0, "z"), (2, 9.0, "w"))
+      .toDF("k", "v", "tag")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy($"v".desc)
+    val q = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("k", "v", "tag")
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window survived the DESC rewrite:\n$opt")
+    assert(q.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      == Set((1, 5.0, "x"), (2, 9.0, "w")))
+    assert(q.queryExecution.executedPlan.toString.contains("partial_max"),
+      "DESC argmax must combine map-side")
+  }
+
+  test("window argmin rule: rank()=1 keeps ties via the join-back rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 3.0, "a"), (1, 3.0, "b"), (1, 5.0, "c"), (2, 7.0, "d"))
+      .toDF("k", "v", "tag")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+    val q = df.withColumn("rn", rank().over(w)).filter($"rn" === 1)
+      .select("k", "v", "tag")
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window survived the rank rewrite:\n$opt")
+    assert(opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      s"rank rewrite must join back to keep ties:\n$opt")
+    // BOTH tied-first rows survive — the cardinality row_number would lose
+    assert(q.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      == Set((1, 3.0, "a"), (1, 3.0, "b"), (2, 7.0, "d")))
+  }
+
+  test("window argmin rule: GLOBAL rank()=1 is safe through the join-back (incl. empty input)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0), (1, 3.0), (2, 5.0)).toDF("k", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v".desc)
+    val q = df.withColumn("rn", rank().over(w)).filter($"rn" === 1).select("k", "v")
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window survived the global rank rewrite:\n$opt")
+    assert(q.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      == Set((1, 5.0), (2, 5.0)), "global DESC rank-1 keeps every tied max row")
+    // empty input joins to nothing — no all-null phantom row
+    val empty = df.filter($"v" > 100.0)
+      .withColumn("rn", rank().over(w)).filter($"rn" === 1).select("k", "v")
+    assert(empty.collect().isEmpty, "empty input must yield zero rows")
   }
 
   test("top_k aggregate is callable from SQL") {
