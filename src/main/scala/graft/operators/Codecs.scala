@@ -2,9 +2,10 @@ package graft.operators
 
 /** Pure-JVM multimodal decoders for the [[FrameDecoder]] slot — the round-5
   * answer to "make the decode real without native codec libraries":
-  * binary PNM rasters (P5 grayscale / P6 RGB) and RIFF/WAVE 16-bit PCM are
-  * both fully decodable from headers + raw sample bytes, no JNI, no
-  * external deps. [[AutoFrameDecoder]] sniffs magic bytes and dispatches;
+  * PNM rasters (binary P5/P6 and ASCII P2/P3, grayscale + RGB) and
+  * RIFF/WAVE 16-bit PCM (mono or multi-channel, channels pooled) are
+  * all fully decodable from headers + raw sample bytes/tokens, no JNI,
+  * no external deps. [[AutoFrameDecoder]] sniffs magic bytes and dispatches;
   * payloads in neither format keep the deterministic stub behavior, so the
   * declared `multimodal_features` output over text payloads is unchanged.
   *
@@ -54,10 +55,22 @@ object Codecs {
   private def intToken(p: Array[Byte], start: Int): Option[(Int, Int)] =
     token(p, start).flatMap { case (s, i) => s.toIntOption.map((_, i)) }
 
-  /** Binary PNM (P5/P6, maxval ≤ 255): per-row mean intensity. */
+  /** PNM raster (binary P5/P6 with maxval ≤ 255, or ASCII P2/P3 with
+    * maxval ≤ 65535): per-row mean intensity on the raw 0..maxval scale
+    * (P3/P6 pool the three RGB planes).
+    */
   def tryDecodePnm(p: Array[Byte]): Option[Array[Float]] = {
-    if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
-    val planes = if (p(1) == '6') 3 else 1
+    if (p.length < 2 || p(0) != 'P') return None
+    p(1) match {
+      case '5' => decodeBinaryPnm(p, planes = 1)
+      case '6' => decodeBinaryPnm(p, planes = 3)
+      case '2' => decodeAsciiPnm(p, planes = 1)
+      case '3' => decodeAsciiPnm(p, planes = 3)
+      case _ => None
+    }
+  }
+
+  private def decodeBinaryPnm(p: Array[Byte], planes: Int): Option[Array[Float]] =
     for {
       (w, i1) <- intToken(p, 2)
       (h, i2) <- intToken(p, i1)
@@ -76,6 +89,46 @@ object Codecs {
         s.toFloat / rowBytes
       }
     }
+
+  /** ASCII samples are whitespace/comment-separated int tokens; any
+    * missing, malformed, or out-of-range (> maxval) sample fails the
+    * whole decode (total parser — the auto decoder then falls back).
+    */
+  private def decodeAsciiPnm(p: Array[Byte], planes: Int): Option[Array[Float]] =
+    for {
+      (w, i1) <- intToken(p, 2)
+      (h, i2) <- intToken(p, i1)
+      (mv, i3) <- intToken(p, i2)
+      if w > 0 && h > 0 && mv > 0 && mv <= 65535
+      // each sample token needs >= 2 bytes (digit + separator) minus the
+      // final one — a cheap bound that rejects absurd dimensions before
+      // allocating
+      n = w.toLong * h * planes
+      if n <= p.length && n <= Int.MaxValue
+      samples <- readAsciiSamples(p, i3, n.toInt, mv)
+    } yield {
+      val rowN = w * planes
+      Array.tabulate(h) { r =>
+        var s = 0L
+        var j = r * rowN
+        val end = j + rowN
+        while (j < end) { s += samples(j); j += 1 }
+        s.toFloat / rowN
+      }
+    }
+
+  private def readAsciiSamples(p: Array[Byte], start: Int, n: Int, mv: Int): Option[Array[Int]] = {
+    val out = new Array[Int](n)
+    var i = start
+    var k = 0
+    while (k < n) {
+      intToken(p, i) match {
+        case Some((v, ni)) if v >= 0 && v <= mv =>
+          out(k) = v; i = ni; k += 1
+        case _ => return None
+      }
+    }
+    Some(out)
   }
 
   /** Samples per WAV envelope frame. */

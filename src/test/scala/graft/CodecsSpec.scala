@@ -79,6 +79,27 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.tryDecodePnm(Array[Byte]('P', '5')).isEmpty)
   }
 
+  test("ASCII P2 decode: tokenized samples, comments, 16-bit maxval") {
+    // 3x2, maxval 1000: rows [0 500 1000] mean 500.0 and [250 250 250] mean 250.0
+    val p2 = "P2\n# ascii gray\n3 2\n1000\n0 500 1000\n250 250 250\n".getBytes("US-ASCII")
+    assert(Codecs.tryDecodePnm(p2).get.toSeq == Seq(500.0f, 250.0f))
+  }
+
+  test("ASCII P3 decode pools RGB planes per row") {
+    // 2x1 RGB: (10,20,30) (40,50,60) -> row mean 35.0
+    val p3 = "P3\n2 1\n255\n10 20 30 40 50 60\n".getBytes("US-ASCII")
+    assert(Codecs.tryDecodePnm(p3).get.toSeq == Seq(35.0f))
+  }
+
+  test("malformed ASCII PNM returns None: short, out-of-range, non-numeric") {
+    // promises 6 samples, supplies 4
+    assert(Codecs.tryDecodePnm("P2\n3 2\n255\n1 2 3 4".getBytes("US-ASCII")).isEmpty)
+    // sample exceeds maxval
+    assert(Codecs.tryDecodePnm("P2\n2 1\n100\n50 101\n".getBytes("US-ASCII")).isEmpty)
+    // non-numeric token mid-raster
+    assert(Codecs.tryDecodePnm("P2\n2 1\n255\n12 zap\n".getBytes("US-ASCII")).isEmpty)
+  }
+
   // ---- WAV -----------------------------------------------------------------
 
   test("WAV decode: 256-sample |amplitude| envelope, unknown chunks skipped") {
@@ -86,6 +107,18 @@ class CodecsSpec extends AnyFunSuite {
     assert(frames.length == 2) // ceil(300 / 256)
     assert(frames(0) == 3277.0f / 32768.0f) // hand-computed block-0 envelope
     assert(frames(1) == 0.5f) // 16384 / 32768, 44-sample tail block
+  }
+
+  test("stereo WAV pools both channels into the envelope") {
+    // 2 channels, 128 interleaved L/R pairs = 256 samples = 1 block;
+    // L = +8192, R = -8192 -> mean |amplitude| exactly 0.25
+    val data = Array.fill(128)(Seq(8192, -8192)).flatten.flatMap(s => u16le(s & 0xffff))
+    val fmt = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ u16le(1) ++ u16le(2) ++
+      u32le(8000) ++ u32le(32000) ++ u16le(4) ++ u16le(16)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "data".getBytes("US-ASCII") ++ u32le(data.length) ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+    assert(Codecs.tryDecodeWav(wav).get.toSeq == Seq(0.25f))
   }
 
   test("WAV decode rejects non-16-bit PCM and truncated containers") {
