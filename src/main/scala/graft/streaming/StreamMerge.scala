@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Streaming corpus merge — the stream-static join form of the batch
   * `corpus_merge` key: a live document feed is classified against a
@@ -68,6 +69,31 @@ object StreamMerge {
     * fits, else a co-partitioned hash join) — nothing here accumulates
     * with stream HISTORY, so the pipeline runs indefinitely.
     */
+  /** Idempotent parquet audit log for [[ingestPipeline]] decision rows —
+    * the same exactly-once layout as [[FileSink.chunksToParquet]]: each
+    * micro-batch overwrites its own `batch=<id>` directory, so a replayed
+    * batch after failure lands byte-identically instead of duplicating
+    * audit rows. What a data auditor asks of a 100 TB ingest ("why was
+    * this document dropped, and when?") is answered by one
+    * partition-pruned read of the log.
+    */
+  def decisionsToParquet(decisions: DataFrame, path: String): DataStreamWriter[Row] =
+    decisions.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+
+  /** Read-back of the audit log: every decision row ever emitted, with
+    * its micro-batch id (`basePath` keeps the batch=N partition column,
+    * and predicates on it prune to whole batch directories). Append-only
+    * history by design — a doc re-observed outside its dedup window
+    * appears once per observation.
+    */
+  def auditLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   def ingestPipeline(
       docs: DataFrame, baseIndex: DataFrame,
       delayThreshold: String = Reassembly.DefaultTtl,

@@ -546,6 +546,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
   }
 
+  test("ingest decisions land in an idempotent batch-partitioned audit log") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val goodText = (1 to 20).map(i => s"a$i").mkString(" ")
+    val knownText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, knownText)).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-audit-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-audit-out").toString
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.decisionsToParquet(
+        StreamMerge.ingestPipeline(input.toDS().toDF("doc_id", "text", "ts"), staticBase),
+        outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    phase(Seq((401L, goodText, at(10)), (402L, "too short", at(11))))
+    phase(Seq((403L, knownText, at(20))))
+    val log = StreamMerge.auditLog(spark, outDir)
+      .selectExpr("CAST(batch AS LONG) AS batch", "doc_id", "decision").collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getString(2)))).toMap
+    assert(log == Map(
+      401L -> (0L, "insert"), 402L -> (0L, "short"), 403L -> (1L, "skip_dup")),
+      s"audit log wrong: $log")
+    // the batch column is a partition column: a per-batch audit question
+    // prunes to that batch's directory
+    val b1 = StreamMerge.auditLog(spark, outDir).filter(col("batch") === 1)
+    assert(b1.count() == 1)
+    assert(b1.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(batch"),
+      "batch predicate must prune partitions")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
