@@ -212,13 +212,22 @@ object VectorOps {
     */
   private[graft] def annLshCandidates(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int],
       probeRadius: Int): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1, or 2")
     val base = emb(spark, sfDir)
     val nBits = nBitsOpt.getOrElse(bitsFor(corpusCount(base, sfDir)))
+    val e = withLshBucket(
+      base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
+    lshCandidatesFrom(e, nBits, probeRadius)
+  }
+
+  /** The probe-join stage over any signature frame `(vec_id, embedding,
+    * nrm, bucket)` — shared by the inline path (signatures computed in
+    * the scan projection) and the persisted-index path ([[annLshIndexed]]
+    * reads them from the bucketed table instead).
+    */
+  private def lshCandidatesFrom(e: DataFrame, nBits: Int, probeRadius: Int): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1, or 2")
     require(nBits >= 2 || probeRadius < 2,
       s"radius-2 multi-probe needs at least 2 hyperplane bits, got $nBits")
-    val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
-      expr(bucketExpr(nBits)).as("bucket"))
     // probe sets are distinct buckets, so each candidate can match at
     // most one probe of a given query (no dedup needed).
     val r1 =
@@ -240,15 +249,12 @@ object VectorOps {
       .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
   }
 
-  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-`probeRadius`
-    * multi-probe + true-cosine top-k via the bounded
-    * [[graft.functions.TopK]] aggregate (see [[annLshCandidates]] for the
-    * candidate stage and the probe-set construction).
+  /** Bounded top-k over scored LSH candidates (shared tail of the inline
+    * and indexed paths).
     */
-  private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
-      probeRadius: Int = 1): DataFrame = {
+  private def lshTopK(cands: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopK.top_k
-    annLshCandidates(spark, sfDir, nBitsOpt, probeRadius)
+    cands
       .groupBy("q_id")
       .agg(top_k(col("sim"), col("vec_id"), col("bucket"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -257,8 +263,45 @@ object VectorOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Scale-path ANN: nBits-hyperplane LSH buckets + hamming-`probeRadius`
+    * multi-probe + true-cosine top-k via the bounded
+    * [[graft.functions.TopK]] aggregate (see [[annLshCandidates]] for the
+    * candidate stage and the probe-set construction).
+    */
+  private[graft] def annLshAt(spark: SparkSession, sfDir: String, nBitsOpt: Option[Int], k: Int,
+      probeRadius: Int = 1): DataFrame =
+    lshTopK(annLshCandidates(spark, sfDir, nBitsOpt, probeRadius), k)
+
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshAt(spark, sfDir, None, 3)
+
+  /** Declared consumer of the PERSISTED LSH index: ensures the bucketed
+    * index table for `sfDir` exists in the session catalog (built once —
+    * the offline index build whose amortization §6 measures), then
+    * answers the standard 10-query radius-1 top-3 workload by probing
+    * the TABLE instead of recomputing signatures. Row-identical to
+    * `ann_lsh` by construction — same nBits, same probe set, same
+    * scoring and TopK over signatures that were COMPUTED ONCE at build —
+    * asserted in VectorSpec. No SQL oracle (seeded-hash buckets, like
+    * ann_lsh); deterministic.
+    */
+  private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir)
+    val nBits = bitsFor(corpusCount(base, sfDir))
+    val table = "graft_lsh_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(table)) {
+      // a previous JVM may have left the managed location on disk while
+      // this session's catalog has no entry — Spark refuses to CREATE
+      // over it, so clear the stale location first (it is OUR derived
+      // table path, regenerated deterministically from the same data)
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      writeLshIndex(spark, sfDir, table, nBitsOpt = Some(nBits))
+    }
+    lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius = 1), 3)
+  }
 
   // ---- ann_ivf -----------------------------------------------------------
 
@@ -661,6 +704,8 @@ object VectorOps {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     "ann_lsh" -> QueryDef(annLsh, None),
+
+    "ann_lsh_indexed" -> QueryDef((s, d) => annLshIndexed(s, d), None),
 
     "ann_ivf" -> QueryDef(annIvfQuery, None),
 

@@ -37,8 +37,8 @@ class QueriesSpec extends AnyFunSuite {
   test("oracle SQL exists for every key except the declared non-SQL ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-      "dedup_clusters_minhash", "ann_lsh", "ann_ivf", "embed_neardup_lsh",
-      "multimodal_features"),
+      "dedup_clusters_minhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
+      "embed_neardup_lsh", "multimodal_features"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -170,4 +170,18 @@ class VectorSpec extends AnyFunSuite {
     // joins in the plan are the broadcast query probe join
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("ann_lsh_indexed probes the persisted table and is row-identical to ann_lsh") {
+    val indexed = SparkEntry.queries("ann_lsh_indexed")(spark, sfDir)
+    // the probe reads the index TABLE, not a recomputed signature scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_index_"),
+      s"indexed path did not read the persisted table:\n${plan.take(2000)}")
+    val inline = SparkEntry.queries("ann_lsh")(spark, sfDir).collect().toSeq
+    val fromIdx = indexed.collect().toSeq
+    assert(fromIdx == inline,
+      "persisted-index probe must reproduce the inline ann_lsh rows exactly")
+    // second call hits the existing table (no rebuild): still identical
+    assert(SparkEntry.queries("ann_lsh_indexed")(spark, sfDir).collect().toSeq == inline)
+  }
 }
