@@ -66,7 +66,11 @@ object FileSink {
     */
   def assembled(spark: SparkSession, path: String): DataFrame = {
     // basePath keeps the batch=N partition column for latest-wins ordering
-    val rows = spark.read.option("basePath", path).parquet(path)
+    val raw = spark.read.option("basePath", path).parquet(path)
+    // chunk dirs written before the generation counter existed lack the
+    // column; gen 0 reproduces the old batch-then-content ordering there
+    val rows =
+      if (raw.columns.contains("gen")) raw else raw.withColumn("gen", lit(0))
     val latest = rows
       .groupBy("uuid", "seq")
       .agg(max(struct(col("batch"), col("gen"), col("chunk"))).as("lc"))
