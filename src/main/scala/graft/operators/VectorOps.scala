@@ -537,6 +537,23 @@ object VectorOps {
     nBits
   }
 
+  /** Incremental maintenance for a persisted LSH index: computes
+    * signatures for the NEW rows only and appends them through
+    * `insertInto`, which writes under the TABLE's bucket spec — every
+    * appended file set is bucketed by the same hash, so probes stay
+    * file-pruned and probe joins stay exchange-free on the index side
+    * (asserted in BucketingSpec after an append). `nBits` must be the
+    * value the index was built with (returned by [[writeLshIndex]]) —
+    * mixing signature widths would corrupt the probe contract, which is
+    * why it is a required argument and not re-derived from a count that
+    * the append itself changes. Full-refresh ([[writeLshIndex]]) remains
+    * the compaction path; append handles arrival.
+    */
+  def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int): Unit =
+    withLshBucket(
+      newRows.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
+      .write.mode("append").insertInto(table)
+
   /** IVF sibling of [[writeLshIndex]]: the multi-assigned cell frame
     * persisted bucketed on `cell`. Probes prune to the probed cells'
     * files; the codebook for probe computation is the memoized quantizer

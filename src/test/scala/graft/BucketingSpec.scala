@@ -128,6 +128,39 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits == 5, s"each query must at least hit its own bucket row, got $hits")
   }
 
+  test("appending to the LSH index preserves bucketing, pruning, and probe results") {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, "lsh_idx3", nBuckets = 8)
+    val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0).toArray
+    // append one NEW vector with the query's exact embedding: it lands in
+    // the query's own bucket and must surface as a sim-1.0 probe hit
+    VectorOps.appendToLshIndex(spark, Seq((999999L, qVec)).toDF("vec_id", "embedding"),
+      "lsh_idx3", nBits)
+    val probe = VectorOps.probeLshIndex(spark, "lsh_idx3", qVec, nBits, k = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"probe after append lost bucket pruning:\n$plan")
+    val top = probe.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(top.map(_._1).toSet.intersect(Set(2L, 999999L)) == Set(2L, 999999L),
+      s"appended vector must be probe-visible with sim 1: ${top.toSeq}")
+    top.filter(t => t._1 == 2L || t._1 == 999999L).foreach { t =>
+      assert(math.abs(t._2 - 1.0) < 1e-6, s"self-sim must be 1: $t")
+    }
+    // the appended files carry the table's bucket spec: a probe join
+    // still plans exchange-free on the index side
+    val q = VectorOps.withLshBucket(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 5), nBits)
+      .select(col("vec_id").as("q_id"), col("bucket").as("probe"))
+    val joined = spark.table("lsh_idx3").join(q, col("bucket") === col("probe"))
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(jplan).length == 1,
+      s"append broke the bucketed side of the probe join:\n$jplan")
+    assert(jplan.contains("Bucketed: true"), s"bucketed scan lost after append:\n$jplan")
+  }
+
   test("persisted IVF index: probing nProbe cells prunes to those cells' files") {
     import graft.operators.VectorOps
     import org.apache.spark.sql.functions.col
