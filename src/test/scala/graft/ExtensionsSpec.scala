@@ -186,6 +186,41 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.collect().isEmpty, "empty input must yield zero rows")
   }
 
+  test("window argmin rule: rank rewrite handles expression keys, null keys, and bails on rand()") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hasWindow(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    // EXPRESSION order key: rank over v*-1 asc == rank over v desc
+    val df = Seq((1, 5.0, "x"), (1, 5.0, "y"), (1, 3.0, "z")).toDF("k", "v", "tag")
+    val wExpr = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy($"v" * -1)
+    val qe = df.withColumn("rn", rank().over(wExpr)).filter($"rn" === 1).select("k", "v", "tag")
+    assert(!hasWindow(qe), "rank rewrite must handle expression order keys")
+    assert(qe.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      == Set((1, 5.0, "x"), (1, 5.0, "y")), "both tied-max rows under the negated key")
+    // NULL order keys sort first under ASC NULLS FIRST: the rank-1 group
+    // IS the null rows, and the null-safe join-back must keep them all
+    val dfn = Seq((1, Some(2.0), "a"), (1, None, "b"), (1, None, "c")).toDF("k", "v", "tag")
+    val wAsc = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+    val qn = dfn.withColumn("rn", rank().over(wAsc)).filter($"rn" === 1).select("k", "tag")
+    assert(!hasWindow(qn))
+    assert(qn.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "b"), (1, "c")), "null-key rank-1 rows must survive the join-back")
+    // nondeterministic subtree: duplicating it into both join sides would
+    // evaluate rand() twice — the rule must leave the window alone.
+    // (A LocalRelation source won't do here: ConvertToLocalRelation
+    // pre-evaluates rand() into literal rows before this rule runs, and
+    // the rewrite on literal data is legitimately safe. A file-backed
+    // scan keeps the Rand expression alive in the child.)
+    val qr = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("r", rand(7))
+      .withColumn("rn", rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy($"r")))
+      .filter($"rn" === 1).select("doc_id", "lang")
+    assert(hasWindow(qr), "rank rewrite fired on a nondeterministic child")
+  }
+
   test("top_k aggregate is callable from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k(s, id, p, 2) FROM VALUES
