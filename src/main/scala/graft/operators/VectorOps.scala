@@ -285,21 +285,26 @@ object VectorOps {
     * asserted in VectorSpec. No SQL oracle (seeded-hash buckets, like
     * ann_lsh); deterministic.
     */
-  private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = emb(spark, sfDir)
-    val nBits = bitsFor(corpusCount(base, sfDir))
-    val table = "graft_lsh_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Runs `build` unless `table` already exists in the session catalog.
+    * A previous JVM may have left the managed location on disk while
+    * this session's catalog has no entry — Spark refuses to CREATE over
+    * it, so the stale location is cleared first (it is OUR derived table
+    * path, regenerated deterministically from the same data).
+    */
+  private def ensureIndexTable(spark: SparkSession, table: String)(build: => Unit): Unit =
     if (!spark.catalog.tableExists(table)) {
-      // a previous JVM may have left the managed location on disk while
-      // this session's catalog has no entry — Spark refuses to CREATE
-      // over it, so clear the stale location first (it is OUR derived
-      // table path, regenerated deterministically from the same data)
       val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
       val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      writeLshIndex(spark, sfDir, table, nBitsOpt = Some(nBits))
+      build
     }
+
+  private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir)
+    val nBits = bitsFor(corpusCount(base, sfDir))
+    val table = "graft_lsh_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    ensureIndexTable(spark, table)(writeLshIndex(spark, sfDir, table, nBitsOpt = Some(nBits)))
     lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius = 1), 3)
   }
 
@@ -450,6 +455,25 @@ object VectorOps {
     slice(reverse(array_sort(array(centSimsFor(cents, embCol, Some(nrmCol)): _*))), 1, m),
     s => s.getField("c"))
 
+  /** The probe-join stage over any assignment frame `(vec_id, embedding,
+    * nrm, cent, cidx, cell)` — shared by the inline path and the
+    * persisted-index path ([[annIvfIndexed]] reads assignments from the
+    * bucketed table instead).
+    */
+  private def ivfCandidatesFrom(e: DataFrame, base: DataFrame,
+      cents: Seq[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normCol("embedding").as("q_nrm"))
+      .withColumn("q_probes",
+        topCellsFor(cents, "q_emb", "q_nrm", math.min(nProbe, cents.length)))
+      .withColumn("probe", explode(col("q_probes")))
+    e.join(broadcast(q),
+      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
+      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
+  }
+
   private[graft] def annIvfCandidates(spark: SparkSession, sfDir: String,
       kOpt: Option[Int] = None, nProbe: Int = 2,
       lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
@@ -459,27 +483,15 @@ object VectorOps {
       import spark.implicits._
       return Seq.empty[(Long, Long, Int, Double)].toDF("q_id", "vec_id", "cent", "sim")
     }
-    def topCells(embCol: String, nrmCol: String, m: Int): Column =
-      topCellsFor(cents, embCol, nrmCol, m)
-    val q = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        normCol("embedding").as("q_nrm"))
-      .withColumn("q_probes", topCells("q_emb", "q_nrm", math.min(nProbe, cents.length)))
-      .withColumn("probe", explode(col("q_probes")))
-    e.join(broadcast(q),
-      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
-      .withColumn("sim", dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")))
+    ivfCandidatesFrom(e, base, cents, nProbe)
   }
 
-  /** IVF-Flat top-k over [[annIvfCandidates]] — see that method for the
-    * quantizer, multi-assignment, and recall/latency story.
+  /** Bounded top-k over scored IVF candidates (shared tail of the inline
+    * and indexed paths).
     */
-  private[graft] def annIvf(spark: SparkSession, sfDir: String,
-      kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3,
-      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
+  private def ivfTopK(cands: DataFrame, topK: Int): DataFrame = {
     import graft.functions.TopK.top_k
-    annIvfCandidates(spark, sfDir, kOpt, nProbe, lloydRounds, multiAssign)
+    cands
       .groupBy("q_id")
       .agg(top_k(col("sim"), col("vec_id"), col("cent").cast("long"), topK).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -488,10 +500,42 @@ object VectorOps {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-Flat top-k over [[annIvfCandidates]] — see that method for the
+    * quantizer, multi-assignment, and recall/latency story.
+    */
+  private[graft] def annIvf(spark: SparkSession, sfDir: String,
+      kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3,
+      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame =
+    ivfTopK(annIvfCandidates(spark, sfDir, kOpt, nProbe, lloydRounds, multiAssign), topK)
+
   private def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame =
     annIvf(spark, sfDir)
 
+  /** IVF sibling of [[annLshIndexed]]: the standard nProbe-2 top-3
+    * workload answered from the PERSISTED cell-bucketed index. Cell
+    * assignments come from the table (computed once at build); query
+    * probes come from the memoized codebook — the same `centroidCache`
+    * entry the build trained, so probe and index can never disagree on
+    * the quantizer. Row-identical to `ann_ivf` (asserted in VectorSpec).
+    */
+  private[graft] def annIvfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir)
+    val n = corpusCount(base, sfDir)
+    val k = math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt))
+    val table = "graft_ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    ensureIndexTable(spark, table)(writeIvfIndex(spark, sfDir, table))
+    val cents = centroidCache.getOrElseUpdate((sfDir, k, 10), trainCodebook(base, n, k, 10))
+    ivfTopK(ivfCandidatesFrom(spark.table(table), base, cents, nProbe = 2), 3)
+  }
+
   // ---- persisted ANN index (bucketed build + pruned probe) ---------------
+
+  /** Appends the nBits LSH `bucket` column to any frame with an
+    * `embedding` column — the one signature definition shared by the
+    * inline paths, the index build, and query-side probe frames.
+    */
+  private[graft] def withLshBucket(df: DataFrame, nBits: Int): DataFrame =
+    df.withColumn("bucket", expr(bucketExpr(nBits)))
 
   /** Writes the LSH signature index as a bucketed, bucket-sorted table —
     * the PERSISTED form of the index both ANN families only computed
@@ -519,13 +563,6 @@ object VectorOps {
     * scan — and with it bucket-filter FILE pruning — for a filter-only
     * probe plan, turning the probe back into a full index read.
     */
-  /** Appends the nBits LSH `bucket` column to any frame with an
-    * `embedding` column — the one signature definition shared by the
-    * inline paths, the index build, and query-side probe frames.
-    */
-  private[graft] def withLshBucket(df: DataFrame, nBits: Int): DataFrame =
-    df.withColumn("bucket", expr(bucketExpr(nBits)))
-
   def writeLshIndex(spark: SparkSession, sfDir: String, table: String,
       nBuckets: Int = 16, nBitsOpt: Option[Int] = None): Int = {
     val base = emb(spark, sfDir)
@@ -725,6 +762,8 @@ object VectorOps {
     "ann_lsh_indexed" -> QueryDef((s, d) => annLshIndexed(s, d), None),
 
     "ann_ivf" -> QueryDef(annIvfQuery, None),
+
+    "ann_ivf_indexed" -> QueryDef((s, d) => annIvfIndexed(s, d), None),
 
     "embed_neardup_lsh" -> QueryDef(embedNeardupLshQuery, None),
 

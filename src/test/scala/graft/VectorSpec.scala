@@ -184,4 +184,14 @@ class VectorSpec extends AnyFunSuite {
     // second call hits the existing table (no rebuild): still identical
     assert(SparkEntry.queries("ann_lsh_indexed")(spark, sfDir).collect().toSeq == inline)
   }
+
+  test("ann_ivf_indexed probes the persisted cell table and is row-identical to ann_ivf") {
+    val indexed = SparkEntry.queries("ann_ivf_indexed")(spark, sfDir)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_index_"),
+      s"indexed path did not read the persisted table:\n${plan.take(2000)}")
+    val inline = SparkEntry.queries("ann_ivf")(spark, sfDir).collect().toSeq
+    assert(indexed.collect().toSeq == inline,
+      "persisted-index probe must reproduce the inline ann_ivf rows exactly")
+  }
 }
