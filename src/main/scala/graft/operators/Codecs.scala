@@ -93,9 +93,21 @@ object Codecs {
   /** ASCII samples are whitespace/comment-separated int tokens; any
     * missing, malformed, or out-of-range (> maxval) sample fails the
     * whole decode (total parser — the auto decoder then falls back).
+    *
+    * Because the ASCII variants are ALL printable text, a text document
+    * could in principle masquerade as one — a data-dependent behavior
+    * change on the declared `multimodal_features` key. Two signature
+    * requirements beyond token validity shrink that residual to
+    * documents that ARE valid PNM end to end: the magic must be followed
+    * immediately by a whitespace byte (every real encoder emits this),
+    * and the payload must be FULLY consumed — exactly w·h·planes
+    * samples with nothing but whitespace/comments after the raster. A
+    * text payload with trailing prose after a token-shaped prefix is
+    * rejected, not half-decoded.
     */
   private def decodeAsciiPnm(p: Array[Byte], planes: Int): Option[Array[Float]] =
     for {
+      _ <- if (p.length > 2 && isWs(p(2))) Some(()) else None
       (w, i1) <- intToken(p, 2)
       (h, i2) <- intToken(p, i1)
       (mv, i3) <- intToken(p, i2)
@@ -105,7 +117,9 @@ object Codecs {
       // allocating
       n = w.toLong * h * planes
       if n <= p.length && n <= Int.MaxValue
-      samples <- readAsciiSamples(p, i3, n.toInt, mv)
+      (samples, end) <- readAsciiSamples(p, i3, n.toInt, mv)
+      // full consumption: only whitespace/comments may follow the raster
+      if token(p, end).isEmpty
     } yield {
       val rowN = w * planes
       Array.tabulate(h) { r =>
@@ -117,7 +131,11 @@ object Codecs {
       }
     }
 
-  private def readAsciiSamples(p: Array[Byte], start: Int, n: Int, mv: Int): Option[Array[Int]] = {
+  /** Reads exactly `n` in-range samples; returns them plus the index just
+    * past the last sample byte (for the caller's full-consumption check).
+    */
+  private def readAsciiSamples(p: Array[Byte], start: Int, n: Int, mv: Int)
+      : Option[(Array[Int], Int)] = {
     val out = new Array[Int](n)
     var i = start
     var k = 0
@@ -128,7 +146,7 @@ object Codecs {
         case _ => return None
       }
     }
-    Some(out)
+    Some((out, i))
   }
 
   /** Samples per WAV envelope frame. */

@@ -83,6 +83,16 @@ object MultimodalOps {
     * PNM/WAV payloads and keeps the stub byte-statistics for everything
     * else — text payloads (no PNM/RIFF magic) are decoded identically to
     * the stub, so the declared `multimodal_features` output is unchanged.
+    *
+    * RESIDUAL RISK (documented, deliberately accepted): the ASCII P2/P3
+    * PNM variants are printable text, so a text payload that IS a valid
+    * ASCII PNM end to end would be decoded as an image rather than
+    * byte-statistics. The signature is strict — magic + single
+    * whitespace, exactly w·h·planes in-range integer tokens, and NOTHING
+    * but whitespace/comments after the raster (Codecs.decodeAsciiPnm) —
+    * so a natural-language document cannot trip it; only a document that
+    * is a well-formed PNM in its entirety can, and decoding that one as
+    * an image is arguably the correct reading.
     */
   private[graft] def featuresOf(
       spark: SparkSession, payloads: DataFrame,

@@ -57,6 +57,16 @@ object VectorOps {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Array[Float], Double)]]
 
+  /** IVF codebook size: k ≈ √N clamped to [4, 64]. The ONE definition
+    * shared by the inline query path ([[ivfAssignments]]) and the
+    * persisted-index probe path ([[annIvfIndexed]]) — if these computed k
+    * independently and drifted, the probe would train a DIFFERENT
+    * codebook than the one the persisted cell assignments were built
+    * with, silently breaking the row-identical-to-ann_ivf contract.
+    */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt))
+
   private def normCol(e: String): Column = sqrt(dot(e, e))
 
   /** DuckDB equivalents (list_reduce = same left fold; x[1]/x[2] are the
@@ -288,13 +298,23 @@ object VectorOps {
   /** Runs `build` unless `table` already exists in the session catalog.
     * A previous JVM may have left the managed location on disk while
     * this session's catalog has no entry — Spark refuses to CREATE over
-    * it, so the stale location is cleared first (it is OUR derived table
-    * path, regenerated deterministically from the same data).
+    * it, so the stale location is cleared first. The path deleted is the
+    * EXACT location `saveAsTable` is about to create (derived by the
+    * session catalog itself, honoring the current database — never a
+    * hand-built `warehouse/<name>` guess), and it is OUR derived index
+    * table, regenerated deterministically from the same data.
+    *
+    * SINGLE-SESSION ASSUMPTION: the check-then-delete-then-build sequence
+    * is not atomic. Two sessions sharing one warehouse directory (or
+    * concurrent annLshIndexed/annIvfIndexed calls in separate sessions)
+    * can race — one deleting the location the other is building or
+    * reading. Index tables are session-owned derived state here; a
+    * shared-metastore deployment needs an external build lock.
     */
   private def ensureIndexTable(spark: SparkSession, table: String)(build: => Unit): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.GraftShim.defaultTablePath(spark, table))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       build
@@ -432,7 +452,7 @@ object VectorOps {
       : (Seq[(Int, Array[Float], Double)], DataFrame) = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
-    val k = kOpt.getOrElse(math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt)))
+    val k = kOpt.getOrElse(ivfK(n))
     val cents: Seq[(Int, Array[Float], Double)] =
       centroidCache.getOrElseUpdate((sfDir, k, lloydRounds), trainCodebook(base, n, k, lloydRounds))
     if (cents.isEmpty) return (cents, base)
@@ -521,7 +541,7 @@ object VectorOps {
   private[graft] def annIvfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
-    val k = math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt))
+    val k = ivfK(n)
     val table = "graft_ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     ensureIndexTable(spark, table)(writeIvfIndex(spark, sfDir, table))
     val cents = centroidCache.getOrElseUpdate((sfDir, k, 10), trainCodebook(base, n, k, 10))

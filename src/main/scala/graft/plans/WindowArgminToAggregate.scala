@@ -122,6 +122,51 @@ object WindowArgminToAggregate extends Rule[LogicalPlan] {
     Some(Project(outerList, Project(restored, agg)))
   }
 
+  /** Rebuilds `plan` as a copy with FRESH expression IDs throughout —
+    * leaf relations re-instanced via `MultiInstanceRelation.newInstance()`
+    * and every Alias re-minted, with references remapped bottom-up — the
+    * same discipline Spark's own self-join construction applies
+    * (DeduplicateRelations). Re-aliasing only the VISIBLE output would
+    * leave the interior attribute ids duplicating the other join side's,
+    * which can confuse later exprId-keyed optimizer passes. Returns the
+    * copy and the old→new OUTPUT attribute map; None when some node
+    * produces attributes this traversal cannot re-mint (non-
+    * MultiInstanceRelation leaf, Generate output, …) — callers must then
+    * skip the rewrite.
+    */
+  private def freshCopy(plan: LogicalPlan): Option[(LogicalPlan, AttributeMap[Attribute])] = {
+    import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+    val mapping = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    var ok = true
+    def remapExpr(e: Expression): Expression = e match {
+      case al: Alias =>
+        val fresh = Alias(remapExpr(al.child), al.name)(
+          qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+        mapping(al.exprId) = fresh.toAttribute
+        fresh
+      case a: Attribute => mapping.getOrElse(a.exprId, a)
+      case other => other.mapChildren(remapExpr)
+    }
+    val rebuilt = plan.transformUp {
+      case leaf: LeafNode if leaf.output.nonEmpty =>
+        leaf match {
+          case m: MultiInstanceRelation =>
+            val fresh = m.newInstance().asInstanceOf[LogicalPlan]
+            leaf.output.zip(fresh.output).foreach { case (o, n) => mapping(o.exprId) = n }
+            fresh
+          case _ => ok = false; leaf
+        }
+      case other => other.mapExpressions(remapExpr)
+    }
+    // safety net: a plan node producing output attrs NOT sourced from its
+    // expressions or children (Generate, Expand, …) survives un-reminted;
+    // any id shared with the original means the copy is not actually fresh
+    val originalIds = plan.collect { case n => n.output.map(_.exprId) }.flatten.toSet
+    val rebuiltIds = rebuilt.collect { case n => n.output.map(_.exprId) }.flatten.toSet
+    if (!ok || rebuiltIds.exists(originalIds)) None
+    else Some((rebuilt, AttributeMap(plan.output.zip(rebuilt.output))))
+  }
+
   /** rank()=1 → join back to the per-key order-key extreme (keeps ties). */
   private def rewriteRank(outerList: Seq[NamedExpression], w: Window,
       orderSpec: Seq[SortOrder], useMin: Boolean): Option[LogicalPlan] = {
@@ -134,10 +179,12 @@ object WindowArgminToAggregate extends Rule[LogicalPlan] {
     // whole subtree is deterministic
     if (child.exists(p => p.expressions.exists(!_.deterministic))) return None
     val partAttrs = w.partitionSpec.map(_.asInstanceOf[AttributeReference])
-    // re-alias the aggregate side so the self-join's outputs stay disjoint
-    val rAliases = child.output.map(a => Alias(a, a.name)())
-    val rChild = Project(rAliases, child)
-    val attrMap = AttributeMap(child.output.zip(rAliases.map(_.toAttribute)))
+    // the aggregate side is a fresh-exprId copy so the self-join's two
+    // subtrees share NO ids anywhere, not just at the visible output
+    val (rChild, attrMap) = freshCopy(child) match {
+      case Some(r) => r
+      case None => return None
+    }
     def toRight(e: Expression): Expression = e.transform { case a: Attribute => attrMap(a) }
     val rPartAttrs = partAttrs.map(a => attrMap(a))
     val rOrderKeys = orderKeys.map(toRight)

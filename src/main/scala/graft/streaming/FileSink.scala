@@ -65,12 +65,21 @@ object FileSink {
     * corruption either way.)
     */
   def assembled(spark: SparkSession, path: String): DataFrame = {
-    // basePath keeps the batch=N partition column for latest-wins ordering
-    val raw = spark.read.option("basePath", path).parquet(path)
+    // basePath keeps the batch=N partition column for latest-wins
+    // ordering; mergeSchema because a directory may MIX pre-generation
+    // batch dirs (no gen column) with post-generation ones — without it
+    // Spark can infer the schema from an old footer and silently DROP
+    // the real gen values in newer batches, regressing same-batch
+    // ordering to the nondeterministic content tie-break
+    val raw = spark.read
+      .option("basePath", path).option("mergeSchema", "true").parquet(path)
     // chunk dirs written before the generation counter existed lack the
-    // column; gen 0 reproduces the old batch-then-content ordering there
+    // column (all-old dirs) or carry nulls for it (mixed dirs after the
+    // merged-schema read); gen 0 reproduces the old ordering there
     val rows =
-      if (raw.columns.contains("gen")) raw else raw.withColumn("gen", lit(0))
+      if (raw.columns.contains("gen"))
+        raw.withColumn("gen", coalesce(col("gen"), lit(0)))
+      else raw.withColumn("gen", lit(0))
     val latest = rows
       .groupBy("uuid", "seq")
       .agg(max(struct(col("batch"), col("gen"), col("chunk"))).as("lc"))

@@ -20,6 +20,15 @@ object GraftShim {
   def register(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "builtin")
 
+  /** The EXACT managed location `saveAsTable(table)` would create for
+    * `table` in the session's CURRENT database — delegates to the
+    * catalog's own path derivation instead of hand-building
+    * `warehouse/<name>`, which diverges under a non-default database.
+    */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI =
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
   /** Eager localCheckpoint that also returns the EXACT checkpointed RDD
     * handle, so iterative callers can `unpersist` a superseded
     * generation's blocks deterministically — `Dataset.localCheckpoint`

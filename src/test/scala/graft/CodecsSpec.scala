@@ -100,6 +100,21 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.tryDecodePnm("P2\n2 1\n255\n12 zap\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("ASCII PNM signature is strict: text payloads cannot half-decode as rasters") {
+    // trailing prose after a valid token prefix → reject (full consumption:
+    // a text document that merely STARTS like a P2 must not decode)
+    assert(Codecs.tryDecodePnm(
+      "P2\n2 1\n255\n10 20\nthis is prose, not a raster".getBytes("US-ASCII")).isEmpty)
+    // even one extra sample token beyond w*h → reject
+    assert(Codecs.tryDecodePnm("P2\n2 1\n255\n10 20 30\n".getBytes("US-ASCII")).isEmpty)
+    // magic not followed immediately by whitespace → reject
+    assert(Codecs.tryDecodePnm("P23 2 1 255 10 20".getBytes("US-ASCII")).isEmpty)
+    // trailing whitespace and comments after the raster stay legal
+    assert(Codecs.tryDecodePnm(
+      "P2\n2 1\n255\n10 20\n# trailer comment\n  \n".getBytes("US-ASCII"))
+      .get.toSeq == Seq(15.0f))
+  }
+
   // ---- WAV -----------------------------------------------------------------
 
   test("WAV decode: 256-sample |amplitude| envelope, unknown chunks skipped") {

@@ -221,6 +221,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasWindow(qr), "rank rewrite fired on a nondeterministic child")
   }
 
+  test("window argmin rule: rank join-back shares NO exprIds between the two join sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    // file-backed child WITH an interior alias: both the relation's ids
+    // and the alias-minted id must be re-minted on the aggregate side —
+    // re-aliasing only the visible output would leave interior duplicates
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", ($"doc_id" % 10).as("k"), length($"text").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+    val q = df.withColumn("rn", rank().over(w)).filter($"rn" === 1)
+      .select("k", "v", "doc_id")
+    val opt = q.queryExecution.optimizedPlan
+    assert(!opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"window survived the rank rewrite:\n$opt")
+    val joins = opt.collect { case j: LJoin => j }
+    assert(joins.nonEmpty, s"rank rewrite must produce a join:\n$opt")
+    def producedIds(p: LogicalPlan) =
+      p.collect { case n => n.output.map(_.exprId) }.flatten.toSet
+    joins.foreach { j =>
+      val shared = producedIds(j.left).intersect(producedIds(j.right))
+      assert(shared.isEmpty, s"join sides share exprIds $shared:\n$opt")
+    }
+    assert(q.count() > 0)
+  }
+
   test("top_k aggregate is callable from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k(s, id, p, 2) FROM VALUES

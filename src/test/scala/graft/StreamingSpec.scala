@@ -325,6 +325,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter("seq = 1").count() == 2, "two generations of seq 1 in the batch")
   }
 
+  test("file sink: a directory MIXING pre-generation and generation batch dirs keeps (batch, gen) ordering") {
+    import graft.streaming.FileSink
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-spec-mixgen-out").toString
+    // batch=0 written by a pre-generation sink: no gen column in its footer
+    Seq(("m", 0L, "zzzz-legacy", false, 6L))
+      .toDF("uuid", "seq", "chunk", "done", "written")
+      .write.parquet(s"$outDir/batch=0")
+    // batch=1 carries TWO generations of (m, seq 0); gen 1 must win even
+    // though gen 0's chunk is lexicographically LARGER. If the mixed read
+    // inferred its schema from the legacy footer and dropped gen, the
+    // content tie-break would resurrect "zzzz-0" here.
+    Seq(("m", 0L, "zzzz-0", false, 6L, 0L),
+        ("m", 0L, "new-b1", false, 6L, 1L),
+        ("m", 1L, "", true, 6L, 1L))
+      .toDF("uuid", "seq", "chunk", "done", "written", "gen")
+      .write.parquet(s"$outDir/batch=1")
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("m" -> "new-b1"),
+      s"gen ordering must survive a mixed pre/post-generation directory: $out")
+  }
+
   test("stream-stream ack join: matched frames emit true, timed-out frames false (A12 streaming)") {
     import org.apache.spark.sql.Row
     val sentEnc = { import spark.implicits._; implicitly[Encoder[SentFrame]] }
