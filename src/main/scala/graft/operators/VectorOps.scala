@@ -313,11 +313,21 @@ object VectorOps {
     */
   private def ensureIndexTable(spark: SparkSession, table: String)(build: => Unit): Unit =
     if (!spark.catalog.tableExists(table)) {
+      clearStaleLocation(spark, table)
+      build
+    }
+
+  /** Deletes the managed location `saveAsTable(table)` would create when
+    * the catalog has NO entry for `table` but a previous JVM left the
+    * directory behind (Spark refuses to CREATE over it). Same
+    * single-session assumption as [[ensureIndexTable]].
+    */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         org.apache.spark.sql.GraftShim.defaultTablePath(spark, table))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      build
     }
 
   private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
@@ -534,17 +544,26 @@ object VectorOps {
   /** IVF sibling of [[annLshIndexed]]: the standard nProbe-2 top-3
     * workload answered from the PERSISTED cell-bucketed index. Cell
     * assignments come from the table (computed once at build); query
-    * probes come from the memoized codebook — the same `centroidCache`
-    * entry the build trained, so probe and index can never disagree on
-    * the quantizer. Row-identical to `ann_ivf` (asserted in VectorSpec).
+    * probes come from the PERSISTED codebook written next to it — the
+    * exact quantizer the at-rest cells were assigned with, so probe and
+    * index cannot disagree even in a fresh JVM or after appends (a
+    * retrain on an appended corpus would silently diverge). Legacy
+    * indexes built before codebooks were persisted fall back to the
+    * deterministic retrain. Row-identical to `ann_ivf` (asserted in
+    * VectorSpec — the persisted codebook is bit-identical to the one
+    * `ann_ivf` trains on unchanged data).
     */
   private[graft] def annIvfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
-    val n = corpusCount(base, sfDir)
-    val k = ivfK(n)
     val table = "graft_ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     ensureIndexTable(spark, table)(writeIvfIndex(spark, sfDir, table))
-    val cents = centroidCache.getOrElseUpdate((sfDir, k, 10), trainCodebook(base, n, k, 10))
+    val cents =
+      if (spark.catalog.tableExists(codebookTableFor(table))) loadIvfCodebook(spark, table)._1
+      else {
+        val n = corpusCount(base, sfDir)
+        val k = ivfK(n)
+        centroidCache.getOrElseUpdate((sfDir, k, 10), trainCodebook(base, n, k, 10))
+      }
     ivfTopK(ivfCandidatesFrom(spark.table(table), base, cents, nProbe = 2), 3)
   }
 
@@ -623,7 +642,76 @@ object VectorOps {
     require(cents.nonEmpty, "cannot index an empty corpus")
     e.write.mode("overwrite").bucketBy(nBuckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
+    // persist the trained quantizer NEXT TO the index (k ≤ 64 rows —
+    // metadata scale): probes and appends in ANY later JVM read the
+    // codebook the cell assignments were actually built with, instead of
+    // retraining on a corpus that appends may since have changed
+    val baseN = corpusCount(emb(spark, sfDir), sfDir)
+    clearStaleLocation(spark, codebookTableFor(table))
+    spark.createDataFrame(cents.map { case (i, arr, _) => (i, arr.toSeq, baseN) })
+      .toDF("cent", "embedding", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
     cents
+  }
+
+  private[graft] def codebookTableFor(table: String): String = table + "_codebook"
+
+  /** The persisted quantizer for an IVF index: the codebook rows (sorted
+    * by centroid id, norms recomputed — floats roundtrip parquet exactly,
+    * so this is the bit-identical codebook [[writeIvfIndex]] trained) and
+    * the corpus size at build time (the staleness baseline).
+    */
+  def loadIvfCodebook(spark: SparkSession, table: String)
+      : (Seq[(Int, Array[Float], Double)], Long) = {
+    val rows = spark.table(codebookTableFor(table)).collect()
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map { case (i, a) => (i, a, fnorm(a)) }.toSeq
+    val baseN = if (rows.isEmpty) 0L else rows.head.getLong(2)
+    (cents, baseN)
+  }
+
+  /** Incremental maintenance for a persisted IVF index — the
+    * [[appendToLshIndex]] sibling, with the one extra obligation LSH does
+    * not have: LSH planes are data-independent, but an IVF codebook is
+    * TRAINED, so appended rows must be assigned against the FROZEN
+    * persisted quantizer (loaded from the codebook table — never
+    * retrained, which would silently diverge from the cells already at
+    * rest). This is the standard IVF arrival policy (train once, assign
+    * forever, rebuild on drift): new data does not move centroids, it
+    * only fills cells. `insertInto` writes under the table's bucket spec,
+    * so cell-file pruning and the exchange-free probe join survive the
+    * append (asserted in BucketingSpec).
+    *
+    * The cost of freezing is recall drift: appended data drawn from a
+    * shifted distribution concentrates in few cells and is probed less
+    * effectively. [[ivfIndexStaleness]] quantifies the exposure; rebuild
+    * (the [[writeIvfIndex]] compaction path) when it passes your
+    * tolerance — a reasonable default is 0.5 (half the index postdates
+    * the quantizer).
+    */
+  def appendToIvfIndex(spark: SparkSession, newRows: DataFrame, table: String,
+      multiAssign: Int = 2): Unit = {
+    val (cents, _) = loadIvfCodebook(spark, table)
+    require(cents.nonEmpty, s"no persisted codebook for $table — build with writeIvfIndex")
+    val m = math.min(multiAssign, cents.length)
+    newRows
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+      .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cells")(0).as("cent"),
+        posexplode(col("cells")).as(Seq("cidx", "cell")))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Fraction of the index appended since its codebook was trained:
+    * `(distinct vec_ids now − corpus size at build) / corpus size at
+    * build`. 0 right after a build; the rebuild signal for the frozen
+    * quantizer (see [[appendToIvfIndex]]).
+    */
+  def ivfIndexStaleness(spark: SparkSession, table: String): Double = {
+    val (_, baseN) = loadIvfCodebook(spark, table)
+    if (baseN <= 0L) return 1.0
+    val now = spark.table(table).select("vec_id").distinct().count()
+    math.max(0.0, (now - baseN).toDouble / baseN)
   }
 
   /** Radius-1 probe set for one query vector against a persisted LSH

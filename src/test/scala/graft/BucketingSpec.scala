@@ -181,4 +181,38 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // among the probed candidates
     assert(probed.filter(col("vec_id") === 1).count() >= 1)
   }
+
+  test("appending to the IVF index assigns against the FROZEN persisted codebook and stays pruned") {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cents = VectorOps.writeIvfIndex(spark, sfDir, "ivf_idx2", nBuckets = 8)
+    // the persisted codebook is the bit-identical trained quantizer
+    val (loaded, baseN) = VectorOps.loadIvfCodebook(spark, "ivf_idx2")
+    assert(loaded.map(c => (c._1, c._2.toSeq)) == cents.map(c => (c._1, c._2.toSeq)),
+      "persisted codebook must roundtrip bit-identically")
+    assert(baseN > 0)
+    val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    // append one NEW vector with vec 3's exact embedding: the frozen
+    // quantizer must file it under vec 3's own primary cell
+    VectorOps.appendToIvfIndex(spark, Seq((999998L, qVec)).toDF("vec_id", "embedding"),
+      "ivf_idx2")
+    val primary = spark.table("ivf_idx2")
+      .filter(col("vec_id").isin(3L, 999998L) && col("cidx") === 0)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(primary(3L) == primary(999998L),
+      s"appended twin must land in the original's primary cell: $primary")
+    // cell-file pruning survives the append (the appended files carry the
+    // table's bucket spec)
+    val probed = spark.table("ivf_idx2").filter(col("cell") === primary(3L))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"cell probe lost file pruning after append:\n$plan")
+    assert(probed.filter(col("vec_id") === 999998L).count() >= 1,
+      "appended vector must be probe-visible")
+    // staleness: exactly one appended vec over the build-time corpus
+    val st = VectorOps.ivfIndexStaleness(spark, "ivf_idx2")
+    assert(math.abs(st - 1.0 / baseN) < 1e-9, s"staleness $st with baseN $baseN")
+  }
 }
