@@ -109,5 +109,32 @@ object StreamMerge {
           .when(col("quality") < minQuality, "quality")
           .when(col("existing_id").isNotNull, "skip_dup")
           .otherwise("insert").as("decision"),
-        col("existing_id"))
+        col("existing_id"),
+        // the surviving arrival's event time: lets the audit log answer
+        // WHEN, and carries the upstream watermark to windowed stages
+        col("ts"))
+
+  /** Event-time windowed roll-up of [[ingestPipeline]] decisions — the
+    * pipeline's observability surface with an explicit LATENESS POLICY:
+    * decisions are bucketed by the document's event time into tumbling
+    * windows, and each (window, decision) count is emitted exactly once,
+    * when the watermark (inherited from the pipeline's `delayThreshold`)
+    * closes the window. A document arriving later than that is dropped
+    * by the watermark rather than reopening a closed window — counts are
+    * immutable once emitted (what an audit roll-up needs), trading late
+    * completeness for finality, the same policy [[WindowedCounts]]
+    * applies to raw frames.
+    *
+    * Chains two stateful operators in one query (the pipeline's
+    * watermark-bounded dedup, then this windowed aggregation) — the
+    * composition Spark supports for append-mode event-time windows; the
+    * stream-static join between them is stateless. State here is one
+    * count per open (window, decision), independent of stream history.
+    */
+  def ingestStatsWindowed(decisions: DataFrame,
+      windowDuration: String = "1 minute"): DataFrame =
+    decisions
+      .groupBy(window(col("ts"), windowDuration), col("decision"))
+      .count()
+      .select(col("window.start").as("win_start"), col("decision"), col("count").as("n"))
 }

@@ -569,6 +569,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
   }
 
+  test("windowed ingest stats: counts emit exactly once on watermark close; late docs cannot reopen a window") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val longText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val longText2 = (1 to 20).map(i => s"x$i").mkString(" ")
+    val staticBase = {
+      import spark.implicits._
+      Seq((99L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-wstats-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Long)]()
+    def phase(): Unit = {
+      val q = StreamMerge.ingestStatsWindowed(
+        StreamMerge.ingestPipeline(input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+          delayThreshold = "10 seconds"), "1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: Dataset[Row], _: Long) =>
+          ds.collect().foreach(r =>
+            acc.add((r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // window [0,60): one insert + one short
+    input.addData(Seq((401L, longText, at(10)), (402L, "tiny", at(20))))
+    phase()
+    // advance the watermark past [0,60): max ts 130 - 10s delay = 120
+    input.addData(Seq((403L, longText2, at(130))))
+    phase()
+    // a LATE doc for the closed window is dropped by the watermark — it
+    // must neither reopen [0,60) nor surface anywhere downstream
+    input.addData(Seq((404L, "late tiny", at(30))))
+    phase()
+    // two more advances close [120,180) as well
+    input.addData(Seq((405L, "t", at(400))))
+    phase()
+    input.addData(Seq((406L, "t2", at(600))))
+    phase()
+    val out = acc.asScala.toSeq
+    assert(out.filter(_._1 == 0L).toSet == Set((0L, "insert", 1L), (0L, "short", 1L)),
+      s"window [0,60) decisions wrong: $out")
+    assert(out.count(_._1 == 0L) == 2,
+      s"window [0,60) must emit exactly once per decision (late doc reopened it?): $out")
+    assert(out.filter(_._1 == 120L).toSet == Set((120L, "insert", 1L)),
+      s"window [120,180) decisions wrong: $out")
+  }
+
   test("ingest decisions land in an idempotent batch-partitioned audit log") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.functions.{col, md5, min}
