@@ -170,7 +170,7 @@ object DedupOps {
     * kept representative (the reference's keyed-session "first wins"
     * spirit, `transf_server.cpp:267-273`).
     */
-  private def clusterReport(comp: DataFrame): DataFrame = {
+  private[graft] def clusterReport(comp: DataFrame): DataFrame = {
     val labeled = comp.select(col("doc_id"), col("lbl").as("cluster"))
     val csize = labeled.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
     labeled.join(csize, "cluster")

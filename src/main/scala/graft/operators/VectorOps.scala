@@ -179,6 +179,51 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- embed_clusters ------------------------------------------------------
+
+  /** Embedding near-duplicate CLUSTERS — the third member of the
+    * duplicate-clustering family (content-hash `dedup_clusters`, MinHash
+    * `dedup_clusters_minhash`, and this cosine variant): exact cosine
+    * pairs on the bounded verification range feed the same iterative
+    * min-label connected-components loop, labeling every vector with its
+    * cluster's minimum vec_id. The DuckDB oracle computes identical edges
+    * (same double dot product — bit-identical membership, proven by
+    * `embed_neardup`'s hash-exact pass) and closes them with a recursive
+    * CTE.
+    */
+  private def embedClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val edges = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") > 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = e.select(col("vec_id").as("doc_id"))
+    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges))
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** The PRODUCTION form at corpus scale: LSH-bucketed candidate pairs
+    * over the FULL embedding table ([[embedNeardupLshFrame]] — bounded
+    * per-bucket quadratic, hot-bucket star guard) feed connected
+    * components. No bounded id range, no all-pairs stage, no driver
+    * drain — the embedding sibling of `dedup_clusters_minhash`.
+    * Deterministic (seeded hyperplanes); no SQL oracle (LSH is not
+    * ANSI-expressible); cluster invariants property-tested in DedupSpec.
+    */
+  private[graft] def embedClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir)
+    val edges = embedNeardupLshFrame(base, bitsFor(corpusCount(base, sfDir)), 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = base.select(col("vec_id").as("doc_id"))
+    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges))
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
   // ---- ann_lsh -----------------------------------------------------------
 
   /** Random-hyperplane LSH bucket id over `nBits` deterministic
@@ -874,6 +919,30 @@ object VectorOps {
     "ann_ivf_indexed" -> QueryDef((s, d) => annIvfIndexed(s, d), None),
 
     "embed_neardup_lsh" -> QueryDef(embedNeardupLshQuery, None),
+
+    "embed_clusters" -> QueryDef(embedClusters,
+      Some(s"""WITH RECURSIVE
+              |e AS (
+              |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+              |  FROM embeddings WHERE vec_id < 300),
+              |pr AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.3),
+              |edges AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+              |reach(src, dst) AS (
+              |  SELECT vec_id, vec_id FROM e
+              |  UNION
+              |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+              |comp AS (SELECT src AS vec_id, min(dst) AS cluster FROM reach GROUP BY src)
+              |SELECT c.vec_id, c.cluster, cnt.n AS cluster_size,
+              |       c.vec_id = c.cluster AS is_rep
+              |FROM comp c
+              |JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) cnt
+              |  USING (cluster)
+              |ORDER BY c.vec_id""".stripMargin)),
+
+    "embed_clusters_lsh" -> QueryDef((s, d) => embedClustersLsh(s, d), None),
 
     "multimodal_join" -> QueryDef(multimodalJoin,
       Some(s"""SELECT d.doc_id, d.lang, d.n_chars, e.label, ${normSql("e.embedding")} AS nrm

@@ -117,6 +117,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_clusters_lsh: LSH candidate pairs share labels, clusters keep their min id as rep") {
+    import graft.operators.VectorOps
+    val out = SparkEntry.queries("embed_clusters_lsh")(spark, sfDir).collect()
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.length == nVecs, "every vector must receive a cluster label")
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("embed_neardup_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no LSH candidates at sf0.01 — composition test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"candidate pair ($a,$b) split across clusters")
+    }
+    label.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by its minimum member")
+    }
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)), "is_rep must mark the label row")
+    }
+  }
+
   test("connectedComponents releases superseded checkpoint generations") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

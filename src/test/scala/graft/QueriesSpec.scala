@@ -38,7 +38,8 @@ class QueriesSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
-      "ann_ivf_indexed", "embed_neardup_lsh", "multimodal_features"),
+      "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
+      "multimodal_features"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
