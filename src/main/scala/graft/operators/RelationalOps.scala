@@ -180,6 +180,60 @@ object RelationalOps {
       .orderBy("r_name", "n_name")
   }
 
+  /** Skew-robust inner equi-join — the planned form of the hot-key
+    * split, the join-side sibling of `agg_salted`'s two-phase
+    * aggregation. Hot keys are detected EXACTLY (a per-key count on the
+    * fact side — one partial-agg'd scan, the CBO-statistics analog, not
+    * a sample that can miss a hot key); fact rows with hot keys join
+    * against a BROADCAST of just the dim rows matching those keys, so no
+    * shuffle partition ever receives a hot key's row flood; cold rows
+    * take the ordinary shuffled path; the branches union. Semantically
+    * identical to the plain inner join by construction — the two
+    * branches partition the fact table by hot-set membership — which is
+    * exactly what the oracle checks (the DuckDB side runs the PLAIN
+    * join).
+    *
+    * At 100 TB: AQE's runtime skew split (`skewJoin.enabled`) already
+    * rebalances sort-merge partitions after the fact; this planned form
+    * is for the case AQE cannot fix — a key so hot its rows overwhelm
+    * any single partition BEFORE the first shuffle materializes, where
+    * the only winning move is to never shuffle those rows at all. The
+    * hot-key set is |keys over threshold| rows — broadcastable by
+    * definition (a key set too large to broadcast is not skew, it is
+    * uniform load).
+    */
+  private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, hotThreshold: Long): DataFrame = {
+    val hot = fact.groupBy(factKey).count()
+      .filter(col("count") > hotThreshold)
+      .select(col(factKey).as("__hot_key"))
+    val factHot = fact.join(broadcast(hot), col(factKey) === col("__hot_key"))
+      .drop("__hot_key")
+    val factCold = fact.join(broadcast(hot), col(factKey) === col("__hot_key"), "left_anti")
+    val dimHot = dim.join(broadcast(hot), col(dimKey) === col("__hot_key"))
+      .drop("__hot_key")
+    factHot.join(broadcast(dimHot), col(factKey) === col(dimKey))
+      .unionByName(factCold.join(dim, col(factKey) === col(dimKey)))
+  }
+
+  /** Declared consumer: per-user event rollup joined to customer
+    * attributes through [[saltedSkewJoin]] (threshold 80 splits the
+    * events table's heaviest users onto the broadcast path at every sf —
+    * both branches are exercised). The double `value` sum is quantized
+    * to bigint BEFORE aggregating (floor-scaled — partition-order-
+    * independent and tie-free, the `embed_centroid` discipline), so the
+    * result hash-matches the single-threaded oracle exactly.
+    */
+  private def joinSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").select(col("user_id"), col("value"))
+    val cust = t(spark, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    saltedSkewJoin(ev, cust, "user_id", "c_custkey", hotThreshold = 80L)
+      .groupBy("user_id", "c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1e9) AS BIGINT)")).as("value_q"))
+      .orderBy("user_id")
+  }
+
   /** TPC-H Q5-style 5-way join with region filter. */
   private def joinMulti(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
@@ -483,6 +537,13 @@ object RelationalOps {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    "join_skew" -> QueryDef(joinSkew,
+      Some("""SELECT e.user_id, c.c_mktsegment, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(e.value * 1e9) AS BIGINT)) AS BIGINT) AS value_q
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY e.user_id""".stripMargin)),
 
     "join_semi" -> QueryDef(joinSemi,
       Some("""SELECT c_custkey, c_name FROM customer

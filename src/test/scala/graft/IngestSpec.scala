@@ -51,6 +51,45 @@ class IngestSpec extends AnyFunSuite {
       s"quarantine must capture exactly the malformed lines: $corrupt")
   }
 
+  test("CSV: valid and corrupt rows separate cleanly; neither is lost") {
+    import graft.sources.CsvLines
+    val dir = Files.createTempDirectory("graft-csv")
+    // the pinned quarantine contract: TYPE failures are quarantined;
+    // arity mismatches follow CSV's loose-schema tradition — extra
+    // fields dropped, missing trailing fields null (documented on
+    // CsvLines)
+    val lines = Seq(
+      "1,en,hello world",
+      "not-a-long,de,kaputt",
+      "3,fr,bonjour",
+      "4,es,hola,EXTRA-COLUMN")
+    Files.write(dir.resolve("part-0.csv"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val parsed = CsvLines.read(spark, dir.toString, docSchema)
+    val good = parsed.filter(col(CsvLines.CorruptCol).isNull)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good == Map(1L -> "en", 3L -> "fr", 4L -> "es"),
+      s"clean rows wrong (extra column must drop, not corrupt): $good")
+
+    val corrupt = CsvLines.corruptLines(spark, dir.toString, docSchema)
+      .collect().map(_.getString(0)).toSet
+    assert(corrupt == Set(lines(1)),
+      s"quarantine must capture exactly the type-failed rows: $corrupt")
+  }
+
+  test("parquet -> CSV -> parse round trip is lossless for documents") {
+    import graft.sources.CsvLines
+    val out = Files.createTempDirectory("graft-csv-rt").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    val back = CsvLines.read(spark, out, docSchema, header = true).cache()
+    assert(back.filter(col(CsvLines.CorruptCol).isNotNull).count() == 0)
+    assert(back.select("doc_id", "lang", "text").exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back.select("doc_id", "lang", "text")).count() == 0)
+  }
+
   test("parquet -> JSONL -> parse round trip is lossless for documents") {
     val out = Files.createTempDirectory("graft-jsonl-rt").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -106,6 +106,35 @@ class PlanSpec extends AnyFunSuite {
       s"TopK must partial-aggregate map-side:\n$p")
   }
 
+  test("join_skew routes hot keys through broadcast joins and stays union-of-two-branches") {
+    val p = plan("join_skew")
+    // hot-key detection join, hot-side anti join, and the hot fact⋈dim
+    // join are all broadcasts — no shuffle ever receives a hot key's rows
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"hot path must plan broadcast joins:\n$p")
+    assert(p.contains("Union"), s"hot/cold branches must union:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("saltedSkewJoin is semantically identical to the plain inner join") {
+    import graft.operators.RelationalOps
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select("user_id", "value")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val skew = RelationalOps.saltedSkewJoin(ev, cust, "user_id", "c_custkey", 80L)
+    val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+      .select(skew.columns.map(col): _*)
+    assert(skew.count() == plain.count(), "row cardinality diverged")
+    assert(skew.exceptAll(plain).isEmpty && plain.exceptAll(skew).isEmpty,
+      "salted skew join changed the join's multiset semantics")
+    // the threshold genuinely splits this data: both branches non-empty
+    val hotKeys = ev.groupBy("user_id").count().filter(col("count") > 80).count()
+    assert(hotKeys > 0, "no hot keys at threshold 80 — hot branch untested")
+    assert(hotKeys < ev.select("user_id").distinct().count(),
+      "every key hot at threshold 80 — cold branch untested")
+  }
+
   test("dedup_exact groups on the hash with map-side partial aggregation") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
