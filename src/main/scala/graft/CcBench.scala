@@ -34,6 +34,29 @@ object CcBench {
       val ts = (1 to 3).map(_ => run(rel)).sorted
       println(f"CC_BENCH mode=$name median=${ts(1)}%.3f [${ts.head}%.3f, ${ts.last}%.3f] sf=$sfDir")
     }
+
+    // propagation-round counts per clustering key's edge set — the
+    // scheduling-floor multiplier; decides whether path compression
+    // (extra shuffle per round, fewer rounds) would pay
+    import graft.operators.VectorOps
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("dedup_clusters_minhash",
+        () => DedupOps.minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        d.select("doc_id")),
+      ("embed_clusters_lsh",
+        () => VectorOps.embedClustersEdges(spark, sfDir),
+        emb.select(col("vec_id").as("doc_id"))))
+    shapes.foreach { case (name, mkEdges, nodes) =>
+      Seq(false, true).foreach { comp =>
+        val t0 = System.nanoTime()
+        val res = DedupOps.connectedComponentsTracked(nodes, mkEdges(), compress = comp)
+        res.labels.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"CC_ROUNDS key=$name compress=$comp rounds=${res.rounds} secs=$secs%.3f sf=$sfDir")
+        res.release()
+      }
+    }
     spark.stop()
   }
 }

@@ -87,14 +87,17 @@ object DedupOps {
     */
   private[graft] def connectedComponents(
       nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50,
-      reliable: Boolean = false): DataFrame =
-    connectedComponentsTracked(nodes, edges0, maxIter, reliable).labels
+      reliable: Boolean = false, compress: Boolean = false): DataFrame =
+    connectedComponentsTracked(nodes, edges0, maxIter, reliable, compress).labels
 
   /** Clustering result handle: `labels` stays readable until `release()`
     * frees the final generation's storage (blocks + reliable-checkpoint
-    * files) — after release the frame must not be read again.
+    * files) — after release the frame must not be read again. `rounds`
+    * is the number of propagation rounds until convergence (the +1
+    * fixpoint-confirmation round included) — the scheduling-floor
+    * multiplier a capacity plan needs.
     */
-  final case class ComponentsResult(labels: DataFrame, release: () => Unit)
+  final case class ComponentsResult(labels: DataFrame, rounds: Int, release: () => Unit)
 
   /** [[connectedComponents]] with explicit storage control.
     *
@@ -113,9 +116,29 @@ object DedupOps {
     * insurance premium). Superseded generations release their blocks AND
     * files deterministically each round in both modes.
     */
+  /** `compress = true` adds PATH HALVING to each round: after the
+    * propagation hop, every node also adopts the label OF its adopted
+    * label (labels are node ids, so the round's label map applies to
+    * itself) — chain-shaped components collapse in ~O(log diameter)
+    * rounds instead of O(diameter), at the price of one extra join +
+    * shuffle per round. MEASURED at sf0.1 (CcBench, within-run pairs —
+    * this host's cross-run noise is documented in §6): the chain-shaped
+    * embedding-cosine graph drops 12 → 8 rounds and ~20% wall
+    * (4.52 → 3.51 s; 7.26 → 3.65 s in a second pairing), while the dense
+    * minhash graph (2 rounds either way) pays the extra join for nothing
+    * (~15% slower) — so the default is OFF and the embedding cluster
+    * keys opt IN. Rule of thumb: turn it on when the measured round
+    * count (see [[ComponentsResult.rounds]]) exceeds ~4, or on clusters
+    * where each round's scheduling floor + full label shuffle dwarfs an
+    * extra join.
+    * Correctness is mode-independent: labels only decrease, stay node
+    * ids of the same component, and are bounded below by the component
+    * minimum, whose own label never drops below itself — the fixpoint is
+    * the per-component min either way (DedupSpec runs both modes).
+    */
   private[graft] def connectedComponentsTracked(
       nodes: DataFrame, edges0: DataFrame, maxIter: Int = 50,
-      reliable: Boolean = false): ComponentsResult = {
+      reliable: Boolean = false, compress: Boolean = false): ComponentsResult = {
     // both edge directions in ONE pass over the scored pairs (a union of
     // two selects would evaluate the expensive edge subtree twice), then
     // materialize: every round re-reads the edges, so they must not
@@ -140,14 +163,24 @@ object DedupOps {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
-      // the new label rides NEXT TO the old one through the round's single
-      // checkpoint, so convergence is a narrow filter-count over the
-      // materialized blocks — no extra join (and no extra shuffle) per
-      // round just to compare generations
-      val (next, nextRdd) = ckpt(
-        labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-          .select(labels("doc_id"), labels("lbl").as("old_lbl"),
-            least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("lbl")))
+      // one propagation hop: adopt the min label among self and neighbors
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(labels("doc_id"), labels("lbl").as("old_lbl"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("mid"))
+      // the new label rides NEXT TO the old one through the round's
+      // single checkpoint, so convergence is a narrow filter-count over
+      // the materialized blocks — no extra job per round to compare
+      // generations. Path halving (see the method doc for when) applies
+      // the round's own label map to itself before the checkpoint.
+      val rounded =
+        if (!compress) stepped.withColumnRenamed("mid", "lbl")
+        else {
+          val jump = stepped.select(col("doc_id").as("j_id"), col("mid").as("j_lbl"))
+          stepped.join(jump, stepped("mid") === jump("j_id"), "left")
+            .select(stepped("doc_id"), col("old_lbl"),
+              least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl"))
+        }
+      val (next, nextRdd) = ckpt(rounded)
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
       GraftShim.releaseCheckpoint(prevRdd)
       prevRdd = nextRdd
@@ -162,7 +195,7 @@ object DedupOps {
     GraftShim.releaseCheckpoint(edgeRdd)
     // the final round's storage stays alive — the returned frame reads it
     val finalRdd = prevRdd
-    ComponentsResult(labels, () => GraftShim.releaseCheckpoint(finalRdd))
+    ComponentsResult(labels, iter, () => GraftShim.releaseCheckpoint(finalRdd))
   }
 
   /** Decorates component labels into the declared output shape:

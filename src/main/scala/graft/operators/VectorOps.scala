@@ -203,7 +203,10 @@ object VectorOps {
       .filter(col("sim") > 0.3)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = e.select(col("vec_id").as("doc_id"))
-    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges))
+    // cosine-threshold graphs are chain-shaped (12 propagation rounds at
+    // sf0.1 vs the minhash graph's 2) — path halving pays here, measured
+    // ~20% faster end to end (CcBench; see connectedComponentsTracked)
+    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges, compress = true))
       .withColumnRenamed("doc_id", "vec_id")
   }
 
@@ -215,12 +218,17 @@ object VectorOps {
     * Deterministic (seeded hyperplanes); no SQL oracle (LSH is not
     * ANSI-expressible); cluster invariants property-tested in DedupSpec.
     */
-  private[graft] def embedClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def embedClustersEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
-    val edges = embedNeardupLshFrame(base, bitsFor(corpusCount(base, sfDir)), 0.3)
+    embedNeardupLshFrame(base, bitsFor(corpusCount(base, sfDir)), 0.3)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val nodes = base.select(col("vec_id").as("doc_id"))
-    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges))
+  }
+
+  private[graft] def embedClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = emb(spark, sfDir).select(col("vec_id").as("doc_id"))
+    DedupOps.clusterReport(
+      DedupOps.connectedComponents(nodes, embedClustersEdges(spark, sfDir),
+        compress = true))
       .withColumnRenamed("doc_id", "vec_id")
   }
 

@@ -188,6 +188,14 @@ class DedupSpec extends AnyFunSuite {
     val rm = rel.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm == rm, "reliable mode must produce identical components")
     assert(lm(1L) == 1L && lm(3L) == 1L && lm(5L) == 4L && lm(8L) == 6L && lm(11L) == 11L)
+    // path-halving mode: identical fixpoint, fewer-or-equal rounds on a
+    // chain-y graph (the 1-2-3 and 6-7-8 chains exercise the jump)
+    val comp = DedupOps.connectedComponentsTracked(nodes, edges, compress = true)
+    val cm = comp.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm == lm, "compress mode must produce identical components")
+    assert(comp.rounds <= local.rounds,
+      s"path halving took MORE rounds (${comp.rounds} > ${local.rounds})")
+    comp.release()
     assert(rddDirs().nonEmpty, "reliable mode must have written checkpoint files")
     val persistedBefore = sc.getPersistentRDDs.size
     local.release()
