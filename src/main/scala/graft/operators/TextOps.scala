@@ -181,6 +181,36 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Per-document top-3 TF-IDF terms over the bounded verification range
+    * — the classic corpus-relevance scoring of a text pipeline (keyword
+    * extraction, relevance features). TF is the raw in-document term
+    * count; IDF is kept as the EXACT RATIONAL (N+1)/(df+1) rather than
+    * its logarithm — ln() would hand the comparison to two different
+    * libm implementations, while a ratio of identical bigints divides to
+    * a bit-identical double in both engines (log is monotone, so the
+    * top-k per document is the same set either way). Per-doc ranking is
+    * a window partitioned by doc_id: per-partition rows are bounded by a
+    * document's distinct token count, so the window is massively
+    * parallel with no skew funnel — the safe window shape, unlike the
+    * global funnels `vocab_topk` salts around.
+    */
+  private def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir).filter(col("doc_id") < 300)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * (col("n_docs") + 1) / (col("df") + 1))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** The composed corpus filter — the end-to-end keep/drop decision a
     * pretraining-data pipeline applies per document, with the drop REASON
     * recorded (what a data auditor actually asks for): exact-dup removal
@@ -342,6 +372,22 @@ object TextOps {
              |  FROM c)
              |SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt
              |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    "tfidf_topk" -> QueryDef(tfidfTopk,
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM d),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             |         tf.tf * (n.n_docs + 1) / (df.df + 1) AS tfidf
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+             |  FROM scored)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, tfidf
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     "corpus_filter" -> QueryDef(corpusFilter,
       Some(s"""WITH q AS (
