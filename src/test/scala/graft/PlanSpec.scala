@@ -135,6 +135,18 @@ class PlanSpec extends AnyFunSuite {
       "every key hot at threshold 80 — cold branch untested")
   }
 
+  test("tfidf_topk ranks per-doc with a group-limited window, never a single-partition funnel") {
+    val p = plan("tfidf_topk")
+    // Spark's WindowGroupLimit pushes the rank<=3 cutoff below the
+    // shuffle — each map task keeps 3 rows per doc before exchanging
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+    // the ranking window itself partitions by doc_id (the global
+    // SinglePartition exchange in this plan is only the 1-row corpus
+    // count — legitimate); a window without partition keys would funnel
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"per-doc window must hash-partition on doc_id:\n$p")
+  }
+
   test("dedup_exact groups on the hash with map-side partial aggregation") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
