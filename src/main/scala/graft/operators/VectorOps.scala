@@ -385,9 +385,14 @@ object VectorOps {
 
   private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
-    val nBits = bitsFor(corpusCount(base, sfDir))
     val table = "graft_lsh_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    ensureIndexTable(spark, table)(writeLshIndex(spark, sfDir, table, nBitsOpt = Some(nBits)))
+    ensureIndexTable(spark, table)(writeLshIndex(spark, sfDir, table))
+    // probe with the nBits the index was BUILT with (persisted metadata —
+    // correct even after appends changed the corpus count); legacy
+    // indexes without a meta table fall back to the deterministic
+    // re-derivation, which matches because their corpus is unchanged
+    val nBits = loadLshMeta(spark, table).map(_._1)
+      .getOrElse(bitsFor(corpusCount(base, sfDir)))
     lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius = 1), 3)
   }
 
@@ -658,13 +663,47 @@ object VectorOps {
   def writeLshIndex(spark: SparkSession, sfDir: String, table: String,
       nBuckets: Int = 16, nBitsOpt: Option[Int] = None): Int = {
     val base = emb(spark, sfDir)
-    val nBits = nBitsOpt.getOrElse(bitsFor(corpusCount(base, sfDir)))
+    val n = corpusCount(base, sfDir)
+    val nBits = nBitsOpt.getOrElse(bitsFor(n))
     withLshBucket(
       base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
       .write.mode("overwrite").bucketBy(nBuckets, "bucket").sortBy("bucket")
       .format("parquet").saveAsTable(table)
+    // persist the signature width + build-time corpus size next to the
+    // index (the LSH analog of the IVF codebook table): probes read the
+    // nBits the cells were actually hashed with, appends VALIDATE against
+    // it, and staleness has its baseline
+    clearStaleLocation(spark, metaTableFor(table))
+    spark.createDataFrame(Seq((nBits, n))).toDF("nbits", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
     nBits
   }
+
+  private[graft] def metaTableFor(table: String): String = table + "_meta"
+
+  /** The persisted (nBits, build-time corpus size) of an LSH index; None
+    * for indexes built before the meta table existed.
+    */
+  def loadLshMeta(spark: SparkSession, table: String): Option[(Int, Long)] =
+    if (!spark.catalog.tableExists(metaTableFor(table))) None
+    else spark.table(metaTableFor(table)).collect().headOption
+      .map(r => (r.getInt(0), r.getLong(1)))
+
+  /** Fraction of the index appended since it was built — the LSH
+    * counterpart of [[ivfIndexStaleness]]. The hyperplanes are
+    * data-independent, so what drifts here is not a quantizer but BUCKET
+    * SIZING: `bitsFor` targeted ~32 vectors/bucket at build, and every
+    * append grows the average population, degrading the within-bucket
+    * scan bound. Rebuild ([[writeLshIndex]]) re-derives nBits for the
+    * grown corpus.
+    */
+  def lshIndexStaleness(spark: SparkSession, table: String): Double =
+    loadLshMeta(spark, table) match {
+      case None | Some((_, 0L)) => 1.0
+      case Some((_, baseN)) =>
+        val now = spark.table(table).count()
+        math.max(0.0, (now - baseN).toDouble / baseN)
+    }
 
   /** Incremental maintenance for a persisted LSH index: computes
     * signatures for the NEW rows only and appends them through
@@ -678,10 +717,18 @@ object VectorOps {
     * the append itself changes. Full-refresh ([[writeLshIndex]]) remains
     * the compaction path; append handles arrival.
     */
-  def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int): Unit =
+  def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int): Unit = {
+    // hard guard against the one misuse that silently corrupts probes:
+    // signatures of a different width than the at-rest cells'
+    loadLshMeta(spark, table).foreach { case (builtBits, _) =>
+      require(builtBits == nBits,
+        s"index $table was built with nBits=$builtBits but append got nBits=$nBits — " +
+          "mixed signature widths corrupt the probe contract; rebuild with writeLshIndex")
+    }
     withLshBucket(
       newRows.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
       .write.mode("append").insertInto(table)
+  }
 
   /** IVF sibling of [[writeLshIndex]]: the multi-assigned cell frame
     * persisted bucketed on `cell`. Probes prune to the probed cells'

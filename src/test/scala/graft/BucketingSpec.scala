@@ -159,6 +159,18 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(jplan).length == 1,
       s"append broke the bucketed side of the probe join:\n$jplan")
     assert(jplan.contains("Bucketed: true"), s"bucketed scan lost after append:\n$jplan")
+    // persisted meta: the built nBits and the staleness baseline
+    val Some((metaBits, baseN)) = VectorOps.loadLshMeta(spark, "lsh_idx3")
+    assert(metaBits == nBits && baseN > 0)
+    val st = VectorOps.lshIndexStaleness(spark, "lsh_idx3")
+    assert(math.abs(st - 1.0 / baseN) < 1e-9, s"staleness $st with baseN $baseN")
+    // an append with the WRONG signature width must be refused, not
+    // silently mixed into the at-rest cells
+    val boom = intercept[IllegalArgumentException] {
+      VectorOps.appendToLshIndex(spark, Seq((999997L, qVec)).toDF("vec_id", "embedding"),
+        "lsh_idx3", nBits + 1)
+    }
+    assert(boom.getMessage.contains("mixed signature widths"), boom.getMessage)
   }
 
   test("persisted IVF index: probing nProbe cells prunes to those cells' files") {
