@@ -135,6 +135,36 @@ class PlanSpec extends AnyFunSuite {
       "every key hot at threshold 80 — cold branch untested")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join (conf pinned)") {
+    // At 100 TB a selective dim filter should reach the fact scan as a
+    // bloom semi-filter BEFORE the shuffle — Spark injects it, but only
+    // under confs whose defaults (10 GB application-side threshold) are
+    // tuned for clusters, not this test box. This test pins the exact
+    // conf set a deployment needs and that the injection still fires on
+    // our join shape in this Spark version.
+    import org.apache.spark.sql.functions.col
+    val changed = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle-join shape
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = changed.map { case (k, _) => k -> spark.conf.getOption(k) }
+    changed.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("tfidf_topk ranks per-doc with a group-limited window, never a single-partition funnel") {
     val p = plan("tfidf_topk")
     // Spark's WindowGroupLimit pushes the rank<=3 cutoff below the
