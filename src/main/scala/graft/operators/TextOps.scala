@@ -181,6 +181,26 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Overlapping token-window chunking — the LLM-pretraining document
+    * segmentation (context-window packing with overlap so no span is
+    * seen only at a boundary), as distinct from `chunk_split`'s
+    * byte-protocol framing. Window 50 tokens, stride 40 (10-token
+    * overlap): chunk i covers tokens [i·40, i·40+50), chunks emitted
+    * while i·40 < n, so the tail chunk is short rather than dropped —
+    * integer arithmetic only, `(n + 39) div 40` chunks, identical in
+    * both engines. One narrow generator per document (explode of a
+    * per-row sequence) — no shuffle at all until the oracle's ORDER BY.
+    */
+  private def tokenChunk(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, (size(toks) + 39) div 40 - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr("least(50, size(toks) - chunk_id * 40)").cast("long").as("n_tok"),
+        expr("array_join(slice(toks, chunk_id * 40 + 1, 50), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Per-document top-3 TF-IDF terms over the bounded verification range
     * — the classic corpus-relevance scoring of a text pipeline (keyword
     * extraction, relevance features). TF is the raw in-document term
@@ -372,6 +392,17 @@ object TextOps {
              |  FROM c)
              |SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt
              |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    "token_chunk" -> QueryDef(tokenChunk,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |         unnest(generate_series(0, (len(toks) + 39) // 40 - 1)) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, chunk_id,
+             |       least(50, len(toks) - chunk_id * 40) AS n_tok,
+             |       array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
     "tfidf_topk" -> QueryDef(tfidfTopk,
       Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
