@@ -42,6 +42,27 @@ object IndexBench {
     val inlineTs = (1 to 3).map(_ => time(inline())._2).sorted
     println(f"INDEX_BENCH build=${build}%.3f probe10_median=${probeTs(1)}%.3f " +
       f"(${probeTs(1) / 10}%.4f/query) inline10_median=${inlineTs(1)}%.3f sf=$sfDir")
+
+    // incremental maintenance: append a 1% batch to each index family vs
+    // the full rebuild it saves — the arrival-path amortization
+    import spark.implicits._
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < (n / 100).max(1))
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    batch.collect() // warm the batch read out of the measurement
+    val (_, lshAppend) = time {
+      VectorOps.appendToLshIndex(spark, batch, "lsh_bench_idx", nBits)
+    }
+    val (_, ivfBuild) = time(VectorOps.writeIvfIndex(spark, sfDir, "ivf_bench_idx"))
+    val (_, ivfAppend) = time {
+      VectorOps.appendToIvfIndex(spark, batch, "ivf_bench_idx")
+    }
+    val lshStale = VectorOps.lshIndexStaleness(spark, "lsh_bench_idx")
+    val ivfStale = VectorOps.ivfIndexStaleness(spark, "ivf_bench_idx")
+    println(f"INDEX_APPEND lsh_append=$lshAppend%.3f (vs build=$build%.3f) " +
+      f"ivf_append=$ivfAppend%.3f (vs build=$ivfBuild%.3f) " +
+      f"staleness lsh=$lshStale%.4f ivf=$ivfStale%.4f sf=$sfDir")
     spark.stop()
   }
 }

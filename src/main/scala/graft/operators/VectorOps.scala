@@ -450,9 +450,16 @@ object VectorOps {
     if (cents.isEmpty) return cents
     val dim = cents.head._2.length
     for (_ <- 1 to lloydRounds) {
-      val stats = base
-        .select(bestCentFor(cents, "embedding", None).as("cent"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
+      // ASSIGN below the explode: a select that mixes a generator with
+      // other expressions plans those expressions in the Project ABOVE
+      // the Generate, re-evaluating the k×dim assignment once PER
+      // EXPLODED ELEMENT (dim× the work — measured 63 s/round on 2 000
+      // rows at k=45). Materializing `cent` in its own projection first
+      // keeps it below the Generate: once per vector.
+      val assigned = base
+        .select(col("embedding"), bestCentFor(cents, "embedding", None).as("cent"))
+      val stats = assigned
+        .select(col("cent"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cent"), col("pos"),
           floor(col("v").cast("double") * lit(1e9)).as("qv"))
         .groupBy("cent", "pos")
