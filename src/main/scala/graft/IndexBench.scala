@@ -50,7 +50,8 @@ object IndexBench {
     val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") < (n / 100).max(1))
       .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
-    batch.collect() // warm the batch read out of the measurement
+      .cache()
+    batch.count() // pin the batch so the timed appends measure only the append
     val (_, lshAppend) = time {
       VectorOps.appendToLshIndex(spark, batch, "lsh_bench_idx", nBits)
     }

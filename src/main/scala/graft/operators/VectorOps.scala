@@ -755,8 +755,9 @@ object VectorOps {
     // retraining on a corpus that appends may since have changed
     val baseN = corpusCount(emb(spark, sfDir), sfDir)
     clearStaleLocation(spark, codebookTableFor(table))
-    spark.createDataFrame(cents.map { case (i, arr, _) => (i, arr.toSeq, baseN) })
-      .toDF("cent", "embedding", "base_n")
+    spark.createDataFrame(
+      cents.map { case (i, arr, _) => (i, arr.toSeq, baseN, multiAssign) })
+      .toDF("cent", "embedding", "base_n", "multi_assign")
       .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
     cents
   }
@@ -770,11 +771,24 @@ object VectorOps {
     */
   def loadIvfCodebook(spark: SparkSession, table: String)
       : (Seq[(Int, Array[Float], Double)], Long) = {
-    val rows = spark.table(codebookTableFor(table)).collect()
+    val (cents, baseN, _) = loadIvfCodebookFull(spark, table)
+    (cents, baseN)
+  }
+
+  /** [[loadIvfCodebook]] plus the build-time multiAssign (codebooks
+    * persisted before the column existed read as the historical default
+    * 2 — the only value ever built then).
+    */
+  private[graft] def loadIvfCodebookFull(spark: SparkSession, table: String)
+      : (Seq[(Int, Array[Float], Double)], Long, Int) = {
+    val cb = spark.table(codebookTableFor(table))
+    val hasMa = cb.columns.contains("multi_assign")
+    val rows = cb.collect()
     val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map { case (i, a) => (i, a, fnorm(a)) }.toSeq
     val baseN = if (rows.isEmpty) 0L else rows.head.getLong(2)
-    (cents, baseN)
+    val ma = if (rows.isEmpty || !hasMa) 2 else rows.head.getInt(3)
+    (cents, baseN, ma)
   }
 
   /** Incremental maintenance for a persisted IVF index — the
@@ -795,12 +809,17 @@ object VectorOps {
     * (the [[writeIvfIndex]] compaction path) when it passes your
     * tolerance — a reasonable default is 0.5 (half the index postdates
     * the quantizer).
+    *
+    * multiAssign is NOT a parameter: the index's own build-time value is
+    * read from the codebook table. A mismatched append (extra secondary
+    * cells) would silently break `ivfCandidatesFrom`'s join-exactly-once
+    * candidate contract — the same misuse class the LSH append's nBits
+    * guard refuses.
     */
-  def appendToIvfIndex(spark: SparkSession, newRows: DataFrame, table: String,
-      multiAssign: Int = 2): Unit = {
-    val (cents, _) = loadIvfCodebook(spark, table)
+  def appendToIvfIndex(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
+    val (cents, _, builtMa) = loadIvfCodebookFull(spark, table)
     require(cents.nonEmpty, s"no persisted codebook for $table — build with writeIvfIndex")
-    val m = math.min(multiAssign, cents.length)
+    val m = math.min(builtMa, cents.length)
     newRows
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
       .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))

@@ -23,15 +23,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * whole-file reads and is the wrong ingest format at scale), so a
   * directory of CSV parts parallelizes like any text source.
   *
-  * Same Spark caveat as JSON: a query whose SCAN references only
-  * `_corrupt_record` is rejected (column pruning re-triggers the check
-  * even when intermediate selects carry data columns) — [[corruptLines]]
-  * keeps a data column referenced in a filter constant folding cannot
-  * remove.
+  * Same Spark caveat as JSON — the corrupt-only-scan workaround lives
+  * once, in [[Quarantine]].
   */
 object CsvLines {
 
-  val CorruptCol = "_corrupt_record"
+  val CorruptCol: String = Quarantine.CorruptCol
 
   def read(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = false): DataFrame =
@@ -43,13 +40,9 @@ object CsvLines {
       .csv(path)
 
   /** The quarantine view: raw text of every row that failed the schema,
-    * for reprocessing/auditing (see class doc for the filter guard).
+    * for reprocessing/auditing.
     */
   def corruptLines(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = false): DataFrame = {
-    val first = schema.fieldNames.head
-    read(spark, path, schema, header)
-      .filter(s"$CorruptCol IS NOT NULL AND length(coalesce(CAST(`$first` AS STRING), '')) >= 0")
-      .select(CorruptCol)
-  }
+      header: Boolean = false): DataFrame =
+    Quarantine.corruptOnly(read(spark, path, schema, header), schema)
 }

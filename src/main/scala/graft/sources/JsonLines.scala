@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object JsonLines {
 
-  val CorruptCol = "_corrupt_record"
+  val CorruptCol: String = Quarantine.CorruptCol
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
@@ -29,17 +29,9 @@ object JsonLines {
       .json(path)
 
   /** The quarantine view: raw text of every line that failed the schema,
-    * for reprocessing/auditing. Spark disallows queries whose scan
-    * references ONLY the corrupt column (column pruning would otherwise
-    * strip the data columns and the check fires even if they appear in
-    * intermediate selects); the always-true `length(...) >= 0` guard
-    * keeps a data column referenced in the filter, where pruning cannot
-    * drop it and constant folding cannot prove it away.
+    * for reprocessing/auditing (see [[Quarantine]] for the corrupt-only-
+    * scan workaround this shares with the CSV source).
     */
-  def corruptLines(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val first = schema.fieldNames.head
-    read(spark, path, schema)
-      .filter(s"$CorruptCol IS NOT NULL AND length(coalesce(CAST(`$first` AS STRING), '')) >= 0")
-      .select(CorruptCol)
-  }
+  def corruptLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    Quarantine.corruptOnly(read(spark, path, schema), schema)
 }

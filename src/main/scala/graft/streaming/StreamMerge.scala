@@ -92,7 +92,11 @@ object StreamMerge {
     * appears once per observation.
     */
   def auditLog(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("basePath", path).parquet(path)
+    // mergeSchema: decision rows gained a ts column (round 7) — a log
+    // directory mixing pre-ts and post-ts batch dirs must not let an old
+    // footer win schema inference and silently drop the real timestamps
+    // (the same mixed-schema failure FileSink.assembled guards against)
+    spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path)
 
   def ingestPipeline(
       docs: DataFrame, baseIndex: DataFrame,

@@ -663,6 +663,25 @@ class StreamingSpec extends AnyFunSuite {
       "batch predicate must prune partitions")
   }
 
+  test("audit log read merges pre-ts and post-ts batch directories without dropping ts") {
+    import graft.streaming.StreamMerge
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spec-auditmix").toString
+    // batch=0 written before decision rows carried an event time
+    Seq((1L, "h1", 10L, 0.9, "insert", Option.empty[Long]))
+      .toDF("doc_id", "h", "n_tokens", "quality", "decision", "existing_id")
+      .write.parquet(s"$dir/batch=0")
+    Seq((2L, "h2", 12L, 0.8, "insert", Option.empty[Long],
+        Option(new java.sql.Timestamp(42000L))))
+      .toDF("doc_id", "h", "n_tokens", "quality", "decision", "existing_id", "ts")
+      .write.parquet(s"$dir/batch=1")
+    val log = StreamMerge.auditLog(spark, dir)
+    assert(log.columns.contains("ts"),
+      s"ts dropped by mixed-schema inference: ${log.columns.toSeq}")
+    val ts = log.select("doc_id", "ts").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(ts(2L) != null && ts(1L) == null, s"merged ts wrong: $ts")
+  }
+
   test("uuid reuse after DONE starts a clean new session") {
     val text = "0123456789abcdef"
     val fs = frames("e", text)
