@@ -43,6 +43,32 @@ class QueriesSpec extends AnyFunSuite {
       s"unexpected oracle-less keys: $noOracle")
   }
 
+  test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("token_chunk")(spark, sfDir).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every document must chunk")
+    byDoc.foreach { case (id, rows) =>
+      val chunks = rows.sortBy(_.getLong(1)).map(_.getString(3))
+      // chunk i's first 40 tokens are tokens [i*40, i*40+40); the final
+      // chunk carries the whole tail (n <= lastStart+40 < lastStart+50),
+      // so stride prefixes + full last chunk rebuild the document
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val toks = c.split(" ", -1)
+        if (i == chunks.length - 1) toks else toks.take(40)
+      }.mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id reconstruction failed")
+      // window contract: chunk i holds min(50, n - i*40) tokens — full
+      // 50-token windows until the document end clips them
+      val n = docs(id).split(" ", -1).length
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.split(" ", -1).length == math.min(50, n - i * 40),
+          s"doc $id chunk $i window size wrong")
+      }
+    }
+  }
+
   test("corpus_filter: keep implies every gate passed, and both outcomes occur") {
     val rows = SparkEntry.queries("corpus_filter")(spark, sfDir).collect()
     val decisions = rows.map(_.getString(5)).toSet
