@@ -201,6 +201,27 @@ object TextOps {
         expr("array_join(slice(toks, chunk_id * 40 + 1, 50), ' ')").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-granularity exact dedup — the [[tokenChunk]] ∘ [[dedupExact]]
+    * composition pretraining pipelines actually run (dedup at the
+    * training-example level: two different documents sharing a window of
+    * text collapse at the chunk level even though neither document is a
+    * full duplicate). One content hash per chunk, min-(doc_id, chunk_id)
+    * canonical per hash — encoded as one bigint key (doc_id·10⁶ +
+    * chunk_id) so both engines take the SAME lexicographic minimum
+    * without relying on struct-ordering semantics — plus the copy count.
+    * The interior orderBy of the reused chunker is eliminated by
+    * Catalyst below the aggregation (EliminateSorts).
+    */
+  private def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    tokenChunk(spark, sfDir)
+      .withColumn("h", md5(col("chunk_text")))
+      .groupBy("h")
+      .agg(min(col("doc_id") * lit(1000000L) + col("chunk_id")).as("mk"),
+        count(lit(1)).as("n_copies"))
+      .select(col("h"), expr("mk div 1000000").as("doc_id"),
+        (col("mk") % 1000000L).as("chunk_id"), col("n_copies"))
+      .orderBy("h")
+
   /** Per-document top-3 TF-IDF terms over the bounded verification range
     * — the classic corpus-relevance scoring of a text pipeline (keyword
     * extraction, relevance features). TF is the raw in-document term
@@ -403,6 +424,24 @@ object TextOps {
              |       least(50, len(toks) - chunk_id * 40) AS n_tok,
              |       array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "chunk_dedup" -> QueryDef(chunkDedup,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |         unnest(generate_series(0, (len(toks) + 39) // 40 - 1)) AS chunk_id
+             |  FROM t),
+             |ch AS (
+             |  SELECT doc_id, chunk_id,
+             |         array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
+             |  FROM c),
+             |g AS (
+             |  SELECT md5(chunk_text) AS h,
+             |         min(doc_id * 1000000 + chunk_id) AS mk,
+             |         count(*) AS n_copies
+             |  FROM ch GROUP BY 1)
+             |SELECT h, mk // 1000000 AS doc_id, mk % 1000000 AS chunk_id, n_copies
+             |FROM g ORDER BY h""".stripMargin)),
 
     "tfidf_topk" -> QueryDef(tfidfTopk,
       Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
