@@ -209,6 +209,9 @@ object TextOps {
     * canonical per hash — encoded as one bigint key (doc_id·10⁶ +
     * chunk_id) so both engines take the SAME lexicographic minimum
     * without relying on struct-ordering semantics — plus the copy count.
+    * The encoding assumes chunk_id < 10⁶ (a 40M-token document) and
+    * doc_id < 9.2·10¹² at that width; both engines share the encoding,
+    * so the oracle comparison is unaffected either way.
     * The interior orderBy of the reused chunker is eliminated by
     * Catalyst below the aggregation (EliminateSorts).
     */
