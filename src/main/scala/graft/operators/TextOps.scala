@@ -201,6 +201,62 @@ object TextOps {
         expr("array_join(slice(toks, chunk_id * 40 + 1, 50), ' ')").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
 
+  /** One packed chunk assignment: which training sequence a chunk landed
+    * in and at which token offset.
+    */
+  private[graft] final case class PackedChunk(
+      shard: Long, seq_id: Long, doc_id: Long, chunk_id: Long,
+      n_tok: Long, offset: Long)
+
+  /** Greedy sequence PACKING of [[tokenChunk]] windows into fixed
+    * token-budget training sequences (512 here) — the step after
+    * chunking in a pretraining pipeline: short tails are concatenated
+    * into full sequences instead of padded, so the token budget is spent
+    * on data, not padding. First-fit in (doc_id, chunk_id) order within
+    * each shard: a chunk opens a new sequence when it would overflow the
+    * budget.
+    *
+    * Scale shape: packing is inherently SEQUENTIAL, so it cannot be one
+    * big fold — instead the corpus shards by `doc_id % 32` (at 100 TB:
+    * thousands of shards), each shard packs independently, and a shard
+    * never leaves its partition: `repartition(shard)` then
+    * `sortWithinPartitions` then ONE `mapPartitions` pass holding
+    * per-shard running state — the documented legitimate mapPartitions
+    * slot (imperative per-partition logic no Column algebra expresses).
+    * Deterministic: the sort fixes the fold order. No oracle (greedy
+    * packing is not ANSI-expressible); invariants in QueriesSpec —
+    * exactly-once packing, budget respected, offsets contiguous.
+    */
+  private[graft] def chunkPack(spark: SparkSession, sfDir: String,
+      budget: Long = 512L, shards: Int = 32): DataFrame = {
+    import spark.implicits._
+    val chunks = tokenChunk(spark, sfDir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        (col("doc_id") % shards).as("shard"))
+    chunks
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        // per-shard running state; a partition may host several shards
+        var shard = -1L
+        var seq = 0L
+        var used = 0L
+        it.map { case (docId, chunkId, nTok, sh) =>
+          if (sh != shard) { shard = sh; seq = 0L; used = 0L }
+          if (used + nTok > budget && used > 0) { seq += 1; used = 0L }
+          val off = used
+          used += nTok
+          PackedChunk(shard, seq, docId, chunkId, nTok, off)
+        }
+      }
+      .toDF()
+      .orderBy("shard", "seq_id", "offset")
+  }
+
+  private def chunkPackQuery(spark: SparkSession, sfDir: String): DataFrame =
+    chunkPack(spark, sfDir)
+
   /** Chunk-granularity exact dedup — the [[tokenChunk]] ∘ [[dedupExact]]
     * composition pretraining pipelines actually run (dedup at the
     * training-example level: two different documents sharing a window of
@@ -427,6 +483,8 @@ object TextOps {
              |       least(50, len(toks) - chunk_id * 40) AS n_tok,
              |       array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "chunk_pack" -> QueryDef(chunkPackQuery, None),
 
     "chunk_dedup" -> QueryDef(chunkDedup,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -39,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
-      "multimodal_features"),
+      "multimodal_features", "chunk_pack"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
@@ -67,6 +67,46 @@ class QueriesSpec extends AnyFunSuite {
           s"doc $id chunk $i window size wrong")
       }
     }
+  }
+
+  test("chunk_pack: exactly-once packing, budget respected, offsets contiguous, deterministic") {
+    import graft.operators.TextOps
+    val budget = 512L
+    val packed = SparkEntry.queries("chunk_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every token_chunk window packed exactly once
+    val chunkKeys = SparkEntry.queries("token_chunk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed.map(p => (p._3, p._4)).toSet == chunkKeys &&
+      packed.length == chunkKeys.size, "packing must cover every chunk exactly once")
+    // shard assignment honored; per-sequence budget respected; offsets
+    // contiguous within each (shard, seq)
+    packed.foreach(p => assert(p._1 == p._3 % 32, s"wrong shard: $p"))
+    packed.groupBy(p => (p._1, p._2)).foreach { case (key, rows) =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.map(_._5).sum <= budget, s"sequence $key overflows the budget")
+      var expect = 0L
+      sorted.foreach { p =>
+        assert(p._6 == expect, s"offset gap in $key at $p")
+        expect += p._5
+      }
+    }
+    // greedy property: a sequence only ends because the NEXT chunk of
+    // its shard would not fit (no premature cuts)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val seqs = rows.groupBy(_._2).toSeq.sortBy(_._1)
+      seqs.sliding(2).foreach {
+        case Seq((_, cur), (_, next)) =>
+          val firstNext = next.minBy(_._6)
+          assert(cur.map(_._5).sum + firstNext._5 > budget,
+            s"sequence cut early: ${cur.head._1}/${cur.head._2}")
+        case _ =>
+      }
+    }
+    // deterministic: a second run packs identically
+    val again = TextOps.chunkPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(again.sorted.sameElements(packed.sorted), "packing must be deterministic")
   }
 
   test("corpus_filter: keep implies every gate passed, and both outcomes occur") {
