@@ -214,7 +214,9 @@ object TextOps {
     * into full sequences instead of padded, so the token budget is spent
     * on data, not padding. First-fit in (doc_id, chunk_id) order within
     * each shard: a chunk opens a new sequence when it would overflow the
-    * budget.
+    * budget. A chunk LARGER than the budget occupies a sequence alone
+    * (the standard oversize exception) — unreachable with the default
+    * pairing, since [[tokenChunk]] windows cap at 50 tokens < 512.
     *
     * Scale shape: packing is inherently SEQUENTIAL, so it cannot be one
     * big fold — instead the corpus shards by `doc_id % 32` (at 100 TB:
@@ -227,8 +229,11 @@ object TextOps {
     * packing is not ANSI-expressible); invariants in QueriesSpec —
     * exactly-once packing, budget respected, offsets contiguous.
     */
+  private[graft] val PackBudget = 512L
+  private[graft] val PackShards = 32
+
   private[graft] def chunkPack(spark: SparkSession, sfDir: String,
-      budget: Long = 512L, shards: Int = 32): DataFrame = {
+      budget: Long = PackBudget, shards: Int = PackShards): DataFrame = {
     import spark.implicits._
     val chunks = tokenChunk(spark, sfDir)
       .select(col("doc_id"), col("chunk_id"), col("n_tok"),
@@ -253,9 +258,6 @@ object TextOps {
       .toDF()
       .orderBy("shard", "seq_id", "offset")
   }
-
-  private def chunkPackQuery(spark: SparkSession, sfDir: String): DataFrame =
-    chunkPack(spark, sfDir)
 
   /** Chunk-granularity exact dedup — the [[tokenChunk]] ∘ [[dedupExact]]
     * composition pretraining pipelines actually run (dedup at the
@@ -484,7 +486,7 @@ object TextOps {
              |       array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
-    "chunk_pack" -> QueryDef(chunkPackQuery, None),
+    "chunk_pack" -> QueryDef(chunkPack(_, _), None),
 
     "chunk_dedup" -> QueryDef(chunkDedup,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

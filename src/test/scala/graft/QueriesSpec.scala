@@ -71,7 +71,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("chunk_pack: exactly-once packing, budget respected, offsets contiguous, deterministic") {
     import graft.operators.TextOps
-    val budget = 512L
+    val budget = TextOps.PackBudget
     val packed = SparkEntry.queries("chunk_pack")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     // every token_chunk window packed exactly once
@@ -81,7 +81,7 @@ class QueriesSpec extends AnyFunSuite {
       packed.length == chunkKeys.size, "packing must cover every chunk exactly once")
     // shard assignment honored; per-sequence budget respected; offsets
     // contiguous within each (shard, seq)
-    packed.foreach(p => assert(p._1 == p._3 % 32, s"wrong shard: $p"))
+    packed.foreach(p => assert(p._1 == p._3 % TextOps.PackShards, s"wrong shard: $p"))
     packed.groupBy(p => (p._1, p._2)).foreach { case (key, rows) =>
       val sorted = rows.sortBy(_._6)
       assert(sorted.map(_._5).sum <= budget, s"sequence $key overflows the budget")
