@@ -259,6 +259,31 @@ object TextOps {
       .orderBy("shard", "seq_id", "offset")
   }
 
+  /** The packed TRAINING EXAMPLES themselves: [[chunkPack]] assignments
+    * joined back to their chunk texts and concatenated in offset order —
+    * one row per (shard, seq_id) with the sequence text, its chunk
+    * count, and its exact token count. The assembly is a bounded
+    * per-sequence `collect_list` (≤ budget/1 tokens ⇒ ≤ budget chunks —
+    * partial-agg'd, massively parallel, the same bounded-group shape as
+    * the file sink's reassembly). No oracle (inherits the packing's
+    * non-ANSI fold); QueriesSpec pins token conservation — each
+    * sequence's whitespace token count equals the sum of its chunks'
+    * n_tok, and the corpus total is conserved.
+    */
+  private[graft] def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = chunkPack(spark, sfDir)
+    val texts = tokenChunk(spark, sfDir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    packed.join(texts, Seq("doc_id", "chunk_id"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tok").as("n_tok"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("offset"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ").as("text"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** Chunk-granularity exact dedup — the [[tokenChunk]] ∘ [[dedupExact]]
     * composition pretraining pipelines actually run (dedup at the
     * training-example level: two different documents sharing a window of
@@ -487,6 +512,8 @@ object TextOps {
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
     "chunk_pack" -> QueryDef(chunkPack(_, _), None),
+
+    "pack_sequences" -> QueryDef(packSequences(_, _), None),
 
     "chunk_dedup" -> QueryDef(chunkDedup,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

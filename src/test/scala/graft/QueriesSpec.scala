@@ -39,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
-      "multimodal_features", "chunk_pack"),
+      "multimodal_features", "chunk_pack", "pack_sequences"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
@@ -107,6 +107,21 @@ class QueriesSpec extends AnyFunSuite {
     val again = TextOps.chunkPack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(again.sorted.sameElements(packed.sorted), "packing must be deterministic")
+  }
+
+  test("pack_sequences: token conservation per sequence and corpus-wide") {
+    val seqs = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(seqs.nonEmpty)
+    seqs.foreach { case (key, nChunks, nTok, text) =>
+      assert(nChunks >= 1)
+      assert(text.split(" ", -1).length.toLong == nTok,
+        s"sequence $key text token count != declared n_tok")
+    }
+    val chunkTotal = SparkEntry.queries("token_chunk")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    assert(seqs.map(_._3).sum == chunkTotal,
+      "corpus token total must be conserved through packing")
   }
 
   test("corpus_filter: keep implies every gate passed, and both outcomes occur") {
