@@ -158,6 +158,26 @@ object DedupOps {
 
     var (labels, prevRdd) = ckpt(
       nodes.select(col("doc_id"), col("doc_id").as("lbl")))
+    // SCHEDULING-FLOOR COALESCE: every round is 2-3 shuffles over the
+    // label frame, and the session's shuffle-partition count is sized for
+    // the CORPUS, not for a label frame that may hold a few hundred rows —
+    // locally that floor (32 partitions x 3 shuffles x ~10 rounds) is pure
+    // task-scheduling overhead. Both frames are materialized checkpoints
+    // here, so counting them is a block read, not a recompute; the loop
+    // runs under a shuffle-partition count sized to the LARGER frame
+    // (~32k rows/partition), clamped to the session value so a 100 TB run
+    // keeps its cluster-tuned parallelism — the override only ever
+    // shrinks. Restored in `finally`; note the conf is session-scoped, so
+    // queries running CONCURRENTLY on this session during the loop would
+    // plan with the reduced count (bench/verify run queries sequentially).
+    val spark = nodes.sparkSession
+    val nNodes = labels.count()
+    val nEdges = edges.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(prevShuffle.toLong,
+      math.max(nNodes, nEdges) / 32768L + 1L)
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -196,7 +216,48 @@ object DedupOps {
     // the final round's storage stays alive — the returned frame reads it
     val finalRdd = prevRdd
     ComponentsResult(labels, iter, () => GraftShim.releaseCheckpoint(finalRdd))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** The LEAK-FREE form every declared clustering query returns: runs the
+    * tracked CC, decorates the labels ([[clusterReport]]), SINKS the
+    * report to a deterministic parquet location, releases the final
+    * checkpoint generation, and returns the re-read frame.
+    *
+    * Why not return the labels frame directly (what the r7 keys did): its
+    * lineage is TRUNCATED to the final generation's localCheckpoint
+    * blocks, and the query contract hands the frame to a caller whose
+    * lifetime we don't control — the release handle gets discarded, every
+    * invocation strands a generation, and once enough strand, GC-driven
+    * cleanup unpersists blocks that CANNOT be recomputed (truncated
+    * lineage), which is exactly the 13-224 s per-rep spread the r7 driver
+    * bench measured on `embed_clusters`. Writing the report out and
+    * re-reading it gives the caller a frame that is trivially
+    * recomputable (a parquet scan), costs one small write, and lets every
+    * byte of iteration storage be freed deterministically before the
+    * query returns. This is also the production shape: a 100 TB
+    * clustering run persists its label table to durable storage anyway —
+    * the sink is the contract, not a workaround ([[sinkDir]] points at
+    * java.io.tmpdir locally; a cluster deployment would point it at the
+    * warehouse).
+    */
+  private[graft] def clusterReportReleased(nodes: DataFrame, edges: DataFrame,
+      sinkKey: String, compress: Boolean = false): DataFrame = {
+    val spark = nodes.sparkSession
+    val res = connectedComponentsTracked(nodes, edges, compress = compress)
+    val dir = sinkDir(sinkKey)
+    clusterReport(res.labels).write.mode("overwrite").parquet(dir)
+    res.release()
+    // re-sort: parquet read order is per-file, not the write-time sort
+    spark.read.parquet(dir).orderBy("doc_id")
+  }
+
+  /** Stable per-(query, dataset) sink path: repeated invocations (bench
+    * reps) overwrite one location instead of accumulating temp dirs.
+    */
+  private def sinkDir(key: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-cc",
+      key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
   /** Decorates component labels into the declared output shape:
     * (doc_id, cluster, cluster_size, is_rep) with the min-id member as the
@@ -221,7 +282,7 @@ object DedupOps {
       .filter(col("jacc") >= 0.8)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
-    clusterReport(connectedComponents(nodes, edges))
+    clusterReportReleased(nodes, edges, s"dedup_clusters_$sfDir")
   }
 
   /** The PRODUCTION dedup composition at corpus scale: MinHash+LSH
@@ -237,7 +298,7 @@ object DedupOps {
   private def dedupClustersMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val edges = minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    clusterReport(connectedComponents(d.select("doc_id"), edges))
+    clusterReportReleased(d.select("doc_id"), edges, s"dedup_clusters_minhash_$sfDir")
   }
 
   /** Character n-gram Jaccard (3-grams) over a bounded id range — the

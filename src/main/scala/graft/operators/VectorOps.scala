@@ -206,7 +206,7 @@ object VectorOps {
     // cosine-threshold graphs are chain-shaped (12 propagation rounds at
     // sf0.1 vs the minhash graph's 2) — path halving pays here, measured
     // ~20% faster end to end (CcBench; see connectedComponentsTracked)
-    DedupOps.clusterReport(DedupOps.connectedComponents(nodes, edges, compress = true))
+    DedupOps.clusterReportReleased(nodes, edges, s"embed_clusters_$sfDir", compress = true)
       .withColumnRenamed("doc_id", "vec_id")
   }
 
@@ -226,9 +226,8 @@ object VectorOps {
 
   private[graft] def embedClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val nodes = emb(spark, sfDir).select(col("vec_id").as("doc_id"))
-    DedupOps.clusterReport(
-      DedupOps.connectedComponents(nodes, embedClustersEdges(spark, sfDir),
-        compress = true))
+    DedupOps.clusterReportReleased(nodes, embedClustersEdges(spark, sfDir),
+      s"embed_clusters_lsh_$sfDir", compress = true)
       .withColumnRenamed("doc_id", "vec_id")
   }
 
@@ -236,13 +235,15 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket id over `nBits` deterministic
     * pseudo-random hyperplanes (seeded xxhash64 per (plane, dim), scaled to
-    * [-1, 1]) → 2^nBits buckets.
+    * [-1, 1]) → 2^nBits buckets. Native codegen expression
+    * ([[graft.functions.LshBucket]] — plane matrix hashed once at plan
+    * time, tight primitive loop per row) replacing the r7 interpreted
+    * `aggregate(sequence(...))` HOF, which re-hashed nBits·64 xxhash64
+    * calls PER ROW and kept the whole signature scan out of whole-stage
+    * codegen; bit-identical by construction, pinned in VectorSpec.
     */
-  private def bucketExpr(nBits: Int): String =
-    s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, k) -> acc +
-       |  if(aggregate(sequence(0, 63), 0.0D,
-       |       (s, d) -> s + double(element_at(embedding, d + 1)) * (double(xxhash64(k, d)) / 9.223372036854775807E18)) >= 0.0D,
-       |     shiftleft(1L, k), 0L))""".stripMargin
+  private def bucketCol(nBits: Int): Column =
+    graft.functions.LshBucket.lsh_bucket(col("embedding"), nBits)
 
   /** Bucket bits sized to the corpus: 2^bits buckets targeting ~32
     * candidates per bucket, clamped to [4, 24]. At 1e9 vectors this yields
@@ -639,7 +640,7 @@ object VectorOps {
     * inline paths, the index build, and query-side probe frames.
     */
   private[graft] def withLshBucket(df: DataFrame, nBits: Int): DataFrame =
-    df.withColumn("bucket", expr(bucketExpr(nBits)))
+    df.withColumn("bucket", bucketCol(nBits))
 
   /** Writes the LSH signature index as a bucketed, bucket-sorted table —
     * the PERSISTED form of the index both ANN families only computed
@@ -841,13 +842,13 @@ object VectorOps {
   }
 
   /** Radius-1 probe set for one query vector against a persisted LSH
-    * index, computed through the SAME `bucketExpr` definition as the
+    * index, computed through the SAME `bucketCol` definition as the
     * index build (one 1-row job — quantizer-metadata scale, not a data
     * scan), so build and probe can never disagree on the hash.
     */
   private[graft] def lshProbesFor(spark: SparkSession, qVec: Array[Float], nBits: Int): Seq[Long] = {
     import spark.implicits._
-    val b = Seq(qVec).toDF("embedding").select(expr(bucketExpr(nBits))).head().getLong(0)
+    val b = Seq(qVec).toDF("embedding").select(bucketCol(nBits)).head().getLong(0)
     b +: (0 until nBits).map(i => b ^ (1L << i))
   }
 
@@ -900,7 +901,7 @@ object VectorOps {
   private[graft] def embedNeardupLshFrame(base: DataFrame, nBits: Int,
       threshold: Double = 0.3, hotCap: Int = 256): DataFrame = {
     val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
-      expr(bucketExpr(nBits)).as("bucket"))
+      bucketCol(nBits).as("bucket"))
     val ann = DedupOps.annotateBuckets(e, Seq("bucket"), "vec_id", Seq("embedding", "nrm"))
     val sm = ann.filter(col("bucket_n") <= hotCap)
     val a = sm.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))

@@ -44,6 +44,35 @@ class VectorSpec extends AnyFunSuite {
     assert((0 until a.size).map(i => (a.scores(i), a.ids(i))) == Seq((0.9, 1L), (0.8, 4L)))
   }
 
+  test("LshBucket is bit-identical to the interpreted HOF it replaced") {
+    import graft.functions.LshBucket.lsh_bucket
+    // the EXACT r7 SQL definition (VectorOps.bucketExpr) — the semantic pin
+    def hof(nBits: Int): String =
+      s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, k) -> acc +
+         |  if(aggregate(sequence(0, 63), 0.0D,
+         |       (s, d) -> s + double(element_at(embedding, d + 1)) * (double(xxhash64(k, d)) / 9.223372036854775807E18)) >= 0.0D,
+         |     shiftleft(1L, k), 0L))""".stripMargin
+    val e = sources.Tables(spark, sfDir, "embeddings").limit(200)
+    for (nBits <- Seq(4, 7, 13)) {
+      val mismatches = e
+        .select(expr(hof(nBits)).as("old"), lsh_bucket(col("embedding"), nBits).as("nu"))
+        .filter(col("old") =!= col("nu")).count()
+      assert(mismatches == 0L, s"nBits=$nBits: $mismatches rows diverge from the HOF")
+    }
+    // null-semantics pin: null array and null element both bucket to 0, not NULL
+    val withNulls = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding
+        |UNION ALL
+        |SELECT transform(sequence(0, 63), i -> IF(i = 7, CAST(NULL AS FLOAT), CAST(0.5 AS FLOAT)))""".stripMargin)
+    val got = withNulls.select(lsh_bucket(col("embedding"), 8)).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 0L))
+    // short-array pin: fails loudly instead of silently hashing garbage
+    val short = spark.sql("SELECT array(CAST(1.0 AS FLOAT)) AS embedding")
+    val ex = intercept[Exception](short.select(lsh_bucket(col("embedding"), 4)).collect())
+    assert(ex.getMessage.contains("hyperplanes") ||
+      String.valueOf(ex.getCause).contains("hyperplanes"), ex.toString)
+  }
+
   test("float_dot rejects non-ARRAY<FLOAT> arguments at analysis time") {
     import graft.functions.FloatDot.float_dot
     val ex = intercept[Exception] {
