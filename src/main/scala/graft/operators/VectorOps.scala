@@ -673,6 +673,10 @@ object VectorOps {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
     val nBits = nBitsOpt.getOrElse(bitsFor(n))
+    // a previous JVM may have left the managed location while THIS
+    // session's in-memory catalog has no entry — saveAsTable refuses to
+    // create over it (no-op when the catalog knows the table)
+    clearStaleLocation(spark, table)
     withLshBucket(
       base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
       .write.mode("overwrite").bucketBy(nBuckets, "bucket").sortBy("bucket")
@@ -738,6 +742,54 @@ object VectorOps {
       .write.mode("append").insertInto(table)
   }
 
+  /** REPLAY-SAFE [[appendToLshIndex]] — the form a streaming
+    * `foreachBatch` must use. foreachBatch is at-least-once: a micro-batch
+    * replayed after a failure re-delivers rows whose previous append DID
+    * commit, and duplicate index rows become duplicate probe candidates
+    * that silently skew TopK results and inflate staleness. vec_id is the
+    * index's identity, so idempotence is an anti-join against the at-rest
+    * ids: replayed rows vanish, genuinely new ones append. (Parquet
+    * appends commit atomically per job — a failed append leaves nothing —
+    * so probe-the-ids-then-insert composes to exactly-once for a single
+    * sequential maintainer; concurrent appenders of the SAME vec_id would
+    * race the check, the same single-writer assumption
+    * [[ensureIndexTable]] documents.) Cost is one scan of the index's
+    * vec_id column per batch — the price of idempotence on a plain
+    * parquet table; a transactional table format would key a MERGE on
+    * vec_id instead.
+    */
+  def appendToLshIndexIdempotent(spark: SparkSession, newRows: DataFrame,
+      table: String, nBits: Int): Unit = {
+    // refresh BEFORE the identity read and AFTER the insert: under
+    // foreachBatch the insert executes through the micro-batch CLONE
+    // session, which invalidates only the clone's table-relation cache —
+    // this session's cached file listing goes stale, and a stale id list
+    // here would silently re-append a prior batch's rows (the exact
+    // duplicate-candidates failure idempotence exists to prevent)
+    spark.catalog.refreshTable(table)
+    appendToLshIndex(spark,
+      newRows.join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
+      table, nBits)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Streaming LSH index maintenance: wires a `(vec_id, embedding)`
+    * stream into per-batch idempotent appends — with checkpointing this
+    * is end-to-end exactly-once index maintenance (the FileSink pattern,
+    * keyed on vec_id instead of batch id because `insertInto` under a
+    * bucket spec cannot isolate per-batch subdirectories). nBits must be
+    * the index's build width (validated against the meta table on every
+    * batch by [[appendToLshIndex]]).
+    */
+  def lshIndexMaintenance(spark: SparkSession, vectors: DataFrame, table: String,
+      nBits: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        appendToLshIndexIdempotent(spark, df, table, nBits)
+      }
+
   /** IVF sibling of [[writeLshIndex]]: the multi-assigned cell frame
     * persisted bucketed on `cell`. Probes prune to the probed cells'
     * files; the codebook for probe computation is the memoized quantizer
@@ -748,6 +800,7 @@ object VectorOps {
       lloydRounds: Int = 10, multiAssign: Int = 2): Seq[(Int, Array[Float], Double)] = {
     val (cents, e) = ivfAssignments(spark, sfDir, kOpt, lloydRounds, multiAssign)
     require(cents.nonEmpty, "cannot index an empty corpus")
+    clearStaleLocation(spark, table) // same stale-location story as writeLshIndex
     e.write.mode("overwrite").bucketBy(nBuckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
     // persist the trained quantizer NEXT TO the index (k ≤ 64 rows —
@@ -827,6 +880,21 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cells")(0).as("cent"),
         posexplode(col("cells")).as(Seq("cidx", "cell")))
       .write.mode("append").insertInto(table)
+  }
+
+  /** REPLAY-SAFE [[appendToIvfIndex]] — see [[appendToLshIndexIdempotent]]
+    * for the at-least-once rationale. A vec_id's multiAssign cell rows are
+    * written by ONE append job, so the distinct-id anti-join either keeps
+    * or drops the whole row group — a replay can never land a partial
+    * second assignment.
+    */
+  def appendToIvfIndexIdempotent(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
+    // same stale-relation-cache discipline as [[appendToLshIndexIdempotent]]
+    spark.catalog.refreshTable(table)
+    appendToIvfIndex(spark,
+      newRows.join(spark.table(table).select("vec_id").distinct(), Seq("vec_id"), "left_anti"),
+      table)
+    spark.catalog.refreshTable(table)
   }
 
   /** Fraction of the index appended since its codebook was trained:

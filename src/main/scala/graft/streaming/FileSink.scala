@@ -33,10 +33,16 @@ object FileSink {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ds: Dataset[AckEvent], batchId: Long) =>
-        ds.filter(a => a.kind == "RECEIVED" || a.kind == "DONE")
+        // EXPIRED acks land as MARKER rows (empty chunk, expired=true):
+        // the sink-side record of the reference's TTL sweep deleting the
+        // partial file (`transf_server.cpp:78-131`) — [[assembled]]
+        // ignores them, [[compactExpiredChunks]] consumes them to drop
+        // the expired generation's chunk rows
+        ds.filter(a => a.kind == "RECEIVED" || a.kind == "DONE" || a.kind == "EXPIRED")
           .toDF()
           .select(col("uuid"), (col("next_seq") - 1).as("seq"), col("chunk"),
-            (col("kind") === "DONE").as("done"), col("written"), col("gen"))
+            (col("kind") === "DONE").as("done"), col("written"), col("gen"),
+            (col("kind") === "EXPIRED").as("expired"))
           .write.mode("overwrite")
           .parquet(s"$path/batch=$batchId")
       }
@@ -75,11 +81,12 @@ object FileSink {
       .option("basePath", path).option("mergeSchema", "true").parquet(path)
     // chunk dirs written before the generation counter existed lack the
     // column (all-old dirs) or carry nulls for it (mixed dirs after the
-    // merged-schema read); gen 0 reproduces the old ordering there
-    val rows =
-      if (raw.columns.contains("gen"))
-        raw.withColumn("gen", coalesce(col("gen"), lit(0)))
-      else raw.withColumn("gen", lit(0))
+    // merged-schema read); gen 0 reproduces the old ordering there. Same
+    // evolution story for the expired-marker column; marker rows carry an
+    // EMPTY chunk and must not reach latest-wins (a marker sharing (uuid,
+    // seq) with a real chunk row would mask its bytes), so they are
+    // filtered here
+    val rows = normalized(raw).filter(!col("expired"))
     val latest = rows
       .groupBy("uuid", "seq")
       .agg(max(struct(col("batch"), col("gen"), col("chunk"))).as("lc"))
@@ -96,5 +103,78 @@ object FileSink {
             x => x.getField("chunk")), "").as("raw"))
       .select(col("uuid"), col("written"),
         expr("substr(raw, 1, CAST(written AS INT))").as("content"))
+  }
+
+  /** Schema evolution in one place: dirs written before the `gen` /
+    * `expired` columns existed read as gen 0 / not-expired (all-old dirs
+    * lack the column, mixed dirs carry nulls after the merged-schema
+    * read).
+    */
+  private def normalized(raw: DataFrame): DataFrame = {
+    val withGen =
+      if (raw.columns.contains("gen")) raw.withColumn("gen", coalesce(col("gen"), lit(0)))
+      else raw.withColumn("gen", lit(0))
+    if (withGen.columns.contains("expired"))
+      withGen.withColumn("expired", coalesce(col("expired"), lit(false)))
+    else withGen.withColumn("expired", lit(false))
+  }
+
+  /** Storage GC for TTL-evicted sessions — the missing half of the
+    * reference's sweep: the sweeper doesn't just drop the session entry,
+    * it DELETES the partial file (`transf_server.cpp:78-131`), while this
+    * sink's chunk rows for an expired session would otherwise accumulate
+    * forever (a real storage leak in a long-running ingest, since an
+    * expired generation has no DONE and can never assemble). Drops every
+    * row — chunks and the marker itself — of each (uuid, gen) generation
+    * that carries an EXPIRED marker, rewriting ONLY the affected
+    * `batch=N` directories in place (untouched batches keep their files;
+    * the partition value each surviving row re-reads is unchanged, so
+    * latest-wins ordering is preserved). Returns the number of rows
+    * dropped.
+    *
+    * Only the expired GENERATION dies: other generations of the same
+    * uuid are untouched, so a completed older generation masked by a
+    * newer expired partial becomes cleanly readable again — a strictly
+    * better recovery than the reference, whose overwrite-then-delete
+    * destroys the completed bytes too.
+    *
+    * The expired-generation list is collected to the driver (one (uuid,
+    * gen) pair per expired session since the last compaction — metadata
+    * scale, same class as the IVF codebook) and re-broadcast for the
+    * per-directory anti-join. The per-directory rewrite is
+    * write-tmp → delete → rename: a crash between the last two steps can
+    * lose that directory's surviving rows, the classic non-transactional
+    * object-store compaction window — a production deployment would run
+    * this as a DELETE on a transactional table format; this sink stays
+    * plain parquet by design (zero added dependencies).
+    */
+  def compactExpiredChunks(spark: SparkSession, path: String): Long = {
+    val all = normalized(spark.read
+      .option("basePath", path).option("mergeSchema", "true").parquet(path))
+    // plan everything over the ORIGINAL file listing before any rewrite
+    val doomedGens = all.filter(col("expired")).select("uuid", "gen").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    if (doomedGens.isEmpty) return 0L
+    val doomedDf = spark.createDataFrame(doomedGens.toSeq).toDF("uuid", "gen")
+    val doomed = all.join(broadcast(doomedDf), Seq("uuid", "gen"), "left_semi")
+    val affectedBatches = doomed.select("batch").distinct().collect()
+      .map(_.getAs[Number](0).longValue()).sorted
+    val dropped = doomed.count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affectedBatches.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(path, s"batch=$b")
+      val tmp = new org.apache.hadoop.fs.Path(path, s".compact-batch=$b")
+      // fresh single-directory read: the global frame's file listing goes
+      // stale as directories are swapped out under it
+      normalized(spark.read.option("mergeSchema", "true").parquet(dst.toString))
+        .join(broadcast(doomedDf), Seq("uuid", "gen"), "left_anti")
+        .select("uuid", "seq", "chunk", "done", "written", "gen", "expired")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"compaction rename failed for $dst")
+    }
+    dropped
   }
 }

@@ -271,6 +271,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch0.filter("uuid = 'sb'").count() == 2)
   }
 
+  test("expired-session compaction drops the expired generation's chunk rows, keeps completed sessions (A13 sweep)") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-compact-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-compact-out").toString
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.streamEventTime(spark, input.toDS()), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    val okText = "complete content" // 2 chunks of 8
+    val advText = "adv text adv tex"
+    // batch 0: "ok" completes; "gone" lands chunk 1 of 2 and stalls
+    phase(Seq(
+      tf("ok", 1, okText.substring(0, 8), 16, 100), tf("ok", 2, okText.substring(8), 16, 101),
+      tf("gone", 1, "partial!", 16, 100)))
+    // batch 1 advances the watermark past gone's deadline (100+20 s);
+    // batch 2's timeout sweep then expires it (EXPIRED marker row)
+    phase(Seq(tf("adv", 1, advText.substring(0, 8), 16, 200)))
+    phase(Seq(tf("adv", 2, advText.substring(8), 16, 210)))
+    def raw() = spark.read.option("basePath", outDir)
+      .option("mergeSchema", "true").parquet(outDir)
+    assert(raw().filter("uuid = 'gone'").count() == 2,
+      "precondition: the stalled chunk row AND the expired marker are on disk")
+    val dropped = FileSink.compactExpiredChunks(spark, outDir)
+    assert(dropped == 2, s"chunk row + marker of the expired generation, got $dropped")
+    assert(raw().filter("uuid = 'gone'").count() == 0, "expired generation erased")
+    assert(raw().filter("uuid = 'ok'").count() == 2, "completed session untouched")
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("ok" -> okText, "adv" -> advText), s"assembly unchanged: $out")
+    assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "compaction is idempotent")
+  }
+
+  test("streaming LSH index maintenance: a replayed batch appends nothing (idempotent)") {
+    import graft.operators.VectorOps
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "graft_lsh_replay_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, table)
+    val before = spark.table(table).count()
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat).toSeq
+    val v2 = Array.tabulate(64)(i => math.cos(i + 1).toFloat).toSeq
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, Seq[Float])]] }
+    val input = MemoryStream[(Long, Seq[Float])](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-idx-ckpt").toString
+    input.addData(Seq((999001L, v1), (999002L, v2)))
+    val q = VectorOps.lshIndexMaintenance(
+      spark, input.toDS().toDF("vec_id", "embedding"), table, nBits)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    assert(spark.table(table).count() == before + 2, "first delivery appends both rows")
+    // at-least-once REPLAY: re-deliver the exact batch the sink already
+    // committed (what foreachBatch does after a failure between the
+    // append and the checkpoint commit)
+    val replay = { import spark.implicits._; Seq((999001L, v1), (999002L, v2)).toDF("vec_id", "embedding") }
+    VectorOps.appendToLshIndexIdempotent(spark, replay, table, nBits)
+    assert(spark.table(table).count() == before + 2, "replayed batch must append nothing")
+    // probe results unchanged: exactly one index row per appended id, so
+    // a probe can never see a duplicated candidate
+    assert(spark.table(table).filter("vec_id >= 999001").count() == 2)
+    val probed = VectorOps.probeLshIndex(spark, table, v1.toArray, nBits, 3)
+      .collect().map(_.getLong(0))
+    assert(probed.headOption.contains(999001L), s"self is the 1-NN: ${probed.toSeq}")
+    assert(probed.distinct.length == probed.length, "no duplicate candidates after replay")
+  }
+
   test("file sink: a retried uuid overwrites the old generation (overwrite-on-collision)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
