@@ -294,19 +294,31 @@ object TextOps {
     * without relying on struct-ordering semantics — plus the copy count.
     * The encoding assumes chunk_id < 10⁶ (a 40M-token document) and
     * doc_id < 9.2·10¹² at that width; both engines share the encoding,
-    * so the oracle comparison is unaffected either way.
+    * so the oracle CANNOT catch an overflow — which is why the
+    * assumption is ENFORCED at runtime: the guard below fails the query
+    * on the first oversize chunk_id instead of decoding a silently
+    * corrupted (doc_id, chunk_id). It lives INSIDE the key expression
+    * (adding a coalesced assert_true that contributes 0) so column
+    * pruning can never drop it.
     * The interior orderBy of the reused chunker is eliminated by
     * Catalyst below the aggregation (EliminateSorts).
     */
-  private def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+  private def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val guardedChunkId = col("chunk_id") + coalesce(
+      assert_true(col("chunk_id") < lit(1000000L),
+        concat(lit("chunk_dedup: chunk_id "), col("chunk_id"),
+          lit(" >= 1e6 overflows the doc_id*1e6+chunk_id packed key — widen the encoding"))
+        ).cast("long"),
+      lit(0L))
     tokenChunk(spark, sfDir)
       .withColumn("h", md5(col("chunk_text")))
       .groupBy("h")
-      .agg(min(col("doc_id") * lit(1000000L) + col("chunk_id")).as("mk"),
+      .agg(min(col("doc_id") * lit(1000000L) + guardedChunkId).as("mk"),
         count(lit(1)).as("n_copies"))
       .select(col("h"), expr("mk div 1000000").as("doc_id"),
         (col("mk") % 1000000L).as("chunk_id"), col("n_copies"))
       .orderBy("h")
+  }
 
   /** Per-document top-3 TF-IDF terms over the bounded verification range
     * — the classic corpus-relevance scoring of a text pipeline (keyword

@@ -391,9 +391,19 @@ object VectorOps {
     // probe with the nBits the index was BUILT with (persisted metadata —
     // correct even after appends changed the corpus count); legacy
     // indexes without a meta table fall back to the deterministic
-    // re-derivation, which matches because their corpus is unchanged
-    val nBits = loadLshMeta(spark, table).map(_._1)
-      .getOrElse(bitsFor(corpusCount(base, sfDir)))
+    // re-derivation, which is only sound while the index still mirrors
+    // the corpus exactly — if the row counts diverge (an append slipped
+    // in, or the corpus grew), bitsFor(current count) can differ from
+    // the built signature width and every probe would silently miss, so
+    // a diverged meta-less index is refused instead
+    val nBits = loadLshMeta(spark, table).map(_._1).getOrElse {
+      val idxN = spark.table(table).count()
+      val corpusN = corpusCount(base, sfDir)
+      require(idxN == corpusN,
+        s"index $table has no meta table and holds $idxN rows vs a $corpusN-row corpus — " +
+          "its signature width cannot be re-derived safely; rebuild with writeLshIndex")
+      bitsFor(corpusN)
+    }
     lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius = 1), 3)
   }
 
@@ -731,11 +741,20 @@ object VectorOps {
     */
   def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int): Unit = {
     // hard guard against the one misuse that silently corrupts probes:
-    // signatures of a different width than the at-rest cells'
-    loadLshMeta(spark, table).foreach { case (builtBits, _) =>
-      require(builtBits == nBits,
-        s"index $table was built with nBits=$builtBits but append got nBits=$nBits — " +
-          "mixed signature widths corrupt the probe contract; rebuild with writeLshIndex")
+    // signatures of a different width than the at-rest cells'. A
+    // meta-less (legacy) index is refused outright — without the
+    // persisted width this check would be a no-op, the append would
+    // break the probe fallback's index-mirrors-corpus assumption, and
+    // the mismatch would surface only as silently missing neighbors
+    loadLshMeta(spark, table) match {
+      case Some((builtBits, _)) =>
+        require(builtBits == nBits,
+          s"index $table was built with nBits=$builtBits but append got nBits=$nBits — " +
+            "mixed signature widths corrupt the probe contract; rebuild with writeLshIndex")
+      case None =>
+        throw new IllegalArgumentException(
+          s"index $table has no meta table, so its signature width cannot be validated — " +
+            "appending would risk a silent width mismatch; rebuild with writeLshIndex first")
     }
     withLshBucket(
       newRows.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)

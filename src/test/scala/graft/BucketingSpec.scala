@@ -171,6 +171,14 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "lsh_idx3", nBits + 1)
     }
     assert(boom.getMessage.contains("mixed signature widths"), boom.getMessage)
+    // a META-LESS index cannot validate any width at all: appends are
+    // refused outright (forcing a rebuild), never silently mixed in
+    spark.sql(s"DROP TABLE ${VectorOps.metaTableFor("lsh_idx3")}")
+    val noMeta = intercept[IllegalArgumentException] {
+      VectorOps.appendToLshIndex(spark, Seq((999996L, qVec)).toDF("vec_id", "embedding"),
+        "lsh_idx3", nBits)
+    }
+    assert(noMeta.getMessage.contains("no meta table"), noMeta.getMessage)
   }
 
   test("persisted IVF index: probing nProbe cells prunes to those cells' files") {

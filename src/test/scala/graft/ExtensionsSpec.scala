@@ -247,6 +247,34 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() > 0)
   }
 
+  test("window argmin rule: rank join-back bails when the child cannot be freshly copied (Generate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a Generate's output attributes are minted by neither a
+    // MultiInstanceRelation leaf nor an Alias, so freshCopy cannot
+    // re-mint them — the safety net (rebuilt ids overlapping the
+    // original's) must decline the rewrite and leave the Window alone;
+    // a fired rewrite would self-join two subtrees sharing the
+    // generator's exprIds. File-backed scan: a LocalRelation source
+    // would be pre-collapsed below the Generate by the optimizer.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 50)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", $"tok", length($"tok").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("v")
+    val q = df.withColumn("rn", rank().over(w)).filter($"rn" === 1).select("doc_id", "tok")
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"rank rewrite fired on a Generate child it cannot freshly copy:\n$opt")
+    // and the untouched window query still answers correctly: every kept
+    // row carries its partition's minimum token length
+    val mins = df.groupBy("doc_id").agg(min($"v").as("mv"))
+    val expected = df.join(mins, "doc_id").filter($"v" === $"mv").select("doc_id", "tok")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == expected.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(q.count() > 0)
+  }
+
   test("top_k aggregate is callable from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k(s, id, p, 2) FROM VALUES
