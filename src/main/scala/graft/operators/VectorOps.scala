@@ -809,6 +809,21 @@ object VectorOps {
         appendToLshIndexIdempotent(spark, df, table, nBits)
       }
 
+  /** IVF sibling of [[lshIndexMaintenance]]: streams `(vec_id, embedding)`
+    * arrivals into per-batch idempotent frozen-quantizer appends. The
+    * quantizer is never retrained by arrival (the
+    * [[appendToIvfIndex]] policy); [[ivfIndexStaleness]] remains the
+    * rebuild trigger.
+    */
+  def ivfIndexMaintenance(spark: SparkSession, vectors: DataFrame,
+      table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        appendToIvfIndexIdempotent(spark, df, table)
+      }
+
   /** IVF sibling of [[writeLshIndex]]: the multi-assigned cell frame
     * persisted bucketed on `cell`. Probes prune to the probed cells'
     * files; the codebook for probe computation is the memoized quantizer

@@ -344,6 +344,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(probed.distinct.length == probed.length, "no duplicate candidates after replay")
   }
 
+  test("streaming IVF index maintenance: a replayed batch appends nothing (idempotent)") {
+    import graft.operators.VectorOps
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "graft_ivf_replay_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_codebook")
+    VectorOps.writeIvfIndex(spark, sfDir, table)
+    val before = spark.table(table).count()
+    val v1 = Array.tabulate(64)(i => math.sin(i + 2).toFloat).toSeq
+    val v2 = Array.tabulate(64)(i => math.cos(i + 2).toFloat).toSeq
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, Seq[Float])]] }
+    val input = MemoryStream[(Long, Seq[Float])](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-ivf-ckpt").toString
+    input.addData(Seq((888001L, v1), (888002L, v2)))
+    val q = VectorOps.ivfIndexMaintenance(
+      spark, input.toDS().toDF("vec_id", "embedding"), table)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    // multiAssign=2: each appended vector carries two cell rows
+    assert(spark.table(table).count() == before + 4,
+      "first delivery appends both vectors under the build-time multiAssign")
+    val replay = { import spark.implicits._; Seq((888001L, v1), (888002L, v2)).toDF("vec_id", "embedding") }
+    VectorOps.appendToIvfIndexIdempotent(spark, replay, table)
+    assert(spark.table(table).count() == before + 4, "replayed batch must append nothing")
+    // a replay can never land a PARTIAL second assignment either: exactly
+    // one primary + one secondary row per appended id
+    val perId = spark.table(table).filter("vec_id >= 888001")
+      .groupBy("vec_id").count().collect().map(_.getLong(1)).toSeq
+    assert(perId == Seq(2L, 2L), s"each appended id keeps exactly its multiAssign rows: $perId")
+  }
+
   test("file sink: a retried uuid overwrites the old generation (overwrite-on-collision)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
