@@ -470,9 +470,56 @@ object DedupOps {
   private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(docs(spark, sfDir))
 
+  /** Benchmark decontamination — the train/eval overlap scan every
+    * pretraining pipeline runs before training ships: any training
+    * document sharing an 8-token shingle with the held-out evaluation
+    * slice is flagged with its shared-shingle count and the lowest eval
+    * doc implicated (flag, don't drop — the removal policy is the
+    * caller's). The eval slice here is `doc_id % 10 = 7`, a stand-in
+    * for a real benchmark table.
+    *
+    * Shape at 100 TB: benchmarks are KBs–MBs while the corpus is the
+    * 100 TB side, so the eval shingle set is BROADCAST and the train
+    * side streams through one hash join with no corpus shuffle, then a
+    * partial-agg'd per-doc count. At real scale the join key would be
+    * `xxhash64(shingle)` (8 bytes instead of ~50-char strings; a 64-bit
+    * collision flagging one extra doc is harmless for a flag-and-review
+    * op) — kept as the raw shingle here so DuckDB can replay it exactly.
+    */
+  private[graft] def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 8
+          |  THEN transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))
+          |  ELSE array() END""".stripMargin)).as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("eval_id"), col("shingle")).distinct()
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 7).distinct()
+    trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared"), min("eval_id").as("first_eval"))
+      .orderBy("doc_id")
+  }
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "decontaminate" -> QueryDef(decontaminate,
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+             |  FROM toks, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+             |eval_sh AS (
+             |  SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 7),
+             |train_sh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 10 <> 7)
+             |SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared,
+             |       min(e.eval_id) AS first_eval
+             |FROM train_sh t JOIN eval_sh e USING (shingle)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     "dedup_jaccard" -> QueryDef(dedupJaccard,
       Some("""WITH t AS (
              |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

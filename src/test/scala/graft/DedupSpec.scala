@@ -241,6 +241,41 @@ class DedupSpec extends AnyFunSuite {
     assert(d.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("decontaminate: flags exactly the train docs sharing an 8-token shingle with the eval slice, via a broadcast join") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("decontaminate")(spark, sfDir)
+    // the plan must broadcast the (small) eval shingle set — at 100 TB the
+    // corpus side must never shuffle for this op
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontaminate must broadcast the eval side:\n$plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "sf0.01 contains planted near-dups spanning the eval slice")
+    // no eval doc may flag itself as contaminated train data
+    assert(rows.forall(_._1 % 10 != 7), "eval docs leaked into the train-side output")
+    assert(rows.forall(_._2 >= 1), "a flagged doc must share at least one shingle")
+    // ground-truth cross-check for one flagged doc: recompute its shared
+    // shingles driver-side against the full eval slice
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(s: String): Set[String] = {
+      val t = s.split(" "); (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val evalShingles = texts.collect { case (id, tx) if id % 10 == 7 => shingles(tx) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val (docId, nShared, _) = rows.head
+    assert(shingles(texts(docId)).count(evalShingles.contains) == nShared,
+      s"doc $docId driver-side shared-shingle count disagrees with the query")
+    // and an unflagged train doc truly has no overlap
+    val flagged = rows.map(_._1).toSet
+    val unflagged = texts.keys.filter(id => id % 10 != 7 && !flagged.contains(id)).take(25)
+    unflagged.foreach { id =>
+      assert(!shingles(texts(id)).exists(evalShingles.contains),
+        s"doc $id overlaps eval but was not flagged")
+    }
+  }
+
   test("candidate quality: LSH candidates are far more similar than random pairs") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
