@@ -495,7 +495,11 @@ object DedupOps {
           |  ELSE array() END""".stripMargin)).as("shingle"))
     val evalSh = sh.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("eval_id"), col("shingle")).distinct()
-    val trainSh = sh.filter(col("doc_id") % 10 =!= 7).distinct()
+    // NO distinct on the train side — that would be a full-corpus shuffle.
+    // Duplicate (doc, shingle) occurrences survive the broadcast join and
+    // are absorbed by countDistinct/min below, which only ever shuffle the
+    // MATCHED (contaminated) rows — a vanishing fraction of the corpus.
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 7)
     trainSh.join(broadcast(evalSh), Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared"), min("eval_id").as("first_eval"))
