@@ -240,6 +240,17 @@ object DedupOps {
     * the sink is the contract, not a workaround ([[sinkDir]] points at
     * java.io.tmpdir locally; a cluster deployment would point it at the
     * warehouse).
+    *
+    * Sink lifecycle: each invocation writes a FRESH directory under a
+    * per-JVM unique root, then deletes the same key's previous directory
+    * — two processes on one host can never overwrite each other's sink
+    * (the r8 review found the earlier fixed `/tmp/graft-cc/<key>` path
+    * raced exactly that way), and a frame returned by invocation N stays
+    * readable until invocation N+1 of the SAME key (the bench/verify
+    * pattern materializes well before that; a caller holding a frame
+    * across re-invocations must copy it out, as with any handed-off
+    * scan). Storage stays bounded at one directory per key, and the
+    * whole root is removed on JVM exit.
     */
   private[graft] def clusterReportReleased(nodes: DataFrame, edges: DataFrame,
       sinkKey: String, compress: Boolean = false): DataFrame = {
@@ -248,16 +259,35 @@ object DedupOps {
     val dir = sinkDir(sinkKey)
     clusterReport(res.labels).write.mode("overwrite").parquet(dir)
     res.release()
+    val prev = lastSinkForKey.put(sinkKey, dir)
+    if (prev != null && prev != dir) {
+      val p = new org.apache.hadoop.fs.Path(prev)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     // re-sort: parquet read order is per-file, not the write-time sort
     spark.read.parquet(dir).orderBy("doc_id")
   }
 
-  /** Stable per-(query, dataset) sink path: repeated invocations (bench
-    * reps) overwrite one location instead of accumulating temp dirs.
+  /** Per-JVM unique sink root, removed on exit. */
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-cc-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastSinkForKey = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fresh per-invocation path under the per-JVM root; rotation and
+    * cleanup in [[clusterReportReleased]].
     */
   private def sinkDir(key: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-cc",
-      key.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    sinkRoot.resolve(
+      key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + sinkSeq.incrementAndGet()).toString
 
   /** Decorates component labels into the declared output shape:
     * (doc_id, cluster, cluster_size, is_rep) with the min-id member as the
@@ -470,40 +500,53 @@ object DedupOps {
   private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(docs(spark, sfDir))
 
-  /** Benchmark decontamination — the train/eval overlap scan every
-    * pretraining pipeline runs before training ships: any training
-    * document sharing an 8-token shingle with the held-out evaluation
-    * slice is flagged with its shared-shingle count and the lowest eval
-    * doc implicated (flag, don't drop — the removal policy is the
-    * caller's). The eval slice here is `doc_id % 10 = 7`, a stand-in
-    * for a real benchmark table.
-    *
-    * Shape at 100 TB: benchmarks are KBs–MBs while the corpus is the
-    * 100 TB side, so the eval shingle set is BROADCAST and the train
-    * side streams through one hash join with no corpus shuffle, then a
-    * partial-agg'd per-doc count. At real scale the join key would be
-    * `xxhash64(shingle)` (8 bytes instead of ~50-char strings; a 64-bit
-    * collision flagging one extra doc is harmless for a flag-and-review
-    * op) — kept as the raw shingle here so DuckDB can replay it exactly.
+  /** 8-token shingles of a `(doc_id, text)` frame as `(doc_id, shingle)`
+    * rows — one narrow generator, no shuffle.
     */
-  private[graft] def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docs(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 8
           |  THEN transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))
           |  ELSE array() END""".stripMargin)).as("shingle"))
-    val evalSh = sh.filter(col("doc_id") % 10 === 7)
+
+  /** Benchmark decontamination — the train/eval overlap scan every
+    * pretraining pipeline runs before training ships: any training
+    * document sharing an 8-token shingle with the evaluation corpus is
+    * flagged with its shared-shingle count and the lowest eval doc
+    * implicated (flag, don't drop — the removal policy is the caller's).
+    *
+    * BROADCAST CONTRACT: `evalDocs` must be benchmark-sized (KBs–MBs of
+    * text — real benchmarks are), because its distinct shingle set is
+    * broadcast so the 100 TB train side streams through one hash join
+    * with NO corpus shuffle; only the MATCHED (contaminated) rows — a
+    * vanishing fraction — reach the per-doc aggregation shuffle (hence
+    * no train-side distinct: countDistinct absorbs duplicate
+    * occurrences, min is duplicate-invariant). An eval side that scales
+    * with the corpus would overflow the broadcast; that is a misuse of
+    * this op, not a supported shape. At real scale the join key becomes
+    * `xxhash64(shingle)` (8 bytes vs ~50-char strings; a 64-bit
+    * collision flagging one extra doc is harmless for flag-and-review) —
+    * kept raw here so DuckDB can replay the declared key exactly.
+    */
+  private[graft] def decontaminateAgainst(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalSh = shingleRows(evalDocs)
       .select(col("doc_id").as("eval_id"), col("shingle")).distinct()
-    // NO distinct on the train side — that would be a full-corpus shuffle.
-    // Duplicate (doc, shingle) occurrences survive the broadcast join and
-    // are absorbed by countDistinct/min below, which only ever shuffle the
-    // MATCHED (contaminated) rows — a vanishing fraction of the corpus.
-    val trainSh = sh.filter(col("doc_id") % 10 =!= 7)
-    trainSh.join(broadcast(evalSh), Seq("shingle"))
+    shingleRows(trainDocs).join(broadcast(evalSh), Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared"), min("eval_id").as("first_eval"))
       .orderBy("doc_id")
+  }
+
+  /** Declared key: the eval corpus is the `doc_id % 10 = 7` slice — a
+    * STAND-IN for a real benchmark table, small enough at the test SFs
+    * to honor [[decontaminateAgainst]]'s broadcast contract (at
+    * production scale the caller passes the actual benchmark table, not
+    * a corpus-proportional slice).
+    */
+  private[graft] def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    decontaminateAgainst(d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
   }
 
   // ---- declarations ------------------------------------------------------

@@ -784,10 +784,15 @@ object VectorOps {
     // session, which invalidates only the clone's table-relation cache —
     // this session's cached file listing goes stale, and a stale id list
     // here would silently re-append a prior batch's rows (the exact
-    // duplicate-candidates failure idempotence exists to prevent)
+    // duplicate-candidates failure idempotence exists to prevent).
+    // dropDuplicates: a vec_id delivered TWICE within one batch (source
+    // re-emission) passes the at-rest anti-join twice — within-batch
+    // identity needs its own dedup (first occurrence wins, arbitrary
+    // among conflicting embeddings for one id — a malformed input)
     spark.catalog.refreshTable(table)
     appendToLshIndex(spark,
-      newRows.join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
+      newRows.dropDuplicates("vec_id")
+        .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
       table, nBits)
     spark.catalog.refreshTable(table)
   }
@@ -923,10 +928,14 @@ object VectorOps {
     * second assignment.
     */
   def appendToIvfIndexIdempotent(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
-    // same stale-relation-cache discipline as [[appendToLshIndexIdempotent]]
+    // same stale-cache and within-batch-dedup discipline as
+    // [[appendToLshIndexIdempotent]]; no distinct on the at-rest side —
+    // left_anti is unaffected by right-side duplicates (the multiAssign
+    // rows), and the distinct would shuffle the whole index every batch
     spark.catalog.refreshTable(table)
     appendToIvfIndex(spark,
-      newRows.join(spark.table(table).select("vec_id").distinct(), Seq("vec_id"), "left_anti"),
+      newRows.dropDuplicates("vec_id")
+        .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
       table)
     spark.catalog.refreshTable(table)
   }

@@ -124,39 +124,67 @@ object FileSink {
     * it DELETES the partial file (`transf_server.cpp:78-131`), while this
     * sink's chunk rows for an expired session would otherwise accumulate
     * forever (a real storage leak in a long-running ingest, since an
-    * expired generation has no DONE and can never assemble). Drops every
-    * row — chunks and the marker itself — of each (uuid, gen) generation
-    * that carries an EXPIRED marker, rewriting ONLY the affected
-    * `batch=N` directories in place (untouched batches keep their files;
-    * the partition value each surviving row re-reads is unchanged, so
-    * latest-wins ordering is preserved). Returns the number of rows
-    * dropped.
+    * expired generation has no DONE and can never assemble). Rewrites
+    * ONLY the affected `batch=N` directories in place (untouched batches
+    * keep their files; the partition value each surviving row re-reads
+    * is unchanged, so latest-wins ordering is preserved). Returns the
+    * number of rows dropped.
     *
-    * Only the expired GENERATION dies: other generations of the same
-    * uuid are untouched, so a completed older generation masked by a
-    * newer expired partial becomes cleanly readable again — a strictly
-    * better recovery than the reference, whose overwrite-then-delete
-    * destroys the completed bytes too.
+    * WHICH rows die is subtler than "(uuid, gen) with a marker": `gen`
+    * counts generations within ONE state lifetime and restarts at 0 when
+    * a completed (or expired) uuid reopens in a LATER batch — (uuid,
+    * gen) alone is NOT a generation identity, only (batch, gen) order
+    * is. Deleting every (uuid, gen) row would therefore also destroy a
+    * COMPLETED earlier instance that shares gen 0 with an expired retry.
+    * The correct scope: a marker at batch bm dooms exactly the rows of
+    * its (uuid, gen) in the interval (lastDone, bm], where lastDone is
+    * that pair's newest done-carrying batch ≤ bm — an instance that
+    * completed at batch bd keeps every row (they sit ≤ bd), the expired
+    * instance's rows sit strictly after the last completion and up to
+    * the marker, and rows of a LATER successful retry sit after bm.
+    * With this scope a completed generation masked by a newer expired
+    * partial becomes cleanly readable again after compaction — a
+    * strictly better recovery than the reference, whose
+    * overwrite-then-delete destroys the completed bytes too.
     *
-    * The expired-generation list is collected to the driver (one (uuid,
-    * gen) pair per expired session since the last compaction — metadata
-    * scale, same class as the IVF codebook) and re-broadcast for the
-    * per-directory anti-join. The per-directory rewrite is
-    * write-tmp → delete → rename: a crash between the last two steps can
-    * lose that directory's surviving rows, the classic non-transactional
-    * object-store compaction window — a production deployment would run
-    * this as a DELETE on a transactional table format; this sink stays
-    * plain parquet by design (zero added dependencies).
+    * The marker list and the implicated pairs' done batches are
+    * collected to the driver (one marker per expired session since the
+    * last compaction — metadata scale, same class as the IVF codebook)
+    * and re-broadcast as doom intervals for the per-directory anti-join.
+    * The per-directory rewrite is write-tmp → delete → rename: a crash
+    * between the last two steps can lose that directory's surviving
+    * rows, the classic non-transactional object-store compaction
+    * window — a production deployment would run this as a DELETE on a
+    * transactional table format; this sink stays plain parquet by
+    * design (zero added dependencies).
     */
   def compactExpiredChunks(spark: SparkSession, path: String): Long = {
     val all = normalized(spark.read
       .option("basePath", path).option("mergeSchema", "true").parquet(path))
     // plan everything over the ORIGINAL file listing before any rewrite
-    val doomedGens = all.filter(col("expired")).select("uuid", "gen").distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
-    if (doomedGens.isEmpty) return 0L
-    val doomedDf = spark.createDataFrame(doomedGens.toSeq).toDF("uuid", "gen")
-    val doomed = all.join(broadcast(doomedDf), Seq("uuid", "gen"), "left_semi")
+    val markers = all.filter(col("expired")).select("uuid", "gen", "batch").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getAs[Number](2).longValue()))
+    if (markers.isEmpty) return 0L
+    val keysDf = spark.createDataFrame(markers.map(m => (m._1, m._2)).distinct.toSeq)
+      .toDF("uuid", "gen")
+    val doneBatches = all.filter(col("done"))
+      .join(broadcast(keysDf), Seq("uuid", "gen"), "left_semi")
+      .select("uuid", "gen", "batch").distinct().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getAs[Number](2).longValue()))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // one doom interval per marker: (lastDone ≤ marker batch, marker batch]
+    val intervals = markers.map { case (u, g, bm) =>
+      val lo = doneBatches.getOrElse((u, g), Seq.empty[Long])
+        .filter(_ <= bm).lastOption.getOrElse(-1L)
+      (u, g, lo, bm)
+    }
+    val iDf = spark.createDataFrame(intervals.toSeq).toDF("iu", "ig", "lo", "hi")
+    def doomCond(rows: DataFrame) =
+      rows("uuid") === iDf("iu") && rows("gen") === iDf("ig") &&
+        rows("batch") > iDf("lo") && rows("batch") <= iDf("hi")
+    // left_semi: overlapping intervals (two markers, no completion
+    // between) can cover one row twice without double-counting it
+    val doomed = all.join(broadcast(iDf), doomCond(all), "left_semi")
     val affectedBatches = doomed.select("batch").distinct().collect()
       .map(_.getAs[Number](0).longValue()).sorted
     val dropped = doomed.count()
@@ -165,10 +193,14 @@ object FileSink {
     affectedBatches.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(path, s"batch=$b")
       val tmp = new org.apache.hadoop.fs.Path(path, s".compact-batch=$b")
+      // intervals covering THIS directory's batch, keyed on (uuid, gen)
+      // alone — the batch condition is resolved driver-side
+      val forB = intervals.filter(iv => iv._3 < b && b <= iv._4).map(iv => (iv._1, iv._2))
+      val forBDf = spark.createDataFrame(forB.distinct.toSeq).toDF("uuid", "gen")
       // fresh single-directory read: the global frame's file listing goes
       // stale as directories are swapped out under it
       normalized(spark.read.option("mergeSchema", "true").parquet(dst.toString))
-        .join(broadcast(doomedDf), Seq("uuid", "gen"), "left_anti")
+        .join(broadcast(forBDf), Seq("uuid", "gen"), "left_anti")
         .select("uuid", "seq", "chunk", "done", "written", "gen", "expired")
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(dst, true)

@@ -309,6 +309,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "compaction is idempotent")
   }
 
+  test("compaction spares a COMPLETED instance that shares (uuid, gen 0) with a later expired retry") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-genreuse-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-genreuse-out").toString
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.streamEventTime(spark, input.toDS()), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    val okText = "complete content" // 2 chunks of 8
+    val advText = "adv text adv tex"
+    // batch 0: 'u' COMPLETES (gen 0, done). batch 1: 'u' reopens — state
+    // was removed at completion, so the retry is ALSO gen 0 (gen is a
+    // within-lifetime counter) — lands chunk 1 of 2 and stalls.
+    phase(Seq(
+      tf("u", 1, okText.substring(0, 8), 16, 100), tf("u", 2, okText.substring(8), 16, 101)))
+    phase(Seq(tf("u", 1, "partial!", 16, 150)))
+    // two more batches advance the watermark past the retry's deadline
+    // and run the timeout sweep -> EXPIRED marker for (u, gen 0)
+    phase(Seq(tf("adv", 1, advText.substring(0, 8), 16, 300)))
+    phase(Seq(tf("adv", 2, advText.substring(8), 16, 310)))
+    // pre-compaction: the retry's chunk MASKS seq 1 (newer batch wins) —
+    // the documented overwrite-on-collision corruption
+    val masked = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(masked("u") == "partial!" + okText.substring(8),
+      s"precondition: retry chunk masks the completed seq 1: $masked")
+    // compaction must doom ONLY the retry instance's rows (chunk + marker
+    // in batches AFTER the completion), not the completed gen-0 rows
+    val dropped = FileSink.compactExpiredChunks(spark, outDir)
+    assert(dropped == 2, s"retry chunk + marker, got $dropped")
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("u" -> okText, "adv" -> advText),
+      s"the completed instance must become readable again: $out")
+    assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "compaction is idempotent")
+  }
+
   test("streaming LSH index maintenance: a replayed batch appends nothing (idempotent)") {
     import graft.operators.VectorOps
     val sfDir = "/root/testdata/sf0.001"
@@ -342,6 +385,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(probed.headOption.contains(999001L), s"self is the 1-NN: ${probed.toSeq}")
     assert(probed.distinct.length == probed.length, "no duplicate candidates after replay")
+    // WITHIN-batch duplicate: the same new vec_id delivered twice in one
+    // batch passes the at-rest anti-join twice — within-batch dedup must
+    // keep exactly one row
+    val v3 = Array.tabulate(64)(i => math.tan(i + 1).toFloat).toSeq
+    val dup = { import spark.implicits._; Seq((999003L, v3), (999003L, v3)).toDF("vec_id", "embedding") }
+    VectorOps.appendToLshIndexIdempotent(spark, dup, table, nBits)
+    assert(spark.table(table).filter("vec_id = 999003").count() == 1,
+      "a within-batch duplicate vec_id must land exactly once")
   }
 
   test("streaming IVF index maintenance: a replayed batch appends nothing (idempotent)") {
