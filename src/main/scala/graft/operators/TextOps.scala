@@ -154,6 +154,72 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Exact-quota stratified sampling — "take exactly `Cap` docs per
+    * language", the corpus-balancing primitive of a pretraining mix
+    * (downsample the head languages to a fixed budget). The sample is a
+    * PURE FUNCTION of the keys: each doc gets a deterministic uniform
+    * draw h ∈ [0, M) (Karp-Rabin fold of "strat:"+doc_id, the same
+    * base-131 mod 1e9+7 both engines already compute for
+    * `doc_fingerprint`), and the stratum's sample is the `Cap` smallest
+    * (h, doc_id) — stable across runs, engines and partitionings.
+    *
+    * The SCALE SHAPE is two-phase, because the naive form — rank every
+    * row with a window partitioned by `lang` — funnels entire strata
+    * through single reducers (a handful of languages over 100 TB is the
+    * worst window skew there is). Instead:
+    *   1. per-stratum counts (partial agg, |strata| rows);
+    *   2. a NARROW prune `h < ceil(Over·Cap·M/n)` with the thresholds
+    *      broadcast back on `lang` — the corpus never shuffles, and the
+    *      survivors are ~Over·Cap rows per stratum regardless of corpus
+    *      size;
+    *   3. the exact rank runs on that bounded residue only.
+    * If ≥ Cap rows survive the prune, the residue provably contains the
+    * true Cap smallest (any row above the threshold is larger than all
+    * of them), so the two-phase result EQUALS the naive full-window
+    * rank. The oversample factor makes a shortfall a ~zero-probability
+    * event for a uniform h (Chernoff; Over = 4), but NOT an impossible
+    * one — and a shortfall would silently shrink the sample — so the
+    * assumption is ENFORCED: an in-plan guard fails the query if any
+    * stratum's realized sample is smaller than min(Cap, n). The guard
+    * rides inside the returned `smp_rank` column (coalesced
+    * assert_true contributing 0, the `chunk_dedup` idiom) so column
+    * pruning can never drop it.
+    */
+  private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000000007L
+    val Cap = 50L
+    val Over = 4.0
+    val d = docs(spark, sfDir)
+    val thresholds = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("thresh",
+        least(lit(M), ceil(lit(Over * Cap) * lit(M) / col("n")).cast("long")))
+    val hv = expr("aggregate(transform(split(concat('strat:', CAST(doc_id AS STRING)), ''), " +
+      "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
+    val pruned = d.select(col("doc_id"), col("lang"), hv.as("hv"))
+      .join(broadcast(thresholds), "lang")
+      .filter(col("hv") < col("thresh"))
+    val ranked = pruned
+      .withColumn("smp_rank",
+        row_number().over(Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
+      .withColumn("stratum_kept",
+        count(lit(1)).over(Window.partitionBy("lang")))
+    // the quota guard: the prune may only ever leave >= min(Cap, n)
+    // survivors per stratum; fewer means the oversample assumption broke
+    // and the "exact quota" contract would silently degrade
+    val guardedRank = col("smp_rank") + coalesce(
+      assert_true(col("stratum_kept") >= least(lit(Cap), col("n")),
+        concat(lit("sample_stratified: stratum "), col("lang"),
+          lit(" kept "), col("stratum_kept"), lit(" of "), col("n"),
+          lit(" rows under the 4x oversample prune — below the quota; raise Over"))
+        ).cast("long"),
+      lit(0L))
+    ranked
+      .filter(col("smp_rank") <= Cap)
+      .select(col("lang"), col("doc_id"), guardedRank.as("smp_rank"))
+      .orderBy("lang", "smp_rank")
+  }
+
   /** Vocabulary frequency analysis — top-5 tokens per language, the
     * vocab-building primitive of a tokenizer pipeline. Computed as a
     * SALTED TWO-PHASE top-k (the same shape `agg_salted` proves for sums):
@@ -500,6 +566,25 @@ object TextOps {
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS BIGINT) AS n_sampled,
              |       CAST(count(*) FILTER (WHERE substring(md5('salt42:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS DOUBLE) / count(*) AS rate
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    "sample_stratified" -> QueryDef(sampleStratified,
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT lang, n,
+             |        least(1000000007, CAST(ceil(4.0 * 50 * 1000000007 / n) AS BIGINT)) AS thresh
+             |      FROM c),
+             |h AS (SELECT d.doc_id, d.lang,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split('strat:' || CAST(d.doc_id AS VARCHAR), ''),
+             |            ch -> ord(ch))),
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS hv
+             |      FROM documents d),
+             |p AS (SELECT h.doc_id, h.lang, h.hv FROM h JOIN t USING (lang)
+             |      WHERE h.hv < t.thresh),
+             |r AS (SELECT lang, doc_id,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS smp_rank
+             |      FROM p)
+             |SELECT lang, doc_id, smp_rank FROM r WHERE smp_rank <= 50
+             |ORDER BY lang, smp_rank""".stripMargin)),
 
     "vocab_topk" -> QueryDef(vocabTopk,
       Some("""WITH t AS (

@@ -43,6 +43,31 @@ class QueriesSpec extends AnyFunSuite {
       s"unexpected oracle-less keys: $noOracle")
   }
 
+  test("sample_stratified: exact quota, and the two-phase prune+rank equals the naive full rank") {
+    // sf0.01: en has 218 docs (> Cap=50, real downsampling); the other
+    // strata are 64-75 docs (also > Cap) — every stratum exercises the
+    // quota path, not the take-all degenerate case
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("sample_stratified")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent ground truth: same Karp-Rabin draw, naive full sort per
+    // stratum (no prune) computed driver-side
+    def hv(id: Long): Long =
+      s"strat:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val truth = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map(_._2).sortBy(id => (hv(id), id)).take(50).zipWithIndex
+        .map { case (id, i) => (lang, id, i + 1L) }
+    }.toSet
+    assert(out.toSet == truth, "two-phase sample differs from naive full rank")
+    val quota = out.groupBy(_._1).view.mapValues(_.length)
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(quota.getOrElse(lang, 0) == math.min(50, rows.length),
+        s"stratum $lang quota violated")
+    }
+  }
+
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
