@@ -151,14 +151,44 @@ object FileSink {
     * collected to the driver (one marker per expired session since the
     * last compaction — metadata scale, same class as the IVF codebook)
     * and re-broadcast as doom intervals for the per-directory anti-join.
-    * The per-directory rewrite is write-tmp → delete → rename: a crash
-    * between the last two steps can lose that directory's surviving
-    * rows, the classic non-transactional object-store compaction
-    * window — a production deployment would run this as a DELETE on a
-    * transactional table format; this sink stays plain parquet by
-    * design (zero added dependencies).
+    *
+    * CRASH SAFETY is a manifest-based two-phase commit (no added
+    * dependencies, plain parquet + one hidden file):
+    *   phase 1  every affected directory's surviving rows are written to
+    *            a hidden `.compact-batch=N` sibling — originals
+    *            untouched, readers unaffected (dot-prefixed paths are
+    *            invisible to Spark's file index);
+    *   commit   the batch list is published as `_compaction_manifest`
+    *            via write-hidden-tmp → rename — the single atomic commit
+    *            point (rename atomicity holds on HDFS/posix; an S3-class
+    *            store without atomic rename still wants a transactional
+    *            table format instead);
+    *   phase 2  each original is deleted and its compacted sibling
+    *            renamed into place; the manifest is removed last.
+    * [[recoverCompaction]] makes any crash point benign and runs at
+    * every compaction entry: manifest present → roll FORWARD (finish
+    * the swaps — idempotent, a completed swap leaves no tmp dir);
+    * manifest absent → roll BACK (delete orphaned tmp dirs; the
+    * originals were never touched). The one unrecoverable window of the
+    * previous write-tmp → delete → rename per-directory scheme — a
+    * crash between delete and rename silently losing that directory's
+    * surviving rows — is gone: deletion only ever happens after the
+    * manifest commits the intent, and the replacement bytes are already
+    * on disk.
     */
-  def compactExpiredChunks(spark: SparkSession, path: String): Long = {
+  def compactExpiredChunks(spark: SparkSession, path: String): Long =
+    compactExpiredChunks(spark, path, failAfterPhase = Int.MaxValue)
+
+  /** Test seam: `failAfterPhase` injects a crash (exception) after phase
+    * 1 (tmp dirs written, manifest not yet committed) or phase 2 (the
+    * manifest is committed, no swap has run) — the two states a real
+    * crash leaves behind. Production callers use the public overload.
+    */
+  private[graft] def compactExpiredChunks(
+      spark: SparkSession, path: String, failAfterPhase: Int): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
     val all = normalized(spark.read
       .option("basePath", path).option("mergeSchema", "true").parquet(path))
     // plan everything over the ORIGINAL file listing before any rewrite
@@ -188,8 +218,8 @@ object FileSink {
     val affectedBatches = doomed.select("batch").distinct().collect()
       .map(_.getAs[Number](0).longValue()).sorted
     val dropped = doomed.count()
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // phase 1: all replacement directories written BEFORE anything is
+    // deleted — originals stay live for readers throughout
     affectedBatches.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(path, s"batch=$b")
       val tmp = new org.apache.hadoop.fs.Path(path, s".compact-batch=$b")
@@ -197,16 +227,72 @@ object FileSink {
       // alone — the batch condition is resolved driver-side
       val forB = intervals.filter(iv => iv._3 < b && b <= iv._4).map(iv => (iv._1, iv._2))
       val forBDf = spark.createDataFrame(forB.distinct.toSeq).toDF("uuid", "gen")
-      // fresh single-directory read: the global frame's file listing goes
-      // stale as directories are swapped out under it
       normalized(spark.read.option("mergeSchema", "true").parquet(dst.toString))
         .join(broadcast(forBDf), Seq("uuid", "gen"), "left_anti")
         .select("uuid", "seq", "chunk", "done", "written", "gen", "expired")
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"compaction rename failed for $dst")
     }
+    if (failAfterPhase <= 1) sys.error("injected crash after phase 1 (pre-commit)")
+    // commit point: publish the swap list atomically
+    writeManifest(fs, path, affectedBatches)
+    if (failAfterPhase <= 2) sys.error("injected crash after phase 2 (committed, unswapped)")
+    // phase 2: swap each directory, then retire the manifest
+    affectedBatches.foreach(b => swapIn(fs, path, b))
+    fs.delete(manifestPath(path), false)
     dropped
+  }
+
+  /** Finishes or undoes an interrupted [[compactExpiredChunks]] — safe
+    * (and cheap: two metadata probes) to call any time; run it before
+    * reading a sink directory that may have hosted a compaction crash.
+    */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestPath(path)
+    if (fs.exists(manifest)) {
+      // committed: roll forward. A swap that already ran left no tmp dir,
+      // so replaying the list is idempotent.
+      val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+      val in = fs.open(manifest)
+      try in.readFully(0, bytes) finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.toLong)
+        .foreach(b => swapIn(fs, path, b))
+      fs.delete(manifest, false)
+    } else {
+      // uncommitted: roll back. Originals were never touched; orphaned
+      // tmp dirs (and a torn hidden manifest tmp) are garbage.
+      val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(path, ".compact-batch=*"))
+      if (orphans != null) orphans.foreach(s => fs.delete(s.getPath, true))
+      fs.delete(new org.apache.hadoop.fs.Path(path, s".$ManifestName.tmp"), false)
+    }
+  }
+
+  private val ManifestName = "_compaction_manifest"
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, ManifestName)
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      batches: Array[Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batches.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath(path)))
+      throw new java.io.IOException(s"compaction manifest commit failed for $path")
+  }
+
+  /** One directory swap: delete the original, move the compacted
+    * replacement into place. No-op if the replacement is already gone
+    * (the swap completed before a crash).
+    */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, path: String, b: Long): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path, s"batch=$b")
+    val tmp = new org.apache.hadoop.fs.Path(path, s".compact-batch=$b")
+    if (!fs.exists(tmp)) return
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compaction rename failed for $dst")
   }
 }

@@ -352,6 +352,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "compaction is idempotent")
   }
 
+  test("compaction crash windows: pre-commit crash rolls back, post-commit crash rolls forward") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-crash-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-crash-out").toString
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.streamEventTime(spark, input.toDS()), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    val okText = "complete content"
+    val advText = "adv text adv tex"
+    phase(Seq(
+      tf("ok", 1, okText.substring(0, 8), 16, 100), tf("ok", 2, okText.substring(8), 16, 101),
+      tf("gone", 1, "partial!", 16, 100)))
+    phase(Seq(tf("adv", 1, advText.substring(0, 8), 16, 200)))
+    phase(Seq(tf("adv", 2, advText.substring(8), 16, 210)))
+    def raw() = spark.read.option("basePath", outDir)
+      .option("mergeSchema", "true").parquet(outDir)
+    // crash AFTER phase 1: replacement dirs exist, manifest does not —
+    // the compaction never committed, so readers see the original rows
+    intercept[RuntimeException] {
+      FileSink.compactExpiredChunks(spark, outDir, failAfterPhase = 1)
+    }
+    assert(raw().filter("uuid = 'gone'").count() == 2,
+      "pre-commit crash: originals untouched")
+    // the next compaction entry rolls the orphans back and re-runs from
+    // scratch — then crash AFTER phase 2: the manifest is committed but
+    // no directory has been swapped yet, so originals are STILL complete
+    intercept[RuntimeException] {
+      FileSink.compactExpiredChunks(spark, outDir, failAfterPhase = 2)
+    }
+    assert(raw().filter("uuid = 'gone'").count() == 2,
+      "post-commit crash: no swap has run, originals still complete")
+    // explicit recovery rolls the committed compaction forward
+    FileSink.recoverCompaction(spark, outDir)
+    assert(raw().filter("uuid = 'gone'").count() == 0,
+      "roll-forward finished the committed swaps")
+    assert(raw().filter("uuid = 'ok'").count() == 2, "completed session untouched")
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("ok" -> okText, "adv" -> advText), s"assembly unchanged: $out")
+    // recovery consumed the markers with the doomed rows — nothing left
+    assert(FileSink.compactExpiredChunks(spark, outDir) == 0L,
+      "a fresh compaction after recovery is a no-op")
+  }
+
   test("streaming LSH index maintenance: a replayed batch appends nothing (idempotent)") {
     import graft.operators.VectorOps
     val sfDir = "/root/testdata/sf0.001"
