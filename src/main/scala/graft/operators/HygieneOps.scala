@@ -1,0 +1,330 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators — the C4/Gopher-style WITHIN-document cleaning
+  * passes of a pretraining pipeline, plus PII redaction: repetition
+  * signals (duplicate-line fraction, top-2-gram fraction), in-document
+  * line dedup, a repetition-gated corpus filter, and deterministic
+  * regex PII scrubbing.
+  *
+  * "Line" here is a fixed-width 12-token segment: the synthetic corpus
+  * carries no newlines (one physical line per document), so the
+  * newline-split C4 notion would be vacuous — the segment view keeps the
+  * operator semantics (dedup repeated spans INSIDE one document) honest
+  * and exercised. On real data the same operators run over
+  * `split(text, '\n')` unchanged.
+  *
+  * Scale notes: every per-document signal is explode → two-level
+  * partial-agg'd groupBy keyed by (doc_id, line|gram) then doc_id — no
+  * windows, no skew funnel (per-doc group sizes are bounded by document
+  * length), no driver state. The repetition-planted view and the PII
+  * decoration are narrow codegen'd maps (the `corpus_merge` idiom:
+  * synthesize the interesting input in-plan, identically in both engines,
+  * so the oracle verifies the TRANSFORM, not a lucky no-op).
+  */
+object HygieneOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Tokens per "line" segment (see class doc). */
+  val SegTokens = 12
+
+  /** The repetition-PLANTED corpus view: docs with `doc_id % 7 == 0` get
+    * their first 12-token line PREPENDED, so the original opening line
+    * recurs as the second segment — a guaranteed exact in-document
+    * duplicate with every later segment boundary left intact (an APPEND
+    * would misalign the 12-token grid unless n % 12 = 0). The other 6/7
+    * of the corpus is untouched, so the dedup keys prove both the
+    * removal and the leave-alone path. A doc SHORTER than one segment
+    * cannot host an aligned duplicate (its prepended prefix merges into
+    * the first segment), so planting also requires ≥ 12 tokens.
+    */
+  private def planted(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7)) === 0 && size(col("toks")) >= SegTokens,
+          concat(array_join(slice(col("toks"), 1, SegTokens), " "), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+
+  /** Shared DuckDB fragment mirroring [[planted]]. */
+  private val PlantedSql: String =
+    s"""SELECT doc_id, lang,
+       |         CASE WHEN doc_id % 7 = 0 AND len(string_split(text, ' ')) >= $SegTokens
+       |              THEN array_to_string(string_split(text, ' ')[1 : $SegTokens], ' ') || ' ' || text
+       |              ELSE text END AS text
+       |  FROM documents""".stripMargin
+
+  /** (doc_id, i, line): the 0-indexed 12-token segments of each document.
+    * One narrow generator per document (posexplode of a per-row segment
+    * array) — no shuffle.
+    */
+  private def lineView(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(toks) + ${SegTokens - 1}) div $SegTokens - 1), " +
+            s"i -> array_join(slice(toks, i * $SegTokens + 1, $SegTokens), ' '))"))
+          .as(Seq("i", "line")))
+
+  /** DuckDB fragment mirroring [[lineView]] over a CTE named `d`. */
+  private val LineViewSql: String =
+    s"""SELECT doc_id, i, array_to_string(toks[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ') AS line
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) + ${SegTokens - 1}) // $SegTokens - 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d))""".stripMargin
+
+  /** (doc_id, gram): consecutive token 2-grams of each document. */
+  private def gramView(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("gram"))
+
+  /** DuckDB fragment mirroring [[gramView]] over a CTE named `d`. */
+  private val GramViewSql: String =
+    """SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d WHERE len(string_split(text, ' ')) >= 2))""".stripMargin
+
+  /** Per-document repetition SIGNALS (Gopher §A.1.1-style hygiene
+    * counters) over the planted view: duplicate-line fraction (share of
+    * line instances that repeat an earlier-or-later identical line),
+    * top-2-gram fraction (share of 2-gram instances claimed by the most
+    * frequent 2-gram), and duplicate-2-gram fraction. The planted 1/7 of
+    * docs surface dup_line_frac > 0; the 2-gram signals are live on the
+    * natural text.
+    */
+  private def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(spark, sfDir)
+    val lineStats = lineView(d)
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_lines"), count(lit(1)).as("n_uniq_lines"))
+    val gramStats = gramView(d)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_2grams"), max("c").as("top_2gram"),
+        count(lit(1)).as("n_uniq_2grams"))
+    lineStats.join(gramStats, "doc_id")
+      .select(col("doc_id"), col("n_lines"),
+        ((col("n_lines") - col("n_uniq_lines")) / col("n_lines")).as("dup_line_frac"),
+        col("n_2grams"), col("top_2gram"),
+        (col("top_2gram") / col("n_2grams")).as("top_2gram_frac"),
+        ((col("n_2grams") - col("n_uniq_2grams")) / col("n_2grams")).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document line dedup — the C4 cleaning step itself: duplicate
+    * 12-token lines are removed keeping the FIRST occurrence, and the
+    * survivors re-concatenate in original order. First-occurrence choice
+    * and reassembly are both deterministic: min(position) per (doc,
+    * line), then a bounded per-doc `collect_list` sorted by position —
+    * the same bounded-group assembly shape as the file sink's
+    * reassembly; group size is capped by the document's own line count.
+    */
+  private def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = lineView(planted(spark, sfDir))
+      .groupBy("doc_id", "line").agg(min("i").as("i"), count(lit(1)).as("c"))
+    firsts.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_lines"), count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("line")))),
+            x => x.getField("line")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition gate threshold: share of 2-gram instances the single most
+    * frequent 2-gram may claim before the document counts as repetitive
+    * (≈ p95 of the natural corpus — the Gopher-style knob).
+    */
+  val Top2GramMax = 0.09
+
+  /** [[TextOps]]'s corpus filter with the repetition gate composed into
+    * the precedence chain: dup → short → repetitive → quality → keep.
+    * Runs on the NATURAL corpus (the 2-gram signal is live there);
+    * reuses the exact same quality formula, canonical-dup rule, and
+    * 2-gram definition as the standalone keys, so the composition cannot
+    * drift from its parts. Docs with < 2 tokens have no 2-grams and
+    * count as non-repetitive (left join, frac 0).
+    */
+  private def corpusFilterRep(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = TextOps.withQualityScore(docs(spark, sfDir))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"))
+    val rep = gramView(docs(spark, sfDir))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max("c") / sum("c")).as("top_2gram_frac"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
+    base.join(canon, "h").join(rep, Seq("doc_id"), "left")
+      .withColumn("top_2gram_frac", coalesce(col("top_2gram_frac"), lit(0.0)))
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .withColumn("decision",
+        when(not(col("is_canonical")), "dup")
+          .when(col("n_tokens") < 20, "short")
+          .when(col("top_2gram_frac") > Top2GramMax, "repetitive")
+          .when(col("quality") < 0.4, "quality")
+          .otherwise("keep"))
+      .withColumn("keep", col("decision") === "keep")
+      .select("doc_id", "lang", "n_tokens", "quality", "top_2gram_frac",
+        "is_canonical", "decision", "keep")
+      .orderBy("doc_id")
+  }
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** The three scrub patterns. Each string is valid under BOTH regex
+    * engines in play (Java `Pattern` in Spark, RE2 in the DuckDB oracle):
+    * character classes, bounded repetition and `\b` word boundaries only —
+    * no backreferences, no lookaround.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII redaction — the compliance primitive every corpus
+    * pipeline runs before training: emails, NANP-shaped phone numbers
+    * and IPv4 literals are counted and replaced by typed placeholders.
+    * The synthetic corpus is PII-free, so the interesting inputs are
+    * PLANTED in-plan (the `corpus_merge` idiom): docs get an email
+    * (doc_id % 3 = 0), a phone (% 4 = 0) and/or an IP (% 5 = 0) appended
+    * deterministically from their own id — both engines derive the same
+    * decorated text, and the oracle verifies real removals, not a no-op.
+    *
+    * Scrub order matters and is fixed: email first (its local part may
+    * contain phone- or IP-shaped digit runs), then phone, then IP — the
+    * placeholders themselves contain no digits, so later passes cannot
+    * re-match earlier replacements. Counts are taken on the decorated
+    * text BEFORE any replacement. Composition: the `keep` rows of
+    * [[corpusFilterRep]] (or `corpus_filter`) would flow through this
+    * scrub before sharding — pure narrow Column algebra, so it composes
+    * with any of the filter keys and with the streaming ingest path
+    * unchanged.
+    */
+  private def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(200)).cast("string")))
+        .otherwise(lit("")))
+    def countOf(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    docs(spark, sfDir)
+      .select(col("doc_id"), decorated.as("txt"))
+      .select(col("doc_id"),
+        countOf(col("txt"), EmailRe).as("n_email"),
+        countOf(col("txt"), PhoneRe).as("n_phone"),
+        countOf(col("txt"), IpRe).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // ---- declarations ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+    "doc_repetition" -> QueryDef(docRepetition,
+      Some(s"""WITH d AS (
+              |  $PlantedSql),
+              |l AS (
+              |  $LineViewSql),
+              |ls AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, count(*) AS n_uniq_lines
+              |  FROM (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2) GROUP BY 1),
+              |g AS (
+              |  $GramViewSql),
+              |gs AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams, max(c) AS top_2gram,
+              |         count(*) AS n_uniq_2grams
+              |  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+              |SELECT ls.doc_id, ls.n_lines,
+              |       (ls.n_lines - ls.n_uniq_lines) / ls.n_lines AS dup_line_frac,
+              |       gs.n_2grams, gs.top_2gram,
+              |       gs.top_2gram / gs.n_2grams AS top_2gram_frac,
+              |       (gs.n_2grams - gs.n_uniq_2grams) / gs.n_2grams AS dup_2gram_frac
+              |FROM ls JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "dedup_lines" -> QueryDef(dedupLines,
+      Some(s"""WITH d AS (
+              |  $PlantedSql),
+              |l AS (
+              |  $LineViewSql),
+              |f AS (
+              |  SELECT doc_id, line, min(i) AS i, count(*) AS c FROM l GROUP BY 1, 2),
+              |a AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, count(*) AS n_kept,
+              |         string_agg(line, ' ' ORDER BY i) AS clean_text
+              |  FROM f GROUP BY 1)
+              |SELECT doc_id, n_lines, n_kept, n_lines - n_kept AS n_removed, clean_text
+              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    "corpus_filter_rep" -> QueryDef(corpusFilterRep,
+      Some(s"""WITH q AS (
+              |  ${TextOps.QualityCountersSql}),
+              |s AS (
+              |  SELECT doc_id, lang, h, CAST(n_tok AS BIGINT) AS n_tokens,
+              |         ${TextOps.QualityExprSql} AS quality
+              |  FROM q),
+              |d AS (SELECT doc_id, text FROM documents),
+              |g AS (
+              |  $GramViewSql),
+              |rep AS (
+              |  SELECT doc_id, max(c) / CAST(sum(c) AS BIGINT) AS top_2gram_frac
+              |  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1),
+              |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h)
+              |SELECT s.doc_id, s.lang, s.n_tokens, s.quality,
+              |       coalesce(rep.top_2gram_frac, 0.0) AS top_2gram_frac,
+              |       s.doc_id = c.keep_id AS is_canonical,
+              |       CASE WHEN s.doc_id <> c.keep_id THEN 'dup'
+              |            WHEN s.n_tokens < 20 THEN 'short'
+              |            WHEN coalesce(rep.top_2gram_frac, 0.0) > $Top2GramMax THEN 'repetitive'
+              |            WHEN s.quality < 0.4 THEN 'quality'
+              |            ELSE 'keep' END AS decision,
+              |       (s.doc_id = c.keep_id AND s.n_tokens >= 20
+              |        AND coalesce(rep.top_2gram_frac, 0.0) <= $Top2GramMax
+              |        AND s.quality >= 0.4) AS keep
+              |FROM s JOIN c USING (h) LEFT JOIN rep USING (doc_id)
+              |ORDER BY s.doc_id""".stripMargin)),
+
+    "pii_redact" -> QueryDef(piiRedact,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, text
+              |    || CASE WHEN doc_id % 3 = 0
+              |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              |            ELSE '' END
+              |    || CASE WHEN doc_id % 4 = 0
+              |            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |            ELSE '' END
+              |    || CASE WHEN doc_id % 5 = 0
+              |            THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+              |                 || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+              |            ELSE '' END AS txt
+              |  FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_email,
+              |       CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phone,
+              |       CAST(len(regexp_extract_all(txt, '$IpRe')) AS BIGINT) AS n_ip,
+              |       regexp_replace(regexp_replace(regexp_replace(txt,
+              |         '$EmailRe', '<EMAIL>', 'g'),
+              |         '$PhoneRe', '<PHONE>', 'g'),
+              |         '$IpRe', '<IP>', 'g') AS redacted
+              |FROM d ORDER BY doc_id""".stripMargin))
+  )
+}

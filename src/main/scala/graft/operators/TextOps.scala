@@ -20,7 +20,7 @@ object TextOps {
     Tables(spark, sfDir, "documents")
 
   /** Stopword list used by quality scoring and language ID. */
-  private val Stop = Seq("the", "a", "of", "and", "to")
+  private[graft] val Stop = Seq("the", "a", "of", "and", "to")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** Per-language marker-token lists for the n-gram/stopword language-ID
@@ -75,14 +75,14 @@ object TextOps {
           + least((col("n_nonspace") / col("n_tok")) / 10.0, lit(1.0)) * 0.25)
 
   /** Oracle fragments mirroring [[withQualityScore]]. */
-  private val QualityCountersSql: String =
+  private[graft] val QualityCountersSql: String =
     s"""SELECT doc_id, lang, n_chars, md5(text) AS h,
        |         len(string_split(text, ' ')) AS n_tok,
        |         len(list_filter(string_split(text, ' '), x -> x IN (${inList(Stop)}))) AS n_stop,
        |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
        |         length(replace(text, ' ', '')) AS n_nonspace
        |  FROM documents""".stripMargin
-  private val QualityExprSql: String =
+  private[graft] val QualityExprSql: String =
     "(n_stop / n_tok) * 0.25 + (n_uniq / n_tok) * 0.5 + least((n_nonspace / n_tok) / 10.0, 1.0) * 0.25"
 
   /** Length / stopword / distinctness ratios + a composite quality score. */
@@ -180,44 +180,108 @@ object TextOps {
     * event for a uniform h (Chernoff; Over = 4), but NOT an impossible
     * one — and a shortfall would silently shrink the sample — so the
     * assumption is ENFORCED: an in-plan guard fails the query if any
-    * stratum's realized sample is smaller than min(Cap, n). The guard
-    * rides inside the returned `smp_rank` column (coalesced
-    * assert_true contributing 0, the `chunk_dedup` idiom) so column
-    * pruning can never drop it.
+    * stratum's realized sample is smaller than min(Cap, n). The guard is
+    * evaluated on the THRESHOLDS side — per-stratum survivor counts
+    * left-joined back onto the thresholds frame — so a stratum whose
+    * prune left ZERO survivors still fails loudly (a survivor-row-borne
+    * guard has no row to ride on there and the stratum would silently
+    * vanish). The folded all-zero guard scalar then rides inside the
+    * returned `smp_rank` column (coalesced assert_true contributing 0,
+    * the `chunk_dedup` idiom) so column pruning can never drop it.
     */
-  private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+  private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(spark, sfDir, quota = least(lit(50L), col("n")), tag = "sample_stratified")
+
+  /** The shared oversample-prune stratified sampler behind
+    * [[sampleStratified]] (fixed cap) and [[sampleTemperature]]
+    * (n^α-proportional quotas): `quota` is any Column over the
+    * per-stratum count frame `(lang, n)` — it must satisfy
+    * quota ≤ min(n, Cap-like bound) semantics on its own. Two-phase
+    * shape and the thresholds-side quota guard as documented on
+    * [[sampleStratified]].
+    */
+  private def stratifiedSample(
+      spark: SparkSession, sfDir: String,
+      quota: org.apache.spark.sql.Column, tag: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 1000000007L
-    val Cap = 50L
     val Over = 4.0
     val d = docs(spark, sfDir)
     val thresholds = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("q", quota)
       .withColumn("thresh",
-        least(lit(M), ceil(lit(Over * Cap) * lit(M) / col("n")).cast("long")))
+        least(lit(M), ceil(lit(Over) * col("q") * lit(M) / col("n")).cast("long")))
     val hv = expr("aggregate(transform(split(concat('strat:', CAST(doc_id AS STRING)), ''), " +
       "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
     val pruned = d.select(col("doc_id"), col("lang"), hv.as("hv"))
       .join(broadcast(thresholds), "lang")
       .filter(col("hv") < col("thresh"))
+    // the quota guard: the prune may only ever leave >= min(q, n)
+    // survivors per stratum; fewer means the oversample assumption broke
+    // and the "exact quota" contract would silently degrade. Left-joining
+    // the survivor counts onto THRESHOLDS makes a zero-survivor stratum
+    // produce a (kept=null → 0) row that fails the assert — it cannot
+    // silently vanish. The fold to ONE scalar row keeps the guard
+    // crossJoin-able into the result without perturbing its cardinality.
+    val survivorCounts = pruned.groupBy("lang").agg(count(lit(1)).as("kept"))
+    val guard = thresholds.join(survivorCounts, Seq("lang"), "left")
+      .select(coalesce(
+        assert_true(coalesce(col("kept"), lit(0L)) >= least(col("q"), col("n")),
+          concat(lit(s"$tag: stratum "), col("lang"),
+            lit(" kept "), coalesce(col("kept"), lit(0L)), lit(" of "), col("n"),
+            lit(" rows under the 4x oversample prune — below the quota; raise Over"))
+          ).cast("long"),
+        lit(0L)).as("g"))
+      .agg(sum("g").as("g0")) // all-zero; summing forces every stratum's assert
     val ranked = pruned
       .withColumn("smp_rank",
         row_number().over(Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
-      .withColumn("stratum_kept",
-        count(lit(1)).over(Window.partitionBy("lang")))
-    // the quota guard: the prune may only ever leave >= min(Cap, n)
-    // survivors per stratum; fewer means the oversample assumption broke
-    // and the "exact quota" contract would silently degrade
-    val guardedRank = col("smp_rank") + coalesce(
-      assert_true(col("stratum_kept") >= least(lit(Cap), col("n")),
-        concat(lit("sample_stratified: stratum "), col("lang"),
-          lit(" kept "), col("stratum_kept"), lit(" of "), col("n"),
-          lit(" rows under the 4x oversample prune — below the quota; raise Over"))
-        ).cast("long"),
-      lit(0L))
     ranked
-      .filter(col("smp_rank") <= Cap)
-      .select(col("lang"), col("doc_id"), guardedRank.as("smp_rank"))
+      .filter(col("smp_rank") <= col("q"))
+      .crossJoin(broadcast(guard))
+      .select(col("lang"), col("doc_id"),
+        (col("smp_rank") + coalesce(col("g0"), lit(0L))).as("smp_rank"))
       .orderBy("lang", "smp_rank")
+  }
+
+  /** Temperature-weighted mixture sampling — the pretraining MIXING knob:
+    * per-stratum quotas proportional to n^α under a global document
+    * budget, α ∈ [0, 1] interpolating between a uniform mix (α = 0:
+    * every language gets budget/|strata|) and the natural distribution
+    * (α = 1: proportional sampling — no rebalancing). α < 1 upsamples
+    * the tail languages relative to their share, the standard remedy for
+    * head-language dominance in a multilingual corpus. Same
+    * oversample-prune two-phase shape, determinism contract, and
+    * thresholds-side quota guard as [[sampleStratified]] — only the
+    * quota column differs:
+    *
+    *   w_s  = floor(n_s^α)  (integer weight),
+    *   q_s  = min(n_s, max(1, floor(budget · w_s / Σw)))
+    *
+    * The weight is FLOORED to an integer so Σw is an exact integer sum —
+    * order-independent, identical in both engines (float summation order
+    * over strata would not be). For the declared α = 0.5, n^α = sqrt(n)
+    * is IEEE-correctly-rounded in both engines, so floor(sqrt(n)) is
+    * bit-identical; the quota's one double division budget·w/Σw has its
+    * true value ≥ 1/Σw away from any integer it could mis-floor across
+    * (magnitudes ≪ 2^52), so the floor is engine-stable too. Arbitrary α
+    * goes through pow(), whose last-ulp behavior is libm-specific —
+    * callers pinning a non-{0, ½, 1} α trade the oracle guarantee for
+    * flexibility (documented, not declared).
+    */
+  private[graft] def sampleTemperature(
+      spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5, budget: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w =
+      if (alpha == 0.0) lit(1L)
+      else if (alpha == 0.5) floor(sqrt(col("n"))).cast("long")
+      else if (alpha == 1.0) col("n")
+      else floor(pow(col("n"), lit(alpha))).cast("long")
+    val sumW = sum(w).over(Window.partitionBy())
+    val quota = least(col("n"),
+      greatest(lit(1L), floor((lit(budget) * w) / sumW).cast("long")))
+    stratifiedSample(spark, sfDir, quota, tag = "sample_temperature")
   }
 
   /** Vocabulary frequency analysis — top-5 tokens per language, the
@@ -584,6 +648,30 @@ object TextOps {
              |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS smp_rank
              |      FROM p)
              |SELECT lang, doc_id, smp_rank FROM r WHERE smp_rank <= 50
+             |ORDER BY lang, smp_rank""".stripMargin)),
+
+    "sample_temperature" -> QueryDef(sampleTemperature(_, _),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+             |q AS (SELECT lang, n,
+             |        least(n, greatest(1,
+             |          CAST(floor(200 * w / (SELECT sum(w) FROM w)) AS BIGINT))) AS q
+             |      FROM w),
+             |t AS (SELECT lang, n, q,
+             |        least(1000000007, CAST(ceil(4.0 * q * 1000000007 / n) AS BIGINT)) AS thresh
+             |      FROM q),
+             |h AS (SELECT d.doc_id, d.lang,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split('strat:' || CAST(d.doc_id AS VARCHAR), ''),
+             |            ch -> ord(ch))),
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS hv
+             |      FROM documents d),
+             |p AS (SELECT h.doc_id, h.lang, h.hv, t.q FROM h JOIN t USING (lang)
+             |      WHERE h.hv < t.thresh),
+             |r AS (SELECT lang, doc_id, q,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS smp_rank
+             |      FROM p)
+             |SELECT lang, doc_id, smp_rank FROM r WHERE smp_rank <= q
              |ORDER BY lang, smp_rank""".stripMargin)),
 
     "vocab_topk" -> QueryDef(vocabTopk,

@@ -71,6 +71,12 @@ object FileSink {
     * corruption either way.)
     */
   def assembled(spark: SparkSession, path: String): DataFrame = {
+    // self-healing read: a compaction crash leaves either orphaned hidden
+    // tmp dirs (pre-commit) or a committed-but-unswapped manifest — both
+    // are resolved here so EVERY reader sees a consistent directory, not
+    // just callers that happen to run compactExpiredChunks first. On the
+    // no-crash path this is two filesystem metadata probes.
+    recoverCompaction(spark, path)
     // basePath keeps the batch=N partition column for latest-wins
     // ordering; mergeSchema because a directory may MIX pre-generation
     // batch dirs (no gen column) with post-generation ones — without it
@@ -146,6 +152,20 @@ object FileSink {
     * partial becomes cleanly readable again after compaction — a
     * strictly better recovery than the reference, whose
     * overwrite-then-delete destroys the completed bytes too.
+    *
+    * The interval's OPEN lower end (rows at batch `lastDone` survive) is
+    * safe against a DONE and a retry sharing that batch: within one
+    * micro-batch a completed uuid's reopen always gets `gen + 1`
+    * ([[Reassembly.processFrames]] — all of a uuid's frames in a batch
+    * flow through ONE invocation, so a remove-then-recreate inside a
+    * batch is structurally impossible), and `gen` restarts to 0 only
+    * when the state was ABSENT at the batch's start, i.e. the completion
+    * happened in a strictly earlier batch. Likewise an EXPIRED marker
+    * never shares a batch with a same-generation DONE (timeouts fire
+    * only for keys with no data in the batch). Hence two instances of a
+    * uuid can never collide on (batch, gen), and rows excluded at
+    * `batch == lastDone` are always the completed instance's own —
+    * pinned by StreamingSpec's same-batch-reopen test.
     *
     * The marker list and the implicated pairs' done batches are
     * collected to the driver (one marker per expired session since the

@@ -68,6 +68,93 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_temperature: α=0 w/ budget 250 equals sample_stratified; α=1 is proportional") {
+    val dir = "/root/testdata/sf0.01"
+    // α = 0: every stratum weighs 1, so budget 250 over 5 strata gives the
+    // same min(50, n) quota as the fixed-cap key — outputs must be identical
+    val uniform = graft.operators.TextOps.sampleTemperature(spark, dir, alpha = 0.0, budget = 250L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val strat = SparkEntry.queries("sample_stratified")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uniform == strat, "α=0 with budget |strata|·Cap must equal the fixed-cap sample")
+    // α = 1: quotas proportional to n (floor(budget·n/N), min 1, cap n)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val total = docs.length.toLong
+    val prop = graft.operators.TextOps.sampleTemperature(spark, dir, alpha = 1.0, budget = 100L)
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    byLang.foreach { case (lang, n) =>
+      val expected = math.min(n.toLong, math.max(1L, 100L * n / total))
+      assert(prop.getOrElse(lang, 0) == expected,
+        s"α=1 stratum $lang: got ${prop.getOrElse(lang, 0)}, want $expected of $n")
+    }
+    // and the declared α=0.5 key flattens the mix: the head stratum's share
+    // shrinks vs proportional, the tail strata's grow
+    val temp = SparkEntry.queries("sample_temperature")(spark, dir)
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val head = byLang.maxBy(_._2)._1
+    assert(temp(head).toDouble / temp.values.sum < prop(head).toDouble / prop.values.sum,
+      "α=0.5 must shrink the head language's share relative to α=1")
+  }
+
+  test("dedup_lines: planted duplicates removed, clean text has no repeated segments") {
+    val out = SparkEntry.queries("dedup_lines")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (docId, nLines, nKept, nRemoved, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nRemoved == nLines - nKept)
+      // planting requires >= 12 tokens (shorter docs can't host an
+      // aligned duplicate); n_lines counts the PLANTED view's lines, so
+      // eligible docs have the extra prepended segment: n_lines >= 2
+      if (docId % 7 == 0 && nLines >= 2 && nRemoved == 0)
+        fail(s"doc $docId: planted dup not removed (n_lines=$nLines)")
+      // re-segment the cleaned text: all 12-token lines must be distinct
+      val toks = clean.split(" ")
+      val segs = toks.grouped(12).map(_.mkString(" ")).toSeq
+      assert(segs.distinct.size == segs.size, s"doc $docId: clean text still repeats a segment")
+    }
+  }
+
+  test("pii_redact: no residual PII shapes, counts follow the planting schedule") {
+    val email = graft.operators.HygieneOps.EmailRe.r
+    val phone = graft.operators.HygieneOps.PhoneRe.r
+    val ip = graft.operators.HygieneOps.IpRe.r
+    val out = SparkEntry.queries("pii_redact")(spark, sfDir).collect()
+    out.foreach { r =>
+      val (docId, nEmail, nPhone, nIp, red) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(email.findFirstIn(red).isEmpty, s"doc $docId: email survived redaction")
+      assert(phone.findFirstIn(red).isEmpty, s"doc $docId: phone survived redaction")
+      assert(ip.findFirstIn(red).isEmpty, s"doc $docId: IP survived redaction")
+      // the natural corpus is PII-free, so counts equal the planted schedule
+      assert(nEmail == (if (docId % 3 == 0) 1 else 0), s"doc $docId email count")
+      assert(nPhone == (if (docId % 4 == 0) 1 else 0), s"doc $docId phone count")
+      assert(nIp == (if (docId % 5 == 0) 1 else 0), s"doc $docId ip count")
+      assert((docId % 3 != 0) || red.contains("<EMAIL>"))
+      assert((docId % 4 != 0) || red.contains("<PHONE>"))
+      assert((docId % 5 != 0) || red.contains("<IP>"))
+    }
+  }
+
+  test("corpus_filter_rep: keep implies every gate passed; repetition gate fires somewhere") {
+    val out = SparkEntry.queries("corpus_filter_rep")(spark, "/root/testdata/sf0.01").collect()
+    out.foreach { r =>
+      val (keep, decision) = (r.getBoolean(7), r.getString(6))
+      val (nTok, quality, frac, canon) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      if (keep) {
+        assert(decision == "keep" && canon && nTok >= 20 && quality >= 0.4
+          && frac <= graft.operators.HygieneOps.Top2GramMax)
+      }
+      if (decision == "repetitive") assert(frac > graft.operators.HygieneOps.Top2GramMax)
+    }
+    val decisions = out.map(_.getString(6)).toSet
+    assert(decisions.contains("repetitive"), "repetition gate never fired at sf0.01")
+    assert(decisions.contains("keep"))
+  }
+
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

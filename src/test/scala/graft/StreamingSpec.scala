@@ -352,6 +352,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "compaction is idempotent")
   }
 
+  test("compaction with a DONE and its retry sharing ONE batch dooms only the retry (gen disambiguates)") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-sbgen-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-sbgen-out").toString
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.streamEventTime(spark, input.toDS()), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    val okText = "complete content" // 2 chunks of 8
+    val advText = "adv text adv tex"
+    // batch 0: 'u' COMPLETES (gen 0) and then REOPENS in the SAME batch —
+    // the in-batch reopen gets gen 1 (processFrames increments; gen only
+    // restarts to 0 when the completion was in an earlier batch), which is
+    // exactly what keeps the doom interval's open lower end safe: the
+    // expired retry's rows share the DONE's batch but never its gen
+    // 'u' exercises the LATER-batch reopen (gen restarts to 0, interval
+    // lower end = the done batch); a trailing non-seq-1 frame on the
+    // closed generation draws REJECT and lands no chunk row
+    phase(Seq(
+      tf("u", 1, okText.substring(0, 8), 16, 100), tf("u", 2, okText.substring(8), 16, 101),
+      tf("u", 3, "noise!!!", 16, 102)))
+    phase(Seq(tf("u", 1, "partial!", 16, 103)))
+    // 'v' exercises the SAME-batch reopen: a single-frame transfer
+    // completes gen 0, then a second seq-1 frame in the SAME batch
+    // reopens as gen 1 and stalls — DONE and retry share the batch
+    // (multi-frame completions can't reopen in-batch: the retry's seq-1
+    // sorts before the closing frame and draws REJECT, the documented
+    // interleaving degradation)
+    val vText = "complete"
+    phase(Seq(
+      tf("v", 1, vText, 8, 100),
+      tf("v", 1, "partial!", 16, 102)))
+    // advance watermark past both stalled retries' deadlines; the sweep
+    // emits EXPIRED markers for (u, gen 0 retry) and (v, gen 1)
+    phase(Seq(tf("adv", 1, advText.substring(0, 8), 16, 300)))
+    phase(Seq(tf("adv", 2, advText.substring(8), 16, 310)))
+    def raw() = spark.read.option("basePath", outDir)
+      .option("mergeSchema", "true").parquet(outDir)
+    // precondition: v's DONE rows and its retry's chunk share batch 2 but
+    // carry distinct gens — the structural invariant the doom scope rests on
+    val vGens = raw().filter("uuid = 'v' AND NOT expired")
+      .select("gen").distinct().collect().map(_.getInt(0)).sorted
+    assert(vGens.sameElements(Array(0, 1)), s"in-batch reopen must get gen 1: ${vGens.toSeq}")
+    val dropped = FileSink.compactExpiredChunks(spark, outDir)
+    // doomed: u's later-batch retry chunk + marker, v's in-batch retry
+    // chunk + marker = 4 rows; both completed gen-0 instances survive
+    assert(dropped == 4, s"both retries' chunk+marker rows, got $dropped")
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("u" -> okText, "v" -> vText, "adv" -> advText),
+      s"both completed instances readable, retries erased: $out")
+  }
+
   test("compaction crash windows: pre-commit crash rolls back, post-commit crash rolls forward") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
@@ -390,14 +449,15 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(raw().filter("uuid = 'gone'").count() == 2,
       "post-commit crash: no swap has run, originals still complete")
-    // explicit recovery rolls the committed compaction forward
-    FileSink.recoverCompaction(spark, outDir)
-    assert(raw().filter("uuid = 'gone'").count() == 0,
-      "roll-forward finished the committed swaps")
-    assert(raw().filter("uuid = 'ok'").count() == 2, "completed session untouched")
+    // a PLAIN READ self-heals: assembled() runs recoverCompaction first,
+    // so the committed compaction rolls forward without any caller running
+    // compactExpiredChunks — readers never see a half-compacted sink
     val out = FileSink.assembled(spark, outDir)
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(out == Map("ok" -> okText, "adv" -> advText), s"assembly unchanged: $out")
+    assert(raw().filter("uuid = 'gone'").count() == 0,
+      "the read's recovery pass finished the committed swaps")
+    assert(raw().filter("uuid = 'ok'").count() == 2, "completed session untouched")
     // recovery consumed the markers with the doomed rows — nothing left
     assert(FileSink.compactExpiredChunks(spark, outDir) == 0L,
       "a fresh compaction after recovery is a no-op")
