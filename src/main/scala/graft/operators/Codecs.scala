@@ -5,7 +5,10 @@ package graft.operators
   * PNM rasters (binary P5/P6 and ASCII P2/P3, grayscale + RGB) and
   * RIFF/WAVE 16-bit PCM (mono or multi-channel, channels pooled) are
   * all fully decodable from headers + raw sample bytes/tokens, no JNI,
-  * no external deps. [[AutoFrameDecoder]] sniffs magic bytes and dispatches;
+  * no external deps — and since round 9 the COMPRESSED raster formats
+  * (PNG/JPEG/GIF/BMP) decode too, via the JDK's own `javax.imageio`
+  * (java.desktop module, headless-safe, still zero added dependencies).
+  * [[AutoFrameDecoder]] sniffs magic bytes and dispatches;
   * payloads in neither format keep the deterministic stub behavior, so the
   * declared `multimodal_features` output over text payloads is unchanged.
   *
@@ -149,6 +152,65 @@ object Codecs {
     Some((out, i))
   }
 
+  /** Compressed raster formats (PNG/JPEG/GIF/BMP) via `javax.imageio` —
+    * pure JVM, ships in the JDK's java.desktop module, fully functional
+    * headless (no display, no JNI, no external codec libraries; the
+    * earlier "compressed formats need JNI" assumption was simply wrong).
+    * Same frame semantics as the PNM path: one float per raster ROW =
+    * mean pixel intensity of that row, channels pooled, 0..255 scale —
+    * so sample/resize read identically across compressed and
+    * uncompressed images.
+    *
+    * Magic bytes are checked BEFORE handing the payload to ImageIO:
+    * (a) a text/WAV/garbage payload costs two byte compares, not a
+    * codec-plugin scan, and (b) the declared `multimodal_features` key
+    * (text cast to bytes) provably never reaches ImageIO — none of the
+    * four signatures are printable-ASCII-only prefixes a natural
+    * document could carry (BMP's "BM" is, so BMP additionally requires
+    * the header's pixel-offset field to point inside the payload).
+    * ImageIO itself is the total parser: a signature match with a
+    * malformed body returns null/throws, mapped to None → stub fallback,
+    * preserving the corrupt-file-degrades contract.
+    */
+  def tryDecodeImage(p: Array[Byte]): Option[Array[Float]] = {
+    if (!looksLikeImage(p)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some(Array.tabulate(h) { y =>
+          var s = 0L
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          s.toFloat / (3 * w)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def looksLikeImage(p: Array[Byte]): Boolean = {
+    def u8(i: Int) = p(i) & 0xff
+    // a minimal GIF (header+palette+1 image block) can be ~35 bytes;
+    // nothing real in any of the four formats is smaller than this
+    if (p.length < 26) return false
+    val png = u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    val jpeg = u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
+    val gif = p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+    // "BM" is printable, so require the full 54-byte BITMAPFILEHEADER +
+    // BITMAPINFOHEADER and a pixel-data offset (bytes 10-13,
+    // little-endian) landing inside the payload
+    val bmp = p.length >= 54 && p(0) == 'B' && p(1) == 'M' && {
+      val off = u8(10) | (u8(11) << 8) | (u8(12) << 16) | (u8(13) << 24)
+      off >= 54 && off < p.length
+    }
+    png || jpeg || gif || bmp
+  }
+
   /** Samples per WAV envelope frame. */
   val WavFrameSamples = 256
 
@@ -202,6 +264,7 @@ object Codecs {
 object AutoFrameDecoder extends FrameDecoder {
   override def decode(payload: Array[Byte]): Array[Float] =
     Codecs.tryDecodePnm(payload)
+      .orElse(Codecs.tryDecodeImage(payload))
       .orElse(Codecs.tryDecodeWav(payload))
       .getOrElse(StubFrameDecoder.decode(payload))
 }

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * metadata, fixed-size framing, and a feature-extraction pass over the
   * bytes via a typed Dataset + mapPartitions.
   *
-  * The decode step is REAL for the formats a pure JVM can decode — binary
-  * PNM rasters (P5/P6 → per-row mean intensity) and RIFF/WAVE 16-bit PCM
-  * (→ per-256-sample loudness envelope), via [[AutoFrameDecoder]] /
-  * [[Codecs]] — and falls back to the deterministic [[StubFrameDecoder]]
-  * byte statistics for any other (or malformed) payload, so a corrupt file
-  * degrades instead of failing the job. Native-codec formats (JPEG, MP3,
-  * H.264) would slot into the same [[FrameDecoder]] interface via
-  * JNI/FFI; those libraries are not in this container.
+  * The decode step is REAL for every format a pure JVM can decode — PNM
+  * rasters and compressed PNG/JPEG/GIF/BMP (→ per-row mean intensity,
+  * the compressed path via the JDK's own `javax.imageio`, headless, no
+  * JNI) and RIFF/WAVE 16-bit PCM (→ per-256-sample loudness envelope),
+  * via [[AutoFrameDecoder]] / [[Codecs]] — and falls back to the
+  * deterministic [[StubFrameDecoder]] byte statistics for any other (or
+  * malformed) payload, so a corrupt file degrades instead of failing the
+  * job. Formats with no JDK codec (MP3, H.264) would slot into the same
+  * [[FrameDecoder]] interface via JNI/FFI; those libraries are not in
+  * this container.
   *
   * Scale notes: payload bytes never leave their partition (narrow map);
   * metadata projections are codegen'd; at 100 TB the binary column would
@@ -25,12 +27,12 @@ import org.apache.spark.sql.functions._
   */
 /** The decode extension point: turns an opaque payload into per-frame
   * feature values. Implementations must be Serializable — they ship into
-  * the executors inside the mapPartitions closure. A real deployment plugs
-  * in a JNI/FFI codec (image decode, audio PCM, video keyframes) here; the
-  * container has no codec libraries, so the default is the deterministic
-  * [[StubFrameDecoder]]. Everything around the interface — binary column
-  * pruning, typed encoders, partition-local batch shape, sampling/resize —
-  * is real and decoder-independent.
+  * the executors inside the mapPartitions closure. The default
+  * [[AutoFrameDecoder]] really decodes PNM, PNG, JPEG, GIF, BMP and WAV;
+  * a real deployment plugs a JNI/FFI codec in here only for formats the
+  * JDK cannot decode (video, MP3). Everything around the interface —
+  * binary column pruning, typed encoders, partition-local batch shape,
+  * sampling/resize — is decoder-independent.
   */
 trait FrameDecoder extends Serializable {
   /** One float per decoded frame; empty payload → empty array. */
@@ -80,9 +82,11 @@ object MultimodalOps {
     * oracle-comparable) and the real opaque-file path ([[binaryFeatures]]
     * via the `binaryFile` source). The decode step is injected via
     * [[FrameDecoder]]; the default [[AutoFrameDecoder]] really decodes
-    * PNM/WAV payloads and keeps the stub byte-statistics for everything
-    * else — text payloads (no PNM/RIFF magic) are decoded identically to
-    * the stub, so the declared `multimodal_features` output is unchanged.
+    * PNM/PNG/JPEG/GIF/BMP/WAV payloads and keeps the stub
+    * byte-statistics for everything else — text payloads (no image/RIFF
+    * magic; BMP's printable "BM" prefix additionally requires a
+    * plausible binary header) are decoded identically to the stub, so
+    * the declared `multimodal_features` output is unchanged.
     *
     * RESIDUAL RISK (documented, deliberately accepted): the ASCII P2/P3
     * PNM variants are printable text, so a text payload that IS a valid

@@ -159,6 +159,81 @@ class CodecsSpec extends AnyFunSuite {
 
   // ---- auto dispatch -------------------------------------------------------
 
+  // ---- compressed images (javax.imageio) -----------------------------------
+
+  /** 4x3 RGB raster with constant-color rows; per-row channel-pooled
+    * means: (10+20+30)/3 = 20, 100, (255+0+255)/3 = 170.
+    */
+  private def rasterFixture: java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rows = Seq((10, 20, 30), (100, 100, 100), (255, 0, 255))
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (r, g, b) = rows(y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rasterFixture, fmt, out), s"no $fmt writer in JDK")
+    out.toByteArray
+  }
+
+  test("PNG/BMP/GIF decode: per-row pooled means, exact (lossless formats)") {
+    for (fmt <- Seq("png", "bmp")) {
+      val got = Codecs.tryDecodeImage(encode(fmt))
+      assert(got.isDefined, s"$fmt did not decode")
+      assert(got.get.toSeq == Seq(20.0f, 100.0f, 170.0f), s"$fmt row means: ${got.get.toSeq}")
+    }
+    // the JDK's GIF WRITER mangles tiny rasters (rows duplicated/shifted
+    // on roundtrip), so the writer output is not ground truth for pixel
+    // values — assert the decoder agrees exactly with an independent
+    // ImageIO read of the same bytes instead
+    val gifBytes = encode("gif")
+    val got = Codecs.tryDecodeImage(gifBytes)
+    assert(got.isDefined, "gif did not decode")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+    val want = Array.tabulate(img.getHeight) { y =>
+      val s = (0 until img.getWidth).map { x =>
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }.sum
+      s.toFloat / (3 * img.getWidth)
+    }
+    assert(got.get.toSeq == want.toSeq, s"gif row means: ${got.get.toSeq} vs ${want.toSeq}")
+  }
+
+  test("JPEG decode: per-row pooled means within lossy tolerance") {
+    val got = Codecs.tryDecodeImage(encode("jpg"))
+    assert(got.isDefined, "jpeg did not decode")
+    val want = Seq(20.0f, 100.0f, 170.0f)
+    got.get.toSeq.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 10.0f, s"jpeg row mean $g vs $w out of tolerance")
+    }
+  }
+
+  test("image sniffing is strict: printable prefixes and corrupt bodies fall through") {
+    // "BM"-prefixed text: printable prefix, no plausible pixel offset
+    val bmText = ("BM" + "the quick brown corpus document padded out to well over fifty four bytes")
+      .getBytes("US-ASCII")
+    assert(Codecs.tryDecodeImage(bmText).isEmpty)
+    assert(AutoFrameDecoder.decode(bmText).toSeq == StubFrameDecoder.decode(bmText).toSeq)
+    // real PNG magic, body cut inside the IHDR chunk: signature matches,
+    // ImageIO rejects (a longer cut can still carry the whole raster and
+    // legitimately decode — truncation before the header ends cannot)
+    val corrupt = encode("png").take(30)
+    assert(Codecs.tryDecodeImage(corrupt).isEmpty)
+    assert(AutoFrameDecoder.decode(corrupt).toSeq == StubFrameDecoder.decode(corrupt).toSeq)
+    // sub-minimum payloads never reach ImageIO
+    assert(Codecs.tryDecodeImage("GIF8".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("AutoFrameDecoder dispatches compressed images by magic") {
+    assert(AutoFrameDecoder.decode(encode("png")).toSeq == Seq(20.0f, 100.0f, 170.0f))
+    assert(AutoFrameDecoder.decode(encode("bmp")).toSeq == Seq(20.0f, 100.0f, 170.0f))
+  }
+
   test("AutoFrameDecoder dispatches by magic and falls back to the stub") {
     assert(AutoFrameDecoder.decode(p5Fixture).toSeq == Seq(15.0f, 100.0f, 127.5f))
     assert(AutoFrameDecoder.decode(wavFixture())(1) == 0.5f)
