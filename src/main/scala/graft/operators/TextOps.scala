@@ -188,6 +188,13 @@ object TextOps {
     * vanish). The folded all-zero guard scalar then rides inside the
     * returned `smp_rank` column (coalesced assert_true contributing 0,
     * the `chunk_dedup` idiom) so column pruning can never drop it.
+    *
+    * COST of the thresholds-side guard: one extra plan branch over the
+    * pruned frame (survivor counts can't be derived from the ranked
+    * rows — that was exactly the empty-stratum hole). Every branch of
+    * this query reads only (doc_id, lang) — column pruning keeps all of
+    * them a small fraction of corpus bytes at scale; locally the price
+    * is ~0.2 s of fixed job overhead (r9 bench, 0.26 → 0.47 s).
     */
   private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
     stratifiedSample(spark, sfDir, quota = least(lit(50L), col("n")), tag = "sample_stratified")

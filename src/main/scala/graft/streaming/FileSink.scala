@@ -27,6 +27,13 @@ object FileSink {
     * [[Reassembly.streamEventTime]]) to an idempotent per-chunk parquet
     * sink: one row per ACCEPTED frame `(uuid, seq, chunk, done, written)`.
     * Returns the writer so callers pick trigger/checkpoint placement.
+    *
+    * STORAGE ASSUMPTION (shared with [[compactExpiredChunks]]): replay
+    * idempotence rides on atomically replacing a whole `batch=<id>`
+    * directory, which requires HDFS/posix rename-and-visibility
+    * semantics. On an S3-class store (no atomic rename) deploy this sink
+    * on a transactional table format instead — the decided answer and
+    * its rationale live in SURVEY §2's file-sink entry.
     */
   def chunksToParquet(acks: Dataset[AckEvent], path: String): DataStreamWriter[AckEvent] =
     acks.writeStream
@@ -180,9 +187,9 @@ object FileSink {
     *            invisible to Spark's file index);
     *   commit   the batch list is published as `_compaction_manifest`
     *            via write-hidden-tmp → rename — the single atomic commit
-    *            point (rename atomicity holds on HDFS/posix; an S3-class
-    *            store without atomic rename still wants a transactional
-    *            table format instead);
+    *            point (rename atomicity holds on HDFS/posix; on an
+    *            S3-class store use a transactional table format — the
+    *            decided deployment answer, SURVEY §2 file-sink entry);
     *   phase 2  each original is deleted and its compacted sibling
     *            renamed into place; the manifest is removed last.
     * [[recoverCompaction]] makes any crash point benign and runs at
