@@ -141,6 +141,56 @@ object HygieneOps {
       .orderBy("doc_id")
   }
 
+  /** The planted cross-document BOILERPLATE line (exactly 12 tokens =
+    * one full segment, so prepending it never misaligns the host doc's
+    * own segment grid regardless of its length): the nav-menu/cookie-
+    * banner analog that C4-style global line dedup exists to strip.
+    */
+  private[graft] val BoilerLine =
+    "subscribe to our newsletter accept cookies terms of service apply here now"
+
+  /** Cross-document line dedup (C4's global rule: a line occurring ≥ 3
+    * times ACROSS the corpus is boilerplate and is stripped from every
+    * document) — the corpus-frequency sibling of the within-document
+    * [[dedupLines]]: nav menus, cookie banners and legal footers repeat
+    * across millions of pages, and no per-document pass can see that.
+    * The planted view prepends [[BoilerLine]] to docs with
+    * `doc_id % 4 == 1` (~n/4 occurrences, far over threshold), so the
+    * oracle verifies real stripping; natural 12-token segments of the
+    * random corpus never reach frequency 3.
+    *
+    * Scale shape: one partial-agg'd groupBy builds the line-frequency
+    * table, one hash-partitioned equi-join (both sides keyed on the
+    * line) tags instances, one bounded per-doc sorted reassembly — the
+    * `dedup_exact` cost class, keyed by line instead of doc hash. (A
+    * cheaper variant broadcasts only the `freq ≥ 3` sliver — tiny even
+    * at 100 TB, boilerplate is rare in DISTINCT lines however common in
+    * instances — and left-anti joins it; the inner-join form is kept as
+    * the declared key because it is the oracle-exact shape, and AQE
+    * converts it to the broadcast form at runtime when the frequency
+    * table is small.) The kept segments re-concatenate to EXACTLY the
+    * original document for every doc (planted line stripped, untouched
+    * docs byte-identical) — pinned in QueriesSpec.
+    */
+  private def dedupLinesGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(BoilerLine + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val l = lineView(d)
+    val freq = l.groupBy("line").agg(count(lit(1)).as("freq"))
+    l.join(freq, "line")
+      .withColumn("is_boiler", col("freq") >= 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(array_sort(collect_list(
+            when(not(col("is_boiler")), struct(col("i"), col("line"))))),
+            x => x.getField("line")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition gate threshold: share of 2-gram instances the single most
     * frequent 2-gram may claim before the document counts as repetitive
     * (≈ p95 of the natural corpus — the Gopher-style knob).
@@ -208,6 +258,27 @@ object HygieneOps {
     * with any of the filter keys and with the streaming ingest path
     * unchanged.
     */
+  /** Appends the three PII counts and the `redacted` text to any frame
+    * with a `txt` column — pure stateless Column algebra, so it applies
+    * unchanged to a STREAMING frame (batch/stream parity pinned in
+    * StreamingSpec), the same composition contract as
+    * [[TextOps.withQualityScore]]: a live ingest feed scrubs per
+    * micro-batch with no state and no adaptation.
+    */
+  private[graft] def withPiiScrub(d: DataFrame): DataFrame = {
+    def countOf(re: String): Column =
+      size(regexp_extract_all(col("txt"), lit(re), lit(0))).cast("long")
+    d.withColumn("n_email", countOf(EmailRe))
+      .withColumn("n_phone", countOf(PhoneRe))
+      .withColumn("n_ip", countOf(IpRe))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>"))
+  }
+
   private def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val decorated = concat(col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
@@ -221,19 +292,8 @@ object HygieneOps {
         concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
           lit(".0."), pmod(col("doc_id"), lit(200)).cast("string")))
         .otherwise(lit("")))
-    def countOf(c: Column, re: String): Column =
-      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
-    docs(spark, sfDir)
-      .select(col("doc_id"), decorated.as("txt"))
-      .select(col("doc_id"),
-        countOf(col("txt"), EmailRe).as("n_email"),
-        countOf(col("txt"), PhoneRe).as("n_phone"),
-        countOf(col("txt"), IpRe).as("n_ip"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          IpRe, "<IP>").as("redacted"))
+    withPiiScrub(docs(spark, sfDir).select(col("doc_id"), decorated.as("txt")))
+      .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
       .orderBy("doc_id")
   }
 
@@ -274,6 +334,22 @@ object HygieneOps {
               |  FROM f GROUP BY 1)
               |SELECT doc_id, n_lines, n_kept, n_lines - n_kept AS n_removed, clean_text
               |FROM a ORDER BY doc_id""".stripMargin)),
+
+    "dedup_lines_global" -> QueryDef(dedupLinesGlobal,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang,
+              |         CASE WHEN doc_id % 4 = 1 THEN '$BoilerLine ' || text
+              |              ELSE text END AS text
+              |  FROM documents),
+              |l AS (
+              |  $LineViewSql),
+              |f AS (SELECT line, count(*) AS freq FROM l GROUP BY 1),
+              |t AS (SELECT l.doc_id, l.i, l.line, f.freq >= 3 AS is_boiler
+              |      FROM l JOIN f USING (line))
+              |SELECT doc_id, count(*) AS n_lines,
+              |       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |       coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, ' ' ORDER BY i), '') AS clean_text
+              |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "corpus_filter_rep" -> QueryDef(corpusFilterRep,
       Some(s"""WITH q AS (

@@ -117,6 +117,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lines_global: matches a driver-side ground truth; boilerplate never survives") {
+    import graft.operators.HygieneOps
+    val original = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent ground truth: replant, re-segment, count global line
+    // frequency, strip freq >= 3 — all driver-side. (Note the corpus
+    // contains exact-duplicate DOCUMENTS by design — dedup_exact's whole
+    // reason to exist — so some natural segments legitimately cross the
+    // threshold too, not just the planted banner.)
+    def segs(t: String): Seq[String] = t.split(" ").grouped(12).map(_.mkString(" ")).toSeq
+    val planted = original.map { case (id, t) =>
+      id -> (if (id % 4 == 1) HygieneOps.BoilerLine + " " + t else t)
+    }
+    val freq = planted.values.toSeq.flatMap(segs).groupBy(identity).view.mapValues(_.size)
+    val out = SparkEntry.queries("dedup_lines_global")(spark, sfDir).collect()
+    assert(out.length == original.size)
+    out.foreach { r =>
+      val (docId, nLines, nBoiler, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val mine = segs(planted(docId))
+      val (boiler, kept) = mine.partition(s => freq(s) >= 3)
+      assert(nLines == mine.size, s"doc $docId n_lines")
+      assert(nBoiler == boiler.size, s"doc $docId: n_boiler $nBoiler vs ${boiler.size}")
+      assert(clean == kept.mkString(" "), s"doc $docId: clean text != ground truth")
+      if (docId % 4 == 1) assert(nBoiler >= 1, s"doc $docId: planted banner not stripped")
+      assert(!clean.contains(HygieneOps.BoilerLine), s"doc $docId: boilerplate survived")
+    }
+  }
+
   test("pii_redact: no residual PII shapes, counts follow the planting schedule") {
     val email = graft.operators.HygieneOps.EmailRe.r
     val phone = graft.operators.HygieneOps.PhoneRe.r

@@ -712,6 +712,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.asScala.toMap == batch, "stream scoring must equal batch scoring bit-for-bit")
   }
 
+  test("PII scrub batch/stream parity: the same stateless pass over a live feed") {
+    import graft.operators.HygieneOps
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "reach me at alice.smith@example.com or 415-555-0042"),
+      (2L, "server at 10.0.12.7 responded"),
+      (3L, "nothing sensitive here at all"))
+    val batch = {
+      import spark.implicits._
+      HygieneOps.withPiiScrub(docs.toDF("doc_id", "txt"))
+        .select("doc_id", "n_email", "n_phone", "n_ip", "redacted").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    }
+    assert(batch(1L) == (1L, 1L, 0L, "reach me at <EMAIL> or <PHONE>"))
+    assert(batch(2L) == (0L, 0L, 1L, "server at <IP> responded"))
+    assert(batch(3L)._4 == "nothing sensitive here at all")
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String)]] }
+    val input = MemoryStream[(Long, String)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-pii-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, (Long, Long, Long, String))]()
+    input.addData(docs)
+    // the SAME function over the streaming frame — no adaptation
+    val q = HygieneOps.withPiiScrub(input.toDS().toDF("doc_id", "txt"))
+      .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r =>
+          acc.add((r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))))
+      }
+      .start()
+    q.awaitTermination()
+    assert(acc.asScala.toMap == batch, "stream scrub must equal batch scrub bit-for-bit")
+  }
+
   test("stream-static corpus merge classifies a live feed against the frozen index") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.Row
