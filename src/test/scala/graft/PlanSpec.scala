@@ -75,6 +75,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_redact is a narrow scrub: pruned scan, no shuffle before the final sort") {
+    val p = plan("pii_redact")
+    assert(p.contains("struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"scrub must stay narrow:\n$p")
+    // the only exchange is the declared total ORDER BY
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+  }
+
+  test("dedup_lines_global builds a partial-agg'd frequency table and never windows") {
+    val p = plan("dedup_lines_global")
+    assert(!p.contains("Window"), s"global line dedup must not window:\n$p")
+    assert(p.contains("partial_count"), s"line frequency must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("corpus_filter_rep stays window-free like its parent filter") {
+    val p = plan("corpus_filter_rep")
+    assert(!p.contains("Window"), s"corpus_filter_rep must not window:\n$p")
+    assert(p.contains("partial_min"), "canonical-id groupBy must partial-aggregate")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      "repetition stats must partial-aggregate")
+  }
+
+  test("stratified samplers broadcast the thresholds and window only the pruned residue") {
+    for (k <- Seq("sample_stratified", "sample_temperature")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k must broadcast thresholds onto the corpus:\n$p")
+      // the rank window must sit ABOVE the threshold prune (i.e. over
+      // the pruned residue, not the raw corpus). Catalyst folds the
+      // `hv < thresh` prune into the broadcast join's non-equi
+      // condition, so the prune line IS the join line mentioning
+      // thresh; the plan prints top-down, so it must come after Window
+      val lines = p.linesIterator.toSeq
+      val wIdx = lines.indexWhere(_.contains("Window"))
+      val fIdx = lines.indexWhere(l => l.contains("thresh") &&
+        (l.contains("Filter") || l.contains("BroadcastHashJoin")))
+      assert(wIdx >= 0 && fIdx > wIdx, s"$k: rank window must consume the pruned residue:\n$p")
+    }
+  }
+
   test("color_nearest argmin is a partial aggregation, not a window sort") {
     val p = plan("color_nearest")
     assert(!p.contains("Window"), s"argmin still plans a window over the 16x scored rows:\n$p")
