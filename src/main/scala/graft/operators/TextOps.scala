@@ -318,6 +318,94 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Distributed BPE merge training — TOKENIZER INDUCTION, the step a
+    * training-data pipeline runs before any `token_count`-style
+    * accounting means anything: learn the first `rounds` byte-pair
+    * merges from corpus statistics (Sennrich-style: each round counts
+    * all adjacent symbol pairs weighted by word frequency, merges the
+    * most frequent pair everywhere, repeats).
+    *
+    * The SCALE SHAPE is the standard production one: ONE corpus scan
+    * builds the distinct-word frequency table (partial-agg'd groupBy —
+    * the same `vocab_topk` input), and every training round runs on
+    * THAT table (|vocab| rows — millions at 100 TB, trivially
+    * partitioned), never the corpus again. Per round: a pair-count
+    * partial aggregation, a top-1 via orderBy+limit(1) (planned as
+    * TakeOrdered — no global sort), ONE collected row (metadata scale),
+    * and a narrow string-replace map applying the merge. Word-table
+    * generations are tracked localCheckpoints with deterministic
+    * release (the CC discipline — lineage stays flat across rounds and
+    * no generation's blocks strand).
+    *
+    * Words are encoded as bar-wrapped symbols joined by two spaces
+    * (`"bat"` → `"|b|  |a|  |t|"`): the double-space separator makes
+    * Java-style left-to-right non-overlapping `replace` EXACTLY the BPE
+    * leftmost-greedy merge ("a a a a" merges to "aa aa", the shared-
+    * boundary case a single-space encoding gets wrong), and the bars
+    * make symbol boundaries unambiguous (`"|a|  |t|"` cannot match
+    * inside `"|ba|  |t|"`). The encoding assumes no token contains a
+    * bar — ENFORCED in-plan (assert_true riding the freq column, the
+    * `chunk_dedup` idiom), since a bar-bearing token would silently
+    * corrupt symbol boundaries in a way no downstream check could see.
+    *
+    * Ties on pair frequency break lexicographically on (left, right) —
+    * fully deterministic across runs/partitionings. No oracle
+    * (iterative fixpoint, not ANSI-expressible); QueriesSpec pins the
+    * whole merge list against an independent driver-side reference BPE.
+    */
+  private[graft] def bpeMerges(
+      spark: SparkSession, sfDir: String, rounds: Int = 10): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val guardedFreq = col("freq") + coalesce(
+      assert_true(not(col("w").contains("|")),
+        concat(lit("bpe_merges: token '"), col("w"),
+          lit("' contains the symbol-boundary bar — encoding would corrupt silently"))
+        ).cast("long"),
+      lit(0L))
+    val raw = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(guardedFreq.as("freq"),
+        concat(lit("|"), array_join(split(col("w"), ""), "|  |"), lit("|")).as("s"))
+    var (words, handle) = GraftShim.localCheckpointTracked(raw)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def inner(sym: String): String = sym.stripPrefix("|").stripSuffix("|")
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = words
+          .select(col("freq"), split(col("s"), "  ").as("a"))
+          .filter(size(col("a")) >= 2) // sequence(1, 0) would DESCEND, not empty
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1), " +
+              "i -> named_struct('l', element_at(a, i), 'r', element_at(a, i + 1)))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("pf"))
+          .orderBy(col("pf").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, rr, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, inner(l), inner(rr), pf))
+          // call_function avoids SQL-literal quoting of corpus-derived
+          // symbols (replace() is left-to-right non-overlapping = BPE)
+          val merged = words.withColumn("s",
+            call_function("replace", col("s"),
+              lit(s"$l  $rr"), lit(s"|${inner(l)}${inner(rr)}|")))
+          val (w2, h2) = GraftShim.localCheckpointTracked(merged)
+          GraftShim.releaseCheckpoint(handle)
+          words = w2; handle = h2
+          r += 1
+        }
+      }
+    } finally GraftShim.releaseCheckpoint(handle)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_freq")
+      .orderBy("merge_rank")
+  }
+
   /** Overlapping token-window chunking — the LLM-pretraining document
     * segmentation (context-window packing with overlap so no span is
     * seen only at a boundary), as distinct from `chunk_split`'s
@@ -691,6 +779,8 @@ object TextOps {
              |  FROM c)
              |SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt
              |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    "bpe_merges" -> QueryDef(bpeMerges(_, _), None),
 
     "token_chunk" -> QueryDef(tokenChunk,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

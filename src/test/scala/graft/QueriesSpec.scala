@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for every key except the declared non-SQL ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+    assert(noOracle == Set("bpe_merges", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences"),
@@ -182,6 +182,41 @@ class QueriesSpec extends AnyFunSuite {
     val decisions = out.map(_.getString(6)).toSet
     assert(decisions.contains("repetitive"), "repetition gate never fired at sf0.01")
     assert(decisions.contains("keep"))
+  }
+
+  test("bpe_merges equals an independent driver-side reference BPE, merge for merge") {
+    val out = SparkEntry.queries("bpe_merges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 10, s"expected 10 merges, got ${out.length}")
+    // reference: Sennrich-style BPE over the collected word-frequency
+    // table — count ALL adjacent symbol pairs weighted by word freq,
+    // merge the (freq desc, left asc, right asc) winner leftmost-greedy
+    // non-overlapping, repeat
+    val wordFreq = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long])((m, w) => m.updated(w, m.getOrElse(w, 0L) + 1))
+    var words: Map[Vector[String], Long] =
+      wordFreq.groupMapReduce { case (w, _) => w.split("").toVector } (_._2)(_ + _)
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to 10).map { rank =>
+      val pairs = words.iterator
+        .flatMap { case (syms, f) => syms.zip(syms.tail).map(p => p -> f) }
+        .foldLeft(Map.empty[(String, String), Long])((m, kv) =>
+          m.updated(kv._1, m.getOrElse(kv._1, 0L) + kv._2))
+      val ((l, r), pf) = pairs.minBy { case ((l, r), pf) => (-pf, l, r) }
+      words = words.groupMapReduce { case (syms, _) => mergeWord(syms, l, r) } (_._2)(_ + _)
+      (rank.toLong, l, r, pf)
+    }
+    assert(out.toSeq == expected, s"merge lists differ:\n got ${out.toSeq}\nwant $expected")
   }
 
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
