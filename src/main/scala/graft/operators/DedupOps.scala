@@ -237,9 +237,14 @@ object DedupOps {
     * byte of iteration storage be freed deterministically before the
     * query returns. This is also the production shape: a 100 TB
     * clustering run persists its label table to durable storage anyway —
-    * the sink is the contract, not a workaround ([[sinkDir]] points at
-    * java.io.tmpdir locally; a cluster deployment would point it at the
-    * warehouse).
+    * the sink is the contract, not a workaround. WHERE it lands is the
+    * session conf `spark.graft.cc.sinkRoot` (any Hadoop-FS URI — point
+    * it at the warehouse on a cluster; rotation bounds storage at one
+    * directory per key and the final directory IS the persisted label
+    * table); unset, it falls back to a java.io.tmpdir root removed on
+    * JVM exit — correct for local/bench use only. Either way the
+    * per-JVM unique subdirectory keeps concurrent processes from ever
+    * overwriting each other's sink.
     *
     * Sink lifecycle: each invocation writes a FRESH directory under a
     * per-JVM unique root, then deletes the same key's previous directory
@@ -256,7 +261,7 @@ object DedupOps {
       sinkKey: String, compress: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     val res = connectedComponentsTracked(nodes, edges, compress = compress)
-    val dir = sinkDir(sinkKey)
+    val dir = sinkDir(spark, sinkKey)
     clusterReport(res.labels).write.mode("overwrite").parquet(dir)
     res.release()
     val prev = lastSinkForKey.put(sinkKey, dir)
@@ -268,8 +273,10 @@ object DedupOps {
     spark.read.parquet(dir).orderBy("doc_id")
   }
 
-  /** Per-JVM unique sink root, removed on exit. */
-  private lazy val sinkRoot: java.nio.file.Path = {
+  /** Per-JVM unique LOCAL sink root (the `spark.graft.cc.sinkRoot`-unset
+    * fallback), removed on exit.
+    */
+  private lazy val localSinkRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-cc-")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -279,15 +286,25 @@ object DedupOps {
     }
     p
   }
+  /** Disambiguates concurrent JVMs under a SHARED configured root. */
+  private val jvmSinkId = java.util.UUID.randomUUID().toString.take(8)
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSinkForKey = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Fresh per-invocation path under the per-JVM root; rotation and
-    * cleanup in [[clusterReportReleased]].
+    * cleanup in [[clusterReportReleased]]. Root resolution: the
+    * `spark.graft.cc.sinkRoot` conf (warehouse-class URI, cluster
+    * deployments — no exit-time deletion there: the rotated-to final
+    * directory per key IS the persisted label table), else the
+    * auto-cleaned local temp root.
     */
-  private def sinkDir(key: String): String =
-    sinkRoot.resolve(
-      key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + sinkSeq.incrementAndGet()).toString
+  private def sinkDir(spark: SparkSession, key: String): String = {
+    val base = spark.conf.getOption("spark.graft.cc.sinkRoot") match {
+      case Some(root) => s"${root.stripSuffix("/")}/cc-$jvmSinkId"
+      case None => localSinkRoot.toString
+    }
+    base + "/" + key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + sinkSeq.incrementAndGet()
+  }
 
   /** Decorates component labels into the declared output shape:
     * (doc_id, cluster, cluster_size, is_rep) with the min-id member as the

@@ -276,6 +276,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-report sink honors spark.graft.cc.sinkRoot (warehouse deployment path)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-confroot").toString
+    val before = SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.cc.sinkRoot", root)
+    try {
+      val out = SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001")
+      val rows = out.collect().map(_.toSeq).toSeq
+      assert(rows == before, "configured root must not change the result")
+      // the report parquet really landed under the configured root
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+      val parquets = Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+        .count(_.toString.endsWith(".parquet"))
+      assert(parquets > 0, s"no parquet under configured sink root $root")
+    } finally spark.conf.unset("spark.graft.cc.sinkRoot")
+  }
+
   test("candidate quality: LSH candidates are far more similar than random pairs") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
