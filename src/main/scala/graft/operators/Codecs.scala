@@ -161,37 +161,63 @@ object Codecs {
     * so sample/resize read identically across compressed and
     * uncompressed images.
     *
-    * Magic bytes are checked BEFORE handing the payload to ImageIO:
-    * (a) a text/WAV/garbage payload costs two byte compares, not a
-    * codec-plugin scan, and (b) the declared `multimodal_features` key
-    * (text cast to bytes) provably never reaches ImageIO — none of the
-    * four signatures are printable-ASCII-only prefixes a natural
-    * document could carry (BMP's "BM" is, so BMP additionally requires
-    * the header's pixel-offset field to point inside the payload).
-    * ImageIO itself is the total parser: a signature match with a
-    * malformed body returns null/throws, mapped to None → stub fallback,
-    * preserving the corrupt-file-degrades contract.
+    * Magic bytes are checked BEFORE handing the payload to ImageIO: a
+    * text/WAV/garbage payload costs two byte compares, not a
+    * codec-plugin scan. PNG/JPEG signatures contain non-printable bytes
+    * no natural document carries; BMP's printable "BM" additionally
+    * requires the header's pixel-offset field to point inside the
+    * payload; GIF's "GIF8" IS printable, so a document that happens to
+    * start with "GIF87a"/"GIF89a" DOES reach ImageIO — the stub-
+    * identical outcome there rests on the TOTAL PARSER (a prose body is
+    * never a valid LZW stream → None → stub), not on the sniff.
+    *
+    * Decode is bomb-guarded: the header's declared dimensions are read
+    * via the format reader FIRST (header-only, no raster allocation),
+    * and anything over [[MaxImagePixels]] falls back to the stub — a
+    * ~1 KB payload declaring a 60000×60000 raster would otherwise make
+    * `ImageIO.read` allocate multi-GB and throw OutOfMemoryError, which
+    * is not catchable-in-good-faith and would kill the executor,
+    * violating the corrupt-file-degrades contract. The explicit
+    * MemoryCacheImageInputStream also keeps ImageIO off its default
+    * per-read disk-cache temp file (pure waste — the bytes are already
+    * in memory) without flipping the global `ImageIO.setUseCache` state.
     */
   def tryDecodeImage(p: Array[Byte]): Option[Array[Float]] = {
     if (!looksLikeImage(p)) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        Some(Array.tabulate(h) { y =>
-          var s = 0L
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+          else {
+            val img = reader.read(0)
+            Some(Array.tabulate(h) { y =>
+              var s = 0L
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              s.toFloat / (3 * w)
+            })
           }
-          s.toFloat / (3 * w)
-        })
-      }
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Decode ceiling: 64 M pixels (an 8192×8192 RGBA raster ≈ 256 MB) —
+    * far above any sane training-corpus image, far below executor-killing
+    * territory. Headers declaring more fall back to the stub.
+    */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
 
   private def looksLikeImage(p: Array[Byte]): Boolean = {
     def u8(i: Int) = p(i) & 0xff

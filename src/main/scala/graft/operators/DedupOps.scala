@@ -240,11 +240,17 @@ object DedupOps {
     * the sink is the contract, not a workaround. WHERE it lands is the
     * session conf `spark.graft.cc.sinkRoot` (any Hadoop-FS URI — point
     * it at the warehouse on a cluster; rotation bounds storage at one
-    * directory per key and the final directory IS the persisted label
-    * table); unset, it falls back to a java.io.tmpdir root removed on
-    * JVM exit — correct for local/bench use only. Either way the
-    * per-JVM unique subdirectory keeps concurrent processes from ever
-    * overwriting each other's sink.
+    * directory per key PER JVM RUN, and the final directory IS the
+    * persisted label table); unset, it falls back to a java.io.tmpdir
+    * root removed on JVM exit — correct for local/bench use only.
+    * Either way the per-JVM unique subdirectory keeps concurrent
+    * processes from ever overwriting each other's sink. The flip side
+    * of per-run uniqueness: successive RUNS of a recurring job each
+    * leave their final label tables behind — that is the point of
+    * durable output, but unmanaged it grows by one directory per key
+    * per run; recurring jobs either point `sinkRoot` at a run-scoped
+    * path (date-partitioned warehouse dir) or call [[gcSinkRoot]] to
+    * reap prior runs' subroots past a retention age.
     *
     * Sink lifecycle: each invocation writes a FRESH directory under a
     * per-JVM unique root, then deletes the same key's previous directory
@@ -305,6 +311,28 @@ object DedupOps {
     }
     base + "/" + key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + sinkSeq.incrementAndGet()
   }
+
+  /** Storage GC for the CONFIGURED sink root: deletes `cc-*` subroots
+    * (other runs' label-table directories) whose modification time is
+    * older than `olderThanMs`, never this JVM's own. The retention knob
+    * for recurring jobs that keep one shared `spark.graft.cc.sinkRoot`;
+    * returns the number of subroots removed. No-op (0) when the conf is
+    * unset — the local temp fallback cleans itself on exit.
+    */
+  def gcSinkRoot(spark: SparkSession, olderThanMs: Long): Int =
+    spark.conf.getOption("spark.graft.cc.sinkRoot") match {
+      case None => 0
+      case Some(root) =>
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        val subs = fs.globStatus(new org.apache.hadoop.fs.Path(rootPath, "cc-*"))
+        if (subs == null) 0
+        else subs.count { st =>
+          st.isDirectory && st.getPath.getName != s"cc-$jvmSinkId" &&
+            st.getModificationTime < cutoff && fs.delete(st.getPath, true)
+        }
+    }
 
   /** Decorates component labels into the declared output shape:
     * (doc_id, cluster, cluster_size, is_rep) with the min-id member as the

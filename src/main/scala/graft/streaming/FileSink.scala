@@ -78,12 +78,16 @@ object FileSink {
     * corruption either way.)
     */
   def assembled(spark: SparkSession, path: String): DataFrame = {
-    // self-healing read: a compaction crash leaves either orphaned hidden
-    // tmp dirs (pre-commit) or a committed-but-unswapped manifest — both
-    // are resolved here so EVERY reader sees a consistent directory, not
-    // just callers that happen to run compactExpiredChunks first. On the
-    // no-crash path this is two filesystem metadata probes.
-    recoverCompaction(spark, path)
+    // self-healing read: a committed-but-unswapped compaction manifest
+    // rolls forward here (under an atomic claim — safe against other
+    // readers and a live compactor), so readers see the compacted state
+    // without any caller running compactExpiredChunks first. Pre-commit
+    // crash debris (orphan tmp dirs) is NOT touched on the read path —
+    // readers cannot distinguish it from a live compaction's in-flight
+    // phase 1, and the originals are untouched either way; the next
+    // compaction entry cleans it. On the no-crash path this is one
+    // filesystem metadata probe.
+    recoverForRead(spark, path)
     // basePath keeps the batch=N partition column for latest-wins
     // ordering; mergeSchema because a directory may MIX pre-generation
     // batch dirs (no gen column) with post-generation ones — without it
@@ -269,24 +273,40 @@ object FileSink {
     dropped
   }
 
-  /** Finishes or undoes an interrupted [[compactExpiredChunks]] — safe
-    * (and cheap: two metadata probes) to call any time; run it before
-    * reading a sink directory that may have hosted a compaction crash.
+  /** Full recovery at a COMPACTION entry — the single-compactor path
+    * (concurrent compactions on one sink dir are outside the contract):
+    * adopt any crashed recoverer's claimed manifest, then roll a
+    * committed manifest forward or an uncommitted crash back (deleting
+    * orphaned phase-1 tmp dirs — originals were never touched).
+    *
+    * READERS must not call this: the rollback branch cannot distinguish
+    * a crashed compaction's orphans from a LIVE compaction's in-flight
+    * phase-1 directories — deleting those would make the subsequent
+    * commit silently skip the affected batches. Readers get the
+    * mutual-exclusion-safe [[recoverForRead]] instead.
     */
   def recoverCompaction(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a recoverer that crashed between claiming the manifest and
+    // finishing the swaps left a .claimed-* file: adopt and finish it
+    // (idempotent — completed swaps left no tmp dir). Adoption only
+    // after a grace age: a YOUNG claim means a live recoverer is
+    // mid-swap right now, and adopting it concurrently would race the
+    // very swaps the claim exists to serialize — fail fast instead.
+    val claimed = fs.globStatus(new org.apache.hadoop.fs.Path(path, s".$ManifestName.claimed-*"))
+    if (claimed != null) claimed.foreach { st =>
+      if (System.currentTimeMillis() - st.getModificationTime < ClaimGraceMs)
+        throw new IllegalStateException(
+          s"a manifest recovery claimed ${st.getPath} is in flight; retry compaction shortly")
+      readBatchList(fs, st.getPath).foreach(b => swapIn(fs, path, b))
+      fs.delete(st.getPath, false)
+    }
     val manifest = manifestPath(path)
     if (fs.exists(manifest)) {
-      // committed: roll forward. A swap that already ran left no tmp dir,
-      // so replaying the list is idempotent.
-      val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
-      val in = fs.open(manifest)
-      try in.readFully(0, bytes) finally in.close()
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).map(_.toLong)
-        .foreach(b => swapIn(fs, path, b))
-      fs.delete(manifest, false)
+      // committed: roll forward (claim first so a concurrent READER's
+      // recovery can never interleave with this one)
+      claimAndRollForward(fs, path)
     } else {
       // uncommitted: roll back. Originals were never touched; orphaned
       // tmp dirs (and a torn hidden manifest tmp) are garbage.
@@ -295,6 +315,59 @@ object FileSink {
       fs.delete(new org.apache.hadoop.fs.Path(path, s".$ManifestName.tmp"), false)
     }
   }
+
+  /** Reader-side recovery: ROLL FORWARD ONLY, serialized by an atomic
+    * manifest claim. A reader never deletes phase-1 tmp dirs (it cannot
+    * know whether they belong to a crash or to a LIVE compaction's
+    * uncommitted phase 1 — the pre-claim design raced exactly that way),
+    * and two concurrent readers cannot double-run the swaps: the rename
+    * of the manifest to a caller-unique claimed name is atomic, so
+    * exactly one claimant performs them. A claimant that crashes
+    * mid-swap leaves its claimed file for the next compaction entry (or
+    * the next reader recovery) to adopt.
+    */
+  private[graft] def recoverForRead(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // existing .claimed-* files are deliberately NOT adopted here —
+    // only the single-actor compaction entry may adopt (after a grace
+    // age), because an adopter cannot tell a crashed claimant from a
+    // live one and concurrent swap replays race. Until adoption, a
+    // crashed claimant leaves some directories compacted and some not —
+    // each individually consistent, the doomed-row scope preserved in
+    // the claim file for the finish.
+    if (fs.exists(manifestPath(path))) claimAndRollForward(fs, path)
+  }
+
+  /** Atomically claims the committed manifest (rename to a unique
+    * hidden name — exactly one concurrent claimant wins; losers no-op)
+    * and replays its swap list. The claim file is removed only after
+    * every swap completed, so a mid-swap crash is adoptable.
+    */
+  private def claimAndRollForward(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val claim = new org.apache.hadoop.fs.Path(path,
+      s".$ManifestName.claimed-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(manifestPath(path), claim)) return // lost the race: done or in other hands
+    readBatchList(fs, claim).foreach(b => swapIn(fs, path, b))
+    fs.delete(claim, false)
+  }
+
+  private def readBatchList(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+  }
+
+  /** Minimum age before a compaction entry may ADOPT another process's
+    * crashed manifest claim (younger = presumed live, fail fast). Swap
+    * replay takes sub-seconds; ten minutes is decisively past any live
+    * claimant on any storage this sink supports.
+    */
+  private[graft] val ClaimGraceMs: Long = 10 * 60 * 1000L
 
   private val ManifestName = "_compaction_manifest"
   private def manifestPath(path: String) =

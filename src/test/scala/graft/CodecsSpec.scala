@@ -160,31 +160,16 @@ class CodecsSpec extends AnyFunSuite {
   // ---- auto dispatch -------------------------------------------------------
 
   // ---- compressed images (javax.imageio) -----------------------------------
+  // fixture + expected row means shared with MultimodalSpec via TestRasters
 
-  /** 4x3 RGB raster with constant-color rows; per-row channel-pooled
-    * means: (10+20+30)/3 = 20, 100, (255+0+255)/3 = 170.
-    */
-  private def rasterFixture: java.awt.image.BufferedImage = {
-    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rows = Seq((10, 20, 30), (100, 100, 100), (255, 0, 255))
-    for (y <- 0 until 3; x <- 0 until 4) {
-      val (r, g, b) = rows(y)
-      img.setRGB(x, y, (r << 16) | (g << 8) | b)
-    }
-    img
-  }
-
-  private def encode(fmt: String): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(rasterFixture, fmt, out), s"no $fmt writer in JDK")
-    out.toByteArray
-  }
+  private def encode(fmt: String): Array[Byte] = TestRasters.encode(fmt)
+  private val rowMeans = TestRasters.RowMeans
 
   test("PNG/BMP/GIF decode: per-row pooled means, exact (lossless formats)") {
     for (fmt <- Seq("png", "bmp")) {
       val got = Codecs.tryDecodeImage(encode(fmt))
       assert(got.isDefined, s"$fmt did not decode")
-      assert(got.get.toSeq == Seq(20.0f, 100.0f, 170.0f), s"$fmt row means: ${got.get.toSeq}")
+      assert(got.get.toSeq == rowMeans, s"$fmt row means: ${got.get.toSeq}")
     }
     // the JDK's GIF WRITER mangles tiny rasters (rows duplicated/shifted
     // on roundtrip), so the writer output is not ground truth for pixel
@@ -207,7 +192,7 @@ class CodecsSpec extends AnyFunSuite {
   test("JPEG decode: per-row pooled means within lossy tolerance") {
     val got = Codecs.tryDecodeImage(encode("jpg"))
     assert(got.isDefined, "jpeg did not decode")
-    val want = Seq(20.0f, 100.0f, 170.0f)
+    val want = rowMeans
     got.get.toSeq.zip(want).foreach { case (g, w) =>
       assert(math.abs(g - w) <= 10.0f, s"jpeg row mean $g vs $w out of tolerance")
     }
@@ -229,9 +214,24 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.tryDecodeImage("GIF8".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("decompression-bomb guard: absurd declared dimensions fall back before allocation") {
+    // BMP headers carry no CRC, so the declared dimensions can be forged:
+    // patch width/height (offsets 18/22, LE) to 60000x60000 — 3.6G pixels.
+    // The header probe must reject on the declared size without ever
+    // asking ImageIO to materialize the raster.
+    val bomb = encode("bmp").clone()
+    def putLe(off: Int, v: Int): Unit = {
+      bomb(off) = (v & 0xff).toByte; bomb(off + 1) = ((v >> 8) & 0xff).toByte
+      bomb(off + 2) = ((v >> 16) & 0xff).toByte; bomb(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe(18, 60000); putLe(22, 60000)
+    assert(Codecs.tryDecodeImage(bomb).isEmpty, "forged 3.6G-pixel header must be rejected")
+    assert(AutoFrameDecoder.decode(bomb).toSeq == StubFrameDecoder.decode(bomb).toSeq)
+  }
+
   test("AutoFrameDecoder dispatches compressed images by magic") {
-    assert(AutoFrameDecoder.decode(encode("png")).toSeq == Seq(20.0f, 100.0f, 170.0f))
-    assert(AutoFrameDecoder.decode(encode("bmp")).toSeq == Seq(20.0f, 100.0f, 170.0f))
+    assert(AutoFrameDecoder.decode(encode("png")).toSeq == rowMeans)
+    assert(AutoFrameDecoder.decode(encode("bmp")).toSeq == rowMeans)
   }
 
   test("AutoFrameDecoder dispatches by magic and falls back to the stub") {

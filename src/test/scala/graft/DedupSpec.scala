@@ -286,9 +286,10 @@ class DedupSpec extends AnyFunSuite {
       val rows = out.collect().map(_.toSeq).toSeq
       assert(rows == before, "configured root must not change the result")
       // the report parquet really landed under the configured root
-      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
-      val parquets = Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
-        .count(_.toString.endsWith(".parquet"))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val parquets =
+        try walk.filter(_.toString.endsWith(".parquet")).count()
+        finally walk.close()
       assert(parquets > 0, s"no parquet under configured sink root $root")
     } finally spark.conf.unset("spark.graft.cc.sinkRoot")
   }

@@ -126,27 +126,17 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("compressed PNG/JPEG files decode end-to-end through the binaryFile pipeline") {
-    // 4x3 raster with constant-color rows; pooled row means 20/100/170
-    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rowColors = Seq((10, 20, 30), (100, 100, 100), (255, 0, 255))
-    for (y <- 0 until 3; x <- 0 until 4) {
-      val (r, g, b) = rowColors(y)
-      img.setRGB(x, y, (r << 16) | (g << 8) | b)
-    }
-    def enc(fmt: String): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
-      out.toByteArray
-    }
+    // shared 4x3 raster fixture (TestRasters): pooled row means 20/100/170
+    def enc(fmt: String): Array[Byte] = TestRasters.encode(fmt)
     val dir = Files.createTempDirectory("graft-imgfiles")
     Files.write(dir.resolve("pic1.png"), enc("png"))
     Files.write(dir.resolve("pic2.jpg"), enc("jpg"))
     val rows = MultimodalOps.binaryFeatures(spark, dir.toString) // default = Auto
       .select("doc_id", "n_frames", "f0").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getFloat(2))).toMap
-    assert(rows(1L) == (3, 20.0f), s"PNG not decoded: ${rows(1L)}")
+    assert(rows(1L) == (3, TestRasters.RowMeans.head), s"PNG not decoded: ${rows(1L)}")
     assert(rows(2L)._1 == 3, s"JPEG frame count: ${rows(2L)}")
-    assert(math.abs(rows(2L)._2 - 20.0f) <= 10.0f, s"JPEG row-0 mean: ${rows(2L)}")
+    assert(math.abs(rows(2L)._2 - TestRasters.RowMeans.head) <= 10.0f, s"JPEG row-0 mean: ${rows(2L)}")
   }
 
   test("declared multimodal_features over text payloads is unchanged by the auto decoder") {

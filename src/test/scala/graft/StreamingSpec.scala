@@ -463,6 +463,38 @@ class StreamingSpec extends AnyFunSuite {
       "a fresh compaction after recovery is a no-op")
   }
 
+  test("a reading recovery never deletes another compaction's in-flight phase-1 dirs") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-inflight-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-inflight-out").toString
+    val okText = "complete content"
+    input.addData(Seq(
+      tf("ok", 1, okText.substring(0, 8), 16, 100), tf("ok", 2, okText.substring(8), 16, 101)))
+    val q = FileSink.chunksToParquet(
+      Reassembly.streamEventTime(spark, input.toDS()), outDir)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    // simulate a LIVE compaction mid-phase-1: a hidden replacement dir
+    // exists, the manifest is not yet committed. A reader's recovery
+    // must leave it alone — deleting it would make the compactor's
+    // imminent commit silently skip this batch (the pre-claim reader
+    // recovery did exactly that)
+    val inflight = java.nio.file.Paths.get(outDir, ".compact-batch=0")
+    java.nio.file.Files.createDirectory(inflight)
+    java.nio.file.Files.write(inflight.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val out = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("ok" -> okText), "read unaffected by in-flight phase-1 debris")
+    assert(java.nio.file.Files.exists(inflight),
+      "reader recovery deleted a live compaction's phase-1 directory")
+    // the single-actor compaction entry DOES clean it (no manifest = rollback)
+    FileSink.recoverCompaction(spark, outDir)
+    assert(!java.nio.file.Files.exists(inflight), "compaction-entry rollback reaps the orphan")
+  }
+
   test("streaming LSH index maintenance: a replayed batch appends nothing (idempotent)") {
     import graft.operators.VectorOps
     val sfDir = "/root/testdata/sf0.001"
