@@ -102,6 +102,37 @@ object StreamMerge {
       docs: DataFrame, baseIndex: DataFrame,
       delayThreshold: String = Reassembly.DefaultTtl,
       minTokens: Int = 20, minQuality: Double = 0.4): DataFrame =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .drop("text")
+
+  /** [[ingestPipeline]] plus the COMPLIANCE SCRUB on the rows that will
+    * actually be persisted: `insert` decisions carry the redacted text
+    * and per-category PII counts ([[graft.operators.HygieneOps
+    * .withPiiScrub]] — the same stateless pass the batch `pii_redact`
+    * key uses, batch/stream parity pinned in StreamingSpec); dropped and
+    * duplicate rows carry nulls — nothing of theirs is stored, so
+    * nothing is scrubbed (the `when` gate also keeps the regex cost off
+    * the drop path). Stateless addition: the pipeline's watermark/state
+    * story is byte-identical to the unscrubbed form.
+    */
+  def ingestPipelineScrubbed(
+      docs: DataFrame, baseIndex: DataFrame,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataFrame = {
+    val core = pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .withColumn("txt", when(col("decision") === "insert", col("text")).otherwise(lit("")))
+    graft.operators.HygieneOps.withPiiScrub(core)
+      .select(col("doc_id"), col("h"), col("n_tokens"), col("quality"),
+        col("decision"), col("existing_id"), col("ts"),
+        when(col("decision") === "insert", col("redacted")).as("redacted"),
+        when(col("decision") === "insert", col("n_email")).as("n_email"),
+        when(col("decision") === "insert", col("n_phone")).as("n_phone"),
+        when(col("decision") === "insert", col("n_ip")).as("n_ip"))
+  }
+
+  private def pipelineCore(
+      docs: DataFrame, baseIndex: DataFrame,
+      delayThreshold: String, minTokens: Int, minQuality: Double): DataFrame =
     graft.operators.TextOps.withQualityScore(docs)
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", delayThreshold)
@@ -116,7 +147,7 @@ object StreamMerge {
         col("existing_id"),
         // the surviving arrival's event time: lets the audit log answer
         // WHEN, and carries the upstream watermark to windowed stages
-        col("ts"))
+        col("ts"), col("text"))
 
   /** Event-time windowed roll-up of [[ingestPipeline]] decisions — the
     * pipeline's observability surface with an explicit LATENESS POLICY:

@@ -744,6 +744,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.asScala.toMap == batch, "stream scoring must equal batch scoring bit-for-bit")
   }
 
+  test("scrubbed ingest pipeline: inserts carry redacted text + PII counts, drops carry nulls") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val piiText = (1 to 18).map(i => s"w$i").mkString(" ") +
+      " mail bob@corp.io from 10.1.2.3" // long + high quality -> insert, 1 email, 1 ip
+    val knownText = (1 to 20).map(i => s"k$i").mkString(" ")
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, knownText)).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-scrub-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Any, Any, Any)]()
+    input.addData(Seq(
+      (401L, piiText, new java.sql.Timestamp(10000L)),
+      (402L, "tiny doc", new java.sql.Timestamp(11000L)), // short -> nulls
+      (403L, knownText, new java.sql.Timestamp(12000L)))) // skip_dup -> nulls
+    val q = StreamMerge.ingestPipelineScrubbed(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: Dataset[Row], _: Long) =>
+        ds.collect().foreach(r => acc.add((r.getLong(0), r.getString(4),
+          if (r.isNullAt(7)) null else r.getString(7),
+          if (r.isNullAt(8)) null else r.getLong(8),
+          if (r.isNullAt(10)) null else r.getLong(10))))
+      }
+      .start()
+    q.awaitTermination()
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId(401L)._2 == "insert")
+    assert(byId(401L)._3 == piiText.replace("bob@corp.io", "<EMAIL>").replace("10.1.2.3", "<IP>"),
+      s"insert must carry the redacted text: ${byId(401L)}")
+    assert(byId(401L)._4 == 1L && byId(401L)._5 == 1L, s"PII counts: ${byId(401L)}")
+    assert(byId(402L)._2 == "short" && byId(402L)._3 == null && byId(402L)._4 == null)
+    assert(byId(403L)._2 == "skip_dup" && byId(403L)._3 == null)
+  }
+
   test("PII scrub batch/stream parity: the same stateless pass over a live feed") {
     import graft.operators.HygieneOps
     import org.apache.spark.sql.Row
