@@ -294,6 +294,30 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.sinkRoot")
   }
 
+  test("gcSinkRoot reaps other runs' aged subroots, never its own or young ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-gcroot")
+    spark.conf.set("spark.graft.cc.sinkRoot", root.toString)
+    try {
+      // this JVM's own subroot comes into existence via a real run
+      val own = SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001")
+      assert(own.count() > 0)
+      // fake prior runs: one aged out, one recent
+      val old = root.resolve("cc-deadbeef")
+      val young = root.resolve("cc-12345678")
+      java.nio.file.Files.createDirectory(old)
+      java.nio.file.Files.createDirectory(young)
+      assert(old.toFile.setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
+      val reaped = DedupOps.gcSinkRoot(spark, olderThanMs = 24 * 3600 * 1000L)
+      assert(reaped == 1, s"exactly the aged foreign subroot, got $reaped")
+      assert(!java.nio.file.Files.exists(old), "aged subroot must be gone")
+      assert(java.nio.file.Files.exists(young), "young subroot must survive")
+      // the run's own subroot survives regardless of age
+      val ownDirs = root.toFile.listFiles().filter(_.getName.startsWith("cc-"))
+      assert(ownDirs.length == 2, s"own + young remain: ${ownDirs.map(_.getName).toSeq}")
+      assert(DedupOps.gcSinkRoot(spark, 24 * 3600 * 1000L) == 0, "gc is idempotent")
+    } finally spark.conf.unset("spark.graft.cc.sinkRoot")
+  }
+
   test("candidate quality: LSH candidates are far more similar than random pairs") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
