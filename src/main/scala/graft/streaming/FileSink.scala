@@ -267,9 +267,13 @@ object FileSink {
     // commit point: publish the swap list atomically
     writeManifest(fs, path, affectedBatches)
     if (failAfterPhase <= 2) sys.error("injected crash after phase 2 (committed, unswapped)")
-    // phase 2: swap each directory, then retire the manifest
-    affectedBatches.foreach(b => swapIn(fs, path, b))
-    fs.delete(manifestPath(path), false)
+    // phase 2 under the SAME claim discipline as reader recovery: the
+    // instant the manifest is published, a concurrent assembled() may
+    // claim and start swapping — swapping from this compactor's
+    // in-memory list as well would race those very swaps. The atomic
+    // claim picks exactly one swapper; if a reader won, it finishes the
+    // identical list and retires the claim.
+    claimAndRollForward(fs, path)
     dropped
   }
 
