@@ -194,18 +194,26 @@ object FileSink {
     *            point (rename atomicity holds on HDFS/posix; on an
     *            S3-class store use a transactional table format — the
     *            decided deployment answer, SURVEY §2 file-sink entry);
-    *   phase 2  each original is deleted and its compacted sibling
-    *            renamed into place; the manifest is removed last.
+    *   phase 2  the swapper CLAIMS the manifest (atomic rename to a
+    *            unique hidden `.claimed-*` name — exactly one of this
+    *            compactor and any concurrently-recovering reader wins),
+    *            then each original is deleted and its compacted sibling
+    *            renamed into place; the claim file is removed last.
     * [[recoverCompaction]] makes any crash point benign and runs at
-    * every compaction entry: manifest present → roll FORWARD (finish
-    * the swaps — idempotent, a completed swap leaves no tmp dir);
-    * manifest absent → roll BACK (delete orphaned tmp dirs; the
+    * every compaction entry: an AGED claim (crashed mid-swap) is
+    * adopted by atomic re-claim and finished (idempotent — a completed
+    * swap leaves no tmp dir); a YOUNG claim fails the entry loudly (a
+    * presumed-live swapper is working); a committed manifest is claimed
+    * and rolled forward; otherwise orphaned tmp dirs roll back (the
     * originals were never touched). The one unrecoverable window of the
     * previous write-tmp → delete → rename per-directory scheme — a
     * crash between delete and rename silently losing that directory's
     * surviving rows — is gone: deletion only ever happens after the
     * manifest commits the intent, and the replacement bytes are already
-    * on disk.
+    * on disk. Trade recorded: a mid-swap crash leaves a half-compacted
+    * (per-directory consistent) view for up to [[ClaimGraceMs]] before
+    * any actor may adopt — the price of making concurrent swappers
+    * structurally impossible.
     */
   def compactExpiredChunks(spark: SparkSession, path: String): Long =
     compactExpiredChunks(spark, path, failAfterPhase = Int.MaxValue)
@@ -293,19 +301,14 @@ object FileSink {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a recoverer that crashed between claiming the manifest and
-    // finishing the swaps left a .claimed-* file: adopt and finish it
-    // (idempotent — completed swaps left no tmp dir). Adoption only
-    // after a grace age: a YOUNG claim means a live recoverer is
-    // mid-swap right now, and adopting it concurrently would race the
-    // very swaps the claim exists to serialize — fail fast instead.
-    val claimed = fs.globStatus(new org.apache.hadoop.fs.Path(path, s".$ManifestName.claimed-*"))
-    if (claimed != null) claimed.foreach { st =>
-      if (System.currentTimeMillis() - st.getModificationTime < ClaimGraceMs)
-        throw new IllegalStateException(
-          s"a manifest recovery claimed ${st.getPath} is in flight; retry compaction shortly")
-      readBatchList(fs, st.getPath).foreach(b => swapIn(fs, path, b))
-      fs.delete(st.getPath, false)
-    }
+    // finishing the swaps left a .claimed-* file: adopt (by RE-claim —
+    // atomic, so concurrent adopters cannot double-run the swaps) and
+    // finish it. A YOUNG claim means a recoverer is presumed live and
+    // mid-swap right now; compaction must not proceed to re-plan
+    // against directories that are being swapped under it — fail fast.
+    if (adoptAgedClaims(fs, path) > 0)
+      throw new IllegalStateException(
+        s"a manifest recovery claim on $path is in flight; retry compaction shortly")
     val manifest = manifestPath(path)
     if (fs.exists(manifest)) {
       // committed: roll forward (claim first so a concurrent READER's
@@ -333,28 +336,60 @@ object FileSink {
   private[graft] def recoverForRead(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // existing .claimed-* files are deliberately NOT adopted here —
-    // only the single-actor compaction entry may adopt (after a grace
-    // age), because an adopter cannot tell a crashed claimant from a
-    // live one and concurrent swap replays race. Until adoption, a
-    // crashed claimant leaves some directories compacted and some not —
-    // each individually consistent, the doomed-row scope preserved in
-    // the claim file for the finish.
+    // aged claims (a recoverer crashed mid-swap) ARE adopted here too —
+    // adoption goes through an atomic RE-claim, so concurrent adopters
+    // cannot double-run the swaps, and reads self-heal once the grace
+    // age passes. YOUNG claims are left alone (presumed-live claimant is
+    // finishing the identical list); until then a crashed claimant's
+    // half-swapped state is visible — each directory individually
+    // consistent, the doomed-row scope preserved in the claim file, the
+    // healing delay bounded by ClaimGraceMs.
+    adoptAgedClaims(fs, path): Unit
     if (fs.exists(manifestPath(path))) claimAndRollForward(fs, path)
   }
 
   /** Atomically claims the committed manifest (rename to a unique
     * hidden name — exactly one concurrent claimant wins; losers no-op)
-    * and replays its swap list. The claim file is removed only after
-    * every swap completed, so a mid-swap crash is adoptable.
+    * and replays its swap list. The claim's mtime is EXPLICITLY set to
+    * now — rename preserves the source's mtime, so without this a claim
+    * on a long-crashed manifest would look instantly aged and invite a
+    * concurrent adoption racing the live claimant. The claim file is
+    * removed only after every swap completed, so a mid-swap crash is
+    * adoptable.
     */
   private def claimAndRollForward(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val claim = new org.apache.hadoop.fs.Path(path,
       s".$ManifestName.claimed-${java.util.UUID.randomUUID().toString.take(8)}")
     if (!fs.rename(manifestPath(path), claim)) return // lost the race: done or in other hands
+    fs.setTimes(claim, System.currentTimeMillis(), -1)
     readBatchList(fs, claim).foreach(b => swapIn(fs, path, b))
     fs.delete(claim, false)
+  }
+
+  /** Adopts every claim older than [[ClaimGraceMs]] — atomically, by
+    * RE-claiming it under this caller's own name (rename picks a single
+    * adopter; a losing adopter no-ops) — and replays its swaps. Returns
+    * the number of YOUNG claims left in place (presumed-live
+    * claimants).
+    */
+  private def adoptAgedClaims(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
+    val claimed = fs.globStatus(new org.apache.hadoop.fs.Path(path, s".$ManifestName.claimed-*"))
+    var young = 0
+    if (claimed != null) claimed.foreach { st =>
+      if (System.currentTimeMillis() - st.getModificationTime < ClaimGraceMs) young += 1
+      else {
+        val mine = new org.apache.hadoop.fs.Path(path,
+          s".$ManifestName.claimed-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (fs.rename(st.getPath, mine)) {
+          fs.setTimes(mine, System.currentTimeMillis(), -1)
+          readBatchList(fs, mine).foreach(b => swapIn(fs, path, b))
+          fs.delete(mine, false)
+        }
+      }
+    }
+    young
   }
 
   private def readBatchList(

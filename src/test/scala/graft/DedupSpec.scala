@@ -301,12 +301,20 @@ class DedupSpec extends AnyFunSuite {
       // this JVM's own subroot comes into existence via a real run
       val own = SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001")
       assert(own.count() > 0)
+      val ownDir = root.toFile.listFiles().filter(_.getName.startsWith("cc-")) match {
+        case Array(d) => d
+        case other => fail(s"expected exactly the run's own subroot, got ${other.toSeq}")
+      }
       // fake prior runs: one aged out, one recent
       val old = root.resolve("cc-deadbeef")
       val young = root.resolve("cc-12345678")
       java.nio.file.Files.createDirectory(old)
       java.nio.file.Files.createDirectory(young)
       assert(old.toFile.setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
+      // age the OWN subroot too: its survival below must come from the
+      // name guard, not from a fresh mtime (a >24h-running job calling
+      // the GC must never reap its own live label tables)
+      assert(ownDir.setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
       val reaped = DedupOps.gcSinkRoot(spark, olderThanMs = 24 * 3600 * 1000L)
       assert(reaped == 1, s"exactly the aged foreign subroot, got $reaped")
       assert(!java.nio.file.Files.exists(old), "aged subroot must be gone")

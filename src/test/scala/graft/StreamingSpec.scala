@@ -463,6 +463,57 @@ class StreamingSpec extends AnyFunSuite {
       "a fresh compaction after recovery is a no-op")
   }
 
+  test("claim lifecycle: young claims block compaction and defer readers; aged claims adopt") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
+    val input = MemoryStream[TimedFrame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-claim-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-claim-out").toString
+    def phase(fs: Seq[TimedFrame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.streamEventTime(spark, input.toDS()), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    val okText = "complete content"
+    val advText = "adv text adv tex"
+    phase(Seq(
+      tf("ok", 1, okText.substring(0, 8), 16, 100), tf("ok", 2, okText.substring(8), 16, 101),
+      tf("gone", 1, "partial!", 16, 100)))
+    phase(Seq(tf("adv", 1, advText.substring(0, 8), 16, 200)))
+    phase(Seq(tf("adv", 2, advText.substring(8), 16, 210)))
+    // commit the manifest but crash before any swap, then simulate a
+    // recoverer that claimed it and died mid-swap
+    intercept[RuntimeException] {
+      FileSink.compactExpiredChunks(spark, outDir, failAfterPhase = 2)
+    }
+    val manifest = new java.io.File(outDir, "_compaction_manifest")
+    val claim = new java.io.File(outDir, "._compaction_manifest.claimed-dead0000")
+    assert(manifest.renameTo(claim), "simulated claim")
+    assert(claim.setLastModified(System.currentTimeMillis()))
+    def goneRows() = spark.read.option("basePath", outDir)
+      .option("mergeSchema", "true").parquet(outDir).filter("uuid = 'gone'").count()
+    // YOUNG claim: a presumed-live swapper — compaction fails loudly,
+    // readers leave it alone and keep serving the pre-swap state
+    intercept[IllegalStateException] { FileSink.compactExpiredChunks(spark, outDir) }
+    val outYoung = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(outYoung == Map("ok" -> okText, "adv" -> advText))
+    assert(goneRows() == 2, "young claim: no swap may run")
+    assert(claim.exists(), "young claim left in place")
+    // AGED claim: the next reader adopts (atomic re-claim) and finishes
+    assert(claim.setLastModified(
+      System.currentTimeMillis() - FileSink.ClaimGraceMs - 60000L))
+    val outAged = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(outAged == Map("ok" -> okText, "adv" -> advText))
+    assert(goneRows() == 0, "aged claim adopted: swaps finished by the reader")
+    assert(!claim.exists(), "adopted claim retired")
+    assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "nothing left to compact")
+  }
+
   test("a reading recovery never deletes another compaction's in-flight phase-1 dirs") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
