@@ -172,16 +172,18 @@ object HygieneOps {
     * original document for every doc (planted line stripped, untouched
     * docs byte-identical) — pinned in QueriesSpec.
     */
-  private def dedupLinesGlobal(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+  private def boilerPlanted(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(BoilerLine + " "), col("text")))
           .otherwise(col("text")).as("text"))
-    val l = lineView(d)
-    val freq = l.groupBy("line").agg(count(lit(1)).as("freq"))
-    l.join(freq, "line")
-      .withColumn("is_boiler", col("freq") >= 3)
-      .groupBy("doc_id")
+
+  /** Shared per-doc reassembly over a tagged line frame
+    * `(doc_id, i, line, is_boiler)` — counts, and the kept lines
+    * re-concatenated in position order.
+    */
+  private def reassembleClean(tagged: DataFrame): DataFrame =
+    tagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
         array_join(
@@ -189,6 +191,47 @@ object HygieneOps {
             when(not(col("is_boiler")), struct(col("i"), col("line"))))),
             x => x.getField("line")), " ").as("clean_text"))
       .orderBy("doc_id")
+
+  private def dedupLinesGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = lineView(boilerPlanted(spark, sfDir))
+    val freq = l.groupBy("line").agg(count(lit(1)).as("freq"))
+    reassembleClean(l.join(freq, "line").withColumn("is_boiler", col("freq") >= 3))
+  }
+
+  /** The distinct BOILERPLATE lines of a corpus (global frequency ≥
+    * `minFreq`) — the small side of the production strip: distinct
+    * boilerplate lines are rare however common their instances, so this
+    * frame broadcasts where the full line-frequency table would not.
+    */
+  private[graft] def boilerplateLines(d: DataFrame, minFreq: Long = 3L): DataFrame =
+    lineView(d).groupBy("line").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+
+  /** PRODUCTION form of [[dedupLinesGlobal]]: tag instances by broadcast
+    * left join against ONLY the boilerplate sliver, instead of the
+    * declared key's oracle-exact inner join against the FULL frequency
+    * table — at 100 TB the full table is corpus-scale (all distinct
+    * lines) and that join shuffles every line instance, while the
+    * sliver is metadata-scale and ships to the mappers; the corpus's
+    * line instances never shuffle before the per-doc reassembly. Output
+    * row-identical to the declared key (pinned in QueriesSpec); the
+    * broadcast shape pinned in PlanSpec. The sliver would typically be
+    * computed once and persisted (it is a corpus property, not a
+    * per-query one) — the same amortization story as the ANN indexes.
+    */
+  private[graft] def stripBoilerplateBroadcast(d: DataFrame, boiler: DataFrame): DataFrame = {
+    val tagged = lineView(d)
+      .join(broadcast(boiler.select(col("line"), lit(true).as("is_boiler"))), Seq("line"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+    reassembleClean(tagged)
+  }
+
+  /** [[stripBoilerplateBroadcast]] over the same planted view as the
+    * declared key — the bench/spec entry for the production form.
+    */
+  private[graft] def dedupLinesGlobalBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = boilerPlanted(spark, sfDir)
+    stripBoilerplateBroadcast(d, boilerplateLines(d))
   }
 
   /** Repetition gate threshold: share of 2-gram instances the single most

@@ -92,6 +92,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("dedup_lines_global production form broadcasts the boilerplate sliver") {
+    val p = graft.operators.HygieneOps.dedupLinesGlobalBroadcast(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"sliver must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"line instances must not shuffle into the join:\n$p")
+  }
+
   test("corpus_filter_rep stays window-free like its parent filter") {
     val p = plan("corpus_filter_rep")
     assert(!p.contains("Window"), s"corpus_filter_rep must not window:\n$p")

@@ -146,6 +146,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lines_global broadcast production form is row-identical to the declared key") {
+    val dir = "/root/testdata/sf0.01"
+    val declared = SparkEntry.queries("dedup_lines_global")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val production = graft.operators.HygieneOps.dedupLinesGlobalBroadcast(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(production == declared,
+      "broadcast-sliver strip must equal the full-frequency-join form row for row")
+  }
+
   test("pii_redact: no residual PII shapes, counts follow the planting schedule") {
     val email = graft.operators.HygieneOps.EmailRe.r
     val phone = graft.operators.HygieneOps.PhoneRe.r
