@@ -229,6 +229,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expected, s"merge lists differ:\n got ${out.toSeq}\nwant $expected")
   }
 
+  test("BPE string-encoding merge equals the leftmost-greedy reference fold on random symbol runs") {
+    // the subtle core of bpe_merges is the claim that non-overlapping
+    // left-to-right replace() over the bar-wrapped double-space encoding
+    // IS the BPE leftmost-greedy merge — exercise it through Spark's own
+    // replace on adversarial inputs (3-symbol alphabet → dense repeats,
+    // overlapping pair runs, merged multi-char symbols)
+    val rnd = new scala.util.Random(99)
+    val cases = (0 until 150).map { i =>
+      val alphabet = Seq("a", "b", "ab") // includes a multi-char merged symbol
+      val syms = List.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(3)))
+      (i, syms, alphabet(rnd.nextInt(3)), alphabet(rnd.nextInt(3)))
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, concat, lit}
+    val df = cases.map { case (i, syms, l, r) =>
+      (i, syms.map(s => s"|$s|").mkString("  "), l, r)
+    }.toDF("id", "s", "l", "r")
+    val merged = df.select(col("id"),
+      call_function("replace", col("s"),
+        concat(lit("|"), col("l"), lit("|  |"), col("r"), lit("|")),
+        concat(lit("|"), col("l"), col("r"), lit("|"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    def refMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    cases.foreach { case (i, syms, l, r) =>
+      val got = merged(i).split("  ").toList.map(_.stripPrefix("|").stripSuffix("|"))
+      val want = refMerge(syms, l, r)
+      assert(got == want, s"case $i: syms=$syms merge=($l,$r): got $got want $want")
+    }
+  }
+
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
