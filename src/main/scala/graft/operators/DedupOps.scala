@@ -360,20 +360,37 @@ object DedupOps {
     clusterReportReleased(nodes, edges, s"dedup_clusters_$sfDir")
   }
 
+  /** Edge verification + clustering over scored candidate pairs: only
+    * pairs whose signatures agree on ≥ [[MinhashVerifySlots]] of 16 slots
+    * (est. Jaccard ≥ 0.75) enter the transitive closure — a raw band
+    * collision is a CANDIDATE, never an edge. Split out so DedupSpec can
+    * plant a known false collision and assert it stays unclustered.
+    */
+  private[graft] def clustersFromScoredPairs(
+      nodes: DataFrame, scored: DataFrame, key: String): DataFrame = {
+    val edges = scored.filter(col("sig_match") >= MinhashVerifySlots)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterReportReleased(nodes, edges, key)
+  }
+
   /** The PRODUCTION dedup composition at corpus scale: MinHash+LSH
-    * candidate pairs over the FULL document table → connected components →
-    * min-id representative per cluster. No bounded id range, no driver
-    * drain, no quadratic stage anywhere: candidates are bucket-join
-    * output ([[minhashPairs]]), clustering is the checkpointed iterative
-    * loop ([[connectedComponents]]). Deterministic (seeded hashing), no
-    * SQL oracle (LSH is not ANSI-expressible) — invariants are
-    * property-tested in DedupSpec (every candidate pair shares a label;
-    * every cluster is labeled by its minimum member).
+    * candidate pairs over the FULL document table → per-pair signature
+    * verification (≥ [[MinhashVerifySlots]]/16 equal slots) → connected
+    * components → min-id representative per cluster. No bounded id range,
+    * no driver drain, no quadratic stage anywhere: candidates are
+    * bucket-join output ([[minhashPairsScored]]), clustering is the
+    * checkpointed iterative loop ([[connectedComponents]]). The verify
+    * gate is what makes the closure safe at 100 TB: without it one false
+    * band collision chains unrelated documents into a mega-cluster.
+    * Deterministic (seeded hashing), no SQL oracle (LSH is not
+    * ANSI-expressible) — invariants are property-tested in DedupSpec
+    * (every VERIFIED candidate pair shares a label; a planted false
+    * collision does not; every cluster is labeled by its minimum member).
     */
   private def dedupClustersMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val edges = minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    clusterReportReleased(d.select("doc_id"), edges, s"dedup_clusters_minhash_$sfDir")
+    clustersFromScoredPairs(d.select("doc_id"), minhashPairsScored(d),
+      s"dedup_clusters_minhash_$sfDir")
   }
 
   /** Character n-gram Jaccard (3-grams) over a bounded id range — the
@@ -437,13 +454,29 @@ object DedupOps {
       .filter(col("bucket_n") > 1)
   }
 
+  /** Slots (of 16) that must agree between two minhash signatures for a
+    * candidate edge to be trusted by transitive clustering: 12/16 equal
+    * slots estimates Jaccard ≥ 0.75. Banding alone admits any pair that
+    * agrees on ONE band (4 slots ⇒ est. J could be far lower); at corpus
+    * scale a single false band collision would chain unrelated documents
+    * into one mega-cluster through the transitive closure. The check is a
+    * narrow per-pair slot comparison computed where both signatures are
+    * already co-located (inside the existing band shuffle) — zero extra
+    * exchanges, mirroring [[simhashPairs]]' true-hamming verify.
+    */
+  val MinhashVerifySlots = 12
+
   /** MinHash + LSH banding over any (doc_id, text) frame: 3-token shingles
     * → 16 seeded minhashes → 4 bands of 4 → candidate pairs where any band
-    * collides, with the hot-bucket star-pair guard above. No SQL oracle
-    * (pair generation is not ANSI-expressible portably); deterministic by
-    * construction and property-tested in DedupSpec.
+    * collides, with the hot-bucket star-pair guard above. Each pair carries
+    * `sig_match` — the count of equal signature slots (0–16), an unbiased
+    * Jaccard estimate at 1/16 resolution — computed in-bucket where both
+    * signatures already sit. Unordered (callers that need determinism sort;
+    * the clustering consumer must NOT pay a range exchange for edges). No
+    * SQL oracle (pair generation is not ANSI-expressible portably);
+    * deterministic by construction and property-tested in DedupSpec.
     */
-  private[graft] def minhashPairs(d: DataFrame): DataFrame = {
+  private[graft] def minhashPairsScored(d: DataFrame): DataFrame = {
     val banded = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
@@ -451,38 +484,45 @@ object DedupOps {
       .withColumn("band", explode(expr(
         """transform(sequence(0, 3), j -> struct(j AS band_id,
           |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
-      .select(col("doc_id"), col("band.band_id"), col("band.bh"))
+      .select(col("doc_id"), col("band.band_id"), col("band.bh"), col("sig"))
     pairsFromBuckets(banded)
   }
 
-  /** Shared pair emission over banded (doc_id, band_id, bh) rows: small
-    * buckets collect bounded membership (≤ [[HotBucketCap]]) and emit all
-    * pairs; oversized buckets stream star pairs directly off the annotated
-    * rows — no aggregation row ever exceeds cap width. Cost shape: the two
-    * union branches share the band-key exchange via AQE stage reuse (the
-    * signature scan + shuffle write run ONCE — asserted on the final
-    * adaptive plan in DedupSpec), each branch then re-reads and re-sorts
-    * the shuffled rows; the small-bucket groupBy adds no exchange (the
-    * window output already satisfies its distribution).
+  /** Candidate pairs only (doc_a, doc_b), sorted — the spec-facing view. */
+  private[graft] def minhashPairs(d: DataFrame): DataFrame =
+    minhashPairsScored(d).select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+
+  /** Shared pair emission over banded (doc_id, band_id, bh, sig) rows:
+    * small buckets collect bounded membership (≤ [[HotBucketCap]]) and
+    * emit all pairs; oversized buckets stream star pairs directly off the
+    * annotated rows — no aggregation row ever exceeds cap width. Both
+    * branches score `sig_match` from the co-located signatures. Cost
+    * shape: the two union branches share the band-key exchange via AQE
+    * stage reuse (the signature scan + shuffle write run ONCE — asserted
+    * on the final adaptive plan in DedupSpec), each branch then re-reads
+    * and re-sorts the shuffled rows; the small-bucket groupBy adds no
+    * exchange (the window output already satisfies its distribution).
     */
-  private def pairsFromBuckets(banded: DataFrame): DataFrame = {
-    val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Nil)
+  private[graft] def pairsFromBuckets(banded: DataFrame): DataFrame = {
+    val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Seq("sig"))
     val small = ann.filter(col("bucket_n") <= HotBucketCap)
       .groupBy("band_id", "bh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("items"))
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), m -> m)) AS sig_match))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_match"))
     val large = ann.filter(col("bucket_n") > HotBucketCap && col("doc_id") =!= col("rep.doc_id"))
-      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("size(filter(zip_with(rep.sig, sig, (p, q) -> p = q), m -> m))").as("sig_match"))
     small.union(large)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairs(docs(spark, sfDir))
+    minhashPairsScored(docs(spark, sfDir)).orderBy("doc_a", "doc_b")
 
   /** 64-bit SimHash signature column over distinct tokens via the native
     * [[graft.functions.SimHashSig]] (bit-identical to the interpreted

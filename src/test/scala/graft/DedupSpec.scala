@@ -98,16 +98,18 @@ class DedupSpec extends AnyFunSuite {
       s"band-key exchange not reused across union branches:\n${finalPlan.take(3000)}")
   }
 
-  test("dedup_clusters_minhash: candidate pairs share labels, clusters keep their min id as rep") {
+  test("dedup_clusters_minhash: verified candidate pairs share labels, clusters keep min id as rep") {
     val out = SparkEntry.queries("dedup_clusters_minhash")(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     assert(out.length == nDocs, "every document must receive a cluster label")
     val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pairs = SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.nonEmpty, "no minhash candidates at sf0.01 — composition test is vacuous")
-    pairs.foreach { case (a, b) =>
-      assert(label(a) == label(b), s"candidate pair ($a,$b) split across clusters")
+    val scored = SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(scored.nonEmpty, "no minhash candidates at sf0.01 — composition test is vacuous")
+    val verified = scored.filter(_._3 >= DedupOps.MinhashVerifySlots)
+    assert(verified.nonEmpty, "no verified candidates at sf0.01 — composition test is vacuous")
+    verified.foreach { case (a, b, _) =>
+      assert(label(a) == label(b), s"verified pair ($a,$b) split across clusters")
     }
     label.groupBy(_._2).foreach { case (c, members) =>
       assert(members.keys.min == c, s"cluster $c not labeled by its minimum member")
@@ -115,6 +117,39 @@ class DedupSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)), "is_rep must mark the label row")
     }
+  }
+
+  test("pair scoring counts equal signature slots inside the bucket") {
+    import spark.implicits._
+    // synthetic banded rows: docs 1,2 collide in a bucket but agree on only
+    // 6/16 slots (a false band collision); docs 3,4 are true duplicates
+    val sigA = (1L to 16L).toArray
+    val sigB = (1L to 6L).toArray ++ Array.fill(10)(100L)
+    val sigC = (21L to 36L).toArray
+    val banded = Seq(
+      (1L, 0, 111L, sigA), (2L, 0, 111L, sigB),
+      (3L, 1, 222L, sigC), (4L, 1, 222L, sigC)
+    ).toDF("doc_id", "band_id", "bh", "sig")
+    val scored = DedupOps.pairsFromBuckets(banded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(scored == Set((1L, 2L, 6), (3L, 4L, 16)),
+      s"sig_match must count equal slots per co-bucketed pair: $scored")
+  }
+
+  test("a planted false band collision does NOT merge clusters; a verified pair does") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // (1,2): band collision whose signatures agree on 6/16 slots — below
+    // MinhashVerifySlots, must stay unclustered. (3,4): verified duplicate.
+    val scored = Seq(
+      (1L, 2L, 6), (3L, 4L, 16)
+    ).toDF("doc_a", "doc_b", "sig_match")
+    val label = DedupOps.clustersFromScoredPairs(nodes, scored, "planted-false-collision")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(label(1L) != label(2L),
+      "false collision (sig_match 6/16) must not chain docs into one cluster")
+    assert(label(1L) == 1L && label(2L) == 2L && label(5L) == 5L)
+    assert(label(3L) == 3L && label(4L) == 3L, "verified pair must share the min-id label")
   }
 
   test("embed_clusters_lsh: LSH candidate pairs share labels, clusters keep their min id as rep") {

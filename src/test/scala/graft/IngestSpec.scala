@@ -90,6 +90,58 @@ class IngestSpec extends AnyFunSuite {
     assert(docs.exceptAll(back.select("doc_id", "lang", "text")).count() == 0)
   }
 
+  test("events.ts normalizes identically across every fixture encoding ever shipped") {
+    // Fixture-drift guard: the driver has regenerated the test fixtures with
+    // different physical ts encodings across rounds (int64 TIMESTAMP(NANOS),
+    // then timestamp[us] NTZ). Tables("events") must produce byte-identical
+    // TimestampType micros for all of them, so the next silent regeneration
+    // is a one-test signal instead of a multi-suite outage.
+    import graft.sources.Tables
+    val base = Files.createTempDirectory("graft-events-enc")
+    val micros = Seq(1700000000000000L, 1700000000123456L, 1700086400999999L)
+    val src = spark.range(micros.size)
+      .withColumn("user_id", col("id") + 100)
+      .withColumn("us", {
+        val m = map(micros.zipWithIndex.flatMap { case (v, i) =>
+          Seq(lit(i.toLong), lit(v))
+        }: _*)
+        m(col("id"))
+      })
+
+    // encoding 1: raw int64 nanoseconds — how legacy TIMESTAMP(NANOS)
+    // fixtures surface under spark.sql.legacy.parquet.nanosAsLong
+    val dNanos = base.resolve("nanos").toString
+    src.select(col("user_id"), (col("us") * 1000L).as("ts"))
+      .write.parquet(s"$dNanos/events.parquet")
+
+    // encoding 2: timestamp[us] without timezone → TIMESTAMP_NTZ on read
+    // (cast TimestampType→NTZ keeps the wall clock; session TZ is UTC so
+    // the wall clock IS the instant)
+    val dNtz = base.resolve("ntz").toString
+    src.select(col("user_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$dNtz/events.parquet")
+
+    // encoding 3: timestamp[us] adjusted-to-UTC → TimestampType on read
+    val dTz = base.resolve("tz").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    src.select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$dTz/events.parquet")
+
+    val loaded = Seq("nanos" -> dNanos, "ntz" -> dNtz, "tz" -> dTz).map {
+      case (label, dir) =>
+        val df = Tables(spark, dir, "events")
+        assert(df.schema("ts").dataType == TimestampType,
+          s"$label: ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+        label -> df.select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expected = micros.zipWithIndex.map { case (v, i) => (i + 100L) -> v }.toMap
+    loaded.foreach { case (label, got) =>
+      assert(got == expected, s"$label: normalized micros wrong: $got")
+    }
+  }
+
   test("parquet -> JSONL -> parse round trip is lossless for documents") {
     val out = Files.createTempDirectory("graft-jsonl-rt").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
