@@ -213,11 +213,19 @@ object Codecs {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Decode ceiling: 64 M pixels (an 8192×8192 RGBA raster ≈ 256 MB) —
-    * far above any sane training-corpus image, far below executor-killing
-    * territory. Headers declaring more fall back to the stub.
+  /** Decode ceiling, default 64 M pixels (an 8192×8192 RGBA raster
+    * ≈ 256 MB) — far above any sane training-corpus image. Headers
+    * declaring more fall back to the stub. NOTE the per-executor
+    * multiplier: each decode TASK may hold one raster at the cap, so an
+    * executor running c concurrent decode tasks can pin c × 256 MB of
+    * heap — deployments with many cores per executor and modest heaps
+    * should lower the cap via the `graft.codecs.maxImagePixels` system
+    * property (an executor-JVM knob, set through
+    * `spark.executor.extraJavaOptions`, because decode runs inside
+    * codegen'd expressions with no session conf in scope).
     */
-  val MaxImagePixels: Long = 64L * 1024 * 1024
+  val MaxImagePixels: Long =
+    java.lang.Long.getLong("graft.codecs.maxImagePixels", 64L * 1024 * 1024)
 
   private def looksLikeImage(p: Array[Byte]): Boolean = {
     def u8(i: Int) = p(i) & 0xff

@@ -270,6 +270,7 @@ object DedupOps {
     val dir = sinkDir(spark, sinkKey)
     clusterReport(res.labels).write.mode("overwrite").parquet(dir)
     res.release()
+    touchOwnSinkRoot(spark)
     val prev = lastSinkForKey.put(sinkKey, dir)
     if (prev != null && prev != dir) {
       val p = new org.apache.hadoop.fs.Path(prev)
@@ -312,12 +313,33 @@ object DedupOps {
     base + "/" + key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + sinkSeq.incrementAndGet()
   }
 
+  /** Heartbeat for liveness-based GC: bumps the mtime of THIS JVM's
+    * `cc-<id>` subroot under the configured shared sink root on every
+    * sink write, so [[gcSinkRoot]]'s age check in a concurrent process
+    * sees an active run as fresh no matter how old its first write was.
+    * No-op under the local temp fallback (single-JVM, exit-cleaned).
+    */
+  private def touchOwnSinkRoot(spark: SparkSession): Unit =
+    spark.conf.getOption("spark.graft.cc.sinkRoot").foreach { root =>
+      val sub = new org.apache.hadoop.fs.Path(
+        s"${root.stripSuffix("/")}/cc-$jvmSinkId")
+      val fs = sub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sub)) fs.setTimes(sub, System.currentTimeMillis(), -1)
+    }
+
   /** Storage GC for the CONFIGURED sink root: deletes `cc-*` subroots
     * (other runs' label-table directories) whose modification time is
     * older than `olderThanMs`, never this JVM's own. The retention knob
     * for recurring jobs that keep one shared `spark.graft.cc.sinkRoot`;
     * returns the number of subroots removed. No-op (0) when the conf is
     * unset — the local temp fallback cleans itself on exit.
+    *
+    * Liveness contract: every sink write heartbeats its own subroot's
+    * mtime ([[touchOwnSinkRoot]]), so `olderThanMs` measures idle time
+    * since a run's LAST write, not its age. Retention must still exceed
+    * the longest plausible gap between writes of a live job (e.g. a
+    * day-long training pipeline that clusters once at the end) — size
+    * `olderThanMs` to the slowest consumer, not the average one.
     */
   def gcSinkRoot(spark: SparkSession, olderThanMs: Long): Int =
     spark.conf.getOption("spark.graft.cc.sinkRoot") match {

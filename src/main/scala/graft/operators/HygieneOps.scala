@@ -100,8 +100,10 @@ object HygieneOps {
     * docs surface dup_line_frac > 0; the 2-gram signals are live on the
     * natural text.
     */
-  private def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = planted(spark, sfDir)
+  private def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    docRepetitionFrame(planted(spark, sfDir))
+
+  private[graft] def docRepetitionFrame(d: DataFrame): DataFrame = {
     val lineStats = lineView(d)
       .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -111,7 +113,11 @@ object HygieneOps {
       .groupBy("doc_id")
       .agg(sum("c").cast("long").as("n_2grams"), max("c").as("top_2gram"),
         count(lit(1)).as("n_uniq_2grams"))
-    lineStats.join(gramStats, "doc_id")
+    // LEFT join: a document with fewer than 2 tokens has no 2-grams at
+    // all — it must still be reported (with null gram signals), not
+    // silently vanish from the hygiene report; nulls propagate through
+    // the fraction arithmetic identically in Spark and DuckDB
+    lineStats.join(gramStats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         ((col("n_lines") - col("n_uniq_lines")) / col("n_lines")).as("dup_line_frac"),
         col("n_2grams"), col("top_2gram"),
@@ -362,7 +368,7 @@ object HygieneOps {
               |       gs.n_2grams, gs.top_2gram,
               |       gs.top_2gram / gs.n_2grams AS top_2gram_frac,
               |       (gs.n_2grams - gs.n_uniq_2grams) / gs.n_2grams AS dup_2gram_frac
-              |FROM ls JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+              |FROM ls LEFT JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     "dedup_lines" -> QueryDef(dedupLines,
       Some(s"""WITH d AS (

@@ -280,6 +280,14 @@ object TextOps {
       spark: SparkSession, sfDir: String,
       alpha: Double = 0.5, budget: Long = 200L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // surface the weakened determinism contract at the CALL SITE, not
+    // just the doc comment: pow()'s last-ulp behavior is libm-specific,
+    // so a non-{0, ½, 1} α loses the cross-engine oracle guarantee
+    if (alpha != 0.0 && alpha != 0.5 && alpha != 1.0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sample_temperature alpha=$alpha uses pow(), whose last-ulp rounding is " +
+          "platform-specific: quota boundaries may differ across engines/libms; " +
+          "the DuckDB oracle guarantee holds only for alpha in {0, 0.5, 1}")
     val w =
       if (alpha == 0.0) lit(1L)
       else if (alpha == 0.5) floor(sqrt(col("n"))).cast("long")

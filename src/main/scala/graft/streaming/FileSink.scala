@@ -367,7 +367,8 @@ object FileSink {
     fs.delete(claim, false)
   }
 
-  /** Adopts every claim older than [[ClaimGraceMs]] — atomically, by
+  /** Adopts every claim older than the configured grace ([[claimGraceMs]],
+    * default [[ClaimGraceMs]]) — atomically, by
     * RE-claiming it under this caller's own name (rename picks a single
     * adopter; a losing adopter no-ops) — and replays its swaps. Returns
     * the number of YOUNG claims left in place (presumed-live
@@ -378,7 +379,7 @@ object FileSink {
     val claimed = fs.globStatus(new org.apache.hadoop.fs.Path(path, s".$ManifestName.claimed-*"))
     var young = 0
     if (claimed != null) claimed.foreach { st =>
-      if (System.currentTimeMillis() - st.getModificationTime < ClaimGraceMs) young += 1
+      if (System.currentTimeMillis() - st.getModificationTime < claimGraceMs) young += 1
       else {
         val mine = new org.apache.hadoop.fs.Path(path,
           s".$ManifestName.claimed-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -401,12 +402,25 @@ object FileSink {
       .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
   }
 
-  /** Minimum age before a compaction entry may ADOPT another process's
-    * crashed manifest claim (younger = presumed live, fail fast). Swap
-    * replay takes sub-seconds; ten minutes is decisively past any live
-    * claimant on any storage this sink supports.
+  /** Default minimum age before a compaction entry may ADOPT another
+    * process's crashed manifest claim (younger = presumed live, fail
+    * fast). Swap replay takes sub-seconds; ten minutes is decisively past
+    * any live claimant on any storage this sink supports.
     */
   private[graft] val ClaimGraceMs: Long = 10 * 60 * 1000L
+
+  /** Deployment knob for the claim grace: `spark.graft.filesink.claimGraceMs`
+    * on the active session. A crashed mid-swap claimant leaves readers a
+    * half-compacted (per-directory consistent) view until the grace
+    * elapses — deployments with tighter read-consistency needs shorten
+    * the healing window; the trade (shorter grace = higher risk of
+    * adopting a merely-slow LIVE claimant and racing its swaps) is the
+    * caller's to price. Falls back to [[ClaimGraceMs]].
+    */
+  private def claimGraceMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("spark.graft.filesink.claimGraceMs"))
+      .map(_.toLong).getOrElse(ClaimGraceMs)
 
   private val ManifestName = "_compaction_manifest"
   private def manifestPath(path: String) =

@@ -98,6 +98,23 @@ class QueriesSpec extends AnyFunSuite {
       "α=0.5 must shrink the head language's share relative to α=1")
   }
 
+  test("doc_repetition reports single-token docs with null gram signals, not absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "solo"),
+      (2L, "two tokens two tokens")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.HygieneOps.docRepetitionFrame(d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "a doc with no 2-grams must still appear in the hygiene report")
+    val solo = out.find(_.getLong(0) == 1L).get
+    assert(solo.getLong(1) == 1L && solo.getDouble(2) == 0.0)
+    assert(solo.isNullAt(3) && solo.isNullAt(4) && solo.isNullAt(5) && solo.isNullAt(6),
+      s"gram signals of a gram-less doc must be null: $solo")
+    val rep = out.find(_.getLong(0) == 2L).get
+    assert(rep.getLong(3) == 3L, s"doc 2 has 3 2-gram instances: $rep")
+  }
+
   test("dedup_lines: planted duplicates removed, clean text has no repeated segments") {
     val out = SparkEntry.queries("dedup_lines")(spark, sfDir).collect()
     assert(out.nonEmpty)
