@@ -524,6 +524,17 @@ object DedupOps {
     * on the final adaptive plan in DedupSpec), each branch then re-reads
     * and re-sorts the shuffled rows; the small-bucket groupBy adds no
     * exchange (the window output already satisfies its distribution).
+    *
+    * Star-guard recall contract under downstream verification (same trade
+    * as [[simhashPairs]]): in an oversized bucket only member↔rep pairs
+    * are emitted, so a consumer that drops low-`sig_match` edges keeps an
+    * identical/near-identical flood fully connected (every slot matches
+    * the rep) but severs a DIFFERENT duplicate group that happened to
+    * share the hot bucket — it correctly no longer merges with the rep's
+    * group, at the price of losing its own intra-group pairs from this
+    * bucket (its members still pair normally in any small bucket they
+    * land in via their other bands). Raise [[HotBucketCap]] if that
+    * residual recall matters more than the O(b²) bound.
     */
   private[graft] def pairsFromBuckets(banded: DataFrame): DataFrame = {
     val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Seq("sig"))

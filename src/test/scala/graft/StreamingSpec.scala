@@ -514,6 +514,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(FileSink.compactExpiredChunks(spark, outDir) == 0L, "nothing left to compact")
   }
 
+  test("claim grace is configurable: spark.graft.filesink.claimGraceMs shortens the healing window") {
+    import graft.streaming.FileSink
+    val outDir = Files.createTempDirectory("graft-spec-grace").toString
+    def remainingClaims(): Array[java.io.File] =
+      new java.io.File(outDir).listFiles().filter(_.getName.startsWith("._compaction_manifest.claimed-"))
+    val claim = new java.io.File(outDir, "._compaction_manifest.claimed-test0000")
+    java.nio.file.Files.write(claim.toPath, Array.empty[Byte])
+    assert(claim.setLastModified(System.currentTimeMillis() - 5000L))
+    // default grace (10 min): a 5-second-old claim is presumed live
+    FileSink.recoverForRead(spark, outDir)
+    assert(claim.exists(), "default grace must leave a young claim in place")
+    // shortened grace: the SAME claim is past 1 s and must be adopted
+    // (re-claimed, its empty swap list replayed, then retired)
+    spark.conf.set("spark.graft.filesink.claimGraceMs", "1000")
+    try {
+      FileSink.recoverForRead(spark, outDir)
+      assert(remainingClaims().isEmpty,
+        s"a 5 s old claim must be adopted and retired under a 1 s grace: ${remainingClaims().toSeq}")
+    } finally spark.conf.unset("spark.graft.filesink.claimGraceMs")
+  }
+
   test("a reading recovery never deletes another compaction's in-flight phase-1 dirs") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
