@@ -415,6 +415,22 @@ object DedupOps {
       s"dedup_clusters_minhash_$sfDir")
   }
 
+  /** SimHash production clustering — the third member of the production
+    * clustering family next to [[dedupClustersMinhash]] (token-shingle
+    * MinHash) and `embed_clusters_lsh` (embedding cosine): pigeonhole-
+    * banded hamming-neighbor pairs over the FULL corpus → checkpointed CC
+    * → min-id representative. Edges need NO separate verification pass:
+    * [[simhashPairs]] already keeps only pairs whose true
+    * `bit_count(a ^ b)` ≤ 3 — the exact near-dup relation, computed
+    * in-bucket — so unlike raw minhash band collisions there is no false
+    * edge class to gate out before the transitive closure.
+    */
+  private def dedupClustersSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val edges = simhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterReportReleased(d.select("doc_id"), edges, s"dedup_clusters_simhash_$sfDir")
+  }
+
   /** Character n-gram Jaccard (3-grams) over a bounded id range — the
     * character-level companion to the token-set [[dedupJaccard]] baseline
     * (robust to tokenization differences; the verification baseline for
@@ -752,6 +768,8 @@ object DedupOps {
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
 
     "dedup_minhash" -> QueryDef(dedupMinhash, None),
+
+    "dedup_clusters_simhash" -> QueryDef(dedupClustersSimhash, None),
 
     "dedup_simhash" -> QueryDef(dedupSimhash, None),
 

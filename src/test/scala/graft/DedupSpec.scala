@@ -119,6 +119,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters_simhash: hamming-verified pairs share labels, min-id labeling holds") {
+    val out = SparkEntry.queries("dedup_clusters_simhash")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == nDocs, "every document must receive a cluster label")
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no simhash pairs at sf0.01 — composition test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"hamming-verified pair ($a,$b) split across clusters")
+    }
+    label.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by its minimum member")
+    }
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1)), "is_rep must mark the label row")
+    }
+  }
+
   test("pair scoring counts equal signature slots inside the bucket") {
     import spark.implicits._
     // synthetic banded rows: docs 1,2 collide in a bucket but agree on only
