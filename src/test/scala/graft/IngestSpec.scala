@@ -142,6 +142,53 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("all ten fixture tables load with the column names and types the operators rely on") {
+    // Broad fixture-drift tripwire (the events.ts-specific guard above is
+    // the deep one): if a regeneration renames a column or shifts a type
+    // the operators depend on, this fails as ONE pointed test naming the
+    // table, instead of a scatter of downstream analysis errors.
+    import graft.sources.Tables
+    val sfDir = "/root/testdata/sf0.001"
+    def schema(t: String) = Tables(spark, sfDir, t).schema
+    val expectedCols = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    expectedCols.foreach { case (t, cols) =>
+      assert(schema(t).fieldNames.toSeq == cols, s"$t: column drift")
+    }
+    // operator-critical types
+    val ev = schema("events")
+    assert(ev("ts").dataType == TimestampType, "events.ts must normalize to TimestampType")
+    assert(ev("user_id").dataType == LongType && ev("value").dataType == DoubleType)
+    val em = schema("embeddings")
+    assert(em("embedding").dataType == ArrayType(FloatType),
+      s"embeddings.embedding must be array<float>, got ${em("embedding").dataType}")
+    val doc = schema("documents")
+    assert(doc("doc_id").dataType == LongType && doc("text").dataType == StringType &&
+      doc("lang").dataType == StringType)
+    val li = schema("lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { c =>
+      assert(li(c).dataType == DoubleType, s"lineitem.$c must be double")
+    }
+    // date-ish columns have drifted encodings before; both timestamp
+    // flavors (and a plain date) are fine for the operators — anything
+    // else is a drift worth stopping on
+    Seq(schema("orders")("o_orderdate").dataType, li("l_shipdate").dataType).foreach { dt =>
+      assert(dt == TimestampNTZType || dt == TimestampType || dt == DateType,
+        s"date-ish column drifted to unexpected type $dt")
+    }
+  }
+
   test("parquet -> JSONL -> parse round trip is lossless for documents") {
     val out = Files.createTempDirectory("graft-jsonl-rt").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
