@@ -44,6 +44,9 @@ object CcBench {
       ("dedup_clusters_minhash",
         () => DedupOps.minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst")),
         d.select("doc_id")),
+      ("dedup_clusters_simhash",
+        () => DedupOps.simhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        d.select("doc_id")),
       ("embed_clusters_lsh",
         () => VectorOps.embedClustersEdges(spark, sfDir),
         emb.select(col("vec_id").as("doc_id"))))
