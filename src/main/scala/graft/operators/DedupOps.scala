@@ -124,10 +124,11 @@ object DedupOps {
     * shuffle per round. MEASURED at sf0.1 (CcBench, within-run pairs —
     * this host's cross-run noise is documented in §6): the chain-shaped
     * embedding-cosine graph drops 12 → 8 rounds and ~20% wall
-    * (4.52 → 3.51 s; 7.26 → 3.65 s in a second pairing), while the dense
-    * minhash graph (2 rounds either way) pays the extra join for nothing
-    * (~15% slower) — so the default is OFF and the embedding cluster
-    * keys opt IN. Rule of thumb: turn it on when the measured round
+    * (4.52 → 3.51 s; 7.26 → 3.65 s in a second pairing), the deeper
+    * simhash hamming graph drops 18 → 10 rounds (4.21 → 2.70 s,
+    * round 11), while the dense minhash graph (2 rounds either way) pays
+    * the extra join for nothing (~15% slower) — so the default is OFF
+    * and the embedding + simhash cluster keys opt IN. Rule of thumb: turn it on when the measured round
     * count (see [[ComponentsResult.rounds]]) exceeds ~4, or on clusters
     * where each round's scheduling floor + full label shuffle dwarfs an
     * extra join.
