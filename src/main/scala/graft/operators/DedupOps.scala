@@ -521,8 +521,15 @@ object DedupOps {
     * SQL oracle (pair generation is not ANSI-expressible portably);
     * deterministic by construction and property-tested in DedupSpec.
     */
-  private[graft] def minhashPairsScored(d: DataFrame): DataFrame = {
-    val banded = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** Banded signature rows `(doc_id, band_id, bh, sig)` of a
+    * `(doc_id, text)` frame: 3-token shingles → 16 seeded minhashes → 4
+    * band hashes, the signature carried alongside so any consumer can
+    * verify a collision by slot agreement without re-reading the corpus.
+    * Shared by the batch pair generation and the streaming ingest gate's
+    * persisted signature index ([[graft.streaming.DedupGate]]).
+    */
+  private[graft] def bandedSigs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
       .withColumn("sig", minhash_sig(col("shingles"), 16))
@@ -530,8 +537,9 @@ object DedupOps {
         """transform(sequence(0, 3), j -> struct(j AS band_id,
           |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.bh"), col("sig"))
-    pairsFromBuckets(banded)
-  }
+
+  private[graft] def minhashPairsScored(d: DataFrame): DataFrame =
+    pairsFromBuckets(bandedSigs(d))
 
   /** Candidate pairs only (doc_a, doc_b), sorted — the spec-facing view. */
   private[graft] def minhashPairs(d: DataFrame): DataFrame =

@@ -376,7 +376,7 @@ object VectorOps {
     * directory behind (Spark refuses to CREATE over it). Same
     * single-session assumption as [[ensureIndexTable]].
     */
-  private def clearStaleLocation(spark: SparkSession, table: String): Unit =
+  private[graft] def clearStaleLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         org.apache.spark.sql.GraftShim.defaultTablePath(spark, table))

@@ -235,4 +235,95 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = VectorOps.ivfIndexStaleness(spark, "ivf_idx2")
     assert(math.abs(st - 1.0 / baseN) < 1e-9, s"staleness $st with baseN $baseN")
   }
+
+  private def gateText(seed: String): String = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+
+  test("DedupGate: streaming ingest gate flags cross-batch near-dups against the growing index") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("a"), 2L -> gateText("b"), 3L -> gateText("c")).toDF("doc_id", "text"),
+      "dedup_gate_idx", nBuckets = 8)
+
+    val input = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark.sqlContext)
+    val seen = new scala.collection.concurrent.TrieMap[Long, (Boolean, Option[Long], Option[Int])]()
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    def phase(batch: Seq[(Long, String)]): Unit = {
+      input.addData(batch)
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(DedupGate.gateBatch("dedup_gate_idx", (df, _) =>
+          df.collect().foreach { r =>
+            seen.put(r.getAs[Long]("doc_id"), (r.getAs[Boolean]("is_dup"),
+              Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+              Option(r.getAs[java.lang.Integer]("sig_match")).map(_.intValue())))
+          }) _)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: doc 10 near-dups seed doc 1; doc 11 is novel
+    phase(Seq(10L -> gateText("a"), 11L -> gateText("z")))
+    // batch 2: doc 12 near-dups doc 11 — only findable via batch 1's append
+    phase(Seq(12L -> gateText("z")))
+
+    assert(seen(10L) == ((true, Some(1L), Some(16))), s"10: ${seen.get(10L)}")
+    assert(seen(11L) == ((false, None, None)), s"11: ${seen.get(11L)}")
+    assert(seen(12L) == ((true, Some(11L), Some(16))), s"12: ${seen.get(12L)}")
+    // dedup policy: flagged docs are NOT indexed — one representative per
+    // near-dup class at rest
+    spark.catalog.refreshTable("dedup_gate_idx")
+    val atRest = spark.table("dedup_gate_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 2L, 3L, 11L), s"index ids drifted: $atRest")
+  }
+
+  test("DedupGate: probe prunes index buckets; a sub-threshold band collision is not flagged") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      (1L to 40L).map(i => i -> gateText(s"s$i")).toDF("doc_id", "text"),
+      "dedup_gate_idx2", nBuckets = 8)
+    val probe = DedupGate.flagDuplicates(spark,
+      Seq(100L -> gateText("s7")).toDF("doc_id", "text"), "dedup_gate_idx2")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"gate probe did not prune index buckets:\n$plan")
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(100L -> 7L))
+    // verification layer: a planted band collision agreeing on only 6/16
+    // slots is a candidate, never a flag
+    val sigA = (1L to 16L).toArray
+    val sigB = (1L to 6L).toArray ++ Array.fill(10)(100L)
+    val sigC = (21L to 36L).toArray
+    val index = Seq((1L, 0, 111L, sigA), (3L, 1, 222L, sigC))
+      .toDF("doc_id", "band_id", "bh", "sig")
+    val batch = Seq((9L, 0, 111L, sigB), (8L, 1, 222L, sigC))
+      .toDF("doc_id", "band_id", "bh", "sig")
+    val flags = DedupGate.checkAgainst(index, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(flags == Set((8L, 3L, 16)),
+      s"false collision must not flag; true dup must: $flags")
+  }
+
+  test("DedupGate: signature append is replay-safe and stays bucket-pruned") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("a")).toDF("doc_id", "text"), "dedup_gate_idx3", nBuckets = 8)
+    val novel = Seq(5L -> gateText("n")).toDF("doc_id", "text")
+    assert(DedupGate.appendNewSigsIdempotent(spark, novel, "dedup_gate_idx3") == 1L)
+    // replay (foreachBatch at-least-once): the same docs append nothing
+    assert(DedupGate.appendNewSigsIdempotent(spark, novel, "dedup_gate_idx3") == 0L)
+    val rows = spark.table("dedup_gate_idx3")
+    assert(rows.count() == 2L * DedupGate.NBands, "exactly one banded row set per doc")
+    // a duplicate of the appended doc is flagged through pruned buckets
+    val probe = DedupGate.flagDuplicates(spark,
+      Seq(6L -> gateText("n")).toDF("doc_id", "text"), "dedup_gate_idx3")
+    assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "append broke bucket pruning")
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(6L -> 5L))
+  }
 }
