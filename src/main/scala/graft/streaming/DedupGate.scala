@@ -103,11 +103,44 @@ object DedupGate {
     require(spark eq batchDocs.sparkSession,
       "flagDuplicates must run on the batch frame's own session (foreachBatch hands a clone)")
     validateMeta(spark, table)
-    val banded = DedupOps.bandedSigs(batchDocs).localCheckpoint()
+    // convenience form: fully LAZY (plan inspection / one-shot use) — the
+    // batch signatures evaluate twice (bh collect + verify join), bounded
+    // by batch size. gateBatch uses the tracked form, which computes them
+    // once and frees the blocks deterministically.
+    val banded = DedupOps.bandedSigs(batchDocs)
     val bhs = banded.select("bh").distinct().collect().map(_.getLong(0))
-    if (bhs.isEmpty) return spark.emptyDataFrame
+    if (bhs.isEmpty) spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit(0L).as("dup_of"), lit(0).as("sig_match")).limit(0)
-    checkAgainst(spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*)), banded)
+    else
+      checkAgainst(spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*)), banded)
+  }
+
+  /** [[flagDuplicates]] with DETERMINISTIC storage release: returns the
+    * UNMATERIALIZED flags frame plus a release thunk freeing the banded
+    * batch signatures' checkpoint blocks. The caller must materialize
+    * (collect / checkpoint / write) BEFORE calling release — the flags
+    * lineage reads those blocks. An indefinite stream needs this form:
+    * relying on driver-GC-paced ContextCleaner reclamation accumulates
+    * one batch of signature blocks per micro-batch in the interim (the
+    * same storage-leak class the CC loop's tracked checkpoints exist
+    * for).
+    */
+  private[graft] def flagDuplicatesTracked(
+      spark: SparkSession, batchDocs: DataFrame, table: String): (DataFrame, () => Unit) = {
+    require(spark eq batchDocs.sparkSession,
+      "flagDuplicates must run on the batch frame's own session (foreachBatch hands a clone)")
+    validateMeta(spark, table)
+    import org.apache.spark.sql.GraftShim
+    val (banded, bandedRdd) = GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batchDocs))
+    val release = () => GraftShim.releaseCheckpoint(bandedRdd)
+    val bhs = banded.select("bh").distinct().collect().map(_.getLong(0))
+    if (bhs.isEmpty) {
+      val empty = spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("dup_of"), lit(0).as("sig_match")).limit(0)
+      (empty, release)
+    } else
+      (checkAgainst(spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*)), banded),
+        release)
   }
 
   /** Appends the signatures of docs not already at rest — idempotent by
@@ -120,19 +153,23 @@ object DedupGate {
     */
   def appendNewSigsIdempotent(spark: SparkSession, docs: DataFrame, table: String): Long = {
     validateMeta(spark, table)
+    import org.apache.spark.sql.GraftShim
     val existing = spark.table(table).select("doc_id").distinct()
-    val fresh = DedupOps.bandedSigs(docs)
-      .join(existing, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // one evaluation serves both the count and the append
-    val n = fresh.select("doc_id").distinct().count()
-    if (n > 0) {
-      fresh.write.mode("append").insertInto(table)
-      // foreachBatch writes through the micro-batch CLONE session; the
-      // caller session's relation cache must not serve the pre-append
-      // file list (counts/anti-joins would silently miss the new rows)
-      spark.catalog.refreshTable(table)
-    }
-    n
+    // one tracked evaluation serves both the count and the append, and
+    // its blocks free deterministically (not at driver-GC pace)
+    val (fresh, freshRdd) = GraftShim.localCheckpointTracked(
+      DedupOps.bandedSigs(docs).join(existing, Seq("doc_id"), "left_anti"))
+    try {
+      val n = fresh.select("doc_id").distinct().count()
+      if (n > 0) {
+        fresh.write.mode("append").insertInto(table)
+        // foreachBatch writes through the micro-batch CLONE session; the
+        // caller session's relation cache must not serve the pre-append
+        // file list (counts/anti-joins would silently miss the new rows)
+        spark.catalog.refreshTable(table)
+      }
+      n
+    } finally GraftShim.releaseCheckpoint(freshRdd)
   }
 
   /** The full gate as a foreachBatch body: flag the batch against the
@@ -151,11 +188,19 @@ object DedupGate {
       onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     s.catalog.refreshTable(table)
-    val flags = flagDuplicates(s, batch, table).localCheckpoint()
-    val annotated = batch.join(flags, Seq("doc_id"), "left")
-      .withColumn("is_dup", col("dup_of").isNotNull)
-    onBatch(annotated, batchId)
-    appendNewSigsIdempotent(
-      s, batch.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
+    import org.apache.spark.sql.GraftShim
+    // tracked checkpoints with explicit release: an indefinite stream
+    // must not lean on driver-GC-paced block reclamation (one batch of
+    // signature blocks would linger per micro-batch in the interim)
+    val (flagsRaw, releaseBanded) = flagDuplicatesTracked(s, batch, table)
+    val (flags, flagsRdd) = GraftShim.localCheckpointTracked(flagsRaw)
+    releaseBanded() // flags is materialized; the banded blocks are done
+    try {
+      val annotated = batch.join(flags, Seq("doc_id"), "left")
+        .withColumn("is_dup", col("dup_of").isNotNull)
+      onBatch(annotated, batchId)
+      appendNewSigsIdempotent(
+        s, batch.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
+    } finally GraftShim.releaseCheckpoint(flagsRdd)
   }
 }

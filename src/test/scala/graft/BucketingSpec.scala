@@ -308,6 +308,20 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"false collision must not flag; true dup must: $flags")
   }
 
+  test("DedupGate: a gated batch releases every per-batch checkpoint block") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("a")).toDF("doc_id", "text"), "dedup_gate_idx4", nBuckets = 8)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    DedupGate.gateBatch("dedup_gate_idx4", (df, _) => { df.collect(): Unit })(
+      Seq(20L -> gateText("a"), 21L -> gateText("q")).toDF("doc_id", "text"), 0L)
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked == 0,
+      s"gateBatch left $leaked persisted blocks; an indefinite stream would accumulate them")
+  }
+
   test("DedupGate: signature append is replay-safe and stays bucket-pruned") {
     import spark.implicits._
     import graft.streaming.DedupGate
