@@ -34,6 +34,16 @@ import graft.operators.{DedupOps, VectorOps}
   * at-least-once contract); flagged docs are annotated, not dropped — the
   * removal decision is the caller's, and their signatures are NOT indexed,
   * keeping one representative per near-dup class at rest.
+  *
+  * Contract boundaries: the gate checks batch-vs-INDEX only — two copies
+  * of the same novel text arriving in ONE batch both pass (and both
+  * index); compose a within-batch dedup upstream ([[FrameDedup]] /
+  * `dropDuplicatesWithinWatermark`) when arrival duplicates matter. A
+  * REPLAYED batch is flag-stable but re-announced: a re-delivered doc_id
+  * is never flagged against itself (self-matches are excluded) and never
+  * re-indexed (doc_id anti-join), but `onBatch` does see the rows again —
+  * exactly-once OUTPUT is the downstream sink's job, as everywhere in
+  * this streaming surface (the FileSink pattern).
   */
 object DedupGate {
 
