@@ -21,10 +21,18 @@ object CcBench {
     import org.apache.spark.sql.functions.col
     import graft.operators.DedupOps
     val d = graft.sources.Tables(spark, sfDir, "documents")
+    // PRODUCTION edge sets: the verified / unsorted forms the shipped
+    // clustering keys actually feed into CC — a measurement over raw
+    // band collisions or sorted pairs would describe a different graph
+    // and a different plan than the queries being tuned
+    def minhashEdges() = DedupOps.minhashPairsScored(d)
+      .filter(col("sig_match") >= DedupOps.MinhashVerifySlots)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    def simhashEdges() = DedupOps.simhashPairsScored(d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     def run(reliable: Boolean): Double = {
       val t0 = System.nanoTime()
-      val edges = DedupOps.minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val res = DedupOps.connectedComponentsTracked(d.select("doc_id"), edges, reliable = reliable)
+      val res = DedupOps.connectedComponentsTracked(d.select("doc_id"), minhashEdges(), reliable = reliable)
       res.labels.count()
       res.release()
       (System.nanoTime() - t0) / 1e9
@@ -41,12 +49,8 @@ object CcBench {
     import graft.operators.VectorOps
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
     val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
-      ("dedup_clusters_minhash",
-        () => DedupOps.minhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst")),
-        d.select("doc_id")),
-      ("dedup_clusters_simhash",
-        () => DedupOps.simhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst")),
-        d.select("doc_id")),
+      ("dedup_clusters_minhash", () => minhashEdges(), d.select("doc_id")),
+      ("dedup_clusters_simhash", () => simhashEdges(), d.select("doc_id")),
       ("embed_clusters_lsh",
         () => VectorOps.embedClustersEdges(spark, sfDir),
         emb.select(col("vec_id").as("doc_id"))))

@@ -324,8 +324,13 @@ object DedupOps {
     spark.conf.getOption("spark.graft.cc.sinkRoot").foreach { root =>
       val sub = new org.apache.hadoop.fs.Path(
         s"${root.stripSuffix("/")}/cc-$jvmSinkId")
-      val fs = sub.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(sub)) fs.setTimes(sub, System.currentTimeMillis(), -1)
+      // best-effort liveness hint: a concurrent gcSinkRoot can delete the
+      // subroot between exists and setTimes — that race must never fail
+      // the write path the heartbeat exists to protect
+      try {
+        val fs = sub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sub)) fs.setTimes(sub, System.currentTimeMillis(), -1)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Storage GC for the CONFIGURED sink root: deletes `cc-*` subroots
@@ -428,7 +433,7 @@ object DedupOps {
     */
   private def dedupClustersSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val edges = simhashPairs(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = simhashPairsScored(d).select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // Path halving ON: hamming ≤ 3 is a looser relation than
     // est-Jaccard ≥ 0.75, so near-dup docs chain into wide-diameter
     // components — CcBench at sf0.1 measures 18 propagation rounds plain
@@ -511,16 +516,6 @@ object DedupOps {
     */
   val MinhashVerifySlots = 12
 
-  /** MinHash + LSH banding over any (doc_id, text) frame: 3-token shingles
-    * → 16 seeded minhashes → 4 bands of 4 → candidate pairs where any band
-    * collides, with the hot-bucket star-pair guard above. Each pair carries
-    * `sig_match` — the count of equal signature slots (0–16), an unbiased
-    * Jaccard estimate at 1/16 resolution — computed in-bucket where both
-    * signatures already sit. Unordered (callers that need determinism sort;
-    * the clustering consumer must NOT pay a range exchange for edges). No
-    * SQL oracle (pair generation is not ANSI-expressible portably);
-    * deterministic by construction and property-tested in DedupSpec.
-    */
   /** Banded signature rows `(doc_id, band_id, bh, sig)` of a
     * `(doc_id, text)` frame: 3-token shingles → 16 seeded minhashes → 4
     * band hashes, the signature carried alongside so any consumer can
@@ -538,6 +533,16 @@ object DedupOps {
           |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.bh"), col("sig"))
 
+  /** MinHash + LSH candidate pairs of a (doc_id, text) frame: the
+    * [[bandedSigs]] rows bucket-joined per band, with the hot-bucket
+    * star-pair guard above. Each pair carries `sig_match` — the count of
+    * equal signature slots (0–16), an unbiased Jaccard estimate at 1/16
+    * resolution — computed in-bucket where both signatures already sit.
+    * UNORDERED: the clustering consumer must not pay a range exchange for
+    * edges; callers that need determinism sort ([[minhashPairs]]). No SQL
+    * oracle (pair generation is not ANSI-expressible portably);
+    * deterministic by construction and property-tested in DedupSpec.
+    */
   private[graft] def minhashPairsScored(d: DataFrame): DataFrame =
     pairsFromBuckets(bandedSigs(d))
 
@@ -620,7 +625,7 @@ object DedupOps {
     * bound. Deterministic; no SQL oracle (xxhash64 is not available in
     * DuckDB); property-tested in DedupSpec.
     */
-  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private[graft] def simhashPairsScored(d: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = withSimhash(d)
       .select(col("doc_id"), col("simhash"),
         explode(expr(
@@ -643,8 +648,15 @@ object DedupOps {
     small.union(large)
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Sorted [[simhashPairsScored]] — the spec-facing / declared-key view.
+    * The clustering consumer uses the unsorted core: a global orderBy is
+    * a range exchange + sort over every edge that the components loop
+    * would immediately discard.
+    */
+  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsScored(d, maxHamming).orderBy("doc_a", "doc_b")
 
   private def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(docs(spark, sfDir))

@@ -35,15 +35,20 @@ import graft.operators.{DedupOps, VectorOps}
   * removal decision is the caller's, and their signatures are NOT indexed,
   * keeping one representative per near-dup class at rest.
   *
-  * Contract boundaries: the gate checks batch-vs-INDEX only — two copies
-  * of the same novel text arriving in ONE batch both pass (and both
-  * index); compose a within-batch dedup upstream ([[FrameDedup]] /
-  * `dropDuplicatesWithinWatermark`) when arrival duplicates matter. A
-  * REPLAYED batch is flag-stable but re-announced: a re-delivered doc_id
-  * is never flagged against itself (self-matches are excluded) and never
-  * re-indexed (doc_id anti-join), but `onBatch` does see the rows again —
-  * exactly-once OUTPUT is the downstream sink's job, as everywhere in
-  * this streaming surface (the FileSink pattern).
+  * Contract boundaries: the gate checks batch-vs-INDEX only — two
+  * near-dup docs arriving in ONE batch both pass (and both index);
+  * compose a within-batch dedup upstream ([[FrameDedup]] /
+  * `dropDuplicatesWithinWatermark`) when arrival duplicates matter. The
+  * INDEX is replay-stable, the ANNOTATIONS are not fully: a re-delivered
+  * doc_id is never flagged against itself (self-matches are excluded)
+  * and never re-indexed (doc_id anti-join), but near-dup siblings that
+  * first arrived together — both novel, both indexed — WILL flag against
+  * each other when their batch replays (each now sees the other at
+  * rest). A sink that drops flagged rows keyed on doc_id must therefore
+  * either dedup within the batch upstream (making the case impossible)
+  * or treat `is_dup` on replayed rows as advisory. `onBatch` also sees
+  * replayed rows again — exactly-once OUTPUT is the downstream sink's
+  * job, as everywhere in this streaming surface (the FileSink pattern).
   */
 object DedupGate {
 
@@ -65,8 +70,11 @@ object DedupGate {
     DedupOps.bandedSigs(docs)
       .write.mode("overwrite").bucketBy(nBuckets, "bh").sortBy("bh")
       .format("parquet").saveAsTable(table)
+    // base_n from the just-written table, not a second pass over the seed
+    // corpus (at index-build scale the corpus scan is the whole cost)
+    val baseN = spark.table(table).select("doc_id").distinct().count()
     VectorOps.clearStaleLocation(spark, metaTableFor(table))
-    spark.createDataFrame(Seq((SigWidth, NBands, docs.count())))
+    spark.createDataFrame(Seq((SigWidth, NBands, baseN)))
       .toDF("sig_width", "n_bands", "base_n")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
   }
@@ -115,42 +123,24 @@ object DedupGate {
     validateMeta(spark, table)
     // convenience form: fully LAZY (plan inspection / one-shot use) — the
     // batch signatures evaluate twice (bh collect + verify join), bounded
-    // by batch size. gateBatch uses the tracked form, which computes them
-    // once and frees the blocks deterministically.
+    // by batch size. gateBatch computes them once under a tracked
+    // checkpoint and frees the blocks deterministically.
     val banded = DedupOps.bandedSigs(batchDocs)
-    val bhs = banded.select("bh").distinct().collect().map(_.getLong(0))
-    if (bhs.isEmpty) spark.emptyDataFrame
-      .select(lit(0L).as("doc_id"), lit(0L).as("dup_of"), lit(0).as("sig_match")).limit(0)
-    else
-      checkAgainst(spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*)), banded)
+    checkAgainst(prunedIndexSlice(spark, table, banded), banded)
   }
 
-  /** [[flagDuplicates]] with DETERMINISTIC storage release: returns the
-    * UNMATERIALIZED flags frame plus a release thunk freeing the banded
-    * batch signatures' checkpoint blocks. The caller must materialize
-    * (collect / checkpoint / write) BEFORE calling release — the flags
-    * lineage reads those blocks. An indefinite stream needs this form:
-    * relying on driver-GC-paced ContextCleaner reclamation accumulates
-    * one batch of signature blocks per micro-batch in the interim (the
-    * same storage-leak class the CC loop's tracked checkpoints exist
-    * for).
+  /** The index slice the batch can possibly collide with: the batch's
+    * distinct band hashes as a literal bucket filter (file pruning). An
+    * empty batch probes a `limit(0)` slice instead of hardcoding a
+    * schema — the flags frame keeps the real doc_id type whatever the
+    * corpus keys on, so a downstream sink never sees the column type
+    * flip on an intermittently empty micro-batch.
     */
-  private[graft] def flagDuplicatesTracked(
-      spark: SparkSession, batchDocs: DataFrame, table: String): (DataFrame, () => Unit) = {
-    require(spark eq batchDocs.sparkSession,
-      "flagDuplicates must run on the batch frame's own session (foreachBatch hands a clone)")
-    validateMeta(spark, table)
-    import org.apache.spark.sql.GraftShim
-    val (banded, bandedRdd) = GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batchDocs))
-    val release = () => GraftShim.releaseCheckpoint(bandedRdd)
+  private def prunedIndexSlice(
+      spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
     val bhs = banded.select("bh").distinct().collect().map(_.getLong(0))
-    if (bhs.isEmpty) {
-      val empty = spark.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit(0L).as("dup_of"), lit(0).as("sig_match")).limit(0)
-      (empty, release)
-    } else
-      (checkAgainst(spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*)), banded),
-        release)
+    if (bhs.isEmpty) spark.table(table).limit(0)
+    else spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*))
   }
 
   /** Appends the signatures of docs not already at rest — idempotent by
@@ -163,12 +153,22 @@ object DedupGate {
     */
   def appendNewSigsIdempotent(spark: SparkSession, docs: DataFrame, table: String): Long = {
     validateMeta(spark, table)
+    appendBandedIdempotent(spark, DedupOps.bandedSigs(docs), table)
+  }
+
+  /** [[appendNewSigsIdempotent]] over ALREADY-BANDED rows — the gate's
+    * hot path reuses the batch's checkpointed signatures instead of
+    * re-shingling and re-hashing the text (meta validation is the
+    * caller's, done once per batch).
+    */
+  private def appendBandedIdempotent(
+      spark: SparkSession, banded: DataFrame, table: String): Long = {
     import org.apache.spark.sql.GraftShim
     val existing = spark.table(table).select("doc_id").distinct()
     // one tracked evaluation serves both the count and the append, and
     // its blocks free deterministically (not at driver-GC pace)
     val (fresh, freshRdd) = GraftShim.localCheckpointTracked(
-      DedupOps.bandedSigs(docs).join(existing, Seq("doc_id"), "left_anti"))
+      banded.join(existing, Seq("doc_id"), "left_anti"))
     try {
       val n = fresh.select("doc_id").distinct().count()
       if (n > 0) {
@@ -193,24 +193,30 @@ object DedupGate {
     * `batch.sparkSession` (mixing frames across sessions breaks the
     * analyzer), and the relation cache is refreshed at entry so every
     * batch sees the appends of the previous one.
+    *
+    * Cost shape per batch: the text is shingled and minhashed ONCE (the
+    * tracked checkpoint serves the bh collect, the verify join, and the
+    * novel-doc append), and every checkpoint block frees deterministically
+    * before the batch returns — an indefinite stream must not lean on
+    * driver-GC-paced block reclamation.
     */
   def gateBatch(table: String,
       onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     s.catalog.refreshTable(table)
+    validateMeta(s, table)
     import org.apache.spark.sql.GraftShim
-    // tracked checkpoints with explicit release: an indefinite stream
-    // must not lean on driver-GC-paced block reclamation (one batch of
-    // signature blocks would linger per micro-batch in the interim)
-    val (flagsRaw, releaseBanded) = flagDuplicatesTracked(s, batch, table)
-    val (flags, flagsRdd) = GraftShim.localCheckpointTracked(flagsRaw)
-    releaseBanded() // flags is materialized; the banded blocks are done
+    val (banded, bandedRdd) = GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batch))
     try {
-      val annotated = batch.join(flags, Seq("doc_id"), "left")
-        .withColumn("is_dup", col("dup_of").isNotNull)
-      onBatch(annotated, batchId)
-      appendNewSigsIdempotent(
-        s, batch.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
-    } finally GraftShim.releaseCheckpoint(flagsRdd)
+      val (flags, flagsRdd) = GraftShim.localCheckpointTracked(
+        checkAgainst(prunedIndexSlice(s, table, banded), banded))
+      try {
+        val annotated = batch.join(flags, Seq("doc_id"), "left")
+          .withColumn("is_dup", col("dup_of").isNotNull)
+        onBatch(annotated, batchId)
+        appendBandedIdempotent(
+          s, banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
+      } finally GraftShim.releaseCheckpoint(flagsRdd)
+    } finally GraftShim.releaseCheckpoint(bandedRdd)
   }
 }

@@ -306,7 +306,7 @@ object FileSink {
     // finish it. A YOUNG claim means a recoverer is presumed live and
     // mid-swap right now; compaction must not proceed to re-plan
     // against directories that are being swapped under it — fail fast.
-    if (adoptAgedClaims(fs, path) > 0)
+    if (adoptAgedClaims(fs, path, claimGraceMs(spark)) > 0)
       throw new IllegalStateException(
         s"a manifest recovery claim on $path is in flight; retry compaction shortly")
     val manifest = manifestPath(path)
@@ -344,7 +344,7 @@ object FileSink {
     // half-swapped state is visible — each directory individually
     // consistent, the doomed-row scope preserved in the claim file, the
     // healing delay bounded by ClaimGraceMs.
-    adoptAgedClaims(fs, path): Unit
+    adoptAgedClaims(fs, path, claimGraceMs(spark)): Unit
     if (fs.exists(manifestPath(path))) claimAndRollForward(fs, path)
   }
 
@@ -375,11 +375,11 @@ object FileSink {
     * claimants).
     */
   private def adoptAgedClaims(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
+      fs: org.apache.hadoop.fs.FileSystem, path: String, graceMs: Long): Int = {
     val claimed = fs.globStatus(new org.apache.hadoop.fs.Path(path, s".$ManifestName.claimed-*"))
     var young = 0
     if (claimed != null) claimed.foreach { st =>
-      if (System.currentTimeMillis() - st.getModificationTime < claimGraceMs) young += 1
+      if (System.currentTimeMillis() - st.getModificationTime < graceMs) young += 1
       else {
         val mine = new org.apache.hadoop.fs.Path(path,
           s".$ManifestName.claimed-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -410,17 +410,27 @@ object FileSink {
   private[graft] val ClaimGraceMs: Long = 10 * 60 * 1000L
 
   /** Deployment knob for the claim grace: `spark.graft.filesink.claimGraceMs`
-    * on the active session. A crashed mid-swap claimant leaves readers a
-    * half-compacted (per-directory consistent) view until the grace
-    * elapses — deployments with tighter read-consistency needs shorten
-    * the healing window; the trade (shorter grace = higher risk of
-    * adopting a merely-slow LIVE claimant and racing its swaps) is the
-    * caller's to price. Falls back to [[ClaimGraceMs]].
+    * read from the session the caller passed to the entry point (NOT
+    * thread-local active-session state, which is None on scheduler /
+    * background threads and would silently revert to the default). A
+    * crashed mid-swap claimant leaves readers a half-compacted
+    * (per-directory consistent) view until the grace elapses —
+    * deployments with tighter read-consistency needs shorten the healing
+    * window; the trade (shorter grace = higher risk of adopting a
+    * merely-slow LIVE claimant and racing its swaps) is the caller's to
+    * price. A malformed value fails loudly — this is a reliability knob,
+    * not one to fall back silently on. Default: [[ClaimGraceMs]].
     */
-  private def claimGraceMs: Long =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(s => s.conf.getOption("spark.graft.filesink.claimGraceMs"))
-      .map(_.toLong).getOrElse(ClaimGraceMs)
+  private def claimGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.filesink.claimGraceMs") match {
+      case None => ClaimGraceMs
+      case Some(v) =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.filesink.claimGraceMs must be a long millisecond count, got '$v'")
+        }
+    }
 
   private val ManifestName = "_compaction_manifest"
   private def manifestPath(path: String) =
