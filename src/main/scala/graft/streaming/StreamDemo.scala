@@ -54,6 +54,12 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the ingest-gate epilogue persists a bucketed signature index:
+      // isolate the warehouse, and disable auto-bucketed-scan so the
+      // gate's probes file-prune (the documented probe-session conf)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-stream-warehouse").toString)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
@@ -129,8 +135,44 @@ object StreamDemo {
     runEtPhase()
     val etExpired = etAcc.asScala.exists(a => a.uuid == uc && a.kind == "EXPIRED")
 
-    println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects eventTimeExpired=$etExpired")
+    // Ingest-gate epilogue: the streaming near-dup gate against a
+    // persisted bucketed signature index. Batch 1 carries a near-dup of
+    // an indexed doc (flagged) and a novel doc (passes, indexed); batch 2
+    // re-sends the novel doc's text under a new id — flaggable only
+    // through batch 1's append.
+    val gateTable = "stream_demo_gate_idx"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    DedupGate.writeSigIndex(spark, corpus.filter(col("doc_id") < 3), gateTable, nBuckets = 4)
+    val novelText = corpus.filter(col("doc_id") === 5).select("text").head().getString(0)
+    val seedText = corpus.filter(col("doc_id") === 0).select("text").head().getString(0)
+    val gInput = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark.sqlContext)
+    val gSeen = new scala.collection.concurrent.TrieMap[Long, (Boolean, Option[Long])]()
+    val gCkpt = Files.createTempDirectory("graft-stream-gate-ckpt").toString
+    def runGatePhase(batch: Seq[(Long, String)]): Unit = {
+      gInput.addData(batch)
+      val q = gInput.toDS().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", gCkpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(DedupGate.gateBatch(gateTable, (df, _) =>
+          df.collect().foreach { r =>
+            gSeen.put(r.getAs[Long]("doc_id"), (r.getAs[Boolean]("is_dup"),
+              Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+          }) _)
+        .start()
+      q.awaitTermination()
+    }
+    runGatePhase(Seq(100L -> seedText, 101L -> novelText))
+    runGatePhase(Seq(102L -> novelText))
+    val gateSeedDup = gSeen.get(100L).contains((true, Some(0L)))
+    val gateNovel = gSeen.get(101L).contains((false, None))
+    val gateCrossBatch = gSeen.get(102L).contains((true, Some(101L)))
+
+    println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
+      s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
+      s"gateCrossBatch=$gateCrossBatch")
     spark.stop()
-    if (!(okA && okB && pendingC && rejects >= 2 && etExpired)) sys.exit(1)
+    if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
+        gateSeedDup && gateNovel && gateCrossBatch)) sys.exit(1)
   }
 }
