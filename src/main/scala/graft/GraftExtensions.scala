@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, TopK}
+import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, SlotMatch, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(tokens) - 64-bit SimHash signature"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("slot_match"),
+      info("slot_match", "slot_match(a, b) - count of equal non-null ARRAY<BIGINT> slots (codegen)"),
+      (exprs: Seq[Expression]) => SlotMatch(
+        castNumeric(exprs(0), ArrayType(LongType)), castNumeric(exprs(1), ArrayType(LongType)))))
 
     ext.injectFunction((
       FunctionIdentifier("top_k"),

@@ -573,7 +573,13 @@ object DedupOps {
     * residual recall matters more than the O(b²) bound.
     */
   private[graft] def pairsFromBuckets(banded: DataFrame): DataFrame = {
+    import graft.functions.SlotMatch.slot_match
     val ann = annotateBuckets(banded, Seq("band_id", "bh"), "doc_id", Seq("sig"))
+    // pair expansion carries both signatures through the explode and
+    // scores them in the projection ABOVE the generator with the native
+    // codegen slot_match (bit-identical to the interpreted
+    // size(filter(zip_with(...))) HOF it replaced — pinned in DedupSpec;
+    // a lambda inside the transform would run interpreted per pair)
     val small = ann.filter(col("bucket_n") <= HotBucketCap)
       .groupBy("band_id", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("items"))
@@ -581,11 +587,12 @@ object DedupOps {
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)), y ->
           |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |           size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), m -> m)) AS sig_match))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_match"))
+          |           x.sig AS sig_a, y.sig AS sig_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        slot_match(col("p.sig_a"), col("p.sig_b")).as("sig_match"))
     val large = ann.filter(col("bucket_n") > HotBucketCap && col("doc_id") =!= col("rep.doc_id"))
       .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-        expr("size(filter(zip_with(rep.sig, sig, (p, q) -> p = q), m -> m))").as("sig_match"))
+        slot_match(col("rep.sig"), col("sig")).as("sig_match"))
     small.union(large)
       .distinct()
   }

@@ -103,7 +103,7 @@ object DedupGate {
     index.join(broadcast(in), Seq("band_id", "bh"))
       .filter(col("doc_id") =!= col("in_doc"))
       .withColumn("sig_match",
-        expr("size(filter(zip_with(sig, in_sig, (p, q) -> p = q), m -> m))"))
+        graft.functions.SlotMatch.slot_match(col("sig"), col("in_sig")))
       .filter(col("sig_match") >= DedupOps.MinhashVerifySlots)
       .groupBy(col("in_doc").as("doc_id"))
       .agg(min(struct((lit(SigWidth) - col("sig_match")).as("miss"),

@@ -138,6 +138,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("slot_match native expression is bit-identical to the interpreted HOF slot count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.SlotMatch.slot_match
+    val hof = expr("size(filter(zip_with(a, b, (p, q) -> p = q), m -> m))")
+    val rows = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)), // 3 equal
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L, 99L)),    // length mismatch: common prefix
+      (Array.empty[Long], Array(1L, 2L)),             // empty side
+      (Array(7L), Array(7L)),
+      ((1L to 16L).toArray, (1L to 16L).toArray)
+    ).toDF("a", "b")
+    rows.select(slot_match(col("a"), col("b")).as("native"), hof.as("h")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"native ${r.getInt(0)} != HOF ${r.getInt(1)}"))
+    // null ELEMENTS drop from the count in both forms
+    val withNulls = spark.range(1).select(
+      expr("array(1L, CAST(null AS BIGINT), 3L)").as("a"),
+      expr("array(1L, CAST(null AS BIGINT), 3L)").as("b"))
+    val g = withNulls.select(slot_match(col("a"), col("b")), hof).head()
+    assert(g.getInt(0) == 2 && g.getInt(1) == 2, s"null-element semantics diverge: $g")
+  }
+
   test("pair scoring counts equal signature slots inside the bucket") {
     import spark.implicits._
     // synthetic banded rows: docs 1,2 collide in a bucket but agree on only
