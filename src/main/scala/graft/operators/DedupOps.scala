@@ -330,8 +330,19 @@ object DedupOps {
       try {
         val fs = sub.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(sub)) fs.setTimes(sub, System.currentTimeMillis(), -1)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // warn ONCE per JVM: on stores without setTimes (e.g. S3A
+        // pseudo-directories) the heartbeat silently degrades and
+        // gcSinkRoot's liveness contract measures FIRST-WRITE age, not
+        // idle time — operators must size retention to full job duration
+        if (setTimesWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"CC sink heartbeat failed on $sub (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "this filesystem does not support setTimes — gcSinkRoot retention now measures " +
+              "age since FIRST write, not last; size olderThanMs to the full job duration")
+      }
     }
+  private val setTimesWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Storage GC for the CONFIGURED sink root: deletes `cc-*` subroots
     * (other runs' label-table directories) whose modification time is
@@ -346,6 +357,10 @@ object DedupOps {
     * the longest plausible gap between writes of a live job (e.g. a
     * day-long training pipeline that clusters once at the end) — size
     * `olderThanMs` to the slowest consumer, not the average one.
+    * Caveat: on filesystems without `setTimes` (S3A pseudo-directories)
+    * the heartbeat cannot fire (warn-once logged) and the contract
+    * degrades to first-write age — there, retention must exceed the full
+    * job duration, not the idle gap.
     */
   def gcSinkRoot(spark: SparkSession, olderThanMs: Long): Int =
     spark.conf.getOption("spark.graft.cc.sinkRoot") match {
@@ -516,21 +531,32 @@ object DedupOps {
     */
   val MinhashVerifySlots = 12
 
+  /** MinHash signature geometry — the ONE definition both the batch pair
+    * generation ([[bandedSigs]]) and the streaming ingest gate's persisted
+    * index ([[graft.streaming.DedupGate]]) build from, so a geometry
+    * change here propagates to every producer and the gate's meta-table
+    * validation cannot be satisfied by a stale duplicate constant.
+    */
+  val MinhashSigWidth = 16
+  val MinhashBands = 4
+  private val MinhashBandWidth = MinhashSigWidth / MinhashBands
+
   /** Banded signature rows `(doc_id, band_id, bh, sig)` of a
-    * `(doc_id, text)` frame: 3-token shingles → 16 seeded minhashes → 4
-    * band hashes, the signature carried alongside so any consumer can
-    * verify a collision by slot agreement without re-reading the corpus.
-    * Shared by the batch pair generation and the streaming ingest gate's
-    * persisted signature index ([[graft.streaming.DedupGate]]).
+    * `(doc_id, text)` frame: 3-token shingles → [[MinhashSigWidth]] seeded
+    * minhashes → [[MinhashBands]] band hashes, the signature carried
+    * alongside so any consumer can verify a collision by slot agreement
+    * without re-reading the corpus. Shared by the batch pair generation
+    * and the streaming ingest gate's persisted signature index
+    * ([[graft.streaming.DedupGate]]).
     */
   private[graft] def bandedSigs(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("shingles",
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
-      .withColumn("sig", minhash_sig(col("shingles"), 16))
+      .withColumn("sig", minhash_sig(col("shingles"), MinhashSigWidth))
       .withColumn("band", explode(expr(
-        """transform(sequence(0, 3), j -> struct(j AS band_id,
-          |  xxhash64(concat_ws(',', transform(slice(sig, j*4 + 1, 4), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
+        s"""transform(sequence(0, ${MinhashBands - 1}), j -> struct(j AS band_id,
+           |  xxhash64(concat_ws(',', transform(slice(sig, j*$MinhashBandWidth + 1, $MinhashBandWidth), x -> CAST(x AS STRING)))) AS bh))""".stripMargin)))
       .select(col("doc_id"), col("band.band_id"), col("band.bh"), col("sig"))
 
   /** MinHash + LSH candidate pairs of a (doc_id, text) frame: the

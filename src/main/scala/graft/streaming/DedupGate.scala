@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, VectorOps}
 
@@ -35,10 +35,13 @@ import graft.operators.{DedupOps, VectorOps}
   * removal decision is the caller's, and their signatures are NOT indexed,
   * keeping one representative per near-dup class at rest.
   *
-  * Contract boundaries: the gate checks batch-vs-INDEX only — two
+  * Contract boundaries: [[gateBatch]] checks batch-vs-INDEX only — two
   * near-dup docs arriving in ONE batch both pass (and both index);
   * compose a within-batch dedup upstream ([[FrameDedup]] /
-  * `dropDuplicatesWithinWatermark`) when arrival duplicates matter. The
+  * `dropDuplicatesWithinWatermark`) for EXACT arrival duplicates, or use
+  * [[gateBatchWithinAware]] (the [[StreamMerge.gatedIngestPipeline]]
+  * body), which also checks each doc against its own batch's smaller-id
+  * siblings so one near-dup class indexes exactly one member. The
   * INDEX is replay-stable, the ANNOTATIONS are not fully: a re-delivered
   * doc_id is never flagged against itself (self-matches are excluded)
   * and never re-indexed (doc_id anti-join), but near-dup siblings that
@@ -52,12 +55,16 @@ import graft.operators.{DedupOps, VectorOps}
   */
 object DedupGate {
 
-  /** Signature geometry — pinned by [[DedupOps.bandedSigs]] (16 minhash
-    * slots in 4 bands of 4) and persisted in the meta table so a future
-    * geometry change cannot silently mix widths in one index.
+  /** Signature geometry — the SAME constants [[DedupOps.bandedSigs]]
+    * builds from ([[DedupOps.MinhashSigWidth]] minhash slots in
+    * [[DedupOps.MinhashBands]] bands), persisted in the meta table so an
+    * index written under an older geometry fails validation instead of
+    * silently mixing signature widths. Aliased (not duplicated) so a
+    * geometry change in DedupOps cannot leave the gate validating against
+    * a stale copy.
     */
-  val SigWidth = 16
-  val NBands = 4
+  val SigWidth: Int = DedupOps.MinhashSigWidth
+  val NBands: Int = DedupOps.MinhashBands
 
   private[graft] def metaTableFor(table: String): String = table + "_meta"
 
@@ -79,6 +86,31 @@ object DedupGate {
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
   }
 
+  /** The persisted (sig_width, n_bands, build-time corpus size) of a
+    * signature index; None if the meta table does not exist.
+    */
+  def loadSigMeta(spark: SparkSession, table: String): Option[(Int, Int, Long)] =
+    if (!spark.catalog.tableExists(metaTableFor(table))) None
+    else spark.table(metaTableFor(table)).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+  /** Fraction of the index's documents appended since it was built — the
+    * signature-index counterpart of [[VectorOps.lshIndexStaleness]], and
+    * the REBUILD TRIGGER a long-running gate needs: appends keep probes
+    * correct (geometry is validated per batch), but every appended doc
+    * grows the per-band bucket populations the probe scans, degrading the
+    * O(batch × bucket) cost bound the bucketed build sized for. Rebuild
+    * ([[writeSigIndex]]) re-buckets the grown corpus and resets the base.
+    * Returns 1.0 for an index without meta (unconditionally stale).
+    */
+  def sigIndexStaleness(spark: SparkSession, table: String): Double =
+    loadSigMeta(spark, table) match {
+      case None | Some((_, _, 0L)) => 1.0
+      case Some((_, _, baseN)) =>
+        val now = spark.table(table).select("doc_id").distinct().count()
+        math.max(0.0, (now - baseN).toDouble / baseN)
+    }
+
   private def validateMeta(spark: SparkSession, table: String): Unit =
     spark.table(metaTableFor(table)).collect().headOption match {
       case Some(r) =>
@@ -91,26 +123,66 @@ object DedupGate {
           s"index $table has an empty meta table; rebuild with writeSigIndex")
     }
 
-  /** Core verified check of a banded batch against a banded index slice —
-    * pure frame logic, unit-testable with synthetic signatures. Returns
-    * one row per flagged batch doc: `(doc_id, dup_of, sig_match)` with
-    * the strongest match kept (highest slot agreement, ties to the lowest
-    * at-rest doc id).
+  /** Core verified check of a banded batch against a banded "at rest"
+    * side — pure frame logic, unit-testable with synthetic signatures.
+    * Both sides are renamed before the join (`rest_doc` / `in_doc`) so
+    * every column reference resolves unambiguously (no reliance on
+    * groupBy-alias-vs-child resolution order). Returns one row per
+    * flagged batch doc: `(doc_id, dup_of, sig_match)` with the strongest
+    * match kept (highest slot agreement, ties to the lowest rest-side
+    * doc id).
+    *
+    * `pairKeep` restricts which (rest, in) pairs count: the index probe
+    * excludes self-matches (`rest_doc =!= in_doc` — a re-delivered doc
+    * must not flag against itself); the within-batch check keeps only
+    * `rest_doc < in_doc` (each doc can flag only against a SMALLER-id
+    * sibling, so the min-id member of a near-dup group always survives
+    * to be indexed).
     */
-  private[graft] def checkAgainst(index: DataFrame, batchBanded: DataFrame): DataFrame = {
+  private[graft] def checkAgainst(
+      index: DataFrame, batchBanded: DataFrame,
+      pairKeep: Column => Column = rest => rest =!= col("in_doc")): DataFrame = {
+    val rest = index.select(col("doc_id").as("rest_doc"),
+      col("band_id"), col("bh"), col("sig").as("rest_sig"))
     val in = batchBanded
       .select(col("doc_id").as("in_doc"), col("band_id"), col("bh"), col("sig").as("in_sig"))
-    index.join(broadcast(in), Seq("band_id", "bh"))
-      .filter(col("doc_id") =!= col("in_doc"))
+    rest.join(broadcast(in), Seq("band_id", "bh"))
+      .filter(pairKeep(col("rest_doc")))
       .withColumn("sig_match",
-        graft.functions.SlotMatch.slot_match(col("sig"), col("in_sig")))
+        graft.functions.SlotMatch.slot_match(col("rest_sig"), col("in_sig")))
       .filter(col("sig_match") >= DedupOps.MinhashVerifySlots)
       .groupBy(col("in_doc").as("doc_id"))
       .agg(min(struct((lit(SigWidth) - col("sig_match")).as("miss"),
-        col("doc_id").as("dup_of"))).as("best"))
+        col("rest_doc").as("dup_of"))).as("best"))
       .select(col("doc_id"), col("best.dup_of"),
         (lit(SigWidth) - col("best.miss")).as("sig_match"))
   }
+
+  /** Within-batch near-dup flags over one banded batch: the batch checked
+    * against ITSELF, directional on doc id (only smaller-id siblings can
+    * flag a doc), so near-dup siblings arriving TOGETHER resolve to one
+    * surviving representative — the min-id member — instead of both
+    * passing, closing the gate's documented batch-vs-index-only blind
+    * spot when composed ([[gateDecisions]]). In a chain (C≈B≈A, C≉A)
+    * `dup_of` points at the strongest verified smaller-id sibling, which
+    * may itself be flagged; the indexed representative is reachable
+    * transitively, and only unflagged docs index.
+    */
+  private[graft] def withinBatchFlags(banded: DataFrame): DataFrame =
+    checkAgainst(banded, banded, rest => rest < col("in_doc"))
+
+  /** Index flags and within-batch flags combined: the strongest match per
+    * doc across both sources (highest slot agreement, ties to the lowest
+    * matched doc id — the [[checkAgainst]] rule re-applied over the
+    * union).
+    */
+  private def combinedFlags(index: DataFrame, banded: DataFrame): DataFrame =
+    checkAgainst(index, banded).unionByName(withinBatchFlags(banded))
+      .groupBy("doc_id")
+      .agg(min(struct((lit(SigWidth) - col("sig_match")).as("miss"),
+        col("dup_of"))).as("best"))
+      .select(col("doc_id"), col("best.dup_of"),
+        (lit(SigWidth) - col("best.miss")).as("sig_match"))
 
   /** Flags the batch's near-dups against the persisted index. The batch's
     * distinct band hashes are collected (metadata scale: ≤ 4 × batch
@@ -129,6 +201,16 @@ object DedupGate {
     checkAgainst(prunedIndexSlice(spark, table, banded), banded)
   }
 
+  /** Ceiling on the number of distinct band-hash literals a batch probe
+    * may build (overridable via `graft.dedupGate.maxProbeLiterals`). The
+    * probe contract assumes micro-batches are SMALL (band hashes ≤
+    * [[NBands]] × batch rows — metadata scale); a mis-deployed gate fed a
+    * corpus-sized "batch" would otherwise silently build a multi-million
+    * element `isin` filter. Failing loudly here is the guard: the fix is
+    * smaller triggers (or the batch clustering path), not a bigger bound.
+    */
+  val DefaultMaxProbeLiterals = 65536
+
   /** The index slice the batch can possibly collide with: the batch's
     * distinct band hashes as a literal bucket filter (file pruning). An
     * empty batch probes a `limit(0)` slice instead of hardcoding a
@@ -138,7 +220,13 @@ object DedupGate {
     */
   private def prunedIndexSlice(
       spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
-    val bhs = banded.select("bh").distinct().collect().map(_.getLong(0))
+    val bound = spark.conf.getOption("graft.dedupGate.maxProbeLiterals")
+      .map(_.toInt).getOrElse(DefaultMaxProbeLiterals)
+    val bhs = banded.select("bh").distinct().limit(bound + 1).collect().map(_.getLong(0))
+    require(bhs.length <= bound,
+      s"batch produced more than $bound distinct band hashes — the micro-batch-is-small " +
+        "probe contract is broken (a literal filter this size would dominate the plan); " +
+        "use smaller triggers or the batch dedup path, or raise graft.dedupGate.maxProbeLiterals")
     if (bhs.isEmpty) spark.table(table).limit(0)
     else spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*))
   }
@@ -201,6 +289,23 @@ object DedupGate {
     * driver-GC-paced block reclamation.
     */
   def gateBatch(table: String,
+      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit =
+    gateCore(table, withinBatch = false, onBatch)(batch, batchId)
+
+  /** [[gateBatch]] with the within-batch blind spot CLOSED: in addition
+    * to the index probe, each doc is checked against its own batch's
+    * smaller-id siblings ([[withinBatchFlags]]), so a batch carrying two
+    * near-dup siblings indexes exactly ONE (the min-id member) and flags
+    * the other — no upstream composition required. This is the batch body
+    * [[StreamMerge.gatedIngestPipeline]] composes; `gateBatch` keeps the
+    * original batch-vs-index-only contract for callers that dedup
+    * upstream.
+    */
+  def gateBatchWithinAware(table: String,
+      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit =
+    gateCore(table, withinBatch = true, onBatch)(batch, batchId)
+
+  private def gateCore(table: String, withinBatch: Boolean,
       onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     s.catalog.refreshTable(table)
@@ -208,8 +313,10 @@ object DedupGate {
     import org.apache.spark.sql.GraftShim
     val (banded, bandedRdd) = GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batch))
     try {
-      val (flags, flagsRdd) = GraftShim.localCheckpointTracked(
-        checkAgainst(prunedIndexSlice(s, table, banded), banded))
+      val rawFlags =
+        if (withinBatch) combinedFlags(prunedIndexSlice(s, table, banded), banded)
+        else checkAgainst(prunedIndexSlice(s, table, banded), banded)
+      val (flags, flagsRdd) = GraftShim.localCheckpointTracked(rawFlags)
       try {
         val annotated = batch.join(flags, Seq("doc_id"), "left")
           .withColumn("is_dup", col("dup_of").isNotNull)
@@ -218,5 +325,29 @@ object DedupGate {
           s, banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
       } finally GraftShim.releaseCheckpoint(flagsRdd)
     } finally GraftShim.releaseCheckpoint(bandedRdd)
+  }
+
+  /** foreachBatch body for a stream of INGEST DECISION rows (the
+    * [[StreamMerge]] pipeline's `(doc_id, …, decision, …, text)` shape):
+    * only rows the upstream gates decided to `insert` are near-dup
+    * checked — dropped/duplicate rows are already out and must not pay
+    * the signature cost or enter the index. Flagged inserts have their
+    * decision REWRITTEN to `near_dup` (with `dup_of`/`sig_match`);
+    * surviving inserts index. `onBatch` receives every decision row of
+    * the batch, annotated, with `text` dropped (the audit log stores
+    * decisions, not the corpus).
+    */
+  private[graft] def gateDecisions(table: String,
+      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val inserts = batch.filter(col("decision") === "insert").select("doc_id", "text")
+    gateBatchWithinAware(table, (annotated: DataFrame, id: Long) => {
+      val flags = annotated.filter(col("is_dup"))
+        .select(col("doc_id"), col("dup_of"), col("sig_match"))
+      val out = batch.join(flags, Seq("doc_id"), "left")
+        .withColumn("decision",
+          when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
+        .drop("text")
+      onBatch(out, id)
+    })(inserts, batchId)
   }
 }

@@ -149,6 +149,38 @@ object StreamMerge {
         // WHEN, and carries the upstream watermark to windowed stages
         col("ts"), col("text"))
 
+  /** The GATED ingestion pipeline — the full chain as ONE streaming
+    * query: within-stream EXACT dedup (`dropDuplicatesWithinWatermark` on
+    * the content hash) → quality gate → stream-static exact-dup
+    * classification, then per micro-batch the NEAR-dup gate
+    * ([[DedupGate.gateDecisions]]): surviving `insert` rows are checked
+    * against the persisted signature index AND against their own batch's
+    * smaller-id siblings, flagged rows become `near_dup` (with
+    * `dup_of`/`sig_match`), and only unflagged inserts append signatures.
+    * This closes the gate's documented within-batch blind spot by
+    * construction: exact within-batch duplicates die in the watermarked
+    * dedup, near-dup siblings resolve to one indexed representative in
+    * the within-batch check.
+    *
+    * Scale shape: everything upstream of foreachBatch is the stateless /
+    * watermark-bounded [[ingestPipeline]] plan; the gate adds one
+    * signature pass over the batch's INSERTS only (shingle+minhash cost
+    * skips rows already dropped as short/quality/exact-dup), a file-pruned
+    * probe of the bucketed index, and a broadcast within-batch self-check
+    * — per-batch cost O(inserts × bucket), never an index scan.
+    * `onBatch` receives every decision row (text dropped), so the same
+    * audit-log sink layout as [[decisionsToParquet]] applies.
+    */
+  def gatedIngestPipeline(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(DedupGate.gateDecisions(sigTable, onBatch) _)
+
   /** Event-time windowed roll-up of [[ingestPipeline]] decisions — the
     * pipeline's observability surface with an explicit LATENESS POLICY:
     * decisions are bucketed by the document's event time into tumbling

@@ -340,4 +340,69 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append broke bucket pruning")
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(6L -> 5L))
   }
+
+  test("DedupGate: sigIndexStaleness grows with appends and resets on rebuild") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    def batch(ids: Seq[Long]) = ids.map(i => i -> gateText(s"st$i")).toDF("doc_id", "text")
+    DedupGate.writeSigIndex(spark, batch(1L to 10L), "dedup_gate_stale", nBuckets = 8)
+    assert(DedupGate.sigIndexStaleness(spark, "dedup_gate_stale") == 0.0,
+      "a freshly built index must be 0-stale")
+    assert(DedupGate.appendNewSigsIdempotent(spark, batch(11L to 15L), "dedup_gate_stale") == 5L)
+    val s1 = DedupGate.sigIndexStaleness(spark, "dedup_gate_stale")
+    assert(math.abs(s1 - 0.5) < 1e-9, s"5 appends over base 10 must read 0.5, got $s1")
+    assert(DedupGate.appendNewSigsIdempotent(spark, batch(16L to 18L), "dedup_gate_stale") == 3L)
+    val s2 = DedupGate.sigIndexStaleness(spark, "dedup_gate_stale")
+    assert(s2 > s1 && math.abs(s2 - 0.8) < 1e-9, s"staleness must grow with appends, got $s2")
+    // rebuild over the grown corpus resets the base — the rebuild trigger cycle
+    DedupGate.writeSigIndex(spark, batch(1L to 18L), "dedup_gate_stale", nBuckets = 8)
+    assert(DedupGate.sigIndexStaleness(spark, "dedup_gate_stale") == 0.0,
+      "rebuild must reset staleness")
+  }
+
+  test("DedupGate: a contract-breaking batch fails loudly at the probe-literal bound") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("pb")).toDF("doc_id", "text"), "dedup_gate_bound", nBuckets = 8)
+    spark.conf.set("graft.dedupGate.maxProbeLiterals", "8")
+    try {
+      // 5 distinct docs × 4 bands ⇒ up to 20 distinct band hashes > 8
+      val big = (100L to 104L).map(i => i -> gateText(s"pb$i")).toDF("doc_id", "text")
+      val ex = intercept[IllegalArgumentException] {
+        DedupGate.flagDuplicates(spark, big, "dedup_gate_bound").collect()
+      }
+      assert(ex.getMessage.contains("band hashes"),
+        s"bound violation must name the contract: ${ex.getMessage}")
+      // a conforming batch still probes under the tightened bound
+      val ok = DedupGate.flagDuplicates(spark,
+        Seq(200L -> gateText("pb")).toDF("doc_id", "text"), "dedup_gate_bound")
+      assert(ok.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    } finally spark.conf.unset("graft.dedupGate.maxProbeLiterals")
+  }
+
+  test("DedupGate: within-aware gate indexes exactly one of two near-dup siblings arriving together") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("wa")).toDF("doc_id", "text"), "dedup_gate_within", nBuckets = 8)
+    val sib = gateText("sib")
+    val sibNear = sib.split(" ").init.mkString(" ") + " zz" // last token differs: near-dup
+    val batch = Seq(301L -> sib, 302L -> sibNear,
+      303L -> gateText("wa"), 304L -> gateText("nov")).toDF("doc_id", "text")
+    val seen = scala.collection.mutable.Map.empty[Long, (Boolean, Option[Long])]
+    DedupGate.gateBatchWithinAware("dedup_gate_within", (df, _) =>
+      df.collect().foreach { r =>
+        seen(r.getAs[Long]("doc_id")) = (r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()))
+      })(batch, 0L)
+    assert(seen(301L) == (false, None), "min-id sibling must survive")
+    assert(seen(302L) == (true, Some(301L)), "the larger-id sibling must flag against the smaller")
+    assert(seen(303L) == (true, Some(1L)), "index dups must still flag")
+    assert(seen(304L) == (false, None), "novel docs must pass")
+    val atRest = spark.table("dedup_gate_within").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 301L, 304L),
+      s"exactly one sibling (the min-id one) must index: $atRest")
+  }
 }

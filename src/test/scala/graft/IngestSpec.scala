@@ -122,11 +122,18 @@ class IngestSpec extends AnyFunSuite {
         timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
       .write.parquet(s"$dNtz/events.parquet")
 
-    // encoding 3: timestamp[us] adjusted-to-UTC → TimestampType on read
+    // encoding 3: timestamp[us] adjusted-to-UTC → TimestampType on read;
+    // the conf is restored so later timestamp-writing tests on the shared
+    // session don't inherit the micros encoding
     val dTz = base.resolve("tz").toString
+    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    src.select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    try src.select(col("user_id"), timestamp_micros(col("us")).as("ts"))
       .write.parquet(s"$dTz/events.parquet")
+    finally prevTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
 
     val loaded = Seq("nanos" -> dNanos, "ntz" -> dNtz, "tz" -> dTz).map {
       case (label, dir) =>

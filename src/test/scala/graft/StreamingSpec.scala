@@ -1018,6 +1018,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
   }
 
+  test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
+    import graft.streaming.{DedupGate, StreamMerge}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    def near(t: String, tail: String) = t.split(" ").init.mkString(" ") + " " + tail
+    val corpusText = wt("corp"); val knownText = wt("known"); val sibText = wt("sib")
+    val staticBase = Seq((10L, knownText)).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> corpusText).toDF("doc_id", "text"), "gate_pipe_idx", nBuckets = 8)
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-gatedpipe-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Option[Long], Option[Long], Option[Int])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipeline(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase, "gate_pipe_idx",
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            Option(r.getAs[java.lang.Long]("existing_id")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+            Option(r.getAs[java.lang.Integer]("sig_match")).map(_.intValue())))
+        })
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 carries TWO near-dup siblings (602, 603): exactly one may
+    // index (the min-id one), the other must flag within-batch — the
+    // composition closing the gate's documented blind spot
+    phase(Seq((601L, corpusText, at(10)), (602L, sibText, at(11)),
+      (603L, near(sibText, "zz"), at(12)), (604L, "tiny doc", at(13)),
+      (605L, knownText, at(14))))
+    // batch 2: a near-dup of the batch-1 survivor must flag against the
+    // GROWN index; a novel doc must pass and index
+    phase(Seq((606L, near(sibText, "yy"), at(40)), (607L, wt("nov"), at(41))))
+    val byId = acc.asScala.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(byId == Map(
+      601L -> (("near_dup", None, Some(1L))),
+      602L -> (("insert", None, None)),
+      603L -> (("near_dup", None, Some(602L))),
+      604L -> (("short", None, None)),
+      605L -> (("skip_dup", Some(10L), None)),
+      606L -> (("near_dup", None, Some(602L))),
+      607L -> (("insert", None, None))), s"gated decisions wrong: ${acc.asScala.toSeq}")
+    acc.asScala.filter(_._2 == "near_dup").foreach { t =>
+      assert(t._5.exists(_ >= graft.operators.DedupOps.MinhashVerifySlots),
+        s"near_dup decision without a verified sig_match: $t")
+    }
+    // appends ran through the micro-batch CLONE session; this session's
+    // relation cache must drop the pre-append file list before reading
+    spark.catalog.refreshTable("gate_pipe_idx")
+    val atRest = spark.table("gate_pipe_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 602L, 607L), s"only unflagged inserts may index: $atRest")
+  }
+
   test("windowed ingest stats: counts emit exactly once on watermark close; late docs cannot reopen a window") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.Row
