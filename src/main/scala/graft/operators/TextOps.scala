@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -414,6 +414,63 @@ object TextOps {
       .orderBy("merge_rank")
   }
 
+  /** BPE APPLICATION — the other half of the tokenizer: encode every
+    * document with the merge table [[bpeMerges]] learned, the step a
+    * pretraining pipeline runs at corpus scale once induction is done.
+    * Per document: whitespace words → bar-wrapped symbol runs (the same
+    * encoding the trainer uses, so train and encode cannot disagree on
+    * merge semantics) → the learned merges applied IN RANK ORDER, each as
+    * one left-to-right non-overlapping `replace` (= the BPE
+    * leftmost-greedy merge, property-tested in QueriesSpec on adversarial
+    * symbol runs) → the per-word token runs concatenated in document
+    * order.
+    *
+    * In-order single-pass application equals the classic priority-queue
+    * BPE encode whenever no later merge's OUTPUT string equals an earlier
+    * merge's PART (only then could a later merge re-create a pair an
+    * earlier pass already consumed) — QueriesSpec checks that condition
+    * on the learned table and pins the encoding against an independent
+    * driver-side encoder.
+    *
+    * Scale shape: the merge table is 10 collected rows (metadata scale —
+    * the [[bpeMerges]] training cost dominates; at 100 TB the table is
+    * trained once and reused), folded into the plan as LITERALS riding a
+    * narrow per-row map — the corpus is scanned ONCE, nothing shuffles
+    * before the output sort, and the whole chain is codegen'd string
+    * work. The corpus is bar-free by the trainer's in-plan guard (a
+    * bar-bearing token fails `bpe_merges` loudly before it could corrupt
+    * this encoding silently).
+    *
+    * Output per doc: token count after merges, the pre-merge symbol
+    * (char) count, merges applied (= chars − tokens, since every merge
+    * joins exactly two symbols), and the first 8 tokens — enough to
+    * verify the encoding and feed a token-budget planner. No oracle (the
+    * merge table comes from the iterative trainer); deterministic, pinned
+    * in QueriesSpec.
+    */
+  private[graft] def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeWord(w: Column): Column =
+      merges.foldLeft(concat(lit("|"), array_join(split(w, ""), "|  |"), lit("|"))) {
+        case (acc, (l, r)) =>
+          call_function("replace", acc, lit(s"|$l|  |$r|"), lit(s"|$l$r|"))
+      }
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > lit(0)).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_chars"),
+        flatten(transform(col("ws"), w => split(encodeWord(w), "  "))).as("toks"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"),
+        (col("n_chars") - size(col("toks"))).as("n_merged"),
+        array_join(transform(slice(col("toks"), 1, 8),
+          t => translate(t, "|", "")), " ").as("head_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking — the LLM-pretraining document
     * segmentation (context-window packing with overlap so no span is
     * seen only at a boundary), as distinct from `chunk_split`'s
@@ -789,6 +846,8 @@ object TextOps {
              |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
 
     "bpe_merges" -> QueryDef(bpeMerges(_, _), None),
+
+    "bpe_encode" -> QueryDef(bpeEncode, None),
 
     "token_chunk" -> QueryDef(tokenChunk,
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

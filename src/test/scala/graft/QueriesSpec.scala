@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracle SQL exists for every key except the declared non-SQL ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("bpe_merges", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+    assert(noOracle == Set("bpe_merges", "bpe_encode", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "dedup_clusters_simhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences"),
@@ -211,39 +211,82 @@ class QueriesSpec extends AnyFunSuite {
     assert(decisions.contains("keep"))
   }
 
-  test("bpe_merges equals an independent driver-side reference BPE, merge for merge") {
-    val out = SparkEntry.queries("bpe_merges")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(out.length == 10, s"expected 10 merges, got ${out.length}")
-    // reference: Sennrich-style BPE over the collected word-frequency
-    // table — count ALL adjacent symbol pairs weighted by word freq,
-    // merge the (freq desc, left asc, right asc) winner leftmost-greedy
-    // non-overlapping, repeat
+  // --- driver-side reference BPE (independent of the engine), shared by
+  // the bpe_merges and bpe_encode pins ---
+  private def refMergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Sennrich-style reference BPE trainer over the collected
+    * word-frequency table — count ALL adjacent symbol pairs weighted by
+    * word freq, merge the (freq desc, left asc, right asc) winner
+    * leftmost-greedy non-overlapping, repeat.
+    */
+  private def refBpeMerges(rounds: Int): Seq[(Long, String, String, Long)] = {
     val wordFreq = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().iterator
       .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
       .foldLeft(Map.empty[String, Long])((m, w) => m.updated(w, m.getOrElse(w, 0L) + 1))
     var words: Map[Vector[String], Long] =
       wordFreq.groupMapReduce { case (w, _) => w.split("").toVector } (_._2)(_ + _)
-    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
-        else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
-    val expected = (1 to 10).map { rank =>
+    (1 to rounds).map { rank =>
       val pairs = words.iterator
         .flatMap { case (syms, f) => syms.zip(syms.tail).map(p => p -> f) }
         .foldLeft(Map.empty[(String, String), Long])((m, kv) =>
           m.updated(kv._1, m.getOrElse(kv._1, 0L) + kv._2))
       val ((l, r), pf) = pairs.minBy { case ((l, r), pf) => (-pf, l, r) }
-      words = words.groupMapReduce { case (syms, _) => mergeWord(syms, l, r) } (_._2)(_ + _)
+      words = words.groupMapReduce { case (syms, _) => refMergeWord(syms, l, r) } (_._2)(_ + _)
       (rank.toLong, l, r, pf)
     }
+  }
+
+  test("bpe_merges equals an independent driver-side reference BPE, merge for merge") {
+    val out = SparkEntry.queries("bpe_merges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 10, s"expected 10 merges, got ${out.length}")
+    val expected = refBpeMerges(10)
     assert(out.toSeq == expected, s"merge lists differ:\n got ${out.toSeq}\nwant $expected")
+  }
+
+  test("bpe_encode: corpus encoding equals the driver-side reference encoder, doc for doc") {
+    val merges = refBpeMerges(10).map(t => (t._2, t._3))
+    // in-order single-pass application == classic priority-queue encode
+    // iff no merge OUTPUT re-creates a part of an EARLIER merge (only
+    // then could a later merge resurrect a pair an earlier pass already
+    // consumed) — verify the learned table satisfies it, so the declared
+    // semantics are the standard ones, not merely self-consistent
+    merges.zipWithIndex.foreach { case ((l, r), k) =>
+      merges.take(k).foreach { case (pl, pr) =>
+        assert((l + r) != pl && (l + r) != pr,
+          s"merge output ${l + r} equals an earlier merge part — in-order encode would diverge")
+      }
+    }
+    val got = SparkEntry.queries("bpe_encode")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.split("").toVector) { case (syms, (l, r)) => refMergeWord(syms, l, r) }
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toVector
+        val toks = ws.flatMap(encode)
+        val nChars = ws.map(_.length.toLong).sum
+        id -> ((ws.length.toLong, nChars, toks.length.toLong, nChars - toks.length,
+          toks.take(8).mkString(" ")))
+      }.sortBy(_._1)
+    assert(got.length == expected.length, s"${got.length} docs vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"doc ${e._1}: got $g want $e")
+    }
+    // the learned merges must actually fire: encoding strictly compresses
+    assert(got.map(_._2._4).sum > 0, "no merge ever applied — vacuous encoding")
   }
 
   test("BPE string-encoding merge equals the leftmost-greedy reference fold on random symbol runs") {
