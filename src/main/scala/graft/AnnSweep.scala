@@ -52,12 +52,12 @@ object AnnSweep {
     println(s"ANN_SWEEP sfDir=$sfDir corpus=$corpus")
     // `cands` = scored candidates across the 10 queries — the latency
     // driver at scale (wall ms at test SF is fixed-overhead-dominated).
-    for (radius <- Seq(0, 1, 2)) {
-      val (r, ms) = measure(VectorOps.annLshAt(spark, sfDir, None, 3, probeRadius = radius))
-      val cands = VectorOps.annLshCandidates(spark, sfDir, None, radius).count()
-      println(f"ANN_SWEEP ann_lsh radius=$radius recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
+    for (radius <- Seq(0, 1, 2); nBits <- Seq(None, Some(6))) {
+      val (r, ms) = measure(VectorOps.annLshAt(spark, sfDir, nBits, 3, probeRadius = radius))
+      val cands = VectorOps.annLshCandidates(spark, sfDir, nBits, radius).count()
+      println(f"ANN_SWEEP ann_lsh radius=$radius nBits=${nBits.getOrElse(-1)} recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
     }
-    for (ma <- Seq(2, 3); nProbe <- Seq(1, 2, 4)) {
+    for (ma <- Seq(2, 3); nProbe <- Seq(1, 2, 4, 6, 8, 12)) {
       val (r, ms) = measure(VectorOps.annIvf(spark, sfDir, nProbe = nProbe, multiAssign = ma))
       val cands = VectorOps.annIvfCandidates(spark, sfDir, nProbe = nProbe, multiAssign = ma).count()
       println(f"ANN_SWEEP ann_ivf nProbe=$nProbe ma=$ma recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")

@@ -67,6 +67,23 @@ object VectorOps {
   private[graft] def ivfK(n: Long): Int =
     math.max(4, math.min(64, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** Probe count sized to the codebook — the IVF analog of [[bitsFor]],
+    * and the answer to "recall sagged when the corpus grew": at FIXED
+    * nProbe the scanned fraction ≈ ma·nProbe/k shrinks as k = √N grows,
+    * and on an isotropic corpus recall tracks scanned fraction almost
+    * exactly (AnnSweep, SURVEY §6: ~0.83 recall@3 at ~1/3 scanned at
+    * BOTH sf0.01 [k=25, nProbe 4] and sf0.1 [k=45, nProbe 8]; fixed
+    * nProbe 4 decays 0.83 → 0.60 across the same growth). Holding the
+    * fraction at ~1/3 holds recall ≥ 0.8 at every measured SF — asserted
+    * at sf0.1 in VectorSpec; real clustered corpora buy strictly more
+    * recall at the same fraction. The DECLARED `ann_ivf` key keeps the
+    * fixed nProbe-2 workload (its indexed sibling pins row-parity on it,
+    * and the per-SF CORRECTNESS record needs a knob that doesn't move
+    * with N); recall-targeting callers size with this.
+    */
+  def nProbeFor(k: Int, multiAssign: Int = 2): Int =
+    math.max(2, math.ceil(k / (3.0 * multiAssign)).toInt)
+
   private def normCol(e: String): Column = sqrt(dot(e, e))
 
   /** DuckDB equivalents (list_reduce = same left fold; x[1]/x[2] are the

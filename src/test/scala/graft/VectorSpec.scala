@@ -191,6 +191,36 @@ class VectorSpec extends AnyFunSuite {
     assert(i4 >= 0.8, f"trained IVF must reach recall@3 >= 0.8 at nProbe 4, got $i4%.2f")
   }
 
+  test("ann_ivf at sf0.1: the corpus-scaled probe knob restores recall >= 0.8") {
+    // fixed nProbe decays with corpus growth (0.83 at sf0.01 → 0.60 at
+    // sf0.1 for nProbe 4: k=√N grows, scanned fraction shrinks) — the
+    // isotropic-corpus explanation pinned by measurement. nProbeFor holds
+    // the scanned fraction ≈ 1/3, which must hold recall at the bigger SF.
+    import graft.functions.FloatDot.float_dot
+    val dir = "/root/testdata/sf0.1"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val n = e.count()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    val bf = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", float_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = VectorOps.ivfK(n)
+    val auto = VectorOps.nProbeFor(k)
+    assert(auto > 4, s"at sf0.1 (k=$k) the scaled knob must exceed the sf0.01 operating point")
+    val got = VectorOps.annIvf(spark, dir, nProbe = auto)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    info(f"ann_ivf sf0.1 k=$k nProbeFor=$auto recall@3=$recall%.2f")
+    assert(recall >= 0.8,
+      f"corpus-scaled nProbe must restore recall@3 >= 0.8 at sf0.1, got $recall%.2f")
+  }
+
   test("ann_ivf plan has no window exec and assigns cells without a shuffle join") {
     val plan = VectorOps.annIvf(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window exec leaked into ivf plan:\n$plan")
