@@ -334,8 +334,9 @@ object DedupGate {
     * the signature cost or enter the index. Flagged inserts have their
     * decision REWRITTEN to `near_dup` (with `dup_of`/`sig_match`);
     * surviving inserts index. `onBatch` receives every decision row of
-    * the batch, annotated, with `text` dropped (the audit log stores
-    * decisions, not the corpus).
+    * the batch, annotated, `text` retained — the [[StreamMerge]]
+    * compositions decide its fate (the plain pipeline drops it for the
+    * audit log; the scrubbed one redacts the final inserts' text first).
     */
   private[graft] def gateDecisions(table: String,
       onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
@@ -346,7 +347,6 @@ object DedupGate {
       val out = batch.join(flags, Seq("doc_id"), "left")
         .withColumn("decision",
           when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
-        .drop("text")
       onBatch(out, id)
     })(inserts, batchId)
   }

@@ -179,7 +179,53 @@ object StreamMerge {
     pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
       .writeStream
       .outputMode("append")
-      .foreachBatch(DedupGate.gateDecisions(sigTable, onBatch) _)
+      .foreachBatch(DedupGate.gateDecisions(sigTable,
+        (out, id) => onBatch(out.drop("text"), id)) _)
+
+  /** [[gatedIngestPipeline]] plus the COMPLIANCE SCRUB — the complete
+    * ingest chain a 100 TB pipeline actually runs, in one query: exact
+    * dedup → quality → merge → near-dup gate → PII redaction on the rows
+    * that will actually be persisted. Only FINAL `insert` decisions
+    * (i.e. rows the gate did not rewrite to `near_dup`) carry the
+    * redacted text and per-category PII counts
+    * ([[graft.operators.HygieneOps.withPiiScrub]] — the same stateless
+    * pass `pii_redact` and [[ingestPipelineScrubbed]] use); dropped,
+    * duplicate, and near-dup rows carry nulls — nothing of theirs is
+    * stored, so nothing is scrubbed, and the `when` gate keeps the regex
+    * cost off the drop path. Scrubbing runs AFTER the gate so the
+    * signature index sees the ORIGINAL text (a redaction placeholder
+    * must not perturb the near-dup signatures the flag decisions rest
+    * on).
+    */
+  def gatedIngestPipelineScrubbed(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) => {
+        val core = out.withColumn("txt",
+          when(col("decision") === "insert", col("text")).otherwise(lit("")))
+        val scrubbed = graft.operators.HygieneOps.withPiiScrub(core)
+          .select(col("doc_id"), col("h"), col("n_tokens"), col("quality"),
+            col("decision"), col("existing_id"), col("dup_of"), col("sig_match"), col("ts"),
+            when(col("decision") === "insert", col("redacted")).as("redacted"),
+            when(col("decision") === "insert", col("n_email")).as("n_email"),
+            when(col("decision") === "insert", col("n_phone")).as("n_phone"),
+            when(col("decision") === "insert", col("n_ip")).as("n_ip"))
+        onBatch(scrubbed, id)
+      }) _)
+
+  /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`
+    * hook — the [[decisionsToParquet]] layout (each micro-batch
+    * overwrites its own `batch=<id>` dir, replay lands byte-identically)
+    * for pipelines whose decisions are finalized INSIDE foreachBatch and
+    * so cannot use a DataStreamWriter sink. Read back with [[auditLog]].
+    */
+  def auditBatchSink(path: String): (DataFrame, Long) => Unit =
+    (df, batchId) => df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** Event-time windowed roll-up of [[ingestPipeline]] decisions — the
     * pipeline's observability surface with an explicit LATENESS POLICY:

@@ -341,6 +341,20 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(6L -> 5L))
   }
 
+  test("DedupGate: an empty micro-batch passes the within-aware gate without touching the index") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("em")).toDF("doc_id", "text"), "dedup_gate_empty", nBuckets = 8)
+    var rows = -1L
+    DedupGate.gateBatchWithinAware("dedup_gate_empty",
+      (df, _) => { rows = df.count() })(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(rows == 0L, "empty batch must still reach onBatch, empty")
+    assert(spark.table("dedup_gate_empty").select("doc_id").distinct().count() == 1L,
+      "empty batch must append nothing")
+  }
+
   test("DedupGate: sigIndexStaleness grows with appends and resets on rebuild") {
     import spark.implicits._
     import graft.streaming.DedupGate

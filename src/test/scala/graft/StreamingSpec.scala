@@ -858,6 +858,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(403L)._2 == "skip_dup" && byId(403L)._3 == null)
   }
 
+  test("gated scrubbed pipeline: final inserts are redacted, near-dups carry nulls, audit sink reads back") {
+    import graft.streaming.{DedupGate, StreamMerge}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val corpusText = wt("gs")
+    val piiText = (1 to 18).map(i => s"p$i").mkString(" ") +
+      " mail bob@corp.io from 10.1.2.3" // long + high quality -> insert, 1 email, 1 ip
+    val staticBase = Seq((10L, wt("kn"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> corpusText).toDF("doc_id", "text"), "gate_scrub_idx", nBuckets = 8)
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-gatescrub-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-gatescrub-out").toString
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData(Seq(
+      (801L, piiText, at(10)), // insert -> redacted + counts
+      (802L, corpusText, at(11)), // near-dup of the indexed doc -> nulls
+      (803L, "tiny doc", at(12)))) // short -> nulls
+    val q = StreamMerge.gatedIngestPipelineScrubbed(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase, "gate_scrub_idx",
+      StreamMerge.auditBatchSink(outDir))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = StreamMerge.auditLog(spark, outDir)
+      .select("doc_id", "decision", "dup_of", "redacted", "n_email", "n_ip").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    assert(log.keySet == Set(801L, 802L, 803L), s"audit log rows: ${log.keySet}")
+    assert(log(801L)._1 == "insert")
+    assert(log(801L)._3 ==
+      piiText.replace("bob@corp.io", "<EMAIL>").replace("10.1.2.3", "<IP>"),
+      s"final insert must carry the redacted text: ${log(801L)}")
+    assert(log(801L)._4 == 1L && log(801L)._5 == 1L, s"PII counts: ${log(801L)}")
+    assert(log(802L) == (("near_dup", 1L, null, null, null)),
+      s"near-dup must carry nulls, not scrubbed text: ${log(802L)}")
+    assert(log(803L) == (("short", null, null, null, null)), s"${log(803L)}")
+    // the near-dup must NOT have entered the index
+    spark.catalog.refreshTable("gate_scrub_idx")
+    val atRest = spark.table("gate_scrub_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 801L), s"index after gated scrubbed batch: $atRest")
+  }
+
   test("PII scrub batch/stream parity: the same stateless pass over a live feed") {
     import graft.operators.HygieneOps
     import org.apache.spark.sql.Row
