@@ -448,16 +448,21 @@ object TextOps {
     * merge table comes from the iterative trainer); deterministic, pinned
     * in QueriesSpec.
     */
-  private[graft] def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = bpeMerges(spark, sfDir).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+  private[graft] def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeFrom(docs(spark, sfDir),
+      bpeMerges(spark, sfDir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** The encoding core over an explicit rank-ordered merge list — shared
+    * by the declared key (which trains inline) and the persisted-table
+    * path ([[bpeEncodeWithTable]], the production train-once shape).
+    */
+  private[graft] def bpeEncodeFrom(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     def encodeWord(w: Column): Column =
       merges.foldLeft(concat(lit("|"), array_join(split(w, ""), "|  |"), lit("|"))) {
         case (acc, (l, r)) =>
           call_function("replace", acc, lit(s"|$l|  |$r|"), lit(s"|$l$r|"))
       }
-    docs(spark, sfDir)
-      .select(col("doc_id"),
+    d.select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > lit(0)).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
@@ -470,6 +475,28 @@ object TextOps {
           t => translate(t, "|", "")), " ").as("head_toks"))
       .orderBy("doc_id")
   }
+
+  /** Persists the learned merge table — the tokenizer's train-once
+    * artifact, the analog of the ANN codebook tables: training
+    * ([[bpeMerges]], the expensive iterative scan) runs once, every
+    * later encode loads 10 metadata-scale rows instead of retraining.
+    */
+  def writeMergeTable(spark: SparkSession, sfDir: String, table: String,
+      rounds: Int = 10): Unit = {
+    graft.operators.VectorOps.clearStaleLocation(spark, table)
+    bpeMerges(spark, sfDir, rounds)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Encodes the corpus with merges loaded from a persisted merge table
+    * (rank order restored from `merge_rank`) — row-identical to the
+    * inline-training `bpe_encode` key by construction (same
+    * [[bpeEncodeFrom]] core; pinned in QueriesSpec).
+    */
+  def bpeEncodeWithTable(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    bpeEncodeFrom(docs(spark, sfDir),
+      spark.table(table).orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** Overlapping token-window chunking — the LLM-pretraining document
     * segmentation (context-window packing with overlap so no span is

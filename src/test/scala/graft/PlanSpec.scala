@@ -226,6 +226,17 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc window must hash-partition on doc_id:\n$p")
   }
 
+  test("bpe_encode is one pruned scan + narrow maps: no join, no window, one output-sort exchange") {
+    val p = plan("bpe_encode")
+    assert(p.contains("struct<doc_id:bigint,text:string>"),
+      s"encode scan must prune to (doc_id, text):\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"encode must stay a narrow map:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"only the declared output ordering may exchange, found $exchanges:\n$p")
+  }
+
   test("dedup_exact groups on the hash with map-side partial aggregation") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)

@@ -289,6 +289,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._2._4).sum > 0, "no merge ever applied — vacuous encoding")
   }
 
+  test("bpe_encode from the persisted merge table is row-identical to inline training") {
+    import graft.operators.TextOps
+    TextOps.writeMergeTable(spark, sfDir, "bpe_merges_t")
+    val fromTable = TextOps.bpeEncodeWithTable(spark, sfDir, "bpe_merges_t").collect().toSeq
+    val inline = SparkEntry.queries("bpe_encode")(spark, sfDir).collect().toSeq
+    assert(fromTable == inline,
+      "the train-once path must encode identically to the inline-training key")
+  }
+
   test("BPE string-encoding merge equals the leftmost-greedy reference fold on random symbol runs") {
     // the subtle core of bpe_merges is the claim that non-overlapping
     // left-to-right replace() over the bar-wrapped double-space encoding
