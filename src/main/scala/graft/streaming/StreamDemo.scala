@@ -168,11 +168,52 @@ object StreamDemo {
     val gateNovel = gSeen.get(101L).contains((false, None))
     val gateCrossBatch = gSeen.get(102L).contains((true, Some(101L)))
 
+    // Gated-pipeline epilogue (round 12): the COMPLETE ingest chain in one
+    // query — exact dedup → quality → merge → within-batch-aware near-dup
+    // gate → PII scrub on final inserts. One batch carries two near-dup
+    // siblings (one must index, one must flag) and a PII-bearing insert
+    // (must arrive redacted with its counts).
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val gate2 = "stream_demo_gate2_idx"
+    DedupGate.writeSigIndex(spark,
+      Seq(0L -> wt("gseed")).toDF("doc_id", "text"), gate2, nBuckets = 4)
+    val baseIdx = Seq((10L, wt("gknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("existing_id"))
+    val piiText = (1 to 18).map(i => s"gp$i").mkString(" ") +
+      " mail bob@corp.io from 10.1.2.3"
+    val pInput = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val pSeen = new scala.collection.concurrent.TrieMap[
+      Long, (String, Option[Long], Option[String], Option[Long])]()
+    val pCkpt = Files.createTempDirectory("graft-stream-gated-ckpt").toString
+    pInput.addData(Seq(
+      (200L, wt("gsib"), new java.sql.Timestamp(10000L)),
+      (201L, wt("gsib").split(" ").init.mkString(" ") + " zz", new java.sql.Timestamp(11000L)),
+      (202L, piiText, new java.sql.Timestamp(12000L))))
+    val pq = StreamMerge.gatedIngestPipelineScrubbed(
+      pInput.toDS().toDF("doc_id", "text", "ts"), baseIdx, gate2,
+      (df, _) => df.collect().foreach { r =>
+        pSeen.put(r.getAs[Long]("doc_id"), (r.getAs[String]("decision"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+          Option(r.getAs[String]("redacted")),
+          Option(r.getAs[java.lang.Long]("n_email")).map(_.longValue())))
+      })
+      .option("checkpointLocation", pCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    pq.awaitTermination()
+    val gatedSibling = pSeen.get(200L).exists(_._1 == "insert") &&
+      pSeen.get(201L).exists(t => t._1 == "near_dup" && t._2.contains(200L))
+    val gatedScrub = pSeen.get(202L).exists(t => t._1 == "insert" &&
+      t._4.contains(1L) && t._3.exists(s => s.contains("<EMAIL>") && s.contains("<IP>")))
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
-      s"gateCrossBatch=$gateCrossBatch")
+      s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
-        gateSeedDup && gateNovel && gateCrossBatch)) sys.exit(1)
+        gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub)) sys.exit(1)
   }
 }
