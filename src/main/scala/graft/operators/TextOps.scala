@@ -455,18 +455,48 @@ object TextOps {
   /** The encoding core over an explicit rank-ordered merge list — shared
     * by the declared key (which trains inline) and the persisted-table
     * path ([[bpeEncodeWithTable]], the production train-once shape).
+    *
+    * Two guards make the train-once path as safe as the inline one:
+    * (1) the merge list is validated DRIVER-SIDE (it is already collected,
+    * ≤ tens of rows): no later merge's output may equal an earlier
+    * merge's part — the exact condition under which single-pass in-order
+    * application equals standard priority-queue BPE (see [[bpeEncode]]'s
+    * doc). A persisted table from a foreign trainer that violates it
+    * fails loudly here instead of silently diverging. (2) the corpus is
+    * re-checked bar-free IN-PLAN (assert_true riding `n_chars`, the
+    * trainer's own idiom) — the trainer's guard only covered the corpus
+    * it trained on, not whatever corpus this encode runs over.
     */
   private[graft] def bpeEncodeFrom(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    for (j <- merges.indices; i <- 0 until j) {
+      val out = merges(j)._1 + merges(j)._2
+      require(merges(i)._1 != out && merges(i)._2 != out,
+        s"merge table violates single-pass-ordered BPE equivalence: merge #${j + 1}'s " +
+          s"output '$out' equals a part of earlier merge #${i + 1} " +
+          s"('${merges(i)._1}', '${merges(i)._2}') — in-order application would " +
+          "diverge from standard BPE; retrain with bpeMerges")
+    }
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(!l.contains("|") && !r.contains("|"),
+        s"merge table row #${i + 1} ('$l', '$r') contains the symbol-boundary bar — " +
+          "not a bpeMerges-trained table")
+    }
     def encodeWord(w: Column): Column =
       merges.foldLeft(concat(lit("|"), array_join(split(w, ""), "|  |"), lit("|"))) {
         case (acc, (l, r)) =>
           call_function("replace", acc, lit(s"|$l|  |$r|"), lit(s"|$l$r|"))
       }
+    val barGuard = coalesce(
+      assert_true(not(exists(col("ws"), w => w.contains("|"))),
+        concat(lit("bpe encode: doc "), col("doc_id").cast("string"),
+          lit(" contains the symbol-boundary bar — encoding would corrupt silently"))
+      ).cast("long"),
+      lit(0L))
     d.select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > lit(0)).as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_chars"),
+        (aggregate(col("ws"), lit(0L), (a, w) => a + length(w)) + barGuard).as("n_chars"),
         flatten(transform(col("ws"), w => split(encodeWord(w), "  "))).as("toks"))
       .select(col("doc_id"), col("n_words"), col("n_chars"),
         size(col("toks")).cast("long").as("n_tok"),

@@ -91,8 +91,14 @@ object DedupGate {
     */
   def loadSigMeta(spark: SparkSession, table: String): Option[(Int, Int, Long)] =
     if (!spark.catalog.tableExists(metaTableFor(table))) None
-    else spark.table(metaTableFor(table)).collect().headOption
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    else {
+      // gate appends run through the micro-batch clone session — refresh so a
+      // monitoring caller on the ORIGINAL session never reads a stale cached
+      // file list (the same relation-cache hazard gateCore guards against)
+      spark.catalog.refreshTable(metaTableFor(table))
+      spark.table(metaTableFor(table)).collect().headOption
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    }
 
   /** Fraction of the index's documents appended since it was built — the
     * signature-index counterpart of [[VectorOps.lshIndexStaleness]], and
@@ -107,6 +113,7 @@ object DedupGate {
     loadSigMeta(spark, table) match {
       case None | Some((_, _, 0L)) => 1.0
       case Some((_, _, baseN)) =>
+        spark.catalog.refreshTable(table) // see loadSigMeta — appends land via the clone session
         val now = spark.table(table).select("doc_id").distinct().count()
         math.max(0.0, (now - baseN).toDouble / baseN)
     }
@@ -221,7 +228,16 @@ object DedupGate {
   private def prunedIndexSlice(
       spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
     val bound = spark.conf.getOption("graft.dedupGate.maxProbeLiterals")
-      .map(_.toInt).getOrElse(DefaultMaxProbeLiterals)
+      .map { raw =>
+        val parsed = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.dedupGate.maxProbeLiterals must be a positive integer, got '$raw'")
+        }
+        require(parsed > 0,
+          s"graft.dedupGate.maxProbeLiterals must be positive, got $parsed — " +
+            "a non-positive bound would reject every non-empty batch")
+        parsed
+      }.getOrElse(DefaultMaxProbeLiterals)
     val bhs = banded.select("bh").distinct().limit(bound + 1).collect().map(_.getLong(0))
     require(bhs.length <= bound,
       s"batch produced more than $bound distinct band hashes — the micro-batch-is-small " +

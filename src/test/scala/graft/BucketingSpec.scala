@@ -395,6 +395,24 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.dedupGate.maxProbeLiterals")
   }
 
+  test("DedupGate: a malformed or non-positive probe-literal conf fails naming the key") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("pc")).toDF("doc_id", "text"), "dedup_gate_conf", nBuckets = 8)
+    val probe = Seq(900L -> gateText("pc")).toDF("doc_id", "text")
+    for (bad <- Seq("banana", "0", "-3")) {
+      spark.conf.set("graft.dedupGate.maxProbeLiterals", bad)
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          DedupGate.flagDuplicates(spark, probe, "dedup_gate_conf").collect()
+        }
+        assert(ex.getMessage.contains("graft.dedupGate.maxProbeLiterals"),
+          s"error for conf value '$bad' must name the conf key: ${ex.getMessage}")
+      } finally spark.conf.unset("graft.dedupGate.maxProbeLiterals")
+    }
+  }
+
   test("DedupGate: within-aware gate indexes exactly one of two near-dup siblings arriving together") {
     import spark.implicits._
     import graft.streaming.DedupGate

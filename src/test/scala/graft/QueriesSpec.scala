@@ -298,6 +298,35 @@ class QueriesSpec extends AnyFunSuite {
       "the train-once path must encode identically to the inline-training key")
   }
 
+  test("bpe_encode guards: violating merge table and bar-bearing corpus both fail loudly") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val docs = Seq(1L -> "ab ab").toDF("doc_id", "text")
+    // later merge's output ("ab") equals an earlier merge's part → in-order
+    // single-pass application would diverge from standard BPE; must refuse
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeFrom(docs, Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(ex.getMessage.contains("single-pass-ordered"),
+      s"must name the violated equivalence: ${ex.getMessage}")
+    // a bar inside a merge part is not a bpeMerges-trained table
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeFrom(docs, Seq(("a|", "b")))
+    }
+    // a bar in the CORPUS (not covered by any trainer guard on the
+    // train-once path) fails in-plan at execution, not silently
+    val barDocs = Seq(1L -> "oops|bar").toDF("doc_id", "text")
+    val planEx = intercept[Exception] {
+      TextOps.bpeEncodeFrom(barDocs, Seq(("a", "b"))).collect()
+    }
+    assert(planEx.getMessage.contains("symbol-boundary bar"),
+      s"in-plan guard must fire on a bar-bearing corpus: ${planEx.getMessage}")
+    // the happy path still encodes (guard contributes 0 to n_chars)
+    val ok = TextOps.bpeEncodeFrom(docs, Seq(("a", "b"))).collect()
+    assert(ok.length == 1 && ok(0).getLong(2) == 4L && ok(0).getLong(3) == 2L,
+      s"guarded n_chars must be unchanged: ${ok.toSeq}")
+  }
+
   test("BPE string-encoding merge equals the leftmost-greedy reference fold on random symbol runs") {
     // the subtle core of bpe_merges is the claim that non-overlapping
     // left-to-right replace() over the bar-wrapped double-space encoding
