@@ -55,7 +55,7 @@ object VectorOps {
     * metadata collected once.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Array[Float], Double)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Seq[(Int, Array[Float], Double)]]
 
   /** IVF codebook size: k ≈ √N clamped to [4, 64]. The ONE definition
     * shared by the inline query path ([[ivfAssignments]]) and the
@@ -465,9 +465,32 @@ object VectorOps {
     * Untrained seeds (round-4 state) measured recall@3 0.30/0.33/0.47 at
     * nProbe 1/2/4; the trained codebook is measured in VectorSpec with a
     * ≥ 0.8 floor at nProbe 4.
+    *
+    * SAMPLED training (the N^1.5 bound, round 13): full Lloyd costs
+    * rounds × N × k dots — with k = √N that is N^1.5 total, the one
+    * super-linear stage in the engine (BENCH_SCALING measured it 2.29×
+    * at 4× rows). The codebook is trained on a deterministic HASH-SAMPLE
+    * of min(N, sampleFactor·k) vectors instead: `pmod(xxhash64(vec_id),
+    * N) < cap` keeps ~cap vectors, chosen by vec_id alone — partition-
+    * order-independent, bit-stable run to run, so the codebook (and with
+    * it ann_ivf and the persisted-index parity) stays deterministic. A
+    * k-means codebook estimates k cell MEANS; 64·k samples put ~64
+    * vectors behind each mean, and VectorSpec pins the sampled-codebook
+    * recall within 0.05 of full training at sf0.1. Training is now
+    * O(rounds · sampleFactor · k²) — CONSTANT in N once the clamp k=64
+    * binds — while full-corpus cell ASSIGNMENT (unavoidable for the
+    * index content) stays the one k·N pass. `sampleFactor ≤ 0` disables
+    * sampling (the comparison baseline in VectorSpec).
     */
+  private[graft] val TrainSampleFactor = 64
+
   private[graft] def trainCodebook(base: DataFrame, n: Long, k: Int,
-      lloydRounds: Int): Seq[(Int, Array[Float], Double)] = {
+      lloydRounds: Int, sampleFactor: Int = -1): Seq[(Int, Array[Float], Double)] = {
+    val factor = if (sampleFactor == -1) TrainSampleFactor else sampleFactor
+    val cap = factor.toLong * k
+    val train =
+      if (factor <= 0 || n <= cap) base
+      else base.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(cap))
     val step = math.max(1L, n / k)
     var cents: Seq[(Int, Array[Float], Double)] = base
       .filter(col("vec_id") % step === 0).orderBy("vec_id").limit(k)
@@ -484,7 +507,7 @@ object VectorOps {
       // EXPLODED ELEMENT (dim× the work — measured 63 s/round on 2 000
       // rows at k=45). Materializing `cent` in its own projection first
       // keeps it below the Generate: once per vector.
-      val assigned = base
+      val assigned = train
         .select(col("embedding"), bestCentFor(cents, "embedding", None).as("cent"))
       val stats = assigned
         .select(col("cent"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -551,13 +574,15 @@ object VectorOps {
     * empty corpus.
     */
   private[graft] def ivfAssignments(spark: SparkSession, sfDir: String,
-      kOpt: Option[Int], lloydRounds: Int, multiAssign: Int)
+      kOpt: Option[Int], lloydRounds: Int, multiAssign: Int,
+      sampleFactor: Int = -1)
       : (Seq[(Int, Array[Float], Double)], DataFrame) = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
     val k = kOpt.getOrElse(ivfK(n))
     val cents: Seq[(Int, Array[Float], Double)] =
-      centroidCache.getOrElseUpdate((sfDir, k, lloydRounds), trainCodebook(base, n, k, lloydRounds))
+      centroidCache.getOrElseUpdate((sfDir, k, lloydRounds, sampleFactor),
+        trainCodebook(base, n, k, lloydRounds, sampleFactor))
     if (cents.isEmpty) return (cents, base)
     // Multi-assignment: each corpus vector is indexed under its top
     // `multiAssign` cells (boundary duplication — index size ×m). The
@@ -599,9 +624,10 @@ object VectorOps {
 
   private[graft] def annIvfCandidates(spark: SparkSession, sfDir: String,
       kOpt: Option[Int] = None, nProbe: Int = 2,
-      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame = {
+      lloydRounds: Int = 10, multiAssign: Int = 2,
+      sampleFactor: Int = -1): DataFrame = {
     val base = emb(spark, sfDir)
-    val (cents, e) = ivfAssignments(spark, sfDir, kOpt, lloydRounds, multiAssign)
+    val (cents, e) = ivfAssignments(spark, sfDir, kOpt, lloydRounds, multiAssign, sampleFactor)
     if (cents.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Int, Double)].toDF("q_id", "vec_id", "cent", "sim")
@@ -628,8 +654,9 @@ object VectorOps {
     */
   private[graft] def annIvf(spark: SparkSession, sfDir: String,
       kOpt: Option[Int] = None, nProbe: Int = 2, topK: Int = 3,
-      lloydRounds: Int = 10, multiAssign: Int = 2): DataFrame =
-    ivfTopK(annIvfCandidates(spark, sfDir, kOpt, nProbe, lloydRounds, multiAssign), topK)
+      lloydRounds: Int = 10, multiAssign: Int = 2,
+      sampleFactor: Int = -1): DataFrame =
+    ivfTopK(annIvfCandidates(spark, sfDir, kOpt, nProbe, lloydRounds, multiAssign, sampleFactor), topK)
 
   private def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame =
     annIvf(spark, sfDir)
@@ -646,7 +673,22 @@ object VectorOps {
     * VectorSpec — the persisted codebook is bit-identical to the one
     * `ann_ivf` trains on unchanged data).
     */
-  private[graft] def annIvfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def annIvfIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    probeIvfIndex(spark, sfDir, nProbeOpt = Some(2))
+
+  /** Probe of the persisted IVF index with an explicit or RECALL-SIZED
+    * probe count. `nProbeOpt = None` (the production default) sizes
+    * nProbe with [[nProbeFor]] from the PERSISTED codebook's k — the
+    * recall-holding knob wired into the indexed path itself, so a caller
+    * gets recall ≥ 0.8 at any corpus size without knowing the knob
+    * exists (r12 verdict #5; asserted from the persisted index at both
+    * SFs in VectorSpec). The declared `ann_ivf_indexed` key pins
+    * nProbe=2 (fixed workload — its row-parity contract with `ann_ivf`
+    * and the per-SF CORRECTNESS record need a knob that doesn't move
+    * with N); recall-targeting callers use this entry.
+    */
+  def probeIvfIndex(spark: SparkSession, sfDir: String,
+      nProbeOpt: Option[Int] = None, topK: Int = 3): DataFrame = {
     val base = emb(spark, sfDir)
     val table = "graft_ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     ensureIndexTable(spark, table)(writeIvfIndex(spark, sfDir, table))
@@ -655,9 +697,10 @@ object VectorOps {
       else {
         val n = corpusCount(base, sfDir)
         val k = ivfK(n)
-        centroidCache.getOrElseUpdate((sfDir, k, 10), trainCodebook(base, n, k, 10))
+        centroidCache.getOrElseUpdate((sfDir, k, 10, -1), trainCodebook(base, n, k, 10))
       }
-    ivfTopK(ivfCandidatesFrom(spark.table(table), base, cents, nProbe = 2), 3)
+    val nProbe = nProbeOpt.getOrElse(nProbeFor(cents.size))
+    ivfTopK(ivfCandidatesFrom(spark.table(table), base, cents, nProbe), topK)
   }
 
   // ---- persisted ANN index (bucketed build + pruned probe) ---------------
