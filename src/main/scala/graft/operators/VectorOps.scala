@@ -758,6 +758,8 @@ object VectorOps {
     clearStaleLocation(spark, metaTableFor(table))
     spark.createDataFrame(Seq((nBits, n))).toDF("nbits", "base_n")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
+    // rebuild owns the index: any in-flight appender fails its commit
+    IndexEpoch.bumpUnconditional(spark, table)
     nBits
   }
 
@@ -799,7 +801,14 @@ object VectorOps {
     * the append itself changes. Full-refresh ([[writeLshIndex]]) remains
     * the compaction path; append handles arrival.
     */
-  def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int): Unit = {
+  def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int,
+      beganEpoch: Option[Long] = None): Unit = {
+    // epoch guard (see [[IndexEpoch]]): capture-or-inherit the span start,
+    // check-and-bump right before the write. Callers that read table
+    // state BEFORE calling (the idempotent wrapper's anti-join) pass the
+    // epoch they captured at that read, so the guard covers their whole
+    // read-compute-write span, not just this call.
+    val epoch = beganEpoch.getOrElse(IndexEpoch.current(spark, table))
     // hard guard against the one misuse that silently corrupts probes:
     // signatures of a different width than the at-rest cells'. A
     // meta-less (legacy) index is refused outright — without the
@@ -816,6 +825,7 @@ object VectorOps {
           s"index $table has no meta table, so its signature width cannot be validated — " +
             "appending would risk a silent width mismatch; rebuild with writeLshIndex first")
     }
+    IndexEpoch.bump(spark, table, epoch)
     withLshBucket(
       newRows.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm")), nBits)
       .write.mode("append").insertInto(table)
@@ -850,10 +860,13 @@ object VectorOps {
     // identity needs its own dedup (first occurrence wins, arbitrary
     // among conflicting embeddings for one id — a malformed input)
     spark.catalog.refreshTable(table)
+    // span start for the epoch guard: BEFORE the anti-join reads the
+    // at-rest identity set, so an interleaved writer invalidates it
+    val epoch = IndexEpoch.current(spark, table)
     appendToLshIndex(spark,
       newRows.dropDuplicates("vec_id")
         .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
-      table, nBits)
+      table, nBits, beganEpoch = Some(epoch))
     spark.catalog.refreshTable(table)
   }
 
@@ -912,6 +925,7 @@ object VectorOps {
       cents.map { case (i, arr, _) => (i, arr.toSeq, baseN, multiAssign) })
       .toDF("cent", "embedding", "base_n", "multi_assign")
       .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
+    IndexEpoch.bumpUnconditional(spark, table) // rebuild owns the index
     cents
   }
 
@@ -969,10 +983,13 @@ object VectorOps {
     * candidate contract — the same misuse class the LSH append's nBits
     * guard refuses.
     */
-  def appendToIvfIndex(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
+  def appendToIvfIndex(spark: SparkSession, newRows: DataFrame, table: String,
+      beganEpoch: Option[Long] = None): Unit = {
+    val epoch = beganEpoch.getOrElse(IndexEpoch.current(spark, table))
     val (cents, _, builtMa) = loadIvfCodebookFull(spark, table)
     require(cents.nonEmpty, s"no persisted codebook for $table — build with writeIvfIndex")
     val m = math.min(builtMa, cents.length)
+    IndexEpoch.bump(spark, table, epoch)
     newRows
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
       .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))
@@ -993,10 +1010,11 @@ object VectorOps {
     // left_anti is unaffected by right-side duplicates (the multiAssign
     // rows), and the distinct would shuffle the whole index every batch
     spark.catalog.refreshTable(table)
+    val epoch = IndexEpoch.current(spark, table) // span start: before the anti-join read
     appendToIvfIndex(spark,
       newRows.dropDuplicates("vec_id")
         .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
-      table)
+      table, beganEpoch = Some(epoch))
     spark.catalog.refreshTable(table)
   }
 

@@ -84,6 +84,8 @@ object DedupGate {
     spark.createDataFrame(Seq((SigWidth, NBands, baseN)))
       .toDF("sig_width", "n_bands", "base_n")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
+    // rebuild owns the index: in-flight appenders fail their commit
+    graft.operators.IndexEpoch.bumpUnconditional(spark, table)
   }
 
   /** The persisted (sig_width, n_bands, build-time corpus size) of a
@@ -268,6 +270,9 @@ object DedupGate {
   private def appendBandedIdempotent(
       spark: SparkSession, banded: DataFrame, table: String): Long = {
     import org.apache.spark.sql.GraftShim
+    // epoch span start (see [[graft.operators.IndexEpoch]]): before the
+    // anti-join reads the at-rest identity set
+    val epoch = graft.operators.IndexEpoch.current(spark, table)
     val existing = spark.table(table).select("doc_id").distinct()
     // one tracked evaluation serves both the count and the append, and
     // its blocks free deterministically (not at driver-GC pace)
@@ -276,6 +281,7 @@ object DedupGate {
     try {
       val n = fresh.select("doc_id").distinct().count()
       if (n > 0) {
+        graft.operators.IndexEpoch.bump(spark, table, epoch)
         fresh.write.mode("append").insertInto(table)
         // foreachBatch writes through the micro-batch CLONE session; the
         // caller session's relation cache must not serve the pre-append

@@ -181,6 +181,57 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noMeta.getMessage.contains("no meta table"), noMeta.getMessage)
   }
 
+  test("epoch guard: the second of two interleaved index appenders fails loudly, writing nothing") {
+    import graft.operators.{IndexEpoch, VectorOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, "lsh_idx_epoch", nBuckets = 8)
+    val vec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    // appender A begins its read-compute-write span: captures the epoch
+    // (as the idempotent wrapper does before its anti-join read)
+    val epochA = IndexEpoch.current(spark, "lsh_idx_epoch")
+    // appender B interleaves a COMPLETE append — epoch bumps
+    VectorOps.appendToLshIndexIdempotent(spark,
+      Seq((888881L, vec)).toDF("vec_id", "embedding"), "lsh_idx_epoch", nBits)
+    val afterB = spark.table("lsh_idx_epoch").count()
+    // A commits: its snapshot is stale — must fail loudly, not corrupt
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      VectorOps.appendToLshIndex(spark,
+        Seq((888882L, vec)).toDF("vec_id", "embedding"), "lsh_idx_epoch", nBits,
+        beganEpoch = Some(epochA))
+    }
+    assert(boom.getMessage.contains("ONE sequential maintainer"), boom.getMessage)
+    spark.catalog.refreshTable("lsh_idx_epoch")
+    assert(spark.table("lsh_idx_epoch").count() == afterB,
+      "the failed appender must write no rows")
+    // a REBUILD also invalidates an in-flight appender's span
+    val epochC = IndexEpoch.current(spark, "lsh_idx_epoch")
+    VectorOps.writeLshIndex(spark, sfDir, "lsh_idx_epoch", nBuckets = 8)
+    intercept[java.util.ConcurrentModificationException] {
+      VectorOps.appendToLshIndex(spark,
+        Seq((888883L, vec)).toDF("vec_id", "embedding"), "lsh_idx_epoch", nBits,
+        beganEpoch = Some(epochC))
+    }
+    // a fresh sequential append still works after both failures
+    VectorOps.appendToLshIndexIdempotent(spark,
+      Seq((888884L, vec)).toDF("vec_id", "embedding"), "lsh_idx_epoch", nBits)
+    spark.catalog.refreshTable("lsh_idx_epoch")
+    assert(spark.table("lsh_idx_epoch").filter(col("vec_id") === 888884L).count() == 1)
+    // the signature-index append shares the same guard mechanics
+    import graft.streaming.DedupGate
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("ep")).toDF("doc_id", "text"), "dedup_gate_epoch", nBuckets = 8)
+    val sigEpoch = IndexEpoch.current(spark, "dedup_gate_epoch")
+    DedupGate.appendNewSigsIdempotent(spark,
+      Seq(2L -> gateText("ep2")).toDF("doc_id", "text"), "dedup_gate_epoch")
+    assert(IndexEpoch.current(spark, "dedup_gate_epoch") == sigEpoch + 1,
+      "a sig append must advance the epoch")
+    intercept[java.util.ConcurrentModificationException] {
+      IndexEpoch.bump(spark, "dedup_gate_epoch", sigEpoch)
+    }
+  }
+
   test("persisted IVF index: probing nProbe cells prunes to those cells' files") {
     import graft.operators.VectorOps
     import org.apache.spark.sql.functions.col
