@@ -2,32 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Cross-SF scaling record: the same keyed subset timed at sf0.01 AND
-  * sf0.1, so the "fixed job floor amortizes at scale" argument for the
-  * iterative family (connected components, BPE training) is MEASURED, not
-  * argued. The subset is the ten most expensive keys' families plus
-  * scan-bound contrast keys:
-  *   - iterative CC / iterative-merge (cost = rounds × job floor, should
-  *     grow far sub-linearly in rows): dedup_clusters,
-  *     dedup_clusters_minhash, dedup_clusters_simhash, embed_clusters,
-  *     embed_clusters_lsh, bpe_merges, bpe_encode
-  *   - ANN probes (bounded probe work): ann_lsh, ann_ivf, knn_cosine
-  *   - scan-bound contrast (should grow ~linearly once past the floor):
-  *     dedup_exact, agg_group, dedup_lines_global
+/** Cross-SF scaling record: EVERY declared key timed at sf0.01 AND sf0.1,
+  * so regression adjudication is a table lookup — per key, how does its
+  * cost actually grow when the input grows ~10×? Three families with
+  * different expected shapes:
+  *   - iterative CC / iterative-merge (dedup_clusters*, embed_clusters*,
+  *     bpe_*): cost = rounds × job-scheduling floor at these SFs, should
+  *     grow far sub-linearly in rows (the floor amortizes);
+  *   - bounded-probe ANN (ann_*, knn_*): probe work is bucket-sized, not
+  *     corpus-sized — near-flat growth is the design claim;
+  *   - scan/shuffle-bound (everything else): grows with rows once past
+  *     the fixed floor; at sf0.01→sf0.1 the floor still dominates most
+  *     keys, so growth well under 10× is expected and growth near 1× is
+  *     common.
+  *
+  * Methodology matches [[Bench]]'s burst-robust form: per SF, one warmup
+  * pass over all keys, then Reps timed passes INTERLEAVED round-robin
+  * across keys (a host CPU burst pollutes at most one rep of many keys,
+  * not all reps of a few), median reported.
   *
   * Writes BENCH_SCALING.json: per key, median seconds at each SF and the
   * growth ratio, plus the input row-count growth per table as the
-  * denominator. Methodology matches Bench (warmup + median of Reps).
+  * denominator.
   */
 object BenchScaling {
 
-  val Reps = 5
-
-  val Keys: Seq[String] = Seq(
-    "dedup_clusters", "dedup_clusters_minhash", "dedup_clusters_simhash",
-    "embed_clusters", "embed_clusters_lsh", "bpe_merges", "bpe_encode",
-    "ann_lsh", "ann_ivf", "knn_cosine",
-    "dedup_exact", "agg_group", "dedup_lines_global")
+  val Reps = 3
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -41,30 +41,30 @@ object BenchScaling {
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+
     val rows = sfs.map { dir =>
       dir -> Seq("documents", "embeddings", "lineitem", "events").map { t =>
         t -> spark.read.parquet(s"$dir/$t.parquet").count()
       }
     }
-    val timings: Seq[(String, Seq[(String, Double)])] = sfs.map { dir =>
-      dir -> Keys.map { name =>
-        val fn = SparkEntry.queries(name)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once() // warmup
-        val m = median(Seq.fill(Reps)(once()))
-        println(f"BENCH_SCALING $dir $name $m%.3f s")
-        name -> m
+    val timings: Seq[(String, Map[String, Double])] = sfs.map { dir =>
+      def once(name: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
       }
+      keys.foreach(once) // warmup pass (codegen/caches)
+      val reps = (1 to Reps).map(_ => keys.map(n => n -> once(n)).toMap)
+      val med = keys.map(n => n -> median(reps.map(_(n)))).toMap
+      keys.foreach(n => println(f"BENCH_SCALING $dir $n ${med(n)}%.3f s"))
+      dir -> med
     }
+
     def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val Seq((_, t001), (_, t01)) = timings
-    val m001 = t001.toMap
-    val perKey = t01.map { case (name, s01) =>
-      val s001 = m001(name)
+    val Seq((_, m001), (_, m01)) = timings
+    val perKey = keys.map { name =>
+      val (s001, s01) = (m001(name), m01(name))
       s""""$name":{"sf001":${f4(s001)},"sf01":${f4(s01)},"growth":${f4(s01 / s001)}}"""
     }.mkString("{", ",", "}")
     val rowsJson = rows.map { case (dir, ts) =>
@@ -72,7 +72,7 @@ object BenchScaling {
       s""""$sf":${ts.map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
     val out =
-      s"""{"reps":$Reps,"keys":${Keys.size},"rows":$rowsJson,"queries":$perKey}"""
+      s"""{"reps":$Reps,"interleaved":true,"keys":${keys.size},"rows":$rowsJson,"queries":$perKey}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALING.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(out)

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{DedupGate, GateStageTimings, StreamMerge}
+
+/** Throughput record for the flagship streaming composition
+  * ([[StreamMerge.gatedIngestPipeline]]): one long-lived query driven
+  * batch-by-batch against a GROWING signature index, reporting per-batch
+  * docs/s and the gate's per-stage wall timings
+  * ([[graft.streaming.GateStageTimings]]).
+  *
+  * What the record must show (the claims it makes measurable):
+  *   - probe cost FLAT on a MAINTAINED index — appends grow bucket
+  *     populations and file counts past what the build sized for, so
+  *     the bench runs the full maintenance loop: when
+  *     [[DedupGate.sigIndexStaleness]] crosses 1.0, an in-place
+  *     [[DedupGate.rebuildSigIndex]] compacts the append slivers and
+  *     grows the bucket count with the corpus; the summary
+  *     `probe_growth` (first-5 vs last-5 batch medians) then reflects
+  *     the maintained index, not unbounded decay;
+  *   - per-batch cost bounded by BATCH size, not stream history — the
+  *     upstream dedup/quality/merge stages are stateless or
+  *     watermark-bounded, so `wall` per batch stays level.
+  *
+  * Batch composition exercises every decision path: ~real novel docs
+  * (insert + index), near-dup mutants of seed docs (near_dup via the
+  * gate), exact copies of seed docs (skip_dup via the stream-static
+  * merge), and too-short docs (short via the quality gate).
+  *
+  * Stage note: the upstream (exact-dedup + quality + merge) stages are
+  * FUSED into the micro-batch plan ahead of the gate — they cannot be
+  * timed separately without changing the plan, so the record reports
+  * them together as `upstream` = wall − (sig + probe + sink + append).
+  *
+  * Writes GATE_BENCH.json (per-batch records + summary).
+  */
+object GateBench {
+
+  val NBatches = 24
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      // micro-batches are small by the gate's contract — 8 shuffle
+      // partitions sizes the per-job task floor (and the dedup state
+      // store) for batch-sized work instead of corpus-sized work; a
+      // production deployment tunes this per trigger size the same way
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-gate-bench-warehouse").toString)
+      // the gate's probes file-prune only with auto-bucketed-scan off
+      // (the documented probe-session conf, as in StreamDemo/BucketingSpec)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nSeed = math.min(1000, all.length / 2)
+    val (seed, rest) = all.splitAt(nSeed)
+
+    val gateTable = "gate_bench_sig_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable)
+    // static exact-dup index of the frozen seed corpus, reused every batch
+    val baseIdx = seed.toSeq.toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("existing_id"))
+      .cache()
+    baseIdx.count()
+
+    val NovelPerBatch = 400
+    def mutate(text: String): String = {
+      val ws = text.split(" ")
+      (ws.init :+ "zzqx").mkString(" ")
+    }
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // Novel docs are synthesized by CONCATENATING two distinct rest docs
+    // (a deterministic (i, i+offset) walk, each pair used once): for
+    // SIMILAR-length parents the result shares ~half its shingles with
+    // either parent (Jaccard ≈ 0.5, under the ≥12/16-slot flag threshold
+    // ≈ 0.75) — an unbounded supply of mostly-novel docs, so batches can
+    // be sized to amortize the per-trigger job floor instead of being
+    // capped by the corpus row count. The corpus' length skew makes a
+    // FRACTION of pairs legitimate near-dups (a pair dominated by one
+    // long parent collides with other pairs sharing it) — deliberate:
+    // the per-batch near_dup counts then exercise the flag path at
+    // realistic rates (~5-12% here, rising as more pairs index) instead
+    // of only via the 8 injected mutants.
+    def novelText(n: Int): String = {
+      val i = n % rest.length
+      val o = 1 + n / rest.length
+      rest(i)._2 + " " + rest((i + o) % rest.length)._2
+    }
+    // batch b: synthesized novel docs + 8 near-dup mutants of rotating
+    // seed docs + 4 exact seed copies + 3 short docs, ts advancing per batch
+    def batchRows(b: Int): Seq[(Long, String, java.sql.Timestamp)] = {
+      val ts = at(100L + b)
+      val novel = (0 until NovelPerBatch).map { k =>
+        (5000000L + b * 1000L + k, novelText(b * NovelPerBatch + k), ts)
+      }
+      val mutants = (0 until 8).map { i =>
+        val (_, t) = seed((b * 8 + i) % seed.length)
+        (1000000L + b * 100 + i, mutate(t), ts)
+      }
+      val exacts = (0 until 4).map { i =>
+        val (_, t) = seed((b * 4 + i + 31) % seed.length)
+        (2000000L + b * 100 + i, t, ts)
+      }
+      val shorts = (0 until 3).map(i => (3000000L + b * 100 + i, s"tiny doc $b $i", ts))
+      novel ++ mutants ++ exacts ++ shorts
+    }
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val timings = new java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings]()
+    val decisionCounts =
+      new scala.collection.concurrent.TrieMap[Long, Map[String, Long]]()
+    val ckpt = Files.createTempDirectory("graft-gate-bench-ckpt").toString
+    val q = StreamMerge.gatedIngestPipeline(
+      input.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable,
+      onBatch = (df: DataFrame, id: Long) => {
+        val counts = df.groupBy("decision").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        decisionCounts.put(id, counts): Unit
+      },
+      // the synthetic corpus scores low on the batch quality formula —
+      // thresholds are opened up so the gate (the thing being measured)
+      // sees the docs; a few per batch still exercise the short path
+      minTokens = 10, minQuality = 0.05,
+      onGateTimings = (t: GateStageTimings) => { timings.add(t): Unit })
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // one processAllAvailable drains the data micro-batch PLUS the engine's
+    // watermark-advance no-data batch (the gate runs on empty batches too,
+    // by contract) — so each loop window owns ALL gate invocations that
+    // fired inside it, and stage times are summed per window: the empty
+    // batch's floor cost is real per-trigger overhead, not noise to drop.
+    import scala.jdk.CollectionConverters._
+    final case class BatchRec(batch: Int, docs: Int, wall: Double, indexDocsBefore: Long,
+        stages: Vector[GateStageTimings], counts: Map[String, Long],
+        staleness: Double, indexFiles: Int, rebuildSec: Double)
+    val walls = ArrayBuffer.empty[BatchRec]
+    for (b <- 0 until NBatches) {
+      // appends land via the micro-batch CLONE session — refresh or this
+      // session's relation cache serves the seed-time file list forever
+      spark.catalog.refreshTable(gateTable)
+      val idxBefore = spark.table(gateTable).select("doc_id").distinct().count()
+      val rows = batchRows(b)
+      val idsBefore = timings.asScala.map(_.batchId).toSet
+      val countsBefore = decisionCounts.keySet.toSet
+      input.addData(rows)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val mine = timings.asScala.toVector
+        .filterNot(t => idsBefore.contains(t.batchId)).sortBy(_.batchId)
+      val counts = (decisionCounts.keySet.toSet -- countsBefore).toSeq
+        .flatMap(decisionCounts.get).flatten
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      // the maintenance loop a production gate runs beside the stream:
+      // when appends have outgrown the build (staleness ≥ 1.0 — bucket
+      // populations and file counts past what the build sized for),
+      // rebuild in place: compact append slivers, grow the bucket count
+      // with the corpus, reset the staleness base
+      val staleness = DedupGate.sigIndexStaleness(spark, gateTable)
+      val filesBefore = spark.table(gateTable).inputFiles.length
+      val rebuildSec = if (staleness >= 1.0) {
+        val docsNow = spark.table(gateTable).select("doc_id").distinct().count()
+        val nBuckets = math.max(16, math.ceil(docsNow / 250.0).toInt)
+        val r0 = System.nanoTime()
+        DedupGate.rebuildSigIndex(spark, gateTable, nBuckets)
+        (System.nanoTime() - r0) / 1e9
+      } else 0.0
+      walls += BatchRec(b, rows.size, wall, idxBefore, mine, counts,
+        staleness, filesBefore, rebuildSec)
+    }
+    q.stop()
+    require(walls.forall(_.stages.nonEmpty),
+      "a loop window saw no gate invocation — batch attribution drifted")
+
+    def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val recs = walls.toVector.map { w =>
+      val (tSig, tProbe, tSink, tAppend) = (
+        w.stages.map(_.sigSec).sum, w.stages.map(_.probeSec).sum,
+        w.stages.map(_.sinkSec).sum, w.stages.map(_.appendSec).sum)
+      val counts = w.counts
+      val gate = tSig + tProbe + tSink + tAppend
+      s"""{"batch":${w.batch},"docs":${w.docs},"wall":${f4(w.wall)},""" +
+        s""""docs_per_s":${f4(w.docs / w.wall)},"index_docs_before":${w.indexDocsBefore},""" +
+        s""""triggers":${w.stages.size},""" +
+        s""""sig":${f4(tSig)},"probe":${f4(tProbe)},"sink":${f4(tSink)},""" +
+        s""""append":${f4(tAppend)},"upstream":${f4(math.max(0.0, w.wall - gate))},""" +
+        s""""appended":${w.stages.map(_.appended).sum},""" +
+        s""""insert":${counts.getOrElse("insert", 0L)},"near_dup":${counts.getOrElse("near_dup", 0L)},""" +
+        s""""skip_dup":${counts.getOrElse("skip_dup", 0L)},"short":${counts.getOrElse("short", 0L)},""" +
+        s""""quality":${counts.getOrElse("quality", 0L)},""" +
+        s""""staleness":${f4(w.staleness)},"index_files":${w.indexFiles},""" +
+        s""""rebuild":${f4(w.rebuildSec)}}"""
+    }
+    val probePerWindow = walls.toVector.map(_.stages.map(_.probeSec).sum)
+    val probeFirst = median(probePerWindow.take(5))
+    val probeLast = median(probePerWindow.takeRight(5))
+    val wallMed = median(walls.map(_.wall).toSeq)
+    val docsPerS = median(walls.map(w => w.docs / w.wall).toSeq)
+    spark.catalog.refreshTable(gateTable)
+    val finalIdx = spark.table(gateTable).select("doc_id").distinct().count()
+    val nRebuilds = walls.count(_.rebuildSec > 0)
+    val summary =
+      s"""{"median_wall":${f4(wallMed)},"median_docs_per_s":${f4(docsPerS)},""" +
+        s""""probe_first5_med":${f4(probeFirst)},"probe_last5_med":${f4(probeLast)},""" +
+        s""""probe_growth":${f4(probeLast / probeFirst)},""" +
+        s""""rebuilds":$nRebuilds,"rebuild_total_sec":${f4(walls.map(_.rebuildSec).sum)},""" +
+        s""""index_docs_seed":$nSeed,"index_docs_final":$finalIdx,""" +
+        s""""index_growth":${f4(finalIdx.toDouble / nSeed)}}"""
+    val out =
+      s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
+        s""""summary":$summary}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
+      (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"GATE_BENCH summary=$summary")
+    spark.stop()
+  }
+}

@@ -4,6 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, VectorOps}
 
+/** Wall-clock seconds per gate stage for ONE micro-batch — the gate's
+  * observability record ([[DedupGate.gateBatchWithinAwareTimed]] /
+  * `GateBench`). Stages map 1:1 onto [[DedupGate]]'s `gateCore` body,
+  * each ended by an eager action:
+  *   - `sigSec`: shingle + minhash + banding of the batch text
+  *     (the tracked checkpoint of `DedupOps.bandedSigs`);
+  *   - `probeSec`: the file-pruned index probe + within-batch check +
+  *     slot verification (the flags checkpoint) — the number that must
+  *     stay FLAT as the index grows, or the bucketed-probe claim is
+  *     wrong;
+  *   - `sinkSec`: the caller's `onBatch` body (includes re-evaluating
+  *     the raw batch plan for the flag join — the gate holds no
+  *     checkpoint of the full-width batch by design);
+  *   - `appendSec`: the idempotent signature append of unflagged docs.
+  * `appended` is the number of docs actually indexed this batch.
+  */
+final case class GateStageTimings(
+    batchId: Long, sigSec: Double, probeSec: Double,
+    sinkSec: Double, appendSec: Double, appended: Long)
+
 /** Streaming near-duplicate INGEST GATE: checks each arriving micro-batch
   * of documents against a persisted MinHash signature index and flags
   * near-dups BEFORE they enter the corpus — the online form of
@@ -88,6 +108,50 @@ object DedupGate {
     graft.operators.IndexEpoch.bumpUnconditional(spark, table)
   }
 
+  /** In-place rebuild of a signature index FROM ITS OWN ROWS — the
+    * rebuild a long-running gate actually performs when
+    * [[sigIndexStaleness]] crosses its threshold: a production gate
+    * holds signatures, not the original text ([[writeSigIndex]] needs
+    * `(doc_id, text)`), so the rebuild must be signature-only. Effects:
+    *   - every append's file sliver re-buckets into `nBuckets` tidy
+    *     sorted files (each idempotent append lands up to `nBuckets` new
+    *     small files; hundreds of batches = thousands of files the
+    *     probe must open — this is the compaction);
+    *   - `nBuckets` can GROW with the corpus, restoring the
+    *     O(batch × bucket-population) probe bound the original build
+    *     sized for;
+    *   - meta `base_n` resets to the current corpus, so staleness reads
+    *     0 again;
+    *   - the epoch bumps unconditionally — the rebuild owns the index,
+    *     in-flight appenders fail their commit ([[graft.operators
+    *     .IndexEpoch]]), same as [[writeSigIndex]].
+    *
+    * Mechanics: Spark cannot overwrite a table from a plan that reads it,
+    * so the rows stage through `<table>_rebuild` (bucketed), then write
+    * back, then the staging drops. Two sequential writes of the index —
+    * the deliberate, restart-safe cost of a rebuild; concurrent
+    * maintainers are excluded by the same single-sequential-maintainer
+    * contract as the append paths (the epoch guard turns a violation
+    * into a loud failure, not corruption).
+    */
+  def rebuildSigIndex(spark: SparkSession, table: String, nBuckets: Int = 16): Unit = {
+    validateMeta(spark, table)
+    spark.catalog.refreshTable(table)
+    val staging = table + "_rebuild"
+    VectorOps.clearStaleLocation(spark, staging)
+    spark.table(table).write.mode("overwrite")
+      .bucketBy(nBuckets, "bh").sortBy("bh").format("parquet").saveAsTable(staging)
+    val baseN = spark.table(staging).select("doc_id").distinct().count()
+    spark.table(staging).write.mode("overwrite")
+      .bucketBy(nBuckets, "bh").sortBy("bh").format("parquet").saveAsTable(table)
+    spark.createDataFrame(Seq((SigWidth, NBands, baseN)))
+      .toDF("sig_width", "n_bands", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
+    graft.operators.IndexEpoch.bumpUnconditional(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(table)
+  }
+
   /** The persisted (sig_width, n_bands, build-time corpus size) of a
     * signature index; None if the meta table does not exist.
     */
@@ -120,7 +184,14 @@ object DedupGate {
         math.max(0.0, (now - baseN).toDouble / baseN)
     }
 
-  private def validateMeta(spark: SparkSession, table: String): Unit =
+  private def validateMeta(spark: SparkSession, table: String): Unit = {
+    // a rebuild may have overwritten the meta through ANOTHER session
+    // (driver-side maintenance beside a streaming gate) — refresh, or this
+    // session's relation cache serves the replaced file list and the next
+    // batch dies on FILE_NOT_EXIST (the loadSigMeta hazard, at the
+    // validation site)
+    if (spark.catalog.tableExists(metaTableFor(table)))
+      spark.catalog.refreshTable(metaTableFor(table))
     spark.table(metaTableFor(table)).collect().headOption match {
       case Some(r) =>
         require(r.getInt(0) == SigWidth && r.getInt(1) == NBands,
@@ -131,6 +202,7 @@ object DedupGate {
         throw new IllegalStateException(
           s"index $table has an empty meta table; rebuild with writeSigIndex")
     }
+  }
 
   /** Core verified check of a banded batch against a banded "at rest"
     * side — pure frame logic, unit-testable with synthetic signatures.
@@ -327,24 +399,44 @@ object DedupGate {
       onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit =
     gateCore(table, withinBatch = true, onBatch)(batch, batchId)
 
+  /** [[gateBatchWithinAware]] with per-stage wall timings reported to
+    * `onTimings` after each batch — the gate's throughput observability
+    * hook (see [[GateStageTimings]] for the stage map). Timing is
+    * driver-side `System.nanoTime` around each stage's eager action;
+    * overhead is a few clock reads per BATCH, so the instrumented gate is
+    * the production gate.
+    */
+  def gateBatchWithinAwareTimed(table: String,
+      onBatch: (DataFrame, Long) => Unit,
+      onTimings: GateStageTimings => Unit)(batch: DataFrame, batchId: Long): Unit =
+    gateCore(table, withinBatch = true, onBatch, onTimings)(batch, batchId)
+
   private def gateCore(table: String, withinBatch: Boolean,
-      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+      onBatch: (DataFrame, Long) => Unit,
+      onTimings: GateStageTimings => Unit = _ => ())(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     s.catalog.refreshTable(table)
     validateMeta(s, table)
     import org.apache.spark.sql.GraftShim
-    val (banded, bandedRdd) = GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batch))
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((banded, bandedRdd), tSig) =
+      timed(GraftShim.localCheckpointTracked(DedupOps.bandedSigs(batch)))
     try {
       val rawFlags =
         if (withinBatch) combinedFlags(prunedIndexSlice(s, table, banded), banded)
         else checkAgainst(prunedIndexSlice(s, table, banded), banded)
-      val (flags, flagsRdd) = GraftShim.localCheckpointTracked(rawFlags)
+      val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
       try {
         val annotated = batch.join(flags, Seq("doc_id"), "left")
           .withColumn("is_dup", col("dup_of").isNotNull)
-        onBatch(annotated, batchId)
-        appendBandedIdempotent(
-          s, banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table): Unit
+        val (_, tSink) = timed(onBatch(annotated, batchId))
+        val (appended, tAppend) = timed(appendBandedIdempotent(
+          s, banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti"), table))
+        onTimings(GateStageTimings(batchId, tSig, tProbe, tSink, tAppend, appended))
       } finally GraftShim.releaseCheckpoint(flagsRdd)
     } finally GraftShim.releaseCheckpoint(bandedRdd)
   }
@@ -361,15 +453,16 @@ object DedupGate {
     * audit log; the scrubbed one redacts the final inserts' text first).
     */
   private[graft] def gateDecisions(table: String,
-      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+      onBatch: (DataFrame, Long) => Unit,
+      onTimings: GateStageTimings => Unit = _ => ())(batch: DataFrame, batchId: Long): Unit = {
     val inserts = batch.filter(col("decision") === "insert").select("doc_id", "text")
-    gateBatchWithinAware(table, (annotated: DataFrame, id: Long) => {
+    gateBatchWithinAwareTimed(table, (annotated: DataFrame, id: Long) => {
       val flags = annotated.filter(col("is_dup"))
         .select(col("doc_id"), col("dup_of"), col("sig_match"))
       val out = batch.join(flags, Seq("doc_id"), "left")
         .withColumn("decision",
           when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
       onBatch(out, id)
-    })(inserts, batchId)
+    }, onTimings)(inserts, batchId)
   }
 }

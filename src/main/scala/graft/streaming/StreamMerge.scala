@@ -175,12 +175,13 @@ object StreamMerge {
       docs: DataFrame, baseIndex: DataFrame, sigTable: String,
       onBatch: (DataFrame, Long) => Unit,
       delayThreshold: String = Reassembly.DefaultTtl,
-      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] =
+      minTokens: Int = 20, minQuality: Double = 0.4,
+      onGateTimings: GateStageTimings => Unit = _ => ()): DataStreamWriter[Row] =
     pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
       .writeStream
       .outputMode("append")
       .foreachBatch(DedupGate.gateDecisions(sigTable,
-        (out, id) => onBatch(out.drop("text"), id)) _)
+        (out, id) => onBatch(out.drop("text"), id), onGateTimings) _)
 
   /** [[gatedIngestPipeline]] plus the COMPLIANCE SCRUB — the complete
     * ingest chain a 100 TB pipeline actually runs, in one query: exact

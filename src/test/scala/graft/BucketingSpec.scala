@@ -425,6 +425,54 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rebuild must reset staleness")
   }
 
+  test("DedupGate: signature-only in-place rebuild compacts, re-buckets, resets, and fences") {
+    import spark.implicits._
+    import graft.streaming.DedupGate
+    import graft.operators.IndexEpoch
+    def batch(ids: Seq[Long]) = ids.map(i => i -> gateText(s"rb$i")).toDF("doc_id", "text")
+    DedupGate.writeSigIndex(spark, batch(1L to 6L), "dedup_gate_rebuild", nBuckets = 8)
+    assert(DedupGate.appendNewSigsIdempotent(spark, batch(7L to 14L), "dedup_gate_rebuild") == 8L)
+    spark.catalog.refreshTable("dedup_gate_rebuild")
+    val rowsBefore = spark.table("dedup_gate_rebuild").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3))).toSet
+    val filesBefore = spark.table("dedup_gate_rebuild").inputFiles.length
+    assert(DedupGate.sigIndexStaleness(spark, "dedup_gate_rebuild") > 1.0,
+      "appends past the base must read stale")
+    val epochBefore = IndexEpoch.current(spark, "dedup_gate_rebuild")
+
+    DedupGate.rebuildSigIndex(spark, "dedup_gate_rebuild", nBuckets = 16)
+
+    // row identity: the rebuild moves bytes, it must not change ONE signature
+    val rowsAfter = spark.table("dedup_gate_rebuild").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3))).toSet
+    assert(rowsAfter == rowsBefore, "rebuild changed signature rows")
+    // compaction: the append slivers collapse into ≤ nBuckets files
+    val filesAfter = spark.table("dedup_gate_rebuild").inputFiles.length
+    assert(filesAfter <= 16 && filesAfter < filesBefore,
+      s"rebuild must compact append files: $filesBefore -> $filesAfter")
+    // staleness base resets to the rebuilt corpus
+    assert(DedupGate.sigIndexStaleness(spark, "dedup_gate_rebuild") == 0.0,
+      "rebuild must reset staleness")
+    // probes still flag and still file-prune on the re-bucketed layout
+    val probe = DedupGate.flagDuplicates(spark,
+      Seq(100L -> gateText("rb9")).toDF("doc_id", "text"), "dedup_gate_rebuild")
+    assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "rebuild broke bucket pruning")
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(100L -> 9L))
+    // the staging table does not linger
+    assert(!spark.catalog.tableExists("dedup_gate_rebuild_rebuild"),
+      "rebuild staging table must be dropped")
+    // rebuild owns the index: an appender whose span straddles it fails loudly
+    assert(IndexEpoch.current(spark, "dedup_gate_rebuild") > epochBefore,
+      "rebuild must advance the epoch")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      IndexEpoch.bump(spark, "dedup_gate_rebuild", epochBefore)
+    }
+    assert(ex.getMessage.contains("epoch"), s"stale appender must fail on the epoch: ${ex.getMessage}")
+    // and a FRESH append over the rebuilt index works
+    assert(DedupGate.appendNewSigsIdempotent(spark, batch(15L to 15L), "dedup_gate_rebuild") == 1L)
+  }
+
   test("DedupGate: a contract-breaking batch fails loudly at the probe-literal bound") {
     import spark.implicits._
     import graft.streaming.DedupGate
