@@ -483,6 +483,80 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word-shingle CONTAINMENT scoring over a bounded id range —
+    * `inter / min(|A|, |B|)` instead of Jaccard's `inter / |A∪B|`. The
+    * formula a training pipeline needs for SUB-DOCUMENT duplication: a
+    * short doc wholly embedded in a long one has containment 1.0 while
+    * its Jaccard shrinks with the length ratio, so a Jaccard-thresholded
+    * dedup keeps the redundant pair (the truncation/quote/boilerplate
+    * case). Shingles are the SAME 3-token windows as [[bandedSigs]] —
+    * one tokenization across the near-dup family. Same bounded
+    * quadratic shape as [[dedupJaccard]] (the verification baseline),
+    * same production escape hatch: at scale the pair generator is the
+    * minhash band join, with this formula applied to the surviving
+    * candidates' shingle sets.
+    */
+  private def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.6)
+      .select("doc_a", "doc_b", "na", "nb", "inter", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Edit-distance near-dup verification over a bounded id range: pairs
+    * whose full-text Levenshtein distance is ≤ 20% of the longer text —
+    * the character-exact relation the estimate family (minhash slots,
+    * simhash hamming) approximates, and the verifier a pipeline runs on
+    * candidates before destructive dedup.
+    *
+    * Candidate generation is an EQUI-join on a log-length bucket
+    * (`floor(ln l / ln 1.25)`) expanded to adjacent buckets — never a
+    * length theta-join, which Spark can only plan as a nested-loop
+    * product. Coverage is provable, not sampled: dist ≥ |la−lb|, so any
+    * pair passing the final `5·dist ≤ max(la,lb)` filter has length
+    * ratio ≥ 0.8 < 1.25 and lands ≤ 1 bucket apart. Each doc probes its
+    * own and both neighbor buckets via a 3-row explode (no duplicate
+    * pairs: the b-side keys on its unique bucket). The O(n·m) per-pair
+    * distance cost is paid only inside surviving buckets; at corpus
+    * scale the same verify runs on minhash band candidates instead of
+    * length buckets.
+    */
+  private def nearDupEdit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), length(col("text")).as("l"))
+      // l+1 keeps a zero-length doc finite; it only SHRINKS a pair's
+      // length ratio toward 1, so the ≤1-bucket coverage bound survives
+      .withColumn("bucket", floor(log(col("l") + lit(1.0)) / math.log(1.25)))
+    val probes = d.select(col("doc_id"), col("text"), col("l"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    probes.as("a")
+      .join(d.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      // cheap exact length gate ahead of the O(n·m) distance: a pair with
+      // 5·|la−lb| > max can never pass (dist ≥ |la−lb|), so skip it
+      .filter(abs(col("a.l") - col("b.l")) * 5 <= greatest(col("a.l"), col("b.l")))
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("dist") * 5 <= greatest(col("a.l"), col("b.l")))
+      // long casts: DuckDB's length/levenshtein are BIGINT, Spark's INT
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.l").cast("long").as("la"), col("b.l").cast("long").as("lb"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Buckets larger than this emit star pairs (each id linked to the
     * bucket's minimum id) instead of all pairs: a degenerate bucket — e.g.
     * thousands of near-empty docs sharing a shingle — would otherwise
@@ -823,6 +897,45 @@ object DedupOps {
              |JOIN s sa ON p.doc_a = sa.doc_id
              |JOIN s sb ON p.doc_b = sb.doc_id
              |WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.35
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "dedup_containment" -> QueryDef(dedupContainment,
+      // DuckDB shingles mirror Spark's concat_ws(slice(...)) exactly:
+      // coalesce('' for the missing tail words) reproduces the partial
+      // final shingle of a <3-token doc instead of NULLing it out
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE doc_id < 300),
+             |t AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             |      i -> ws[i] || coalesce(' ' || ws[i+1], '') || coalesce(' ' || ws[i+2], '')))) AS sh
+             |  FROM w),
+             |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, p.inter,
+             |       p.inter / least(sa.n, sb.n) AS containment
+             |FROM p
+             |JOIN s sa ON p.doc_a = sa.doc_id
+             |JOIN s sb ON p.doc_b = sb.doc_id
+             |WHERE p.inter / least(sa.n, sb.n) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "near_dup_edit" -> QueryDef(nearDupEdit,
+      // the oracle states the SEMANTICS (plain theta join + distance
+      // filter); the Spark side generates candidates via the log-length
+      // bucket equi-join, whose coverage of this result set is proved in
+      // the Scaladoc (dist ≥ |la−lb| ⇒ ratio ≥ 0.8 ⇒ ≤ 1 bucket apart)
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS l
+             |  FROM documents WHERE doc_id < 400)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       a.l AS la, b.l AS lb, levenshtein(a.text, b.text) AS dist
+             |FROM d a JOIN d b ON a.doc_id < b.doc_id
+             |WHERE 5 * levenshtein(a.text, b.text) <= greatest(a.l, b.l)
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),

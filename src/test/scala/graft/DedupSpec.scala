@@ -419,4 +419,61 @@ class DedupSpec extends AnyFunSuite {
     assert(candAvg >= randAvg + 0.2,
       f"candidate quality margin collapsed: $candAvg%.3f vs random $randAvg%.3f")
   }
+
+  test("near_dup_edit: log-length-bucket candidates cover every pair the naive product finds") {
+    // the key's coverage proof (dist >= |la-lb| => ratio >= 0.8 => <= 1
+    // bucket apart) checked empirically: the bucketed equi-join result
+    // must EQUAL the exhaustive all-pairs result on the same range
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id < 400").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val prev = Array.ofDim[Int](b.length + 1)
+      val cur = Array.ofDim[Int](b.length + 1)
+      for (j <- 0 to b.length) prev(j) = j
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val exhaustive = (for {
+      (ia, ta) <- d; (ib, tb) <- d
+      if ia < ib
+      la = ta.length; lb = tb.length
+      if 5 * math.abs(la - lb) <= math.max(la, lb) // dist >= |la-lb| shortcut
+      dist = lev(ta, tb)
+      if 5 * dist <= math.max(la, lb)
+    } yield (ia, ib, la.toLong, lb.toLong, dist.toLong)).toSet
+    val bucketed = SparkEntry.queries("near_dup_edit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(exhaustive.nonEmpty, "fixture lost its near-dup pairs — test is vacuous")
+    assert(bucketed == exhaustive,
+      s"bucketed candidates diverge from the exhaustive product: " +
+        s"missing=${(exhaustive -- bucketed).take(3)} extra=${(bucketed -- exhaustive).take(3)}")
+  }
+
+  test("dedup_containment: containment dominates Jaccard and hits 1.0 on a planted sub-document") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted: doc 2 is a strict prefix (first 12 words) of doc 1 —
+    // Jaccard ~12/40 stays under any dedup threshold; containment must be 1.0
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("dedup_containment")(spark, tmp).collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(5) == 1.0, s"strict sub-document must score containment 1.0, got $r")
+    // the same pair under Jaccard: inter / (na + nb - inter) = 10/38 — the
+    // formula difference IS the operator's reason to exist
+    val na = r.getLong(2); val nb = r.getLong(3); val inter = r.getLong(4)
+    assert(inter.toDouble / (na + nb - inter) < 0.5, "planted pair must be Jaccard-invisible")
+  }
 }
