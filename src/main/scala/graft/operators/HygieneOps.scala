@@ -346,9 +346,65 @@ object HygieneOps {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality scoring, the CCNet idiom (Wenzek et al. 2020,
+    * arXiv:1911.00359): score each document by its mean surprisal under a
+    * language model and filter/bucket on the score. CCNet uses a 5-gram
+    * KenLM; the container has no LM artifacts, so the model here is the
+    * smallest honest stand-in that exercises the identical pipeline
+    * shape — an add-one-smoothed char-BIGRAM model trained on the corpus
+    * itself:
+    *
+    *   bits(doc) = (1/n) · Σᵢ −log₂( (c(aᵢbᵢ)+1) / (c(aᵢ)+V) )
+    *
+    * with c(·) corpus-wide counts, V the distinct-char vocabulary size,
+    * and n = len−1 bigram occurrences (docs shorter than 2 chars carry no
+    * bigram and are absent by contract). Boilerplate/natural text scores
+    * LOW (predictable transitions), junk scores HIGH — the CCNet
+    * head/middle/tail bucketing falls out of percentiles over `bits`.
+    *
+    * Scale notes (100 TB): the MODEL is tiny by construction — at most
+    * |charset|² bigram rows — so both model joins are broadcasts and the
+    * corpus itself never shuffles; training is one explode → partial-agg'd
+    * count (map-side combine collapses each partition to ≤|charset|²
+    * partials). Swapping in a real pre-trained LM table changes only the
+    * broadcast side (a `(gram, logprob)` table read instead of trained
+    * in-plan), exactly like the BPE train-once path
+    * ([[TextOps.bpeEncodeWithTable]]).
+    *
+    * No oracle: the score is a sum of logs, and log parity across libms
+    * is not engine-stable (the Num.scala finding; TextOps deliberately
+    * compares log ARGUMENTS for the same reason) — spec-verified against
+    * an independent driver-side reference instead (CharLmSpec).
+    */
+  private[graft] def charlmScoreOf(d: DataFrame): DataFrame = {
+    val bi = d.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 1)")).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("ch")).agg(sum("c_bg").as("c_a"))
+    val vocab = d.filter(length(col("text")) >= 1) // sequence(1,0) descends — SURVEY §7.5
+      .select(col("text"), explode(expr("sequence(1, length(text))")).as("i"))
+      .select(expr("substring(text, i, 1)").as("ch"))
+      .agg(countDistinct("ch").as("v"))
+    bi.join(broadcast(counts), Seq("bg"))
+      .join(broadcast(ctx), expr("substring(bg, 1, 1)") === ctx("ch"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-Num.dsum(log2((col("c_bg") + 1) / (col("c_a") + col("v")))) / count(lit(1)))
+          .as("bits"))
+      .select("doc_id", "n_bigrams", "bits")
+  }
+
+  private def charlmQuality(spark: SparkSession, sfDir: String): DataFrame =
+    charlmScoreOf(docs(spark, sfDir).select("doc_id", "text")).orderBy("doc_id")
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "charlm_quality" -> QueryDef(charlmQuality, None),
+
     "doc_repetition" -> QueryDef(docRepetition,
       Some(s"""WITH d AS (
               |  $PlantedSql),

@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level (sub-document) exact deduplication — the ExactSubstr
+  * pass of Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better" (arXiv:2107.06499): find every maximal character span
+  * that occurs verbatim more than once in the corpus (across documents or
+  * repeated within one), report the spans, and optionally cut them out of
+  * the text. Doc-level dedup (dedup_exact / dedup_clusters*) cannot see
+  * these — a boilerplate license header shared by thousands of otherwise
+  * distinct pages survives every doc-level pass.
+  *
+  * Reference tie-in: the reference engine's only content-level integrity
+  * primitive is the whole-payload MD5 (`utils.cpp` digest of the full
+  * file); this family is the sub-payload generalization a training-data
+  * pipeline needs.
+  *
+  * Algorithm (gram-marking, not suffix arrays): slide a K-char window at
+  * stride 1; a position is DUPLICATED iff its K-gram occurs at ≥ 2 sites
+  * corpus-wide; merge marked positions whose starts are ≤ K apart into
+  * maximal spans. A verbatim run of length L ≥ K shared by two sites
+  * yields L−K+1 consecutive marked positions at each site, which merge to
+  * exactly the [start, start+L) span — i.e. this computes precisely the
+  * "duplicated substring of length ≥ K" relation of the paper, with K the
+  * paper's length threshold (theirs: 50 BPE tokens; ours: [[GramK]] chars,
+  * sized so the synthetic corpus' short docs can still host spans). Suffix
+  * arrays (the paper's single-node structure) don't distribute; gram
+  * marking is embarrassingly parallel: one generator, one count shuffle,
+  * one join, per-doc windows.
+  *
+  * Scale notes (100 TB): stride-1 grams are ~1 row per corpus char — the
+  * declared keys keep them RAW (string gram as the key) so DuckDB can
+  * replay the result exactly; the production path is [[dupSpansWinnow]],
+  * which cuts the shuffled volume by the selection density 1/[[WinnowP]]
+  * using content-defined fingerprint selection (the 0-mod-p scheme of
+  * Karp–Rabin fingerprinting, the ancestor of winnowing — Schleimer et
+  * al. 2003 §2): a gram is a fingerprint iff xxhash64(gram) ≡ 0 (mod p).
+  * Selection depends only on gram CONTENT, so every copy of a duplicated
+  * region selects the same grams — detection never desynchronizes across
+  * sites, and a shared run of length L is missed only if none of its
+  * L−K+1 grams self-select (probability (1−1/p)^(L−K+1), and
+  * deterministic given the hash — the same corpus always gives the same
+  * answer). The per-doc interval merge is a `doc_id`-partitioned window —
+  * group size bounded by document length, no skew funnel. The one true
+  * skew risk is a mega-duplicated gram (universal boilerplate at ≥ 2
+  * sites per million docs) funneling its sites through one reducer in the
+  * mark join; at production scale the dup-gram side is re-keyed by
+  * (hash, salt) with the site side salted, exactly the agg_salted idiom.
+  */
+object SpanOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** Span gram length — the minimum duplicated-substring length the scan
+    * detects (Lee et al.'s length threshold).
+    */
+  val GramK = 30
+
+  /** Fingerprint selection modulus for the winnowed sibling: expected one
+    * site in [[WinnowP]] survives, so the mark shuffle carries ~1/8 of
+    * the stride-1 volume.
+    */
+  val WinnowP = 8
+
+  /** Planted cross-doc duplication: docs with `doc_id % 6 == 1` carry a
+    * shared license-boilerplate tail (appended, so every original gram
+    * boundary is untouched). A constant literal evaluated identically in
+    * both engines — the oracle verifies span DETECTION and merging, not a
+    * lucky property of the synthetic corpus (which also contains natural
+    * near-dup pairs; those are detected too, by both engines alike).
+    */
+  val Boiler: String =
+    " Licensed under the Apache License Version 2.0 you may not use this file except in compliance with the License"
+
+  private[graft] def planted(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(6)) === 1, concat(col("text"), lit(Boiler)))
+        .otherwise(col("text")).as("text"))
+
+  /** Shared DuckDB fragment mirroring [[planted]]. */
+  private val PlantedSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 6 = 1 THEN text || '$Boiler' ELSE text END AS text
+       |FROM documents""".stripMargin
+
+  /** All K-gram sites of a `(doc_id, text)` frame as
+    * `(doc_id, pos, gram)` — 1-based pos, stride 1. The `size >= K`
+    * guard is load-bearing: Spark's `sequence(1, n)` with n < 1 yields a
+    * DESCENDING sequence, not an empty one (SURVEY §7.5). The substring
+    * is projected ABOVE the generator (it must run once per generated
+    * row; nothing expensive rides the generate — SURVEY §7.5 generator
+    * gotcha).
+    */
+  private[graft] def gramSites(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= GramK)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${GramK - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $GramK)").as("gram"))
+
+  /** Merge marked positions into maximal spans. Positions are starts of
+    * K-char windows: two marked starts ≤ K apart overlap or touch, so a
+    * new span begins exactly when the gap exceeds K. `lag` suffices for
+    * the running span end because K is constant and positions ascend —
+    * the previous row always holds the furthest end so far.
+    */
+  private def mergeSpans(marked: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("new_span",
+        when(col("pos") > coalesce(lag("pos", 1).over(w), lit(Long.MinValue / 2)) + GramK, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + GramK).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"), col("n_grams"))
+  }
+
+  /** Core: duplicated-span relation of a `(doc_id, text)` frame. The
+    * dup-gram sliver is a HAVING-count subset of the gram keys — at the
+    * test SFs it would broadcast, but it scales with corpus duplication,
+    * so the declared plan keeps the shuffle join (safe at any scale; the
+    * optimizer may still broadcast a small sliver under AQE).
+    */
+  private[graft] def dupSpansOf(d: DataFrame): DataFrame = {
+    val g = gramSites(d)
+    val dup = g.groupBy("gram").agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2).select("gram")
+    mergeSpans(g.join(dup, Seq("gram")).select("doc_id", "pos"))
+  }
+
+  private def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansOf(planted(docs(spark, sfDir))).orderBy("doc_id", "span_start")
+
+  /** Winnowed production sibling: identical pipeline, but only
+    * fingerprint-selected gram sites (xxhash64 ≡ 0 mod p) enter the count
+    * shuffle and the mark join, and the join key is the 8-byte HASH, not
+    * the gram string (the declared exact key keeps raw grams only so
+    * DuckDB can replay it). Guarantees, proved by selection being a
+    * content-pure function of the gram:
+    *  - soundness: every winnow-marked site is exactly-dup-marked (its
+    *    gram genuinely occurs twice), so with the same merge rule every
+    *    winnow span is CONTAINED in an exact span — exact inter-span gaps
+    *    exceed K, and subsampling only widens gaps, so spans never bridge;
+    *  - recall: a duplicated run of length L is detected iff any of its
+    *    L−K+1 grams self-selects — expected density (L−K+1)/p, miss
+    *    probability (1−1/p)^(L−K+1), deterministic per corpus.
+    * SpanSpec pins both properties plus planted-boilerplate detection.
+    */
+  private[graft] def dupSpansWinnowOf(d: DataFrame, p: Int = WinnowP): DataFrame = {
+    val g = gramSites(d)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+      .filter(pmod(col("gh"), lit(p.toLong)) === 0)
+    val dup = g.groupBy("gh").agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2).select("gh")
+    mergeSpans(g.join(dup, Seq("gh")).select("doc_id", "pos"))
+  }
+
+  private def dupSpansWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansWinnowOf(planted(docs(spark, sfDir))).orderBy("doc_id", "span_start")
+
+  /** Cut the duplicated spans out of each document (the "remove all
+    * copies" policy — deterministic and order-free; Lee et al. discuss
+    * keep-one vs drop-all and use drop-all for ExactSubstr). Spans are
+    * disjoint and sorted, so one higher-order fold walks them left to
+    * right, emitting the kept gap before each span; the finish lambda
+    * emits the tail. No UDF — the fold is a Catalyst `aggregate` over a
+    * per-doc array bounded by document length.
+    */
+  private[graft] def stripSpansOf(d: DataFrame): DataFrame = {
+    val spans = dupSpansOf(d)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    d.join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """aggregate(sp,
+            |  named_struct('cur', CAST(1 AS BIGINT), 'acc', CAST('' AS STRING)),
+            |  (a, s) -> named_struct(
+            |    'cur', s.span_end,
+            |    'acc', concat(a.acc,
+            |      substring(text, CAST(a.cur AS INT), CAST(s.span_start - a.cur AS INT)))),
+            |  a -> concat(a.acc,
+            |    substring(text, CAST(a.cur AS INT), length(text) - CAST(a.cur AS INT) + 1)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long").as("n_removed"))
+  }
+
+  private def stripDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    stripSpansOf(planted(docs(spark, sfDir))).orderBy("doc_id")
+
+  // ---- declarations ------------------------------------------------------
+
+  /** Shared oracle CTE chain up to the span relation (DuckDB). `range` is
+    * empty when hi < lo (unlike Spark's `sequence` — SURVEY §7.5), but the
+    * length guard is kept anyway so both engines state the same plan.
+    */
+  private val SpansSqlCte: String =
+    s"""WITH d AS ($PlantedSql),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
+       |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+       |  WHERE length(text) >= $GramK),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
+       |                        + $GramK
+       |              THEN 1 ELSE 0 END AS new_span
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM w),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end,
+       |         max(pos) + $GramK - min(pos) AS span_len, count(*) AS n_grams
+       |  FROM isl GROUP BY doc_id, span_id)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "dup_spans" -> QueryDef(dupSpans,
+      Some(s"""$SpansSqlCte
+              |SELECT doc_id, span_start, span_end, span_len, n_grams
+              |FROM spans ORDER BY doc_id, span_start""".stripMargin)),
+
+    "strip_dup_spans" -> QueryDef(stripDupSpans,
+      Some(s"""$SpansSqlCte,
+              |gaps AS (
+              |  SELECT doc_id,
+              |         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS gs,
+              |         span_start AS ge
+              |  FROM spans
+              |  UNION ALL
+              |  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id),
+              |rebuilt AS (
+              |  SELECT gaps.doc_id,
+              |         string_agg(
+              |           substring(d.text, CAST(gaps.gs AS INT),
+              |                     CAST(coalesce(gaps.ge, length(d.text) + 1) - gaps.gs AS INT)),
+              |           '' ORDER BY gaps.gs) AS clean_text
+              |  FROM gaps JOIN d USING (doc_id) GROUP BY gaps.doc_id)
+              |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
+              |       length(d.text) - length(coalesce(r.clean_text, d.text)) AS n_removed
+              |FROM d LEFT JOIN rebuilt r USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    "dup_spans_winnow" -> QueryDef(dupSpansWinnow, None)
+  )
+}

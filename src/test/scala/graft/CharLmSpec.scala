@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.HygieneOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** charlm_quality (CCNet-style model-based quality score) vs an
+  * independent driver-side reference implementation of the same
+  * add-one-smoothed char-bigram model, plus the ordering property the
+  * score exists for: predictable text scores fewer bits than junk.
+  */
+class CharLmSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference model: plain Scala maps over the collected corpus. Mirrors
+    * the engine's decimal(18,6) per-term rounding (Num.dsum) so the two
+    * disagree only if the ENGINE's math is wrong, not on summation order.
+    */
+  private def referenceBits(corpus: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    val cBg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cA = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val chars = scala.collection.mutable.Set.empty[Char]
+    corpus.foreach { case (_, t) =>
+      t.foreach(chars += _)
+      t.sliding(2).filter(_.length == 2).foreach { bg =>
+        cBg(bg) += 1; cA(bg.take(1)) += 1
+      }
+    }
+    val v = chars.size
+    corpus.filter(_._2.length >= 2).map { case (id, t) =>
+      val terms = t.sliding(2).filter(_.length == 2).map { bg =>
+        val p = (cBg(bg) + 1).toDouble / (cA(bg.take(1)) + v)
+        BigDecimal(StrictMath.log(p) / StrictMath.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.toSeq
+      val n = terms.size
+      id -> (n.toLong, -(terms.sum.toDouble) / n)
+    }.toMap
+  }
+
+  test("engine bits match the independent reference on the real corpus") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val ref = referenceBits(docs)
+    val got = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
+    assert(got.length == ref.size, s"rows ${got.length} vs reference ${ref.size}")
+    got.foreach { r =>
+      val (id, n, bits) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (rn, rbits) = ref(id)
+      assert(n == rn, s"doc $id n_bigrams $n vs $rn")
+      assert(math.abs(bits - rbits) < 1e-7, s"doc $id bits $bits vs $rbits")
+    }
+  }
+
+  test("predictable text scores fewer bits than character junk") {
+    import spark.implicits._
+    val natural = Seq.fill(20)("the quick brown fox jumps over the lazy dog and runs on").mkString(" ")
+    val junk = (0 until 1000).map(i => ('a' + (i * 31 + i * i * 17) % 26).toChar).mkString
+    val d = ((1L to 8L).map(i => i -> natural) :+ (9L -> junk)).toDF("doc_id", "text")
+    val bits = HygieneOps.charlmScoreOf(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bits(1L) < bits(9L),
+      s"natural ${bits(1L)} must beat junk ${bits(9L)}")
+  }
+
+  test("score is invariant to corpus partitioning (decimal-sum discipline)") {
+    val one = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").repartition(13)
+    val re = HygieneOps.charlmScoreOf(docs).orderBy("doc_id").collect()
+    assert(one.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      re.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      "bits must be bit-identical under repartitioning")
+  }
+}

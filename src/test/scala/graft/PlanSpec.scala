@@ -250,4 +250,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("dup_spans: pruned scan, equi-join marking, doc-partitioned merge window") {
+    val p = plan("dup_spans")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"scan must read only (doc_id, text): $read")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the span merge must partition by doc_id, never a global window
+    assert(p.contains("windowspecdefinition(doc_id"), s"merge window not doc-partitioned:\n$p")
+  }
+
+  test("charlm_quality broadcasts the model to the corpus, never the reverse") {
+    val p = plan("charlm_quality")
+    // two model joins (bigram counts, context counts) + the V scalar: all broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle through a model join:\n$p")
+  }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.SpanOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Substring-level dedup (dup_spans family) semantics:
+  *  - a shared verbatim run of length L ≥ K is reported as EXACTLY the
+  *    [start, start+L) span at each site (the Lee et al. ExactSubstr
+  *    relation at threshold K);
+  *  - within-document repetition is found (doc-level dedup's blind spot);
+  *  - strip_dup_spans reconstructs precisely prefix+suffix and removes
+  *    every occurrence of the duplicated run;
+  *  - the winnowed production sibling is SOUND (every winnow span sits
+  *    inside an exact span) and detects the planted boilerplate.
+  */
+class SpanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val K = SpanOps.GramK
+
+  /** Unique filler: no K-gram of it recurs anywhere (distinct char soup
+    * per (tag, len) — tags chosen disjoint per doc).
+    */
+  private def filler(tag: Char, len: Int): String =
+    (0 until len).map(i => ('a' + ((i * 7 + tag.toInt * 13) % 26)).toChar)
+      .zipWithIndex.map { case (c, i) => if (i % 5 == 0) tag else c }.mkString
+
+  test("a shared run of length L >= K yields exactly the [start, start+L) span at each site") {
+    import spark.implicits._
+    // the shared run must be aperiodic (a periodic run duplicates its own
+    // interior grams and widens the expected span): 60 DISTINCT symbols
+    val run = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '7')).mkString
+    assert(run.length == 60 && run.sliding(K).toSeq.distinct.size == 60 - K + 1)
+    val pa = filler('q', 80); val sa = filler('r', 50)
+    val pb = filler('s', 33); val sb = filler('t', 95)
+    val d = Seq(1L -> (pa + run + sa), 2L -> (pb + run + sb)).toDF("doc_id", "text")
+    val spans = SpanOps.dupSpansOf(d).orderBy("doc_id").collect()
+    assert(spans.length == 2, s"expected one span per doc, got ${spans.toSeq}")
+    val bySite = spans.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySite(1L) == (81L, 141L), s"doc 1 span ${bySite(1L)}") // 1-based [81, 141)
+    assert(bySite(2L) == (34L, 94L), s"doc 2 span ${bySite(2L)}")
+    assert(spans.forall(_.getAs[Long]("span_len") == 60L))
+  }
+
+  test("within-document repetition is detected (doc-level dedup blind spot)") {
+    import spark.implicits._
+    val block = (('A' to 'Z') ++ ('0' to '9') ++ Seq('#', '$', '%', '&')).mkString
+    assert(block.length == 40 && block.sliding(K).toSeq.distinct.size == 40 - K + 1)
+    val d = Seq(7L -> (filler('u', 60) + block + filler('v', 70) + block + filler('w', 40)))
+      .toDF("doc_id", "text")
+    val spans = SpanOps.dupSpansOf(d).orderBy("span_start").collect()
+    assert(spans.length == 2, s"expected both copies flagged, got ${spans.toSeq}")
+    assert(spans(0).getLong(1) == 61L && spans(0).getLong(2) == 101L)
+    assert(spans(1).getLong(1) == 171L && spans(1).getLong(2) == 211L)
+  }
+
+  test("strip_dup_spans reconstructs prefix+suffix exactly and removes every copy") {
+    import spark.implicits._
+    val run = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '7')).mkString
+    val pa = filler('q', 80); val sa = filler('r', 50)
+    val pb = filler('s', 33); val sb = filler('t', 95)
+    val noDup = filler('z', 120)
+    val d = Seq(1L -> (pa + run + sa), 2L -> (pb + run + sb), 3L -> noDup)
+      .toDF("doc_id", "text")
+    val out = SpanOps.stripSpansOf(d).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == pa + sa, "doc 1 must be prefix+suffix")
+    assert(out(1).getString(1) == pb + sb, "doc 2 must be prefix+suffix")
+    assert(out(2).getString(1) == noDup && out(2).getLong(2) == 0L, "span-free doc untouched")
+    assert(out(0).getLong(2) == 60L && out(1).getLong(2) == 60L)
+    assert(!out.exists(_.getString(1).contains(run)), "no copy of the run survives")
+  }
+
+  test("a fully-duplicated document strips to the empty string") {
+    import spark.implicits._
+    val t = filler('k', 90)
+    val d = Seq(1L -> t, 2L -> t).toDF("doc_id", "text")
+    val out = SpanOps.stripSpansOf(d).orderBy("doc_id").collect()
+    assert(out.forall(_.getString(1) == ""), s"got ${out.toSeq}")
+    assert(out.forall(_.getLong(2) == 90L))
+  }
+
+  test("declared keys: planted boilerplate found in every planted doc; spans well-formed") {
+    val spans = SparkEntry.queries("dup_spans")(spark, sfDir)
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val joined = spans.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (s, e, l, n) = (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_len"), r.getAs[Long]("n_grams"))
+      assert(l == e - s && l >= K && n >= 1 && s >= 1)
+      val plantedLen = r.getAs[Long]("len") +
+        (if (r.getAs[Long]("doc_id") % 6 == 1) SpanOps.Boiler.length else 0)
+      assert(e <= plantedLen + 1, s"span past text end: $r")
+    }
+    // every planted doc's boiler tail is covered by some span
+    val planted = docs.filter(col("doc_id") % 6 === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val covered = joined.filter { r =>
+      planted.get(r.getAs[Long]("doc_id")).exists { origLen =>
+        r.getAs[Long]("span_start") <= origLen + 2 &&
+          r.getAs[Long]("span_end") >= origLen + SpanOps.Boiler.length
+      }
+    }.map(_.getAs[Long]("doc_id")).toSet
+    assert(covered == planted.keySet,
+      s"boiler not covered for ${planted.keySet -- covered}")
+  }
+
+  test("strip key removes the boilerplate from every planted doc") {
+    val out = SparkEntry.queries("strip_dup_spans")(spark, sfDir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(!r.getString(1).contains(SpanOps.Boiler.trim.take(40)),
+        s"boiler survived in doc ${r.getLong(0)}")
+    }
+  }
+
+  test("winnow sibling is sound (every winnow span inside an exact span) and hits the boiler") {
+    val docs = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
+    val exact = SpanOps.dupSpansOf(docs)
+      .select(col("doc_id"), col("span_start").as("es"), col("span_end").as("ee"))
+    val win = SpanOps.dupSpansWinnowOf(docs)
+    // soundness: LEFT ANTI of winnow spans vs containing exact spans is empty
+    val uncontained = win.join(exact,
+      win("doc_id") === exact("doc_id") &&
+        win("span_start") >= col("es") && win("span_end") <= col("ee"),
+      "left_anti")
+    assert(uncontained.count() == 0, "winnow span not contained in any exact span")
+    // recall on the planted boiler: every planted doc has a winnow span in the tail
+    val lens = graft.sources.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 6 === 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("origLen"))
+    val hit = win.join(lens, "doc_id")
+      .filter(col("span_end") > col("origLen") + 1)
+      .select("doc_id").distinct().count()
+    assert(hit == lens.count(), s"winnow missed the boiler in ${lens.count() - hit} docs")
+  }
+}
