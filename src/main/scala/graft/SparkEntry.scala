@@ -12,7 +12,7 @@ object SparkEntry {
   private lazy val all: Map[String, QueryDef] =
     PipelineOps.defs ++ RelationalOps.defs ++ SessionOps.defs ++ ScalarOps.defs ++
       TextOps.defs ++ HygieneOps.defs ++ DedupOps.defs ++ VectorOps.defs ++
-      MultimodalOps.defs ++ SpanOps.defs
+      MultimodalOps.defs ++ SpanOps.defs ++ WebOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full transfer-pipeline round trip: chunk → frame encode → decode →

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL / domain hygiene — the web-corpus filtering passes (C4's bad-URL
+  * blocklist, RefinedWeb §3.1 URL filtering): extract URLs from text,
+  * aggregate per-domain corpus statistics, and gate documents on a
+  * domain blocklist.
+  *
+  * The synthetic corpus carries no URLs, so they are PLANTED in-plan from
+  * doc ids (the `pii_redact` idiom — identical deterministic decoration in
+  * both engines, so the oracle verifies the extraction/aggregation/gate
+  * transform, not a lucky no-op). On real data the same operators run on
+  * the raw text unchanged.
+  *
+  * "Registrable domain" here is the last two dot-labels (example.org from
+  * a.b.example.org) — a deliberate simplification of the public-suffix
+  * list (which is data, not logic: swapping in the real PSL changes only
+  * the extraction expression, none of the plan shapes).
+  *
+  * Scale notes (100 TB): extraction is a narrow codegen'd
+  * `regexp_extract_all` map — no shuffle; `domain_stats` is one
+  * partial-agg'd groupBy keyed by domain (bounded cardinality — domains,
+  * not documents); the blocklist gate BROADCASTs the blocklist (KBs even
+  * for production lists) and equi-joins on the registrable domain, so the
+  * corpus never shuffles — the per-doc verdict is a map-side broadcast
+  * semi-join + one partial-agg'd per-doc aggregation.
+  */
+object WebOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+
+  /** URL shape: scheme + host + optional path. Valid under both Java
+    * regex and DuckDB's RE2 (no lookaround, no backrefs).
+    */
+  val UrlRe = "https?://[a-z0-9.-]+(?:/[a-z0-9_./-]*)?"
+
+  /** Registrable-domain blocklist — the gate's small side. */
+  val Blocklist: Seq[String] = Seq("badsite.com", "tracker.net")
+
+  /** In-plan URL decoration (deterministic from doc_id; ~1/3 of docs get
+    * a content URL, ~1/7 a CDN mirror, ~1/9 a BLOCKLISTED link — the
+    * overlap classes exercise keep/drop on multi-URL docs).
+    */
+  private def decorated(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" see https://w"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" mirror http://cdn"), pmod(col("doc_id"), lit(11)).cast("string"),
+          lit(".mirror.io/x"), pmod(col("doc_id"), lit(13)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit(" via https://s"), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(".badsite.com/z"))).otherwise(lit(""))).as("text"))
+
+  /** Shared DuckDB fragment mirroring [[decorated]]. No continuation line
+    * may START with `||`: this fragment is embedded in an outer
+    * `stripMargin` string, which would strip the first pipe again.
+    */
+  private val DecoratedSql: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' see https://w' || CAST(doc_id % 20 AS VARCHAR) ||
+      |            '.example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |            '.org/p/' || CAST(doc_id AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' mirror http://cdn' || CAST(doc_id % 11 AS VARCHAR) ||
+      |            '.mirror.io/x' || CAST(doc_id % 13 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 9 = 0
+      |       THEN ' via https://s' || CAST(doc_id % 4 AS VARCHAR) ||
+      |            '.badsite.com/z'
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  /** `(doc_id, url, host, domain)` — one row per URL occurrence. Spark's
+    * `regexp_extract_all` needs the explicit group-0 literal (SURVEY
+    * §7.5); DuckDB's defaults to the whole match.
+    */
+  private[graft] def urlsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)", 1))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+
+  private def urlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    urlsOf(decorated(docs(spark, sfDir))).orderBy("doc_id", "url")
+
+  private def domainStats(spark: SparkSession, sfDir: String): DataFrame =
+    urlsOf(decorated(docs(spark, sfDir)))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("host").as("n_hosts"))
+      .orderBy("domain")
+
+  /** Per-doc blocklist verdict: a doc is dropped iff ANY of its URLs
+    * resolves to a blocklisted registrable domain; URL-free docs keep.
+    * The blocklist side is a broadcast equi-join on `domain` — the
+    * production shape for a real (still KB-sized) blocklist.
+    */
+  private[graft] def domainFilterOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    val block = Blocklist.toDF("domain")
+    val verdict = urlsOf(d)
+      .join(broadcast(block.withColumn("blocked", lit(1L))), Seq("domain"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(coalesce(col("blocked"), lit(0L))).as("n_blocked"))
+    d.select("doc_id").join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        (coalesce(col("n_blocked"), lit(0L)) === 0).as("keep"))
+  }
+
+  private def domainFilter(spark: SparkSession, sfDir: String): DataFrame =
+    domainFilterOf(spark, decorated(docs(spark, sfDir))).orderBy("doc_id")
+
+  // ---- declarations ------------------------------------------------------
+
+  private val UrlsSqlCte: String =
+    s"""WITH d AS ($DecoratedSql),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe')) AS url
+       |  FROM d),
+       |uu AS (
+       |  SELECT doc_id, url,
+       |         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       |         regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
+       |                        '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM u)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "url_extract" -> QueryDef(urlExtract,
+      Some(s"""$UrlsSqlCte
+              |SELECT doc_id, url, host, domain FROM uu
+              |ORDER BY doc_id, url""".stripMargin)),
+
+    "domain_stats" -> QueryDef(domainStats,
+      Some(s"""$UrlsSqlCte
+              |SELECT domain, count(*) AS n_urls,
+              |       count(DISTINCT doc_id) AS n_docs,
+              |       count(DISTINCT host) AS n_hosts
+              |FROM uu GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    "domain_filter" -> QueryDef(domainFilter,
+      Some(s"""$UrlsSqlCte,
+              |b AS (SELECT * FROM (VALUES ('badsite.com'), ('tracker.net')) AS t(domain)),
+              |v AS (
+              |  SELECT uu.doc_id, count(*) AS n_urls,
+              |         CAST(sum(CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS n_blocked
+              |  FROM uu LEFT JOIN b USING (domain) GROUP BY uu.doc_id)
+              |SELECT d.doc_id, coalesce(v.n_urls, 0) AS n_urls,
+              |       coalesce(v.n_blocked, 0) AS n_blocked,
+              |       coalesce(v.n_blocked, 0) = 0 AS keep
+              |FROM d LEFT JOIN v USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+  )
+}

@@ -261,6 +261,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"), s"merge window not doc-partitioned:\n$p")
   }
 
+  test("domain_filter broadcasts the blocklist; extraction is scan + generate, no text shuffle") {
+    val p = plan("domain_filter")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist side must broadcast:\n$p")
+    // the only non-broadcast joins are the id-keyed verdict joins — the
+    // text column must never appear in an Exchange's output
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
   test("charlm_quality broadcasts the model to the corpus, never the reverse") {
     val p = plan("charlm_quality")
     // two model joins (bigram counts, context counts) + the V scalar: all broadcast

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.WebOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL/domain hygiene semantics: extraction shape, per-domain stats
+  * consistency, and the blocklist gate's keep/drop contract.
+  */
+class WebSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("extraction finds exactly the planted URLs with correct host/domain split") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "plain text with no links at all",
+      2L -> "before https://a.b.example.org/x/y after http://cdn.mirror.io/z end",
+      3L -> "trailing https://one.two.net"
+    ).toDF("doc_id", "text")
+    val rows = WebOps.urlsOf(d).orderBy("doc_id", "url").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(
+        (2L, "http://cdn.mirror.io/z", "cdn.mirror.io", "mirror.io"),
+        (2L, "https://a.b.example.org/x/y", "a.b.example.org", "example.org"),
+        (3L, "https://one.two.net", "one.two.net", "two.net")))
+  }
+
+  test("blocklist gate: any blocked URL drops the doc; URL-free docs keep") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "no links here",
+      2L -> "fine https://ok.example.org/a",
+      3L -> "bad https://x.badsite.com/p and fine https://ok.example.org/b",
+      4L -> "bare https://badsite.com"
+    ).toDF("doc_id", "text")
+    val out = WebOps.domainFilterOf(spark, d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (0L, 0L, true), s"url-free doc: ${out(1L)}")
+    assert(out(2L) == (1L, 0L, true))
+    assert(out(3L) == (2L, 1L, false), "one bad link must drop a multi-url doc")
+    assert(out(4L) == (1L, 1L, false), "apex-domain link must match the blocklist")
+  }
+
+  test("declared keys are mutually consistent on the real corpus") {
+    val urls = SparkEntry.queries("url_extract")(spark, sfDir)
+    val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
+    val filt = SparkEntry.queries("domain_filter")(spark, sfDir).collect()
+    // stats totals must equal the extraction row count
+    assert(stats.map(_.getAs[Long]("n_urls")).sum == urls.count())
+    // every doc with a badsite.com URL is dropped, all others kept
+    val blockedDocs = urls.filter(col("domain") === "badsite.com")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    filt.foreach { r =>
+      val (id, keep) = (r.getLong(0), r.getBoolean(3))
+      assert(keep == !blockedDocs.contains(id), s"doc $id keep=$keep")
+    }
+    // planted classes present: %9 docs blocked, stats carry the planted domains
+    assert(blockedDocs.nonEmpty && stats.exists(_.getString(0) == "badsite.com"))
+    assert(stats.exists(_.getString(0) == "mirror.io"))
+  }
+}
