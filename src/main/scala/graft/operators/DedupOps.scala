@@ -548,8 +548,16 @@ object DedupOps {
       // cheap exact length gate ahead of the O(n·m) distance: a pair with
       // 5·|la−lb| > max can never pass (dist ≥ |la−lb|), so skip it
       .filter(abs(col("a.l") - col("b.l")) * 5 <= greatest(col("a.l"), col("b.l")))
-      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
-      .filter(col("dist") * 5 <= greatest(col("a.l"), col("b.l")))
+      // banded THRESHOLD Levenshtein (3-arg form): the DP fills only a
+      // 2τ-wide band and aborts once the band minimum exceeds τ — on the
+      // dominant non-duplicate candidates this exits after ~2τ rows
+      // instead of n·m cells (43.7 s → see BENCH at sf0.1). -1 encodes
+      // "above threshold"; kept pairs carry the EXACT distance
+      // (dist ≤ ⌊max/5⌋ ⟺ 5·dist ≤ max for integer dist), so the result
+      // set — and the plain theta-join oracle — is unchanged.
+      .withColumn("dist",
+        expr("levenshtein(a.text, b.text, CAST(greatest(a.l, b.l) / 5 AS INT))"))
+      .filter(col("dist") >= 0 && col("dist") * 5 <= greatest(col("a.l"), col("b.l")))
       // long casts: DuckDB's length/levenshtein are BIGINT, Spark's INT
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.l").cast("long").as("la"), col("b.l").cast("long").as("lb"),

@@ -376,34 +376,111 @@ object HygieneOps {
     * compares log ARGUMENTS for the same reason) — spec-verified against
     * an independent driver-side reference instead (CharLmSpec).
     */
-  private[graft] def charlmScoreOf(d: DataFrame): DataFrame = {
-    val bi = d.filter(length(col("text")) >= 2)
+  /** `(doc_id, bg)` — one row per char-bigram occurrence. */
+  private def bigramsOf(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, length(text) - 1)")).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
-    val counts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+
+  /** Train the bigram model on a corpus: `(bigram counts, context counts,
+    * 1-row vocab size)` — at most |charset|² + |charset| + 1 rows total.
+    */
+  private[graft] def charlmModelOf(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val counts = bigramsOf(d).groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("ch")).agg(sum("c_bg").as("c_a"))
     val vocab = d.filter(length(col("text")) >= 1) // sequence(1,0) descends — SURVEY §7.5
       .select(col("text"), explode(expr("sequence(1, length(text))")).as("i"))
       .select(expr("substring(text, i, 1)").as("ch"))
       .agg(countDistinct("ch").as("v"))
-    bi.join(broadcast(counts), Seq("bg"))
-      .join(broadcast(ctx), expr("substring(bg, 1, 1)") === ctx("ch"))
+    (counts, ctx, vocab)
+  }
+
+  /** Score a corpus against a (possibly foreign) trained model. LEFT
+    * joins + add-one smoothing make unseen bigrams well-defined —
+    * `p = (0+1)/(c_a+V)`, and `1/V` for a wholly unseen context char —
+    * so a model trained once scores ANY corpus (the CCNet deployment
+    * shape: the model artifact is fixed, the corpus streams past it).
+    * On the training corpus itself every lookup hits and this reduces
+    * exactly to the inline key (row identity pinned in CharLmSpec).
+    */
+  private[graft] def charlmScoreAgainst(d: DataFrame,
+      counts: DataFrame, ctx: DataFrame, vocab: DataFrame): DataFrame =
+    bigramsOf(d)
+      .join(broadcast(counts), Seq("bg"), "left")
+      .join(broadcast(ctx), expr("substring(bg, 1, 1)") === ctx("ch"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        (-Num.dsum(log2((col("c_bg") + 1) / (col("c_a") + col("v")))) / count(lit(1)))
+        (-Num.dsum(log2((coalesce(col("c_bg"), lit(0L)) + 1) /
+          (coalesce(col("c_a"), lit(0L)) + col("v")))) / count(lit(1)))
           .as("bits"))
       .select("doc_id", "n_bigrams", "bits")
+
+  private[graft] def charlmScoreOf(d: DataFrame): DataFrame = {
+    val (counts, ctx, vocab) = charlmModelOf(d)
+    charlmScoreAgainst(d, counts, ctx, vocab)
+  }
+
+  /** Persist the trained model as catalog tables (`table` = bigram
+    * counts, `table_ctx` = context counts WITH the vocab size stamped on
+    * every row) — the KenLM-artifact analog of [[TextOps.writeMergeTable]]:
+    * train once on the reference corpus, score everything else against
+    * the artifact without retraining.
+    */
+  def writeCharLmTable(spark: SparkSession, sfDir: String, table: String): Unit = {
+    val (counts, ctx, vocab) = charlmModelOf(docs(spark, sfDir).select("doc_id", "text"))
+    graft.operators.VectorOps.clearStaleLocation(spark, table)
+    graft.operators.VectorOps.clearStaleLocation(spark, table + "_ctx")
+    counts.write.mode("overwrite").format("parquet").saveAsTable(table)
+    ctx.crossJoin(vocab).write.mode("overwrite").format("parquet").saveAsTable(table + "_ctx")
+  }
+
+  /** Score `sfDir`'s documents against the PERSISTED model — no
+    * training pass; the model side is two tiny broadcast table reads.
+    */
+  def charlmScoreWithTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val ctxV = spark.table(table + "_ctx")
+    require(ctxV.limit(1).count() == 1,
+      s"charlm model table ${table}_ctx is empty — train first (writeCharLmTable)")
+    charlmScoreAgainst(docs(spark, sfDir).select("doc_id", "text"),
+      spark.table(table), ctxV.select("ch", "c_a"),
+      ctxV.select("v").limit(1))
+      .orderBy("doc_id")
   }
 
   private def charlmQuality(spark: SparkSession, sfDir: String): DataFrame =
     charlmScoreOf(docs(spark, sfDir).select("doc_id", "text")).orderBy("doc_id")
 
+  /** CCNet's head/middle/tail partition: tertile-bucket the corpus by LM
+    * score (head = most in-distribution). Thresholds come from
+    * `percentile_approx` — a MERGEABLE quantile sketch, so at 100 TB the
+    * thresholds are one partial-agg pass (no global sort, no windowed
+    * ntile funnel — the `sample_stratified` idiom), broadcast back as a
+    * 1-row frame. Bucket bounds hold by construction of the when-chain;
+    * tertile sizes are approximate by design (sketch accuracy 10⁻⁴).
+    */
+  private[graft] def qualityBucketsOf(scored: DataFrame): DataFrame = {
+    val th = scored.agg(
+      expr("percentile_approx(bits, 0.3333333333333333D, 10000)").as("t1"),
+      expr("percentile_approx(bits, 0.6666666666666667D, 10000)").as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("bits"),
+        when(col("bits") <= col("t1"), "head")
+          .when(col("bits") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBucketsOf(charlmScoreOf(docs(spark, sfDir).select("doc_id", "text")))
+      .orderBy("doc_id")
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
     "charlm_quality" -> QueryDef(charlmQuality, None),
+
+    "quality_buckets" -> QueryDef(qualityBuckets, None),
 
     "doc_repetition" -> QueryDef(docRepetition,
       Some(s"""WITH d AS (

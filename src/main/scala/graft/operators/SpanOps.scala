@@ -199,6 +199,30 @@ object SpanOps {
   private def stripDupSpans(spark: SparkSession, sfDir: String): DataFrame =
     stripSpansOf(planted(docs(spark, sfDir))).orderBy("doc_id")
 
+  /** Per-document duplication report + the threshold drop rule: span
+    * count, duplicated char mass, duplicated fraction, and
+    * `keep = dup_frac <= 0.5` (curation pipelines drop documents that
+    * are mostly duplicated content rather than cutting them — cutting
+    * mid-document hurts fluency; cf. Lee et al. §4's removal policies).
+    * Span-free docs report zeros and keep. The LEFT join is id-keyed —
+    * only ids and span summaries shuffle, never text.
+    */
+  private[graft] def dupProfileOf(d: DataFrame): DataFrame = {
+    val perDoc = dupSpansOf(d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_len").as("dup_chars"))
+    d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)) / col("n_chars")).as("dup_frac"),
+        (coalesce(col("dup_chars"), lit(0L)) / col("n_chars") <= 0.5).as("keep"))
+  }
+
+  private def dupProfile(spark: SparkSession, sfDir: String): DataFrame =
+    dupProfileOf(planted(docs(spark, sfDir))).orderBy("doc_id")
+
   // ---- declarations ------------------------------------------------------
 
   /** Shared oracle CTE chain up to the span relation (DuckDB). `range` is
@@ -255,6 +279,18 @@ object SpanOps {
               |FROM d LEFT JOIN rebuilt r USING (doc_id)
               |ORDER BY d.doc_id""".stripMargin)),
 
-    "dup_spans_winnow" -> QueryDef(dupSpansWinnow, None)
+    "dup_spans_winnow" -> QueryDef(dupSpansWinnow, None),
+
+    "dup_profile" -> QueryDef(dupProfile,
+      Some(s"""$SpansSqlCte,
+              |p AS (
+              |  SELECT doc_id, count(*) AS n_spans, CAST(sum(span_len) AS BIGINT) AS dup_chars
+              |  FROM spans GROUP BY doc_id)
+              |SELECT d.doc_id, length(d.text) AS n_chars,
+              |       coalesce(p.n_spans, 0) AS n_spans,
+              |       coalesce(p.dup_chars, 0) AS dup_chars,
+              |       coalesce(p.dup_chars, 0) / length(d.text) AS dup_frac,
+              |       coalesce(p.dup_chars, 0) / length(d.text) <= 0.5 AS keep
+              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
 }

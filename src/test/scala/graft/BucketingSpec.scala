@@ -536,4 +536,15 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atRest == Set(1L, 301L, 304L),
       s"exactly one sibling (the min-id one) must index: $atRest")
   }
+
+  test("charlm persisted model scores the training corpus row-identically to the inline key") {
+    graft.operators.HygieneOps.writeCharLmTable(spark, sfDir, "charlm_model_b")
+    val persisted = graft.operators.HygieneOps
+      .charlmScoreWithTable(spark, sfDir, "charlm_model_b").collect()
+    val inline = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
+    assert(persisted.length == inline.length && persisted.nonEmpty)
+    assert(persisted.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      inline.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+      "train-once path must reproduce the inline key exactly")
+  }
 }

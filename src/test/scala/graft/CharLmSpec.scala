@@ -72,6 +72,40 @@ class CharLmSpec extends AnyFunSuite {
       s"natural ${bits(1L)} must beat junk ${bits(9L)}")
   }
 
+  test("a foreign corpus with unseen bigrams scores finitely via smoothing, no dropped docs") {
+    import spark.implicits._
+    // chars far outside the training charset: unseen bigrams AND contexts
+    val foreign = Seq(100L -> "üßéüßé", 101L -> "normal words here")
+      .toDF("doc_id", "text")
+    val (c, x, v) = HygieneOps.charlmModelOf(
+      graft.sources.Tables(spark, sfDir, "documents").select("doc_id", "text"))
+    val out = HygieneOps.charlmScoreAgainst(foreign, c, x, v)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, "unseen bigrams must not drop documents")
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    // every bigram of doc 100 has unseen context AND unseen pair, so each
+    // term is exactly -log2((0+1)/(0+V)) = log2(V): the smoothing floor
+    val vv = v.collect()(0).getLong(0)
+    val expected = BigDecimal(StrictMath.log(1.0 / vv) / StrictMath.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0).getDouble(2) - (-expected)) < 1e-9,
+      s"unseen-everything doc must score exactly log2(V): ${out(0).getDouble(2)} vs ${-expected}")
+  }
+
+  test("quality_buckets: bounds hold by construction, tertiles roughly balanced") {
+    val out = SparkEntry.queries("quality_buckets")(spark, sfDir).collect()
+    assert(out.length == 500)
+    val byBucket = out.groupBy(_.getString(3)).view.mapValues(_.map(_.getDouble(2))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head must score at most middle")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle must score at most tail")
+    byBucket.foreach { case (b, xs) =>
+      assert(xs.length > 100 && xs.length < 235, s"bucket $b size ${xs.length} not ~tertile")
+    }
+  }
+
   test("score is invariant to corpus partitioning (decimal-sum discipline)") {
     val one = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
     val docs = graft.sources.Tables(spark, sfDir, "documents")

@@ -126,6 +126,24 @@ class SpanSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_profile: zeros for span-free docs, mass conservation, threshold rule") {
+    val spans = SparkEntry.queries("dup_spans")(spark, sfDir).collect()
+    val prof = SparkEntry.queries("dup_profile")(spark, sfDir).collect()
+    assert(prof.length == 500, "every doc must appear in the profile")
+    val mass = spans.groupBy(_.getLong(0))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getAs[Long]("span_len")).sum)).toMap
+    prof.foreach { r =>
+      val id = r.getLong(0)
+      val (nSpans, dupChars) = mass.getOrElse(id, (0L, 0L))
+      assert(r.getAs[Long]("n_spans") == nSpans && r.getAs[Long]("dup_chars") == dupChars,
+        s"doc $id profile disagrees with dup_spans")
+      assert(r.getAs[Boolean]("keep") ==
+        (dupChars.toDouble / r.getAs[Long]("n_chars") <= 0.5))
+    }
+    assert(prof.exists(!_.getAs[Boolean]("keep")),
+      "the corpus' full duplicates must trip the 50% rule")
+  }
+
   test("winnow sibling is sound (every winnow span inside an exact span) and hits the boiler") {
     val docs = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
     val exact = SpanOps.dupSpansOf(docs)
