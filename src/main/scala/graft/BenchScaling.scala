@@ -36,9 +36,21 @@ object BenchScaling {
     * cut its growth to ~1.25×).
     */
   val GrowthNotes: Map[String, String] = Map(
-    "near_dup_edit" -> ("quadratic-verify baseline on a bounded id range: pair count and " +
-      "O(n*m) levenshtein work grow with length-bucket population, by design; the " +
-      "production path verifies minhash band candidates instead"))
+    "near_dup_edit" -> ("quadratic-verify baseline on a bounded id range: pair count grows " +
+      "with length-bucket population by design (banded threshold levenshtein bounds the " +
+      "per-pair cost to a 2-tau strip with early abort); the production path verifies " +
+      "minhash band candidates instead"),
+    "dup_spans" -> ("stride-1 exact gram marking is corpus-chars-LINEAR by design (that is " +
+      "the ExactSubstr contract); wall tracks input chars once past the floor; the " +
+      "production path is dup_spans_winnow at 1/p of the shuffle volume"),
+    "dup_spans_winnow" -> "same chars-linear generation as dup_spans; the 1/p saving is in shuffle volume, not generation",
+    "dup_profile" -> "inherits dup_spans' chars-linear gram marking",
+    "strip_dup_spans" -> "inherits dup_spans' chars-linear gram marking plus a text-rebuild map pass",
+    "charlm_quality" -> ("trains the bigram model inline per invocation (deliberate, for " +
+      "key-signature determinism — the bpe_encode precedent); train+score is " +
+      "corpus-chars-linear; the production path is charlmScoreWithTable over the " +
+      "persisted model, which drops the training pass"),
+    "quality_buckets" -> "charlm_quality plus one mergeable-sketch pass — same chars-linear shape")
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

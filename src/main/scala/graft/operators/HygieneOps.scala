@@ -422,6 +422,57 @@ object HygieneOps {
     charlmScoreAgainst(d, counts, ctx, vocab)
   }
 
+  /** The NARROW (per-row, shuffle-free) scoring form: the trained model
+    * collected into literal maps — legitimate because the model is
+    * metadata-bounded (≤ |charset|² rows, the codebook-collect idiom) —
+    * and the per-doc mean surprisal computed by one higher-order fold
+    * over the document's own bigrams. No explode, no groupBy, no join:
+    * pure Column algebra, so it composes with a STREAMING frame per
+    * micro-batch unchanged (the `withQualityScore`/`withPiiScrub`
+    * composition contract). Term-wise decimal casts in the fold sum the
+    * SAME rounded terms as [[charlmScoreAgainst]]'s Num.dsum in document
+    * order — decimal addition is associative, so the two forms agree
+    * bit-for-bit (pinned in CharLmSpec).
+    *
+    * Appends `n_bigrams` (0 for docs shorter than 2 chars) and `bits`
+    * (null for such docs) to any frame with a `text` column.
+    */
+  private[graft] def withCharLmScore(d: DataFrame,
+      mBg: Map[String, Long], mA: Map[String, Long], v: Long): DataFrame = {
+    val bgLit = typedlit(mBg)
+    val aLit = typedlit(mA)
+    d.withColumn("n_bigrams",
+      greatest(length(col("text")) - 1, lit(0)).cast("long"))
+      .withColumn("bits",
+        when(col("n_bigrams") > 0,
+          -aggregate(
+            transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+              i => col("text").substr(i, lit(2))),
+            lit(BigDecimal(0)).cast("decimal(28,6)"),
+            // the cast back to the accumulator's type each step keeps the
+            // fold well-typed (decimal + adds a digit of precision per
+            // Spark's result-type rule) and is lossless: 6-dp sums stay
+            // exact at 6 dp, and sum(cast(term AS DECIMAL(18,6))) in
+            // charlmScoreAgainst ALSO lands in decimal(28,6) — bitwise
+            // the same value, so the two forms agree exactly
+            (acc, bg) => (acc +
+              log2((coalesce(element_at(bgLit, bg), lit(0L)) + lit(1L)) /
+                (coalesce(element_at(aLit, bg.substr(lit(1), lit(1))), lit(0L)) + lit(v)))
+                .cast("decimal(18,6)")).cast("decimal(28,6)"))
+            .cast("double") / col("n_bigrams")))
+  }
+
+  /** Collect a trained model into the literal-map form used by
+    * [[withCharLmScore]] — driver-side but metadata-bounded (the
+    * ANN-codebook collect idiom).
+    */
+  private[graft] def collectCharLmModel(counts: DataFrame, ctx: DataFrame,
+      vocab: DataFrame): (Map[String, Long], Map[String, Long], Long) = {
+    val mBg = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mA = ctx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (mBg, mA, vocab.collect()(0).getLong(0))
+  }
+
   /** Persist the trained model as catalog tables (`table` = bigram
     * counts, `table_ctx` = context counts WITH the vocab size stamped on
     * every row) — the KenLM-artifact analog of [[TextOps.writeMergeTable]]:

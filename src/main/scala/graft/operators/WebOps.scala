@@ -125,6 +125,25 @@ object WebOps {
   private def domainFilter(spark: SparkSession, sfDir: String): DataFrame =
     domainFilterOf(spark, decorated(docs(spark, sfDir))).orderBy("doc_id")
 
+  /** The NARROW (per-row) gate form: URL extraction, domain resolution
+    * and the blocklist check as pure Column algebra over the in-row URL
+    * array — no explode, no join, no shuffle, so it composes with a
+    * STREAMING frame per micro-batch unchanged (the `withPiiScrub`
+    * composition contract). Equivalent to [[domainFilterOf]] row for row
+    * (pinned in WebSpec); the literal blocklist stands where a broadcast
+    * table would for a list too big to inline — for real KB-sized lists
+    * either shape works, and the join form is the one that scales past
+    * that.
+    */
+  private[graft] def withDomainGate(d: DataFrame): DataFrame = {
+    val urls = regexp_extract_all(col("text"), lit(UrlRe), lit(0))
+    val domains = transform(urls, u =>
+      regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1))
+    d.withColumn("n_urls", size(urls).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(domains, dm => dm.isInCollection(Blocklist))).cast("long"))
+  }
+
   // ---- declarations ------------------------------------------------------
 
   private val UrlsSqlCte: String =

@@ -183,6 +183,57 @@ object StreamMerge {
       .foreachBatch(DedupGate.gateDecisions(sigTable,
         (out, id) => onBatch(out.drop("text"), id), onGateTimings) _)
 
+  /** [[gatedIngestPipeline]] with the round-13 hygiene gates composed
+    * in — the full production ingest chain: within-stream exact dedup →
+    * length gate → heuristic quality gate → URL-BLOCKLIST gate
+    * (`blocked_domain`) → MODEL-quality gate (`lm_tail`: bits above
+    * `maxBits`, CCNet's tail cut, scored against a PRE-TRAINED model —
+    * [[graft.operators.HygieneOps.collectCharLmModel]] of a persisted
+    * [[graft.operators.HygieneOps.writeCharLmTable]] artifact) →
+    * stream-static exact-dup classification → per-batch near-dup gate.
+    *
+    * Both new gates are NARROW Column algebra
+    * ([[graft.operators.WebOps.withDomainGate]] /
+    * [[graft.operators.HygieneOps.withCharLmScore]] with literal-map
+    * lookups): the streaming plan gains no state, no shuffle, and no new
+    * watermark — per-batch cost is per-row expression work, and the
+    * near-dup gate's signature pass still runs only on surviving
+    * `insert` rows. Decision precedence mirrors `corpus_filter_rep`'s
+    * documented chain: cheap structural gates before model gates before
+    * dup classification, so each batch row is attributed to the FIRST
+    * reason it would be excluded.
+    */
+  def gatedIngestPipelineHygiene(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String,
+      onBatch: (DataFrame, Long) => Unit,
+      mBg: Map[String, Long], mA: Map[String, Long], v: Long,
+      maxBits: Double,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] = {
+    val scored = graft.operators.HygieneOps.withCharLmScore(
+      graft.operators.WebOps.withDomainGate(
+        graft.operators.TextOps.withQualityScore(docs)), mBg, mA, v)
+    scored
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("h")
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"),
+        col("n_urls"), col("n_blocked"), col("bits"),
+        when(col("n_tok") < minTokens, "short")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("n_blocked") > 0, "blocked_domain")
+          .when(col("bits") > maxBits, "lm_tail")
+          .when(col("existing_id").isNotNull, "skip_dup")
+          .otherwise("insert").as("decision"),
+        col("existing_id"), col("ts"), col("text"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(DedupGate.gateDecisions(sigTable,
+        (out, id) => onBatch(out.drop("text"), id)) _)
+  }
+
   /** [[gatedIngestPipeline]] plus the COMPLIANCE SCRUB — the complete
     * ingest chain a 100 TB pipeline actually runs, in one query: exact
     * dedup → quality → merge → near-dup gate → PII redaction on the rows

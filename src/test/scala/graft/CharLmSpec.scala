@@ -106,6 +106,22 @@ class CharLmSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow literal-map scoring form agrees bit-for-bit with the join form") {
+    val d = graft.sources.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val (c, x, v) = HygieneOps.charlmModelOf(d)
+    val (mBg, mA, vv) = HygieneOps.collectCharLmModel(c, x, v)
+    val narrow = HygieneOps.withCharLmScore(d, mBg, mA, vv)
+      .select("doc_id", "n_bigrams", "bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val joined = HygieneOps.charlmScoreAgainst(d, c, x, v).collect()
+    assert(joined.nonEmpty && narrow.size == joined.length)
+    joined.foreach { r =>
+      assert(narrow(r.getLong(0)) == (r.getLong(1), r.getDouble(2)),
+        s"doc ${r.getLong(0)}: narrow ${narrow(r.getLong(0))} vs join " +
+          s"(${r.getLong(1)}, ${r.getDouble(2)})")
+    }
+  }
+
   test("score is invariant to corpus partitioning (decimal-sum discipline)") {
     val one = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
     val docs = graft.sources.Tables(spark, sfDir, "documents")

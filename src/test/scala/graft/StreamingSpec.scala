@@ -1130,6 +1130,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(atRest == Set(1L, 602L, 607L), s"only unflagged inserts may index: $atRest")
   }
 
+  test("hygiene-gated pipeline: blocklist and LM gates slot into the chain, narrow and stateless") {
+    import graft.streaming.{DedupGate, StreamMerge}
+    import graft.operators.HygieneOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    // the known doc must be IN-distribution (same seed family as the
+    // training corpus) or the LM gate legitimately fires before the dup
+    // classification — precedence attributes to the FIRST exclusion
+    val knownText = wt("w5")
+    // model trained on in-distribution text; junk is rare-transition soup
+    // long enough to pass the length gate
+    val trainCorpus = (1L to 20L).map(i => i -> wt(s"w$i")).toDF("doc_id", "text")
+    val (c, x, v) = HygieneOps.charlmModelOf(trainCorpus)
+    val (mBg, mA, vv) = HygieneOps.collectCharLmModel(c, x, v)
+    val normalText = wt("w3")
+    val junkText = (1 to 30).map(i => s"zqxj${i}vkwq").mkString(" ")
+    val bitsOf = HygieneOps.withCharLmScore(
+      Seq(1L -> normalText, 2L -> junkText).toDF("doc_id", "text"), mBg, mA, vv)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits")).toMap
+    assert(bitsOf(1L) < bitsOf(2L), s"model must separate normal/junk: $bitsOf")
+    val maxBits = (bitsOf(1L) + bitsOf(2L)) / 2
+    val staticBase = Seq((10L, knownText)).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("corp")).toDF("doc_id", "text"), "gate_hyg_idx", nBuckets = 8)
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-hygpipe-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String)]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData(Seq(
+      (701L, normalText, at(10)),                                   // insert + index
+      (702L, normalText + " see https://x.badsite.com/p", at(11)),  // blocked_domain
+      (703L, junkText, at(12)),                                     // lm_tail
+      (704L, "tiny doc", at(13)),                                   // short
+      (705L, knownText, at(14))))                                   // skip_dup
+    val q = StreamMerge.gatedIngestPipelineHygiene(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase, "gate_hyg_idx",
+      (df, _) => df.collect().foreach { r =>
+        acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision")))
+      },
+      mBg, mA, vv, maxBits, minQuality = 0.0)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = acc.asScala.toMap
+    assert(byId == Map(701L -> "insert", 702L -> "blocked_domain",
+      703L -> "lm_tail", 704L -> "short", 705L -> "skip_dup"),
+      s"hygiene decisions wrong: ${acc.asScala.toSeq}")
+    // only the clean insert may append signatures
+    spark.catalog.refreshTable("gate_hyg_idx")
+    val atRest = spark.table("gate_hyg_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 701L), s"only unflagged inserts may index: $atRest")
+  }
+
   test("windowed ingest stats: counts emit exactly once on watermark close; late docs cannot reopen a window") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.Row

@@ -50,6 +50,25 @@ class WebSpec extends AnyFunSuite {
     assert(out(4L) == (1L, 1L, false), "apex-domain link must match the blocklist")
   }
 
+  test("narrow gate form equals the broadcast-join filter row for row") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "no links in this document at all",
+      2L -> "one good https://ok.example.org/a and one bad https://x.badsite.com/p",
+      3L -> "tracker http://a.tracker.net plus https://fine.example.org",
+      4L -> "bare apex https://badsite.com end"
+    ).toDF("doc_id", "text")
+    val joinForm = WebOps.domainFilterOf(spark, d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val narrowForm = WebOps.withDomainGate(d)
+      .select(col("doc_id"), col("n_urls"), col("n_blocked"),
+        (col("n_blocked") === 0).as("keep"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(joinForm.toSeq == narrowForm.toSeq,
+      s"forms disagree: ${joinForm.toSeq} vs ${narrowForm.toSeq}")
+  }
+
   test("declared keys are mutually consistent on the real corpus") {
     val urls = SparkEntry.queries("url_extract")(spark, sfDir)
     val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
