@@ -209,11 +209,52 @@ object StreamDemo {
     val gatedScrub = pSeen.get(202L).exists(t => t._1 == "insert" &&
       t._4.contains(1L) && t._3.exists(s => s.contains("<EMAIL>") && s.contains("<IP>")))
 
+    // Hygiene-pipeline epilogue (round 13): the chain with the URL
+    // blocklist and the pre-trained-LM tail gates composed in — one
+    // batch carries a blocked-domain doc and an out-of-distribution junk
+    // doc; each must be attributed to ITS gate, and only the clean
+    // insert may index.
+    val hyTrain = (1L to 12L).map(i => i -> wt(s"hw$i")).toDF("doc_id", "text")
+    val (hc, hx, hv) = graft.operators.HygieneOps.charlmModelOf(hyTrain)
+    val (hmBg, hmA, hvv) = graft.operators.HygieneOps.collectCharLmModel(hc, hx, hv)
+    val hyJunk = (1 to 30).map(i => s"zqxj${i}vkwq").mkString(" ")
+    val hyBits = graft.operators.HygieneOps.withCharLmScore(
+      Seq(1L -> wt("hw3"), 2L -> hyJunk).toDF("doc_id", "text"), hmBg, hmA, hvv)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits")).toMap
+    val hyMax = (hyBits(1L) + hyBits(2L)) / 2
+    val gate3 = "stream_demo_gate3_idx"
+    DedupGate.writeSigIndex(spark,
+      Seq(0L -> wt("hseed")).toDF("doc_id", "text"), gate3, nBuckets = 4)
+    val hInput = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val hSeen = new scala.collection.concurrent.TrieMap[Long, String]()
+    val hCkpt = Files.createTempDirectory("graft-stream-hyg-ckpt").toString
+    hInput.addData(Seq(
+      (300L, wt("hw3"), new java.sql.Timestamp(10000L)),
+      (301L, wt("hw4") + " via https://x.badsite.com/p", new java.sql.Timestamp(11000L)),
+      (302L, hyJunk, new java.sql.Timestamp(12000L))))
+    val hq = StreamMerge.gatedIngestPipelineHygiene(
+      hInput.toDS().toDF("doc_id", "text", "ts"), baseIdx, gate3,
+      (df, _) => df.collect().foreach { r =>
+        hSeen.put(r.getAs[Long]("doc_id"), r.getAs[String]("decision"))
+      },
+      hmBg, hmA, hvv, hyMax, minQuality = 0.0)
+      .option("checkpointLocation", hCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    hq.awaitTermination()
+    val hygieneChain = hSeen.get(300L).contains("insert") &&
+      hSeen.get(301L).contains("blocked_domain") &&
+      hSeen.get(302L).contains("lm_tail")
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
-      s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub")
+      s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub " +
+      s"hygieneChain=$hygieneChain")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
-        gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub)) sys.exit(1)
+        gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub &&
+        hygieneChain)) sys.exit(1)
   }
 }

@@ -126,6 +126,56 @@ class SpanSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: engine spans equal an independent driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    (1 to 8).foreach { iter =>
+      val nDocs = 20 + rnd.nextInt(30)
+      val pool = Vector.fill(3)(
+        (0 until (35 + rnd.nextInt(40))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val corpus = (1L to nDocs.toLong).map { id =>
+        val base = (0 until (60 + rnd.nextInt(150)))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        val t = if (rnd.nextInt(3) == 0) {
+          val sn = pool(rnd.nextInt(pool.size))
+          val p = rnd.nextInt(base.length)
+          base.take(p) + sn + base.drop(p)
+        } else base
+        id -> t
+      }
+      // independent reference: exact gram marking + island merge in plain Scala
+      val sites = for {
+        (id, t) <- corpus
+        i <- 0 to t.length - K
+      } yield (t.substring(i, i + K), id, (i + 1).toLong)
+      val counts = sites.groupBy(_._1).view.mapValues(_.size).toMap
+      val ref = sites.filter(s => counts(s._1) >= 2)
+        .map(s => (s._2, s._3)).groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+          val positions = ps.map(_._2).sorted
+          val islands = positions.foldLeft(List.empty[List[Long]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: done, p) =>
+              if (p > cur.head + K) List(p) :: cur :: done
+              else (p :: cur) :: done
+          }.map(_.reverse).reverse
+          islands.map(ps2 =>
+            (id, ps2.head, ps2.last + K, ps2.last + K - ps2.head, ps2.length.toLong))
+        }.sortBy(r => (r._1, r._2))
+      val got = SpanOps.dupSpansOf(corpus.toDF("doc_id", "text"))
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == ref, s"iter $iter: engine spans diverge from reference")
+      // strip conservation on the same corpus: removed mass = span mass
+      val stripped = SpanOps.stripSpansOf(corpus.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val refMass = ref.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      corpus.foreach { case (id, _) =>
+        assert(stripped(id) == refMass.getOrElse(id, 0L),
+          s"iter $iter doc $id: removed ${stripped(id)} vs span mass ${refMass.getOrElse(id, 0L)}")
+      }
+    }
+  }
+
   test("dup_profile: zeros for span-free docs, mass conservation, threshold rule") {
     val spans = SparkEntry.queries("dup_spans")(spark, sfDir).collect()
     val prof = SparkEntry.queries("dup_profile")(spark, sfDir).collect()
