@@ -227,12 +227,53 @@ object GateBench {
         s""""rebuilds":$nRebuilds,"rebuild_total_sec":${f4(walls.map(_.rebuildSec).sum)},""" +
         s""""index_docs_seed":$nSeed,"index_docs_final":$finalIdx,""" +
         s""""index_growth":${f4(finalIdx.toDouble / nSeed)}}"""
+    // Hygiene-chain A/B epilogue: the SAME batch generator against a
+    // fresh seed-built index, through gatedIngestPipelineHygiene with a
+    // LOOSE LM threshold (so the decision mix matches the baseline run
+    // and the delta is pure gate cost) — measures what the two NARROW
+    // stages (URL blocklist + literal-map LM scoring) add per batch.
+    // Compared against the baseline run's FIRST windows (same index size
+    // regime; the baseline's later windows carry a grown index).
+    val HygieneBatches = 6
+    val (hc, hx, hv) = graft.operators.HygieneOps
+      .charlmModelOf(seed.toSeq.toDF("doc_id", "text"))
+    val (hmBg, hmA, hvv) = graft.operators.HygieneOps.collectCharLmModel(hc, hx, hv)
+    val gateTable2 = "gate_bench_hyg_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable2)
+    val input2 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val ckpt2 = Files.createTempDirectory("graft-gate-bench-hyg-ckpt").toString
+    val q2 = StreamMerge.gatedIngestPipelineHygiene(
+      input2.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable2,
+      (df: DataFrame, _: Long) => {
+        df.groupBy("decision").count().collect(): Unit
+      },
+      hmBg, hmA, hvv, maxBits = 1e9,
+      minTokens = 10, minQuality = 0.05)
+      .option("checkpointLocation", ckpt2)
+      .start()
+    val hWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygieneBatches) {
+      input2.addData(batchRows(b))
+      val t0 = System.nanoTime()
+      q2.processAllAvailable()
+      hWalls += (System.nanoTime() - t0) / 1e9
+    }
+    q2.stop()
+    val hygMed = median(hWalls.toSeq)
+    val baseEarlyMed = median(walls.take(HygieneBatches).map(_.wall).toSeq)
+    val hygiene =
+      s"""{"batches":$HygieneBatches,"median_wall":${f4(hygMed)},""" +
+        s""""base_first${HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
+        s""""overhead_ratio":${f4(hygMed / baseEarlyMed)}}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
-        s""""summary":$summary}"""
+        s""""summary":$summary,"hygiene":$hygiene}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"GATE_BENCH summary=$summary")
+    println(s"GATE_BENCH summary=$summary hygiene=$hygiene")
     spark.stop()
   }
 }

@@ -144,6 +144,45 @@ object WebOps {
         size(filter(domains, dm => dm.isInCollection(Blocklist))).cast("long"))
   }
 
+  /** Per-domain document cap. */
+  val DomainCapN = 25
+
+  /** Anti-domain-dominance capping (the C4/RefinedWeb counterpart of
+    * per-source mixture weights): each URL-bearing doc is attributed to
+    * its FIRST URL's registrable domain, and only the [[DomainCapN]]
+    * lowest doc_ids per domain keep — a mega-domain (SEO farm, mirror
+    * network) cannot dominate the corpus. URL-free docs are
+    * unconstrained (keep, null domain/rank).
+    *
+    * Scale shape: the rank is the `vocab_topk` SALTED TWO-PHASE top-k —
+    * phase 1 ranks within (domain, salt) so a mega-domain's rows spread
+    * over 8 reducers and at most 8·N survive it; phase 2 ranks the ≤8·N
+    * survivors per domain. No single reducer ever sees more than
+    * (domain rows)/8 in phase 1 or 8·N in phase 2.
+    */
+  private[graft] def domainCapOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prim = d.select(col("doc_id"),
+      get(transform(regexp_extract_all(col("text"), lit(UrlRe), lit(0)), u =>
+        regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1)),
+        lit(0)).as("domain"))
+    val withUrl = prim.filter(col("domain").isNotNull)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
+    val w1 = Window.partitionBy("domain", "salt").orderBy("doc_id")
+    val w2 = Window.partitionBy("domain").orderBy("doc_id")
+    val ranked = withUrl
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= DomainCapN)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= DomainCapN)
+      .select(col("doc_id"), col("rank"))
+    prim.join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("rank"),
+        (col("domain").isNull || col("rank").isNotNull).as("keep"))
+  }
+
+  private def domainCap(spark: SparkSession, sfDir: String): DataFrame =
+    domainCapOf(decorated(docs(spark, sfDir))).orderBy("doc_id")
+
   // ---- declarations ------------------------------------------------------
 
   private val UrlsSqlCte: String =
@@ -170,6 +209,24 @@ object WebOps {
               |       count(DISTINCT doc_id) AS n_docs,
               |       count(DISTINCT host) AS n_hosts
               |FROM uu GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    "domain_cap" -> QueryDef(domainCap,
+      Some(s"""WITH d AS ($DecoratedSql),
+              |p AS (
+              |  SELECT doc_id,
+              |         list_transform(regexp_extract_all(text, '$UrlRe'),
+              |           u -> regexp_extract(regexp_extract(u, 'https?://([^/]+)', 1),
+              |                               '([^.]+\\.[^.]+)$$', 1))[1] AS domain
+              |  FROM d),
+              |r AS (
+              |  SELECT doc_id, domain,
+              |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank
+              |  FROM p WHERE domain IS NOT NULL)
+              |SELECT p.doc_id, p.domain,
+              |       CASE WHEN r.rank <= $DomainCapN THEN r.rank END AS rank,
+              |       (p.domain IS NULL OR r.rank <= $DomainCapN) AS keep
+              |FROM p LEFT JOIN r USING (doc_id)
+              |ORDER BY p.doc_id""".stripMargin)),
 
     "domain_filter" -> QueryDef(domainFilter,
       Some(s"""$UrlsSqlCte,

@@ -69,6 +69,26 @@ class WebSpec extends AnyFunSuite {
       s"forms disagree: ${joinForm.toSeq} vs ${narrowForm.toSeq}")
   }
 
+  test("domain_cap: lowest-N ids keep per domain, url-free docs unconstrained, salt-invariant") {
+    import spark.implicits._
+    // 60 docs on one domain + 3 on another + 2 url-free
+    val d = ((1L to 60L).map(i => i -> s"doc $i https://h$i.big.org/p") ++
+      Seq(100L -> "a https://x.small.net/q", 101L -> "b https://y.small.net/q",
+        102L -> "c https://z.small.net/q", 200L -> "no urls here", 201L -> "none either"))
+      .toDF("doc_id", "text")
+    val out = WebOps.domainCapOf(d).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    val bigKept = (1L to 60L).filter(id => out(id)._3)
+    assert(bigKept == (1L to WebOps.DomainCapN.toLong), s"big.org must keep ids 1..25: $bigKept")
+    assert((100L to 102L).forall(out(_)._3), "under-cap domain keeps all")
+    assert(Seq(200L, 201L).forall(id => out(id) == ((None, None, true))),
+      "url-free docs unconstrained")
+    // the salted two-phase result must equal a plain single-phase rank
+    val ranks = out.collect { case (id, (Some("big.org"), Some(rk), true)) => id -> rk }
+    assert(ranks.toSeq.sortBy(_._1).map(_._2) == (1L to 25L),
+      s"ranks must be the dense 1..N by doc_id: $ranks")
+  }
+
   test("declared keys are mutually consistent on the real corpus") {
     val urls = SparkEntry.queries("url_extract")(spark, sfDir)
     val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
