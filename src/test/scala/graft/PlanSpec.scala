@@ -270,6 +270,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
   }
 
+  test("domain_cap phase-1 window partitions by (domain, salt), not domain alone") {
+    val p = plan("domain_cap")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.size == 2, s"expected exactly two windows:\n${windowLines.mkString("\n")}")
+    // deepest window = phase 1, the one that sees a domain's full
+    // population — it must fan out over the salt
+    assert(windowLines.last.contains("salt"),
+      s"the domain-sized phase-1 window is not salted:\n${windowLines.mkString("\n")}")
+  }
+
   test("charlm_quality broadcasts the model to the corpus, never the reverse") {
     val p = plan("charlm_quality")
     // two model joins (bigram counts, context counts) + the V scalar: all broadcast
