@@ -218,9 +218,22 @@ object TextOps {
       .withColumn("q", quota)
       .withColumn("thresh",
         least(lit(M), ceil(lit(Over) * col("q") * lit(M) / col("n")).cast("long")))
-    val hv = expr("aggregate(transform(split(concat('strat:', CAST(doc_id AS STRING)), ''), " +
+    // The raw fold is a fine FINGERPRINT but a biased DRAW: for a short
+    // numeric suffix the constant prefix term P·131^k dominates, so every
+    // id of the same digit-count lands in a narrow window of [0, M) and a
+    // low threshold can prune a whole stratum to ZERO (caught by the
+    // guard in the sf0.1 cross-check, where 4·q < n makes the prune
+    // real — at sf0.01 thresh clamps to M and the prune is a no-op).
+    // Squaring mod M is the minimal nonlinear mix: a width-w window maps
+    // to ~w points spread across the full range (h² spans ≈ 2·h·w ≫ M),
+    // stays exactly replayable in DuckDB, and cannot overflow
+    // (h < 1e9 ⇒ h² < 1e18 < 2⁶³). Uniformity re-verified empirically:
+    // every stratum at sf{0.001,0.01,0.1} keeps ≥ q under both quota
+    // shapes with the 4× oversample.
+    val fold = expr("aggregate(transform(split(concat('strat:', CAST(doc_id AS STRING)), ''), " +
       "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
-    val pruned = d.select(col("doc_id"), col("lang"), hv.as("hv"))
+    val pruned = d.select(col("doc_id"), col("lang"), fold.as("f"))
+      .select(col("doc_id"), col("lang"), (col("f") * col("f") % lit(M)).as("hv"))
       .join(broadcast(thresholds), "lang")
       .filter(col("hv") < col("thresh"))
     // the quota guard: the prune may only ever leave >= min(q, n)
@@ -853,12 +866,13 @@ object TextOps {
              |t AS (SELECT lang, n,
              |        least(1000000007, CAST(ceil(4.0 * 50 * 1000000007 / n) AS BIGINT)) AS thresh
              |      FROM c),
-             |h AS (SELECT d.doc_id, d.lang,
+             |h0 AS (SELECT d.doc_id, d.lang,
              |        list_reduce(list_prepend(CAST(0 AS BIGINT),
              |          list_transform(string_split('strat:' || CAST(d.doc_id AS VARCHAR), ''),
              |            ch -> ord(ch))),
-             |          (a, b) -> (a * 131 + b) % 1000000007) AS hv
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS f
              |      FROM documents d),
+             |h AS (SELECT doc_id, lang, (f * f) % 1000000007 AS hv FROM h0),
              |p AS (SELECT h.doc_id, h.lang, h.hv FROM h JOIN t USING (lang)
              |      WHERE h.hv < t.thresh),
              |r AS (SELECT lang, doc_id,
@@ -877,12 +891,13 @@ object TextOps {
              |t AS (SELECT lang, n, q,
              |        least(1000000007, CAST(ceil(4.0 * q * 1000000007 / n) AS BIGINT)) AS thresh
              |      FROM q),
-             |h AS (SELECT d.doc_id, d.lang,
+             |h0 AS (SELECT d.doc_id, d.lang,
              |        list_reduce(list_prepend(CAST(0 AS BIGINT),
              |          list_transform(string_split('strat:' || CAST(d.doc_id AS VARCHAR), ''),
              |            ch -> ord(ch))),
-             |          (a, b) -> (a * 131 + b) % 1000000007) AS hv
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS f
              |      FROM documents d),
+             |h AS (SELECT doc_id, lang, (f * f) % 1000000007 AS hv FROM h0),
              |p AS (SELECT h.doc_id, h.lang, h.hv, t.q FROM h JOIN t USING (lang)
              |      WHERE h.hv < t.thresh),
              |r AS (SELECT lang, doc_id, q,

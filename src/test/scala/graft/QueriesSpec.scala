@@ -51,10 +51,14 @@ class QueriesSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val out = SparkEntry.queries("sample_stratified")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // independent ground truth: same Karp-Rabin draw, naive full sort per
-    // stratum (no prune) computed driver-side
-    def hv(id: Long): Long =
-      s"strat:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    // independent ground truth: same squared Karp-Rabin draw (the square
+    // is the uniformity mix — the raw fold is digit-count-windowed and a
+    // real prune can empty a stratum; see stratifiedSample), naive full
+    // sort per stratum (no prune) computed driver-side
+    def hv(id: Long): Long = {
+      val f = s"strat:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      f * f % 1000000007L
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
     val truth = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
