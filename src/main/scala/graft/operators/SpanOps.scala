@@ -176,8 +176,20 @@ object SpanOps {
     * emits the tail. No UDF — the fold is a Catalyst `aggregate` over a
     * per-doc array bounded by document length.
     */
-  private[graft] def stripSpansOf(d: DataFrame): DataFrame = {
-    val spans = dupSpansOf(d)
+  private[graft] def stripSpansOf(d: DataFrame): DataFrame =
+    stripWith(d, dupSpansOf(d))
+
+  /** Production sibling: the same cut driven by the WINNOWED span
+    * relation — soundness (winnow spans ⊆ exact spans) means it removes
+    * a SUBSET of the exact cut's mass, never non-duplicated text; recall
+    * follows the winnow guarantee (long duplicated runs are cut with
+    * probability 1−(1−1/p)^(L−K+1), deterministic per corpus).
+    */
+  private[graft] def stripSpansWinnowOf(d: DataFrame, p: Int = WinnowP): DataFrame =
+    stripWith(d, dupSpansWinnowOf(d, p))
+
+  private def stripWith(d: DataFrame, spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
     d.join(spans, Seq("doc_id"), "left")

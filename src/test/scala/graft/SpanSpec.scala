@@ -194,6 +194,25 @@ class SpanSpec extends AnyFunSuite {
       "the corpus' full duplicates must trip the 50% rule")
   }
 
+  test("winnow strip removes a subset of the exact cut's mass, and cuts every planted doc") {
+    val d = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
+    val exact = SpanOps.stripSpansOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val win = SpanOps.stripSpansWinnowOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(win.length == exact.size)
+    win.foreach { case (id, removed) =>
+      // soundness: a subset of the exact spans can only remove less
+      assert(removed <= exact(id),
+        s"doc $id: winnow removed $removed > exact ${exact(id)} — unsound")
+      // recall on the planted docs: the boiler hosts >= 1 selected gram
+      // (pinned by the span test), so SOME cut must land; full coverage
+      // is not promised — winnow fragments may leave boiler edges
+      if (id % 6 == 1)
+        assert(removed > 0, s"planted doc $id saw no winnow cut at all")
+    }
+  }
+
   test("winnow sibling is sound (every winnow span inside an exact span) and hits the boiler") {
     val docs = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
     val exact = SpanOps.dupSpansOf(docs)
