@@ -436,6 +436,12 @@ object HygieneOps {
     *
     * Appends `n_bigrams` (0 for docs shorter than 2 chars) and `bits`
     * (null for such docs) to any frame with a `text` column.
+    *
+    * SIZE LIMIT: a literal map materializes in the plan, so this form is
+    * for models up to ~10⁴ entries (any char-bigram model qualifies — a
+    * full Unicode corpus charset does not). Larger models (word-level,
+    * real KenLM tables) use [[charlmScoreAgainst]]'s broadcast-join form
+    * — same numbers, one broadcast instead of a literal.
     */
   private[graft] def withCharLmScore(d: DataFrame,
       mBg: Map[String, Long], mA: Map[String, Long], v: Long): DataFrame = {
