@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,7 +110,8 @@ object SpanOps {
     * the running span end because K is constant and positions ascend —
     * the previous row always holds the furthest end so far.
     */
-  private def mergeSpans(marked: DataFrame): DataFrame = {
+  private def mergeSpans(marked: DataFrame,
+      extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("new_span",
@@ -119,10 +120,11 @@ object SpanOps {
       .withColumn("span_id", sum("new_span").over(w))
       .groupBy("doc_id", "span_id")
       .agg(min("pos").as("span_start"),
-        (max("pos") + GramK).as("span_end"),
-        count(lit(1)).as("n_grams"))
+        Seq((max("pos") + GramK).as("span_end"), count(lit(1)).as("n_grams")) ++
+          extraAggs.map { case (c, n) => c.as(n) }: _*)
       .withColumn("span_len", col("span_end") - col("span_start"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"), col("n_grams"))
+      .select(Seq(col("doc_id"), col("span_start"), col("span_end"), col("span_len"),
+        col("n_grams")) ++ extraAggs.map { case (_, n) => col(n) }: _*)
   }
 
   /** Core: duplicated-span relation of a `(doc_id, text)` frame. The
@@ -235,6 +237,44 @@ object SpanOps {
   private def dupProfile(spark: SparkSession, sfDir: String): DataFrame =
     dupProfileOf(planted(docs(spark, sfDir))).orderBy("doc_id")
 
+  /** Substring-level benchmark decontamination — the char-exact
+    * ExactSubstr variant of [[DedupOps]]' token-shingle `decontaminate`
+    * (Lee et al. §6.2 run eval-dedup exactly this way): every maximal
+    * TRAIN-doc span whose K-grams appear verbatim in the EVAL corpus,
+    * with the lowest implicated eval doc per span. Catches contamination
+    * token-shingle overlap misses (sub-token edits, punctuation drift
+    * inside an 8-token window) and pinpoints WHERE the leak is, not just
+    * that one exists.
+    *
+    * Same broadcast contract as `decontaminate`: the eval side is
+    * benchmark-sized, so its distinct gram table broadcasts and the
+    * train corpus never shuffles for the match — only MATCHED sites (a
+    * vanishing fraction) reach the per-doc merge window.
+    *
+    * Cross-set only by construction: a run shared between two TRAIN docs
+    * but absent from eval is NOT reported (pinned in SpanSpec) — that is
+    * `dup_spans`' job.
+    */
+  private[graft] def crossSpansOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalGrams = gramSites(eval)
+      .groupBy("gram").agg(min("doc_id").as("first_eval"))
+    val marked = gramSites(train).join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id", "pos", "first_eval")
+    mergeSpans(marked, Seq(min(col("first_eval")) -> "first_eval"))
+  }
+
+  /** Declared key: the same `doc_id % 10 = 7` eval slice as
+    * `decontaminate`, over the PLANTED corpus — the shared boiler tail
+    * guarantees cross-set hits by construction (planted train docs and
+    * planted eval docs share it verbatim), alongside the corpus'
+    * natural train/eval near-dup leaks.
+    */
+  private def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(docs(spark, sfDir))
+    crossSpansOf(d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---- declarations ------------------------------------------------------
 
   /** Shared oracle CTE chain up to the span relation (DuckDB). `range` is
@@ -292,6 +332,36 @@ object SpanOps {
               |ORDER BY d.doc_id""".stripMargin)),
 
     "dup_spans_winnow" -> QueryDef(dupSpansWinnow, None),
+
+    "decontaminate_spans" -> QueryDef(decontaminateSpans,
+      Some(s"""WITH d AS ($PlantedSql),
+              |tg AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
+              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK AND doc_id % 10 <> 7),
+              |eg AS (
+              |  SELECT substring(text, CAST(i AS INT), $GramK) AS gram, min(doc_id) AS first_eval
+              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK AND doc_id % 10 = 7
+              |  GROUP BY 1),
+              |m AS (
+              |  SELECT tg.doc_id, tg.pos, eg.first_eval
+              |  FROM tg JOIN eg USING (gram)),
+              |w AS (
+              |  SELECT doc_id, pos, first_eval,
+              |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
+              |                        + $GramK
+              |              THEN 1 ELSE 0 END AS new_span
+              |  FROM m),
+              |isl AS (
+              |  SELECT doc_id, pos, first_eval,
+              |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              |  FROM w)
+              |SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end,
+              |       max(pos) + $GramK - min(pos) AS span_len, count(*) AS n_grams,
+              |       min(first_eval) AS first_eval
+              |FROM isl GROUP BY doc_id, span_id
+              |ORDER BY doc_id, span_start""".stripMargin)),
 
     "dup_profile" -> QueryDef(dupProfile,
       Some(s"""$SpansSqlCte,

@@ -194,6 +194,44 @@ class SpanSpec extends AnyFunSuite {
       "the corpus' full duplicates must trip the 50% rule")
   }
 
+  test("decontaminate_spans: cross-set runs exactly reported; train-train runs invisible") {
+    import spark.implicits._
+    val run = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '7')).mkString // shared with eval
+    val runTT = (('A' to 'Z') ++ ('0' to '9') ++ Seq('#', '$', '%', '&')).mkString // train-train only
+    assert(!run.sliding(K).exists(g => runTT.contains(g)), "fixtures must not share grams")
+    val train = Seq(
+      1L -> (filler('a', 70) + run + filler('b', 40)),
+      2L -> (filler('c', 55) + runTT + filler('d', 60)),
+      3L -> (filler('e', 45) + runTT + filler('f', 80))).toDF("doc_id", "text")
+    val eval = Seq(100L -> (filler('g', 30) + run + filler('h', 50))).toDF("doc_id", "text")
+    val out = SpanOps.crossSpansOf(train, eval).collect()
+    assert(out.length == 1, s"only the cross-set run may report: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getAs[Long]("span_start") == 71L &&
+      r.getAs[Long]("span_end") == 131L && r.getAs[Long]("first_eval") == 100L,
+      s"wrong cross span: $r")
+  }
+
+  test("decontaminate_spans key: every planted train doc's boiler is flagged against eval") {
+    val out = SparkEntry.queries("decontaminate_spans")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted TRAIN docs (boiler appended, not in the eval slice) must
+    // all be flagged with a span reaching into the boiler tail, and the
+    // implicated eval doc must be an eval-slice id
+    val plantedTrain = docs.keySet.filter(id => id % 6 == 1 && id % 10 != 7)
+    val flagged = out.groupBy(_.getLong(0))
+    plantedTrain.foreach { id =>
+      val spans = flagged.getOrElse(id, Array.empty)
+      assert(spans.exists(_.getAs[Long]("span_end") > docs(id) + 1),
+        s"planted train doc $id not flagged in its boiler tail")
+    }
+    out.foreach(r => assert(r.getAs[Long]("first_eval") % 10 == 7,
+      s"first_eval must be an eval-slice doc: $r"))
+  }
+
   test("winnow strip removes a subset of the exact cut's mass, and cuts every planted doc") {
     val d = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
     val exact = SpanOps.stripSpansOf(d).collect()
