@@ -50,7 +50,9 @@ object BenchScaling {
       "key-signature determinism — the bpe_encode precedent); train+score is " +
       "corpus-chars-linear; the production path is charlmScoreWithTable over the " +
       "persisted model, which drops the training pass"),
-    "quality_buckets" -> "charlm_quality plus one mergeable-sketch pass — same chars-linear shape")
+    "quality_buckets" -> "charlm_quality plus one mergeable-sketch pass — same chars-linear shape",
+    "decontaminate_spans" -> ("chars-linear train-side gram generation (the dup_spans family " +
+      "shape); the eval side broadcasts, so growth tracks train chars only"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
