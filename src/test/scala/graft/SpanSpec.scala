@@ -173,6 +173,14 @@ class SpanSpec extends AnyFunSuite {
         assert(stripped(id) == refMass.getOrElse(id, 0L),
           s"iter $iter doc $id: removed ${stripped(id)} vs span mass ${refMass.getOrElse(id, 0L)}")
       }
+      // winnow soundness against the REFERENCE spans (not just the
+      // engine's own exact spans): every winnow span sits inside one
+      val refByDoc = ref.groupBy(_._1)
+      SpanOps.dupSpansWinnowOf(corpus.toDF("doc_id", "text")).collect().foreach { r =>
+        val (id, s, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(refByDoc.getOrElse(id, Seq.empty).exists(t => t._2 <= s && e <= t._3),
+          s"iter $iter: winnow span ($id, $s, $e) not inside any reference span")
+      }
     }
   }
 
