@@ -232,9 +232,18 @@ object GateBench {
     // LOOSE LM threshold (so the decision mix matches the baseline run
     // and the delta is pure gate cost) — measures what the two NARROW
     // stages (URL blocklist + literal-map LM scoring) add per batch.
-    // Compared against the baseline run's FIRST windows (same index size
-    // regime; the baseline's later windows carry a grown index).
+    // Fairness: the hygiene run takes HygWarmup UNTIMED warmup batches
+    // first, and is compared against the baseline windows AFTER its own
+    // first HygWarmup (cold-start) windows — both medians then cover
+    // batches [HygWarmup, HygWarmup+HygieneBatches) of a fresh
+    // seed-built index, so the index-size regime and per-query warmup
+    // count match. Residual bias: the epilogue still runs in a JVM the
+    // full baseline loop already warmed (JIT, code/file caches), which
+    // FLATTERS overhead_ratio slightly — recorded as warm_jvm_bias in
+    // the JSON rather than corrected, since the two runs cannot share a
+    // cold JVM without interleaving whole sessions.
     val HygieneBatches = 6
+    val HygWarmup = 2
     val (hc, hx, hv) = graft.operators.HygieneOps
       .charlmModelOf(seed.toSeq.toDF("doc_id", "text"))
     val (hmBg, hmA, hvv) = graft.operators.HygieneOps.collectCharLmModel(hc, hx, hv)
@@ -254,19 +263,22 @@ object GateBench {
       .option("checkpointLocation", ckpt2)
       .start()
     val hWalls = ArrayBuffer.empty[Double]
-    for (b <- 0 until HygieneBatches) {
+    for (b <- 0 until HygWarmup + HygieneBatches) {
       input2.addData(batchRows(b))
       val t0 = System.nanoTime()
       q2.processAllAvailable()
-      hWalls += (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (b >= HygWarmup) hWalls += wall // first HygWarmup batches are untimed warmup
     }
     q2.stop()
     val hygMed = median(hWalls.toSeq)
-    val baseEarlyMed = median(walls.take(HygieneBatches).map(_.wall).toSeq)
+    val baseEarlyMed =
+      median(walls.slice(HygWarmup, HygWarmup + HygieneBatches).map(_.wall).toSeq)
     val hygiene =
-      s"""{"batches":$HygieneBatches,"median_wall":${f4(hygMed)},""" +
-        s""""base_first${HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
-        s""""overhead_ratio":${f4(hygMed / baseEarlyMed)}}"""
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(hygMed)},""" +
+        s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
+        s""""overhead_ratio":${f4(hygMed / baseEarlyMed)},"warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
 
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +

@@ -35,9 +35,14 @@ object WebOps {
     Tables(spark, sfDir, "documents")
 
   /** URL shape: scheme + host + optional path. Valid under both Java
-    * regex and DuckDB's RE2 (no lookaround, no backrefs).
+    * regex and DuckDB's RE2 (no lookaround, no backrefs). The host is
+    * anchored to END on an alphanumeric so trailing sentence punctuation
+    * never rides into it ('see https://x.badsite.com. Next' must yield
+    * host `x.badsite.com`, not `x.badsite.com.` — a trailing dot would
+    * defeat domain extraction and let a blocked domain evade the gate
+    * on raw real text).
     */
-  val UrlRe = "https?://[a-z0-9.-]+(?:/[a-z0-9_./-]*)?"
+  val UrlRe = "https?://[a-z0-9.-]*[a-z0-9](?:/[a-z0-9_./-]*)?"
 
   /** Registrable-domain blocklist — the gate's small side. */
   val Blocklist: Seq[String] = Seq("badsite.com", "tracker.net")
@@ -89,7 +94,8 @@ object WebOps {
     d.select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
       .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)", 1))
-      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("domain",
+        nullif(regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1), lit("")))
 
   private def urlExtract(spark: SparkSession, sfDir: String): DataFrame =
     urlsOf(decorated(docs(spark, sfDir))).orderBy("doc_id", "url")
@@ -162,10 +168,16 @@ object WebOps {
     */
   private[graft] def domainCapOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a failed domain extraction (regexp_extract's empty string — e.g. a
+    // single-label host on raw real text) is NOT a domain key: nullif maps
+    // it to null so such docs fall into the unconstrained URL-free class
+    // instead of pooling into one "" pseudo-domain that the cap then
+    // starves corpus-wide
+    val rawDomain = get(transform(regexp_extract_all(col("text"), lit(UrlRe), lit(0)), u =>
+      regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1)),
+      lit(0))
     val prim = d.select(col("doc_id"),
-      get(transform(regexp_extract_all(col("text"), lit(UrlRe), lit(0)), u =>
-        regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1)),
-        lit(0)).as("domain"))
+      when(rawDomain === "", lit(null)).otherwise(rawDomain).as("domain"))
     val withUrl = prim.filter(col("domain").isNotNull)
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
     val w1 = Window.partitionBy("domain", "salt").orderBy("doc_id")
@@ -193,8 +205,8 @@ object WebOps {
        |uu AS (
        |  SELECT doc_id, url,
        |         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
-       |         regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
-       |                        '([^.]+\\.[^.]+)$$', 1) AS domain
+       |         nullif(regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
+       |                               '([^.]+\\.[^.]+)$$', 1), '') AS domain
        |  FROM u)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -214,9 +226,9 @@ object WebOps {
       Some(s"""WITH d AS ($DecoratedSql),
               |p AS (
               |  SELECT doc_id,
-              |         list_transform(regexp_extract_all(text, '$UrlRe'),
+              |         nullif(list_transform(regexp_extract_all(text, '$UrlRe'),
               |           u -> regexp_extract(regexp_extract(u, 'https?://([^/]+)', 1),
-              |                               '([^.]+\\.[^.]+)$$', 1))[1] AS domain
+              |                               '([^.]+\\.[^.]+)$$', 1))[1], '') AS domain
               |  FROM d),
               |r AS (
               |  SELECT doc_id, domain,

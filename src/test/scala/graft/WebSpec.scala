@@ -89,6 +89,44 @@ class WebSpec extends AnyFunSuite {
       s"ranks must be the dense 1..N by doc_id: $ranks")
   }
 
+  test("raw-text hygiene: trailing sentence punctuation never rides into the host") {
+    import spark.implicits._
+    // the advice-r13 evasion scenario: a blocked domain followed by a
+    // sentence period must still resolve and still drop the doc
+    val d = Seq(
+      1L -> "see https://x.badsite.com. Next sentence.",
+      2L -> "list https://ok.example.org, https://cdn.mirror.io; done",
+      3L -> "dots https://a.b.example.org... trailing"
+    ).toDF("doc_id", "text")
+    val rows = WebOps.urlsOf(d).orderBy("doc_id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "x.badsite.com", "badsite.com"),
+      (2L, "cdn.mirror.io", "mirror.io"),
+      (2L, "ok.example.org", "example.org"),
+      (3L, "a.b.example.org", "example.org")), s"got ${rows.toSeq}")
+    val verdict = WebOps.domainFilterOf(spark, d).orderBy("doc_id").collect()
+    assert(!verdict(0).getBoolean(3), "punctuation-trailed blocked domain must still drop")
+    // the narrow streaming gate agrees
+    val narrow = WebOps.withDomainGate(d).orderBy("doc_id").collect()
+    assert(narrow(0).getAs[Long]("n_blocked") == 1L)
+  }
+
+  test("domain_cap: a failed domain extraction is unconstrained, not a '' pseudo-domain") {
+    import spark.implicits._
+    // single-label hosts extract no registrable domain; such docs must
+    // behave like URL-free docs (keep, null domain), not pool into one
+    // capped "" class
+    val d = ((1L to 30L).map(i => i -> s"doc $i http://localhost/p$i") ++
+      Seq(100L -> "real https://a.example.org/x", 200L -> "no urls")).toDF("doc_id", "text")
+    val out = WebOps.domainCapOf(d).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(3))).toMap
+    (1L to 30L).foreach { id =>
+      assert(out(id) == ((None, true)), s"doc $id: ${out(id)} — '' must map to null/keep")
+    }
+    assert(out(100L) == ((Some("example.org"), true)) && out(200L) == ((None, true)))
+  }
+
   test("declared keys are mutually consistent on the real corpus") {
     val urls = SparkEntry.queries("url_extract")(spark, sfDir)
     val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
