@@ -42,8 +42,8 @@ object BenchScaling {
       "minhash band candidates instead"),
     "dup_spans" -> ("stride-1 exact gram marking is corpus-chars-LINEAR by design (that is " +
       "the ExactSubstr contract); wall tracks input chars once past the floor; the " +
-      "production path is dup_spans_winnow at 1/p of the shuffle volume"),
-    "dup_spans_winnow" -> "same chars-linear generation as dup_spans; the 1/p saving is in shuffle volume, not generation",
+      "production path is dup_spans_winnow at 2/(w+1) of the shuffle volume"),
+    "dup_spans_winnow" -> "winnow selection is chars-linear narrow array work; the 2/(w+1) saving is in shuffle volume, not generation",
     "dup_profile" -> "inherits dup_spans' chars-linear gram marking",
     "strip_dup_spans" -> "inherits dup_spans' chars-linear gram marking plus a text-rebuild map pass",
     "charlm_quality" -> ("trains the bigram model inline per invocation (deliberate, for " +

@@ -36,21 +36,25 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): stride-1 grams are ~1 row per corpus char — the
   * declared keys keep them RAW (string gram as the key) so DuckDB can
   * replay the result exactly; the production path is [[dupSpansWinnow]],
-  * which cuts the shuffled volume by the selection density 1/[[WinnowP]]
-  * using content-defined fingerprint selection (the 0-mod-p scheme of
-  * Karp–Rabin fingerprinting, the ancestor of winnowing — Schleimer et
-  * al. 2003 §2): a gram is a fingerprint iff xxhash64(gram) ≡ 0 (mod p).
-  * Selection depends only on gram CONTENT, so every copy of a duplicated
-  * region selects the same grams — detection never desynchronizes across
-  * sites, and a shared run of length L is missed only if none of its
-  * L−K+1 grams self-select (probability (1−1/p)^(L−K+1), and
-  * deterministic given the hash — the same corpus always gives the same
-  * answer). The per-doc interval merge is a `doc_id`-partitioned window —
-  * group size bounded by document length, no skew funnel. The one true
-  * skew risk is a mega-duplicated gram (universal boilerplate at ≥ 2
-  * sites per million docs) funneling its sites through one reducer in the
-  * mark join; at production scale the dup-gram side is re-keyed by
-  * (hash, salt) with the site side salted, exactly the agg_salted idiom.
+  * which cuts the shuffled volume to the winnowing density 2/(w+1) using
+  * TRUE window-min winnowing (Schleimer et al. 2003 §4, "Winnowing:
+  * Local Algorithms for Document Fingerprinting"): from every window of
+  * [[WinnowW]] consecutive gram hashes, select the rightmost minimum.
+  * Selection is a pure function of the window's CONTENT, so two copies
+  * of a duplicated run select the same grams in every window that lies
+  * fully inside the run — which gives the DETERMINISTIC recall
+  * guarantee of the paper: every duplicated run of length ≥ K+w−1
+  * contains a full window, its minimum is selected at BOTH sites, and
+  * the run is detected (no probabilistic miss, unlike the r13 0-mod-p
+  * selection this replaced). The per-doc interval merge is a
+  * `doc_id`-partitioned window — group size bounded by document length,
+  * no skew funnel. The one true skew risk — a mega-duplicated gram
+  * (universal boilerplate at ≥ 2 sites per million docs) funneling all
+  * its sites through one reducer in the mark join — is closed by the
+  * `agg_salted` idiom: the dup-gram side (one row per key after the
+  * count) fans out over [[MarkSaltN]] salts and the site side joins on
+  * (hash, hash₂, salt), so no reducer ever receives more than ~1/16 of
+  * any single gram's sites.
   */
 object SpanOps {
 
@@ -62,11 +66,19 @@ object SpanOps {
     */
   val GramK = 30
 
-  /** Fingerprint selection modulus for the winnowed sibling: expected one
-    * site in [[WinnowP]] survives, so the mark shuffle carries ~1/8 of
-    * the stride-1 volume.
+  /** Winnowing window width (in gram positions) for the production
+    * sibling: expected selection density 2/(w+1) = 1/8, so the mark
+    * shuffle carries ~1/8 of the stride-1 volume, and every duplicated
+    * run of length ≥ K+w−1 chars (44 at the current constants) is
+    * detected deterministically (Schleimer et al. 2003, theorem of §3).
     */
-  val WinnowP = 8
+  val WinnowW = 15
+
+  /** Salt fan-out of the dup-gram side in the winnowed mark join (the
+    * `agg_salted` idiom): a universal-boilerplate gram's sites spread
+    * over this many reducers instead of funneling through one.
+    */
+  val MarkSaltN = 16
 
   /** Planted cross-doc duplication: docs with `doc_id % 6 == 1` carry a
     * shared license-boilerplate tail (appended, so every original gram
@@ -143,28 +155,72 @@ object SpanOps {
   private def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
     dupSpansOf(planted(docs(spark, sfDir))).orderBy("doc_id", "span_start")
 
-  /** Winnowed production sibling: identical pipeline, but only
-    * fingerprint-selected gram sites (xxhash64 ≡ 0 mod p) enter the count
-    * shuffle and the mark join, and the join key is the 8-byte HASH, not
-    * the gram string (the declared exact key keeps raw grams only so
-    * DuckDB can replay it). Guarantees, proved by selection being a
-    * content-pure function of the gram:
-    *  - soundness: every winnow-marked site is exactly-dup-marked (its
-    *    gram genuinely occurs twice), so with the same merge rule every
-    *    winnow span is CONTAINED in an exact span — exact inter-span gaps
-    *    exceed K, and subsampling only widens gaps, so spans never bridge;
-    *  - recall: a duplicated run of length L is detected iff any of its
-    *    L−K+1 grams self-selects — expected density (L−K+1)/p, miss
-    *    probability (1−1/p)^(L−K+1), deterministic per corpus.
-    * SpanSpec pins both properties plus planted-boilerplate detection.
+  /** Winnow-selected gram sites of a `(doc_id, text)` frame:
+    * `(doc_id, pos, gh, gh2)` — the leftmost-minimum gram hash of every
+    * width-[[WinnowW]] window of consecutive gram positions (true
+    * winnowing, Schleimer et al. 2003 §4; a doc with fewer than w grams
+    * gets one whole-doc window so short docs still participate).
+    * Selection is the O(chars) native pass of
+    * [[graft.functions.WinnowSelect]] — rolling gram hash + monotonic
+    * deque, NARROW, one projection — and only the ~2/(w+1)-density
+    * selected sites are exploded into rows. No shuffle happens until the
+    * dup-count groupBy, which carries 1/8 of the stride-1 volume.
+    *
+    * The mark key is the PAIR (gh, gh2) = (xxhash64(gram),
+    * xxhash64(seed, gram)) — two independently-seeded 64-bit hashes of
+    * the selected gram, computed post-explode. Matching on the pair
+    * pushes the false-dup probability from a single-hash ~n²/2⁶⁵ to
+    * ~n²/2¹²⁹ — still probabilistic (the gram string itself never
+    * shuffles, by design), but negligible at any corpus size; the
+    * soundness claim below is stated modulo this 128-bit collision.
     */
-  private[graft] def dupSpansWinnowOf(d: DataFrame, p: Int = WinnowP): DataFrame = {
-    val g = gramSites(d)
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-      .filter(pmod(col("gh"), lit(p.toLong)) === 0)
-    val dup = g.groupBy("gh").agg(count(lit(1)).as("n_sites"))
-      .filter(col("n_sites") >= 2).select("gh")
-    mergeSpans(g.join(dup, Seq("gh")).select("doc_id", "pos"))
+  private[graft] def winnowSites(d: DataFrame, w: Int = WinnowW): DataFrame =
+    d.filter(length(col("text")) >= GramK)
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.WinnowSelect.winnow_select(col("text"), GramK, w)).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(text, p, $GramK)").as("gram"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"),
+        xxhash64(lit("winnow-g2"), col("gram")).as("gh2"))
+
+  /** Winnowed production sibling: identical span pipeline, but only
+    * winnow-selected gram sites ([[winnowSites]]) enter the count
+    * shuffle and the mark join, and the join key is the 16-byte hash
+    * pair (gh, gh2), not the gram string (the declared exact key keeps
+    * raw grams only so DuckDB can replay it). Guarantees, from selection
+    * being a pure function of window content:
+    *  - soundness: every winnow-marked site's gram occurs at ≥ 2
+    *    selected sites, hence ≥ 2 sites corpus-wide (modulo the
+    *    documented 128-bit hash-pair collision), so with the same merge
+    *    rule every winnow span is CONTAINED in an exact span — exact
+    *    inter-span gaps exceed K, and subsampling only widens gaps, so
+    *    spans never bridge;
+    *  - recall: DETERMINISTIC — every duplicated run of length
+    *    L ≥ K+w−1 contains a window fully inside both copies; its
+    *    rightmost-min gram is the same content at both sites, selected
+    *    at both, so its count reaches 2 and the run is detected at every
+    *    site (the §3 winnowing guarantee; shorter runs may or may not be
+    *    caught).
+    * The mark join is SALTED: the dup side is one row per (gh, gh2)
+    * after the count filter, fanned out over [[MarkSaltN]] salts, and
+    * each site carries pmod(xxhash64(doc_id, pos), saltN) — so a
+    * universal-boilerplate gram's sites spread over saltN reducers
+    * instead of funneling through one (`saltN = 1` is the unsalted
+    * plan, used by SpanSpec to pin row identity). SpanSpec pins
+    * soundness, the deterministic-recall floor, planted-boilerplate
+    * detection, and salted-vs-unsalted row identity; PlanSpec pins the
+    * salted shuffle shape.
+    */
+  private[graft] def dupSpansWinnowOf(d: DataFrame, w: Int = WinnowW,
+      saltN: Int = MarkSaltN): DataFrame = {
+    val sel = winnowSites(d, w)
+    val dup = sel.groupBy("gh", "gh2").agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2)
+      .select(col("gh"), col("gh2"),
+        explode(sequence(lit(0L), lit((saltN - 1).toLong))).as("salt"))
+    val sites = sel.withColumn("salt",
+      pmod(xxhash64(col("doc_id"), col("pos")), lit(saltN.toLong)))
+    mergeSpans(sites.join(dup, Seq("gh", "gh2", "salt")).select("doc_id", "pos"))
   }
 
   private def dupSpansWinnow(spark: SparkSession, sfDir: String): DataFrame =
@@ -184,11 +240,12 @@ object SpanOps {
   /** Production sibling: the same cut driven by the WINNOWED span
     * relation — soundness (winnow spans ⊆ exact spans) means it removes
     * a SUBSET of the exact cut's mass, never non-duplicated text; recall
-    * follows the winnow guarantee (long duplicated runs are cut with
-    * probability 1−(1−1/p)^(L−K+1), deterministic per corpus).
+    * follows the winnow guarantee (every duplicated run of length
+    * ≥ K+w−1 is cut — deterministically — at every site; shorter runs
+    * best-effort).
     */
-  private[graft] def stripSpansWinnowOf(d: DataFrame, p: Int = WinnowP): DataFrame =
-    stripWith(d, dupSpansWinnowOf(d, p))
+  private[graft] def stripSpansWinnowOf(d: DataFrame, w: Int = WinnowW): DataFrame =
+    stripWith(d, dupSpansWinnowOf(d, w))
 
   private def stripWith(d: DataFrame, spanRel: DataFrame): DataFrame = {
     val spans = spanRel

@@ -280,6 +280,41 @@ class PlanSpec extends AnyFunSuite {
       s"the domain-sized phase-1 window is not salted:\n${windowLines.mkString("\n")}")
   }
 
+  test("dup_spans_winnow mark join keys on (gh, gh2, salt), not the bare gram hash") {
+    val docs = graft.operators.SpanOps.planted(
+      graft.sources.Tables(spark, sfDir, "documents"))
+    // at test SF the one-row-per-key dup side broadcasts (fine); the join
+    // keys must still carry the salt so the same plan, under the
+    // production shuffle regime, fans a mega-dup gram over the salts
+    val p = graft.operators.SpanOps.dupSpansWinnowOf(docs)
+      .queryExecution.executedPlan.toString
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("gh")).toSeq
+    assert(joinLines.nonEmpty, s"no mark join found:\n$p")
+    joinLines.foreach(l =>
+      assert(l.contains("salt"), s"mark join does not key on the salt:\n$l"))
+    // production regime: with broadcast off, the site-side exchange must
+    // hash-partition on (gh, gh2, salt) — the (gh, gh2)-only exchange
+    // would be the one-reducer funnel for a universal-boilerplate gram
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ps = graft.operators.SpanOps.dupSpansWinnowOf(docs)
+        .queryExecution.executedPlan.toString
+      // the join itself must key on the salt...
+      val joins = ps.linesIterator
+        .filter(l => l.contains("Join") && l.contains("gh")).toSeq
+      assert(joins.nonEmpty && joins.forall(_.contains("salt")),
+        s"shuffle-regime mark join does not key on the salt:\n${joins.mkString("\n")}")
+      // ...and its input exchanges partition on (gh, gh2, salt). (The
+      // count groupBy's (gh, gh2)-only exchange is legitimate — partial
+      // agg bounds its per-key volume to one row.)
+      assert(ps.linesIterator.exists(l => l.contains("hashpartitioning") &&
+        l.contains("gh") && l.contains("salt")),
+        s"no salted gram-hash exchange under shuffle regime:\n$ps")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("charlm_quality broadcasts the model to the corpus, never the reverse") {
     val p = plan("charlm_quality")
     // two model joins (bigram counts, context counts) + the V scalar: all broadcast

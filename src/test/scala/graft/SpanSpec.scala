@@ -13,7 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - strip_dup_spans reconstructs precisely prefix+suffix and removes
   *    every occurrence of the duplicated run;
   *  - the winnowed production sibling is SOUND (every winnow span sits
-  *    inside an exact span) and detects the planted boilerplate.
+  *    inside an exact span), detects the planted boilerplate, and — with
+  *    true window-min winnowing — carries a DETERMINISTIC recall floor:
+  *    every duplicated run of length ≥ K+w−1 is detected at every site;
+  *  - the salted mark join ([[SpanOps.MarkSaltN]]) is row-identical to
+  *    the unsalted plan, including under a planted mega-duplicated gram.
   */
 class SpanSpec extends AnyFunSuite {
 
@@ -257,6 +261,111 @@ class SpanSpec extends AnyFunSuite {
       if (id % 6 == 1)
         assert(removed > 0, s"planted doc $id saw no winnow cut at all")
     }
+  }
+
+  test("WinnowSelect equals a brute-force per-window argmin and decodes by code point") {
+    import graft.functions.WinnowSelect
+    import spark.implicits._
+    val w = SpanOps.WinnowW
+    val rnd = new scala.util.Random(77)
+    (1 to 20).foreach { iter =>
+      val len = 1 + rnd.nextInt(300)
+      val s = (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString // small alphabet → hash ties happen
+      val got = WinnowSelect.selectPositions(s, K, w).toSeq
+      val n = s.length - K + 1
+      // structural: ascending, distinct, in range, nonempty iff n >= 1
+      assert(got == got.sorted && got.distinct == got, s"iter $iter: not ascending/distinct")
+      if (n >= 1) {
+        assert(got.nonEmpty && got.head >= 1 && got.last <= n, s"iter $iter: out of range")
+        // the winnowing invariant: every full window contains a selection
+        // (this is exactly what the K+w-1 recall guarantee rests on)
+        if (n >= w) (1 to n - w + 1).foreach { st =>
+          assert(got.exists(p => p >= st && p < st + w),
+            s"iter $iter: window [$st, ${st + w}) has no selection — winnowing broken")
+        }
+        assert(got.size <= math.max(1, n - w + 1))
+      } else assert(got.isEmpty)
+      // determinism + content-purity: same string → same positions;
+      // a shifted copy selects the same RELATIVE positions in the interior
+      assert(WinnowSelect.selectPositions(s, K, w).toSeq == got)
+    }
+    // content-purity across copies: interior selections align modulo offset
+    val core = (0 until 120).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString
+    val a = "XXXXX" + core + "YYYYY"
+    val b = "Z" + core + "WWWWWWWWW"
+    val pa = WinnowSelect.selectPositions(a, K, w).filter(p => p > 5 + w && p + K - 1 <= 5 + core.length - w)
+    val pb = WinnowSelect.selectPositions(b, K, w).filter(p => p > 1 + w && p + K - 1 <= 1 + core.length - w)
+    assert(pa.map(_ - 5).toSeq.intersect(pb.map(_ - 1).toSeq).nonEmpty,
+      "copies of a shared run select no common relative gram — sync broken")
+    // code-point decode: positions index Spark's substring unit even with
+    // non-BMP chars (each emoji is ONE code point, TWO UTF-16 units)
+    val emoji = new String(Character.toChars(0x1F600))
+    val text = (emoji * 3) + ('a' to 'z').mkString + ('A' to 'Z').mkString + (emoji * 3)
+    val d2 = Seq(1L -> (text + "pad-to-host-a-second-copy " + text)).toDF("doc_id", "text")
+    val sites = SpanOps.winnowSites(d2).collect()
+    assert(sites.nonEmpty)
+    // every (pos, gram) row must satisfy gram == code-point substring at pos
+    val full = text + "pad-to-host-a-second-copy " + text
+    val cps = full.codePoints().toArray
+    sites.foreach { r =>
+      val pos = r.getLong(1).toInt
+      val gh = r.getLong(2)
+      val gram = new String(cps, pos - 1, K)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(gram)
+      val expected = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      assert(expected == gh,
+        s"pos $pos decodes to a different gram than the engine hashed")
+    }
+  }
+
+  test("winnow recall floor is deterministic: every shared run of length >= K+w-1 is found") {
+    import spark.implicits._
+    val floor = K + SpanOps.WinnowW - 1 // 44 at current constants
+    // aperiodic runs at exactly the floor and just above it, each planted
+    // at two sites with disjoint unique filler — the Schleimer guarantee
+    // says ALL of these must be detected at EVERY site, no probability
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString // 44 distinct chars
+    val runB = (('0' to '9') ++ ('A' to 'Z') ++ Seq('#', '$', '%', '&', '+', '=', '@', '^',
+      '~', '!')).mkString // 46 distinct chars
+    assert(runA.length == floor && runA.distinct.length == floor)
+    assert(runB.length == floor + 2 && runB.distinct.length == floor + 2)
+    val d = Seq(
+      1L -> (filler('a', 61) + runA + filler('b', 57)),
+      2L -> (filler('c', 38) + runA + filler('d', 90)),
+      3L -> (filler('e', 83) + runB + filler('f', 41)),
+      4L -> (filler('g', 29) + runB + filler('h', 66))).toDF("doc_id", "text")
+    val spans = SpanOps.dupSpansWinnowOf(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getLong(2)))).toMap
+    val expect = Map(1L -> (62L, 62L + runA.length), 2L -> (39L, 39L + runA.length),
+      3L -> (84L, 84L + runB.length), 4L -> (30L, 30L + runB.length))
+    expect.foreach { case (id, (rs, re)) =>
+      assert(spans.getOrElse(id, Array.empty[(Long, Long)])
+        .exists { case (s, e) => s >= rs && e <= re && e > s },
+        s"doc $id: guaranteed run [$rs, $re) not detected — winnow recall floor broken")
+    }
+  }
+
+  test("salted mark join is row-identical to the unsalted plan, incl. a mega-dup gram") {
+    import spark.implicits._
+    // planted corpus: salted (default MarkSaltN) vs unsalted (saltN = 1)
+    val docs = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(SpanOps.dupSpansWinnowOf(docs)) == rows(SpanOps.dupSpansWinnowOf(docs, saltN = 1)),
+      "salting changed the winnow span relation on the planted corpus")
+    // mega-duplicated gram: one run shared by 2000 docs — the 100 TB
+    // universal-boilerplate shape the salt exists for; identity must hold
+    // and every site must be detected (run length >= K+w-1)
+    val boiler = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    val mega = (1L to 2000L).map(id =>
+      id -> (filler(('a' + (id % 26)).toChar, 40 + (id % 37).toInt) + boiler)).toDF("doc_id", "text")
+    val salted = rows(SpanOps.dupSpansWinnowOf(mega))
+    assert(salted == rows(SpanOps.dupSpansWinnowOf(mega, saltN = 1)),
+      "salting changed the winnow span relation under a mega-dup gram")
+    assert(salted.map(_._1).distinct.size == 2000,
+      s"mega-dup run must be detected at every one of 2000 sites, got ${salted.map(_._1).distinct.size}")
   }
 
   test("winnow sibling is sound (every winnow span inside an exact span) and hits the boiler") {
