@@ -298,10 +298,11 @@ object SpanOps {
     * ExactSubstr variant of [[DedupOps]]' token-shingle `decontaminate`
     * (Lee et al. §6.2 run eval-dedup exactly this way): every maximal
     * TRAIN-doc span whose K-grams appear verbatim in the EVAL corpus,
-    * with the lowest implicated eval doc per span. Catches contamination
-    * token-shingle overlap misses (sub-token edits, punctuation drift
-    * inside an 8-token window) and pinpoints WHERE the leak is, not just
-    * that one exists.
+    * with the lexicographically earliest implicated eval coordinate
+    * (doc, position) per span. Catches contamination token-shingle
+    * overlap misses (sub-token edits, punctuation drift inside an
+    * 8-token window) and pinpoints WHERE the leak is ON BOTH SIDES —
+    * the train span to cut and the eval span it collides with.
     *
     * Same broadcast contract as `decontaminate`: the eval side is
     * benchmark-sized, so its distinct gram table broadcasts and the
@@ -313,11 +314,21 @@ object SpanOps {
     * `dup_spans`' job.
     */
   private[graft] def crossSpansOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    // per eval gram: the lexicographically earliest (doc_id, pos) eval
+    // site — so each reported train span carries not just WHICH eval doc
+    // it leaks but WHERE in it, making the report actionable for the
+    // benchmark owner (the min pair, not independent mins: the position
+    // must belong to the implicated doc)
     val evalGrams = gramSites(eval)
-      .groupBy("gram").agg(min("doc_id").as("first_eval"))
+      .groupBy("gram")
+      .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
+      .select(col("gram"), col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
     val marked = gramSites(train).join(broadcast(evalGrams), Seq("gram"))
-      .select("doc_id", "pos", "first_eval")
-    mergeSpans(marked, Seq(min(col("first_eval")) -> "first_eval"))
+      .select("doc_id", "pos", "first_eval", "first_eval_pos")
+    val fe = min(struct(col("first_eval"), col("first_eval_pos")))
+    mergeSpans(marked, Seq(
+      fe.getField("first_eval") -> "first_eval",
+      fe.getField("first_eval_pos") -> "first_eval_pos"))
   }
 
   /** Declared key: the same `doc_id % 10 = 7` eval slice as
@@ -397,26 +408,30 @@ object SpanOps {
               |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
               |  WHERE length(text) >= $GramK AND doc_id % 10 <> 7),
               |eg AS (
-              |  SELECT substring(text, CAST(i AS INT), $GramK) AS gram, min(doc_id) AS first_eval
+              |  SELECT substring(text, CAST(i AS INT), $GramK) AS gram,
+              |         min(struct_pack(fd := doc_id, fp := CAST(i AS BIGINT))) AS fe
               |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
               |  WHERE length(text) >= $GramK AND doc_id % 10 = 7
               |  GROUP BY 1),
               |m AS (
-              |  SELECT tg.doc_id, tg.pos, eg.first_eval
+              |  SELECT tg.doc_id, tg.pos,
+              |         struct_extract(eg.fe, 'fd') AS first_eval,
+              |         struct_extract(eg.fe, 'fp') AS first_eval_pos
               |  FROM tg JOIN eg USING (gram)),
               |w AS (
-              |  SELECT doc_id, pos, first_eval,
+              |  SELECT doc_id, pos, first_eval, first_eval_pos,
               |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
               |                        + $GramK
               |              THEN 1 ELSE 0 END AS new_span
               |  FROM m),
               |isl AS (
-              |  SELECT doc_id, pos, first_eval,
+              |  SELECT doc_id, pos, first_eval, first_eval_pos,
               |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
               |  FROM w)
               |SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end,
               |       max(pos) + $GramK - min(pos) AS span_len, count(*) AS n_grams,
-              |       min(first_eval) AS first_eval
+              |       struct_extract(min(struct_pack(fd := first_eval, fp := first_eval_pos)), 'fd') AS first_eval,
+              |       struct_extract(min(struct_pack(fd := first_eval, fp := first_eval_pos)), 'fp') AS first_eval_pos
               |FROM isl GROUP BY doc_id, span_id
               |ORDER BY doc_id, span_start""".stripMargin)),
 

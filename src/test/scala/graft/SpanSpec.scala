@@ -222,6 +222,10 @@ class SpanSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L && r.getAs[Long]("span_start") == 71L &&
       r.getAs[Long]("span_end") == 131L && r.getAs[Long]("first_eval") == 100L,
       s"wrong cross span: $r")
+    // eval-side coordinate: the run starts at position 31 in eval doc 100
+    // (after its 30-char filler prefix)
+    assert(r.getAs[Long]("first_eval_pos") == 31L,
+      s"eval coordinate must pinpoint the run start in the eval doc: $r")
   }
 
   test("decontaminate_spans key: every planted train doc's boiler is flagged against eval") {
@@ -242,6 +246,20 @@ class SpanSpec extends AnyFunSuite {
     }
     out.foreach(r => assert(r.getAs[Long]("first_eval") % 10 == 7,
       s"first_eval must be an eval-slice doc: $r"))
+    // eval-side coordinates: boiler spans implicate the LOWEST planted
+    // eval doc (id 7: the only id <= 17 with id%10==7 and id%6==1), and
+    // the position must land inside doc 7's planted text
+    val doc7Len = docs(7L) + SpanOps.Boiler.length
+    val boilerSpans = out.filter(_.getAs[Long]("first_eval") == 7L)
+    assert(boilerSpans.nonEmpty, "no span implicates planted eval doc 7")
+    boilerSpans.foreach { r =>
+      val p = r.getAs[Long]("first_eval_pos")
+      assert(p >= 1 && p + K - 1 <= doc7Len,
+        s"first_eval_pos $p outside planted eval doc 7 (len $doc7Len): $r")
+    }
+    // at least one purely-boiler span pinpoints the boiler start in doc 7
+    assert(boilerSpans.exists(_.getAs[Long]("first_eval_pos") == docs(7L) + 1),
+      "no span pinpoints the boiler start position in eval doc 7")
   }
 
   test("winnow strip removes a subset of the exact cut's mass, and cuts every planted doc") {
