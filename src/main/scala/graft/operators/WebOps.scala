@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   * transform, not a lucky no-op). On real data the same operators run on
   * the raw text unchanged.
   *
-  * "Registrable domain" here is the last two dot-labels (example.org from
-  * a.b.example.org) — a deliberate simplification of the public-suffix
-  * list (which is data, not logic: swapping in the real PSL changes only
-  * the extraction expression, none of the plan shapes).
+  * "Registrable domain" is resolved by the real public-suffix algorithm
+  * ([[Psl]], round 14): longest-match against a PSL rule slice with
+  * wildcard and exception rules, so `a.b.example.co.uk` gates on
+  * `example.co.uk`, not on `co.uk`. On this synthetic corpus (whose
+  * planted hosts all sit under 1-label suffixes) the result is
+  * label-for-label identical to the r13 two-label extraction, which is
+  * why the DuckDB oracles of the four original keys keep the simpler
+  * regex; the PSL-distinguishing cases have their own oracle-verified
+  * key (`url_registrable`) whose DuckDB side is GENERATED from the same
+  * rule slice ([[Psl.sqlRegistrableDomain]]) — the engines cannot drift
+  * on rule content.
   *
   * Scale notes (100 TB): extraction is a narrow codegen'd
   * `regexp_extract_all` map — no shuffle; `domain_stats` is one
@@ -94,8 +101,7 @@ object WebOps {
     d.select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
       .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)", 1))
-      .withColumn("domain",
-        nullif(regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1), lit("")))
+      .withColumn("domain", Psl.registrableDomain(col("host")))
 
   private def urlExtract(spark: SparkSession, sfDir: String): DataFrame =
     urlsOf(decorated(docs(spark, sfDir))).orderBy("doc_id", "url")
@@ -144,11 +150,68 @@ object WebOps {
   private[graft] def withDomainGate(d: DataFrame): DataFrame = {
     val urls = regexp_extract_all(col("text"), lit(UrlRe), lit(0))
     val domains = transform(urls, u =>
-      regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1))
+      Psl.registrableDomain(regexp_extract(u, "https?://([^/]+)", 1)))
     d.withColumn("n_urls", size(urls).cast("long"))
       .withColumn("n_blocked",
         size(filter(domains, dm => dm.isInCollection(Blocklist))).cast("long"))
   }
+
+  /** In-plan decoration for the PSL-distinguishing key: hosts under
+    * 2-label suffixes (`co.uk`, `com.au`), the wildcard (`*.ck`), its
+    * exception (`!www.ck`), an unlisted TLD (implicit `*` rule), and a
+    * bare public suffix (no registrable domain → null). The classes the
+    * r13 two-label extraction mis-grouped.
+    */
+  private def decoratedPsl(d: DataFrame): DataFrame = {
+    def m(n: Int) = pmod(col("doc_id"), lit(n)).cast("string")
+    d.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" see https://shop"), m(7), lit(".brand"), m(4),
+          lit(".co.uk/p/"), col("doc_id").cast("string"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(8)) === 0,
+        concat(lit(" mirror http://m"), m(6), lit(".shop"), m(3),
+          lit(".com.au/q"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit(" via https://s"), m(5), lit(".island"), m(3),
+          lit(".ck/z"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" exc http://sub"), m(2), lit(".www.ck/e"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" unk https://x"), m(3), lit(".y"), m(2),
+          lit(".unlisted/u"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(lit(" apex https://co.uk/x"))).otherwise(lit(""))).as("text"))
+  }
+
+  /** Shared DuckDB fragment mirroring [[decoratedPsl]]. */
+  private val DecoratedPslSql: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' see https://shop' || CAST(doc_id % 7 AS VARCHAR) ||
+      |            '.brand' || CAST(doc_id % 4 AS VARCHAR) ||
+      |            '.co.uk/p/' || CAST(doc_id AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 8 = 0
+      |       THEN ' mirror http://m' || CAST(doc_id % 6 AS VARCHAR) ||
+      |            '.shop' || CAST(doc_id % 3 AS VARCHAR) || '.com.au/q'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 9 = 0
+      |       THEN ' via https://s' || CAST(doc_id % 5 AS VARCHAR) ||
+      |            '.island' || CAST(doc_id % 3 AS VARCHAR) || '.ck/z'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN ' exc http://sub' || CAST(doc_id % 2 AS VARCHAR) || '.www.ck/e'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN ' unk https://x' || CAST(doc_id % 3 AS VARCHAR) ||
+      |            '.y' || CAST(doc_id % 2 AS VARCHAR) || '.unlisted/u'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 17 = 0 THEN ' apex https://co.uk/x'
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  private def urlRegistrable(spark: SparkSession, sfDir: String): DataFrame =
+    urlsOf(decoratedPsl(docs(spark, sfDir))).orderBy("doc_id", "url")
 
   /** Per-domain document cap. */
   val DomainCapN = 25
@@ -168,16 +231,15 @@ object WebOps {
     */
   private[graft] def domainCapOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // a failed domain extraction (regexp_extract's empty string — e.g. a
-    // single-label host on raw real text) is NOT a domain key: nullif maps
-    // it to null so such docs fall into the unconstrained URL-free class
-    // instead of pooling into one "" pseudo-domain that the cap then
-    // starves corpus-wide
-    val rawDomain = get(transform(regexp_extract_all(col("text"), lit(UrlRe), lit(0)), u =>
-      regexp_extract(regexp_extract(u, "https?://([^/]+)", 1), "([^.]+\\.[^.]+)$", 1)),
-      lit(0))
+    // a failed domain resolution (e.g. a single-label host, or a host
+    // that IS a public suffix, on raw real text) is null, NOT a domain
+    // key: such docs fall into the unconstrained URL-free class instead
+    // of pooling into one pseudo-domain that the cap then starves
+    // corpus-wide (r13 advice; Psl yields null for these directly)
     val prim = d.select(col("doc_id"),
-      when(rawDomain === "", lit(null)).otherwise(rawDomain).as("domain"))
+      get(transform(regexp_extract_all(col("text"), lit(UrlRe), lit(0)), u =>
+        Psl.registrableDomain(regexp_extract(u, "https?://([^/]+)", 1))),
+        lit(0)).as("domain"))
     val withUrl = prim.filter(col("domain").isNotNull)
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
     val w1 = Window.partitionBy("domain", "salt").orderBy("doc_id")
@@ -239,6 +301,19 @@ object WebOps {
               |       (p.domain IS NULL OR r.rank <= $DomainCapN) AS keep
               |FROM p LEFT JOIN r USING (doc_id)
               |ORDER BY p.doc_id""".stripMargin)),
+
+    "url_registrable" -> QueryDef(urlRegistrable,
+      Some(s"""WITH d AS ($DecoratedPslSql),
+              |u AS (
+              |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe')) AS url
+              |  FROM d),
+              |uu AS (
+              |  SELECT doc_id, url,
+              |         regexp_extract(url, 'https?://([^/]+)', 1) AS host
+              |  FROM u)
+              |SELECT doc_id, url, host,
+              |       ${Psl.sqlRegistrableDomain("host")} AS domain
+              |FROM uu ORDER BY doc_id, url""".stripMargin)),
 
     "domain_filter" -> QueryDef(domainFilter,
       Some(s"""$UrlsSqlCte,

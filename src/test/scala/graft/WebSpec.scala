@@ -127,6 +127,63 @@ class WebSpec extends AnyFunSuite {
     assert(out(100L) == ((Some("example.org"), true)) && out(200L) == ((None, true)))
   }
 
+  test("PSL registrable domains: 2-label suffixes, wildcard, exception, implicit *") {
+    import graft.operators.Psl
+    import spark.implicits._
+    val cases = Seq(
+      // (host, expected registrable domain or null)
+      ("a.b.example.co.uk", "example.co.uk"), // 2-label public suffix
+      ("example.co.uk", "example.co.uk"),
+      ("co.uk", null), // host IS a public suffix
+      ("uk", null),
+      ("m2.shop1.com.au", "shop1.com.au"),
+      ("deep.sub.host.ac.jp", "host.ac.jp"),
+      ("a.b.example.org", "example.org"), // 1-label suffix unchanged
+      ("cdn.mirror.io", "mirror.io"),
+      ("shop.anything.ck", "shop.anything.ck"), // wildcard *.ck: suffix = anything.ck
+      ("anything.ck", null), // the wildcard suffix itself
+      ("sub.www.ck", "www.ck"), // exception !www.ck
+      ("www.ck", "www.ck"), // the exception host itself is registrable
+      ("x.y.unlisted", "y.unlisted"), // implicit * rule
+      ("unlisted", null),
+      ("localhost", null), // single label: no registrable domain
+      ("", null))
+    val df = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }.toDF("id", "host")
+    val got = df.select(col("id"), Psl.registrableDomain(col("host")).as("d"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)).orNull)
+    cases.zip(got).foreach { case ((h, want), g) =>
+      assert(g == want, s"host '$h': got '$g', want '$want'")
+    }
+    // the broadcast-join form is row-identical on the same battery
+    val joined = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDf(spark), "d")
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d")).orNull)
+    cases.zip(joined).foreach { case ((h, want), g) =>
+      assert(g == want, s"join form, host '$h': got '$g', want '$want'")
+    }
+  }
+
+  test("url_registrable key: PSL classes resolve correctly on the decorated corpus") {
+    val rows = SparkEntry.queries("url_registrable")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def forSuffix(s: String) = rows.filter(r => r.getString(2).endsWith(s))
+    // co.uk hosts: registrable = brand.co.uk (3 labels), never bare co.uk
+    val uk = forSuffix(".co.uk")
+    assert(uk.nonEmpty && uk.forall { r =>
+      val d = r.getString(3); d != null && d.count(_ == '.') == 2 && d.endsWith(".co.uk")
+    }, "co.uk hosts must resolve to 3-label registrable domains")
+    // wildcard *.ck: host sN.islandM.ck → registrable is the full 3-label host
+    val ck = rows.filter(r => r.getString(2).matches("s\\d+\\.island\\d+\\.ck"))
+    assert(ck.nonEmpty && ck.forall(r => r.getString(3) == r.getString(2)),
+      "wildcard-suffix hosts must be registrable at 3 labels")
+    // exception !www.ck: subN.www.ck → www.ck
+    val exc = forSuffix(".www.ck")
+    assert(exc.nonEmpty && exc.forall(_.getString(3) == "www.ck"))
+    // apex public suffix: null domain
+    val apex = rows.filter(_.getString(2) == "co.uk")
+    assert(apex.nonEmpty && apex.forall(_.isNullAt(3)),
+      "a bare public-suffix host has no registrable domain")
+  }
+
   test("declared keys are mutually consistent on the real corpus") {
     val urls = SparkEntry.queries("url_extract")(spark, sfDir)
     val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
