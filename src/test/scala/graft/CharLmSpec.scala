@@ -122,6 +122,33 @@ class CharLmSpec extends AnyFunSuite {
     }
   }
 
+  test("a model above the literal cap scores through the join path; the literal collect refuses") {
+    import spark.implicits._
+    // 105 distinct CJK chars → >10k distinct bigrams: a stand-in for a
+    // word-level / KenLM-scale table, far over CharLmLiteralMax
+    val chars = (0 until 105).map(i => (0x4E00 + i).toChar)
+    val corpus = chars.zipWithIndex.map { case (c, i) =>
+      (i.toLong, chars.map(cj => s"$c$cj").mkString)
+    }.toDF("doc_id", "text")
+    val (c, x, v) = HygieneOps.charlmModelOf(corpus)
+    assert(c.count() > HygieneOps.CharLmLiteralMax,
+      "fixture must exceed the literal cap")
+    // the DEFAULT (join) path scores it fine...
+    val scored = HygieneOps.charlmScoreAgainst(
+      Seq(1000L -> "some ordinary text to score", 1001L -> chars.take(40).mkString)
+        .toDF("doc_id", "text"), c, x, v).orderBy("doc_id").collect()
+    assert(scored.length == 2 &&
+      scored.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    // ...and the literal-map collect fails LOUDLY instead of silently
+    // materializing the model into every plan
+    val e = intercept[IllegalArgumentException] {
+      HygieneOps.collectCharLmModel(c, x, v)
+    }
+    assert(e.getMessage.contains("CharLmLiteralMax") &&
+      e.getMessage.contains("charlmScoreAgainst"),
+      s"guard must name the cap and the join-path escape: ${e.getMessage}")
+  }
+
   test("score is invariant to corpus partitioning (decimal-sum discipline)") {
     val one = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
     val docs = graft.sources.Tables(spark, sfDir, "documents")
