@@ -122,7 +122,7 @@ object SpanOps {
     * the running span end because K is constant and positions ascend —
     * the previous row always holds the furthest end so far.
     */
-  private def mergeSpans(marked: DataFrame,
+  private[graft] def mergeSpans(marked: DataFrame,
       extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked

@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{IndexEpoch, SpanOps, VectorOps}
+
+/** Streaming SPAN-DECONTAMINATION gate: checks each arriving micro-batch
+  * of documents for verbatim character runs shared with a PERSISTED
+  * eval-corpus fingerprint index and reports the leak spans — the ONLINE
+  * form of [[graft.operators.SpanOps]]' `decontaminate_spans` (Lee et
+  * al. 2022 ExactSubstr at ingest time), composed from the two halves
+  * the r13 verdict named: the winnowed fingerprint selection
+  * ([[graft.functions.WinnowSelect]], shared with `dup_spans_winnow`)
+  * and the [[DedupGate]] bucketed-index + idempotent-append + epoch
+  * machinery.
+  *
+  * Index layout: one row per winnow-SELECTED eval gram site —
+  * `(gh, gh2, eval_doc, eval_pos)` — written as a parquet table
+  * BUCKETED BY `gh`, so a batch probe prunes index files via a literal
+  * bucket filter (the session must set
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`, as for
+  * every other persisted-index probe; asserted in BucketingSpec). The
+  * meta table pins (gram_k, winnow_w, base eval-doc count): an index
+  * written under different constants fails validation instead of
+  * silently desynchronizing selection between index and probe.
+  *
+  * Detection contract — the winnowing guarantee CROSS-CORPUS: batch doc
+  * and eval doc run the SAME content-pure selection, so any shared run
+  * of length ≥ K+w−1 chars selects at least one common gram in both,
+  * and the batch site joins the index on the (gh, gh2) hash pair —
+  * deterministic recall at the same floor as the offline keys (shorter
+  * leaks best-effort), soundness modulo the documented 128-bit
+  * hash-pair collision. Each flagged span carries the lexicographically
+  * earliest implicated eval (doc, position), exactly like
+  * `decontaminate_spans`.
+  *
+  * Scale shape (100 TB ingest against benchmark-sized eval sets): the
+  * batch side is small by the micro-batch contract; its selected sites
+  * are ~chars/8. The index is eval-corpus-sized but each batch touches
+  * only the buckets its own gram hashes land in — probe cost is
+  * O(batch sites × bucket population), never an index scan. The span
+  * merge windows only MATCHED sites per batch doc. Appends (new
+  * benchmarks arriving over time) are idempotent by eval_doc anti-join
+  * and epoch-guarded ([[graft.operators.IndexEpoch]]) — same
+  * single-sequential-maintainer contract as every other index.
+  */
+object SpanGate {
+
+  /** Aliased, not duplicated: an index and its probes must select grams
+    * under the same constants or detection silently desynchronizes.
+    */
+  val GramK: Int = SpanOps.GramK
+  val WinnowW: Int = SpanOps.WinnowW
+
+  private[graft] def metaTableFor(table: String): String = table + "_meta"
+
+  /** Winnow-selected gram sites of an eval frame in INDEX layout. */
+  private def evalSites(evalDocs: DataFrame): DataFrame =
+    SpanOps.winnowSites(evalDocs)
+      .select(col("gh"), col("gh2"),
+        col("doc_id").as("eval_doc"), col("pos").as("eval_pos"))
+
+  /** Builds (overwrites) the eval-gram fingerprint index from an eval
+    * corpus of `(doc_id, text)` rows, plus its validation meta table.
+    */
+  def writeEvalGramIndex(spark: SparkSession, evalDocs: DataFrame, table: String,
+      nBuckets: Int = 16): Unit = {
+    VectorOps.clearStaleLocation(spark, table)
+    evalSites(evalDocs)
+      .write.mode("overwrite").bucketBy(nBuckets, "gh").sortBy("gh")
+      .format("parquet").saveAsTable(table)
+    val baseN = spark.table(table).select("eval_doc").distinct().count()
+    VectorOps.clearStaleLocation(spark, metaTableFor(table))
+    spark.createDataFrame(Seq((GramK, WinnowW, baseN)))
+      .toDF("gram_k", "winnow_w", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
+    IndexEpoch.bumpUnconditional(spark, table)
+  }
+
+  private def validateMeta(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(metaTableFor(table)))
+      spark.catalog.refreshTable(metaTableFor(table))
+    spark.table(metaTableFor(table)).collect().headOption match {
+      case Some(r) =>
+        require(r.getInt(0) == GramK && r.getInt(1) == WinnowW,
+          s"eval-gram index $table was built with (gram_k, winnow_w) = " +
+            s"(${r.getInt(0)}, ${r.getInt(1)}), this build expects ($GramK, $WinnowW) — " +
+            "mismatched selection constants desynchronize detection; rebuild with " +
+            "writeEvalGramIndex")
+      case None => throw new IllegalStateException(
+        s"eval-gram index $table has an empty meta table; rebuild with writeEvalGramIndex")
+    }
+  }
+
+  /** Appends the winnow sites of eval docs not already indexed — the
+    * "new benchmark arrived" maintenance path. Idempotent by eval_doc
+    * anti-join (replay-safe), epoch-guarded, written through
+    * `insertInto` so appended files keep the bucket spec and probes
+    * stay file-pruned. Returns the number of eval docs actually
+    * appended.
+    */
+  def appendEvalDocsIdempotent(spark: SparkSession, evalDocs: DataFrame,
+      table: String, beganEpoch: Option[Long] = None): Long = {
+    validateMeta(spark, table)
+    import org.apache.spark.sql.GraftShim
+    // beganEpoch lets a caller (and the spec) pin the epoch captured at
+    // the START of a longer read-compute-write span — the same
+    // interleaving-injection seam as VectorOps.appendToLshIndex
+    val epoch = beganEpoch.getOrElse(IndexEpoch.current(spark, table))
+    val existing = spark.table(table).select("eval_doc").distinct()
+    // the using-column join puts eval_doc FIRST in its output, and
+    // insertInto writes by POSITION — re-project to the table's column
+    // order or appended rows land scrambled
+    val (fresh, freshRdd) = GraftShim.localCheckpointTracked(
+      evalSites(evalDocs).join(existing, Seq("eval_doc"), "left_anti")
+        .select("gh", "gh2", "eval_doc", "eval_pos"))
+    try {
+      val n = fresh.select("eval_doc").distinct().count()
+      if (n > 0) {
+        IndexEpoch.bump(spark, table, epoch)
+        fresh.write.mode("append").insertInto(table)
+        spark.catalog.refreshTable(table)
+      }
+      n
+    } finally GraftShim.releaseCheckpoint(freshRdd)
+  }
+
+  /** Ceiling on the number of distinct gram-hash literals a batch probe
+    * may build (`graft.spanGate.maxProbeLiterals` to override). A batch
+    * doc contributes ~chars/8 selected grams — far denser than the
+    * 4-hashes-per-doc [[DedupGate]] probe — so the default cap admits
+    * batches up to ~500 KB of insert text; a corpus-sized "batch" fails
+    * loudly here (use the offline `decontaminate_spans`).
+    */
+  val DefaultMaxProbeLiterals = 65536
+
+  /** The index slice a batch's selected sites can possibly match: their
+    * distinct `gh` values as a literal bucket filter (file pruning on
+    * the bucketed scan). Empty batch → `limit(0)` slice, keeping
+    * downstream schemas stable.
+    */
+  private def prunedIndexSlice(spark: SparkSession, table: String,
+      sites: DataFrame): DataFrame = {
+    val bound = spark.conf.getOption("graft.spanGate.maxProbeLiterals")
+      .map { raw =>
+        val parsed = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.spanGate.maxProbeLiterals must be a positive integer, got '$raw'")
+        }
+        require(parsed > 0,
+          s"graft.spanGate.maxProbeLiterals must be positive, got $parsed")
+        parsed
+      }.getOrElse(DefaultMaxProbeLiterals)
+    val ghs = sites.select("gh").distinct().limit(bound + 1).collect().map(_.getLong(0))
+    require(ghs.length <= bound,
+      s"batch produced more than $bound distinct selected gram hashes — the " +
+        "micro-batch-is-small probe contract is broken; use smaller triggers, the " +
+        "offline decontaminate_spans path, or raise graft.spanGate.maxProbeLiterals")
+    if (ghs.isEmpty) spark.table(table).limit(0)
+    else spark.table(table).filter(col("gh").isin(ghs.toIndexedSeq: _*))
+  }
+
+  /** Leak spans of a batch against the persisted index: one row per
+    * maximal contaminated span —
+    * `(doc_id, span_start, span_end, span_len, n_grams, first_eval,
+    * first_eval_pos)` — the same shape and merge rule as the offline
+    * `decontaminate_spans`. Pure frame logic given an already-selected
+    * site frame; [[spanGateDecisions]] wraps it with the checkpoint and
+    * decision plumbing.
+    */
+  def flagLeakSpans(spark: SparkSession, batchDocs: DataFrame, table: String): DataFrame = {
+    require(spark eq batchDocs.sparkSession,
+      "flagLeakSpans must run on the batch frame's own session (foreachBatch hands a clone)")
+    validateMeta(spark, table)
+    leakSpansOf(spark, SpanOps.winnowSites(batchDocs), table)
+  }
+
+  private def leakSpansOf(spark: SparkSession, sites: DataFrame,
+      table: String): DataFrame = {
+    // pre-aggregate the pruned slice to one row per gram-hash pair (the
+    // lexicographically earliest eval coordinate), so the mark join
+    // never fans a batch site out over multiple eval sites
+    val slice = prunedIndexSlice(spark, table, sites)
+      .groupBy("gh", "gh2")
+      .agg(min(struct(col("eval_doc").as("fd"), col("eval_pos").as("fp"))).as("fe"))
+      .select(col("gh"), col("gh2"),
+        col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
+    val marked = sites.join(slice, Seq("gh", "gh2"))
+      .select("doc_id", "pos", "first_eval", "first_eval_pos")
+    val fe = min(struct(col("first_eval"), col("first_eval_pos")))
+    SpanOps.mergeSpans(marked, Seq(
+      fe.getField("first_eval") -> "first_eval",
+      fe.getField("first_eval_pos") -> "first_eval_pos"))
+  }
+
+  /** foreachBatch body for a stream of INGEST DECISION rows (the
+    * [[StreamMerge]] pipeline shape): only rows still decided `insert`
+    * are span-checked — short/quality/dup rows are already out and must
+    * not pay the selection cost. Contaminated inserts have their
+    * decision REWRITTEN to `contaminated` and carry
+    * `n_leak_spans`/`leak_chars`/`first_eval`/`first_eval_pos` (the
+    * worst span's eval coordinate — lexicographic min); clean rows
+    * carry nulls/zeros. The eval index is NEVER appended from the batch
+    * path (train docs must not enter the eval index); maintenance goes
+    * through [[appendEvalDocsIdempotent]].
+    *
+    * Replay idempotence: the gate is a pure function of (batch, index) —
+    * no state is written per batch, so a replayed batch reproduces its
+    * decisions exactly (exactly-once OUTPUT remains the downstream
+    * sink's job, as everywhere in this streaming surface).
+    */
+  private[graft] def spanGateDecisions(table: String,
+      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    s.catalog.refreshTable(table)
+    validateMeta(s, table)
+    import org.apache.spark.sql.GraftShim
+    val inserts = batch.filter(col("decision") === "insert").select("doc_id", "text")
+    // one tracked evaluation of the selected sites serves the probe
+    // literal collect and the mark join; blocks free deterministically
+    val (sites, sitesRdd) = GraftShim.localCheckpointTracked(SpanOps.winnowSites(inserts))
+    try {
+      val perDoc = leakSpansOf(s, sites, table)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_leak_spans"),
+          sum("span_len").as("leak_chars"),
+          min(struct(col("first_eval"), col("first_eval_pos"))).as("fe"))
+        .select(col("doc_id"), col("n_leak_spans"), col("leak_chars"),
+          col("fe.first_eval").as("first_eval"),
+          col("fe.first_eval_pos").as("first_eval_pos"))
+      val out = batch.join(perDoc, Seq("doc_id"), "left")
+        .withColumn("decision",
+          when(col("n_leak_spans").isNotNull && col("decision") === "insert",
+            "contaminated").otherwise(col("decision")))
+        .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
+        .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
+      onBatch(out, batchId)
+    } finally GraftShim.releaseCheckpoint(sitesRdd)
+  }
+}

@@ -270,6 +270,36 @@ object StreamMerge {
         onBatch(scrubbed, id)
       }) _)
 
+  /** [[gatedIngestPipeline]] plus the SPAN-DECONTAMINATION gate — the
+    * online ExactSubstr check: after the near-dup gate, rows still
+    * decided `insert` are winnow-probed against the persisted EVAL-gram
+    * fingerprint index ([[SpanGate]]); any doc sharing a verbatim run of
+    * ≥ K+w−1 chars with an eval doc is rewritten to `contaminated`,
+    * carrying the leak mass and the earliest implicated eval
+    * (doc, position). Gate order is deliberate: near-dup first (cheap
+    * signatures over all inserts, and a near-dup of an indexed doc needs
+    * no span check — it is already out), spans second (only on rows that
+    * would actually be persisted). Contaminated docs do NOT append to
+    * the near-dup signature index — [[DedupGate.gateDecisions]] has
+    * already appended by the time the span verdict exists, which is
+    * ACCEPTED and documented: a contaminated doc at rest in the SIG
+    * index only makes future near-dups of it flag (conservative,
+    * correct); the EVAL index is never touched by the batch path.
+    * `onBatch` receives every decision row, text dropped, with the leak
+    * columns appended.
+    */
+  def gatedIngestPipelineDecontam(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String, evalGramTable: String,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) =>
+        SpanGate.spanGateDecisions(evalGramTable,
+          (flagged, fid) => onBatch(flagged.drop("text"), fid))(out, id)) _)
+
   /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`
     * hook — the [[decisionsToParquet]] layout (each micro-batch
     * overwrites its own `batch=<id>` dir, replay lands byte-identically)

@@ -537,6 +537,92 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly one sibling (the min-id one) must index: $atRest")
   }
 
+  /** Unique aperiodic filler for span-gate fixtures (no K-gram recurs). */
+  private def sgFiller(tag: Char, len: Int): String =
+    (0 until len).map(i => ('a' + ((i * 7 + tag.toInt * 13) % 26)).toChar)
+      .zipWithIndex.map { case (c, i) => if (i % 5 == 0) tag else c }.mkString
+
+  test("SpanGate: eval-gram index probe is file-pruned, leak spans carry eval coordinates") {
+    import spark.implicits._
+    import graft.operators.SpanOps
+    import graft.streaming.SpanGate
+    val K = SpanOps.GramK
+    val floor = K + SpanOps.WinnowW - 1 // 44: the deterministic detection floor
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString // 44 distinct chars
+    val runB = (('0' to '9') ++ ('A' to 'Z')).mkString // 36 chars < floor... pad:
+    val runB2 = runB + "#$%&+=@^" // 44 distinct chars
+    assert(runA.length == floor && runB2.length == floor)
+    val evalDocs = Seq(
+      9001L -> (sgFiller('p', 50) + runA + sgFiller('q', 40)),
+      9002L -> (sgFiller('r', 35) + runB2 + sgFiller('s', 60))).toDF("doc_id", "text")
+    SpanGate.writeEvalGramIndex(spark, evalDocs, "span_gate_idx", nBuckets = 8)
+    val batch = Seq(
+      1L -> (sgFiller('t', 62) + runA + sgFiller('u', 45)), // leaks eval 9001
+      2L -> sgFiller('v', 150), // clean
+      3L -> (sgFiller('w', 30) + runB2 + sgFiller('x', 33))) // leaks eval 9002
+      .toDF("doc_id", "text")
+    val flags = SpanGate.flagLeakSpans(spark, batch, "span_gate_idx")
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"eval-gram probe must file-prune the bucketed index:\n$plan")
+    val rows = flags.collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(!byDoc.contains(2L), "clean doc must not flag")
+    // doc 1: a span inside [63, 63+44) implicating eval 9001 at pos 51
+    val s1 = byDoc(1L)
+    assert(s1.exists { r =>
+      r.getAs[Long]("span_start") >= 63 && r.getAs[Long]("span_end") <= 63 + floor &&
+        r.getAs[Long]("first_eval") == 9001L && r.getAs[Long]("first_eval_pos") >= 51 &&
+        r.getAs[Long]("first_eval_pos") + K <= 51 + floor + 1
+    }, s"doc 1 leak span wrong: ${s1.toSeq}")
+    val s3 = byDoc(3L)
+    assert(s3.exists(r => r.getAs[Long]("first_eval") == 9002L), s"doc 3: ${s3.toSeq}")
+
+    // maintenance: a NEW benchmark appends idempotently and becomes probe-visible
+    val runC = (('a' to 'z') ++ ('A' to 'R')).mkString
+    assert(runC.length == floor)
+    val newEval = Seq(9003L -> (sgFiller('y', 42) + runC + sgFiller('z', 55))).toDF("doc_id", "text")
+    val probe4 = Seq(4L -> (sgFiller('k', 48) + runC + sgFiller('m', 71))).toDF("doc_id", "text")
+    assert(SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx").count() == 0,
+      "runC must not flag before its benchmark is indexed")
+    assert(SpanGate.appendEvalDocsIdempotent(spark, newEval, "span_gate_idx") == 1L)
+    assert(SpanGate.appendEvalDocsIdempotent(spark, newEval, "span_gate_idx") == 0L,
+      "replayed append must be a no-op")
+    val after = SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
+    assert(after.collect().exists(_.getAs[Long]("first_eval") == 9003L),
+      "appended benchmark must be probe-visible")
+    assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "probe must stay file-pruned after the append")
+    // rows per eval doc are stable under replay (no duplicate sites)
+    spark.catalog.refreshTable("span_gate_idx")
+    val siteCounts = spark.table("span_gate_idx").groupBy("eval_doc", "gh", "gh2", "eval_pos")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(siteCounts == 0, "idempotent append must never duplicate index rows")
+
+    // epoch guard: an appender whose span a rebuild/append interleaved fails loudly
+    val epochA = graft.operators.IndexEpoch.current(spark, "span_gate_idx")
+    SpanGate.appendEvalDocsIdempotent(spark,
+      Seq(9004L -> (sgFiller('e', 40) + runC)).toDF("doc_id", "text"), "span_gate_idx")
+    val rowsNow = spark.table("span_gate_idx").count()
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      SpanGate.appendEvalDocsIdempotent(spark,
+        Seq(9005L -> (sgFiller('f', 40) + runC)).toDF("doc_id", "text"), "span_gate_idx",
+        beganEpoch = Some(epochA))
+    }
+    assert(boom.getMessage.contains("ONE sequential maintainer"), boom.getMessage)
+    spark.catalog.refreshTable("span_gate_idx")
+    assert(spark.table("span_gate_idx").count() == rowsNow,
+      "the failed appender must write no rows")
+    // a geometry-mismatched index fails validation loudly
+    spark.createDataFrame(Seq((K + 1, SpanOps.WinnowW, 1L)))
+      .toDF("gram_k", "winnow_w", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable("span_gate_idx_meta")
+    val bad = intercept[IllegalArgumentException] {
+      SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
+    }
+    assert(bad.getMessage.contains("selection constants"), bad.getMessage)
+  }
+
   test("charlm persisted model scores the training corpus row-identically to the inline key") {
     graft.operators.HygieneOps.writeCharLmTable(spark, sfDir, "charlm_model_b")
     val persisted = graft.operators.HygieneOps

@@ -1069,6 +1069,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
   }
 
+  test("decontam-gated pipeline: leaked eval runs rewrite inserts to 'contaminated' with coordinates") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.SpanOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    def filler(tag: Char, len: Int) =
+      (0 until len).map(i => ('a' + ((i * 7 + tag.toInt * 13) % 26)).toChar)
+        .zipWithIndex.map { case (c, i) => if (i % 5 == 0) tag else c }.mkString
+    val floor = SpanOps.GramK + SpanOps.WinnowW - 1
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    assert(runA.length == floor)
+    // the winnow selection runs on raw chars, so the leaked run can sit
+    // inside ordinary word text; quality/token gates see words
+    val evalText = wt("evq") + " " + runA + " " + wt("evr")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9100L -> evalText).toDF("doc_id", "text"), "decontam_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("corp")).toDF("doc_id", "text"), "decontam_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("known"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-decontam-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Long, Long, Option[Long], Option[Long])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineDecontam(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        "decontam_sig_idx", "decontam_eval_idx",
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            r.getAs[Long]("n_leak_spans"), r.getAs[Long]("leak_chars"),
+            Option(r.getAs[java.lang.Long]("first_eval")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("first_eval_pos")).map(_.longValue())))
+        },
+        minTokens = 10, minQuality = 0.05)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val contamText = wt("cona") + " " + runA + " " + wt("conb")
+    // batch 1: clean insert, contaminated insert, short, exact-known
+    phase(Seq((701L, wt("nova"), at(10)), (702L, contamText, at(11)),
+      (703L, "tiny doc", at(12)), (704L, wt("known"), at(13))))
+    // batch 2: near-dup of the batch-1 clean survivor must flag as
+    // near_dup (gate order: near-dup beats span check); a second
+    // contaminated doc proves CROSS-BATCH detection against the static
+    // eval index
+    val nearNova = wt("nova").split(" ").init.mkString(" ") + " zz"
+    val contam2 = wt("conc") + " " + runA + " " + wt("cond")
+    phase(Seq((705L, nearNova, at(40)), (706L, contam2, at(41))))
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId(701L)._2 == "insert" && byId(701L)._3 == 0L)
+    assert(byId(703L)._2 == "short" && byId(704L)._2 == "skip_dup")
+    assert(byId(705L)._2 == "near_dup", s"near-dup must be decided before the span check: ${byId(705L)}")
+    Seq(702L, 706L).foreach { id =>
+      val t = byId(id)
+      assert(t._2 == "contaminated", s"doc $id must be contaminated: $t")
+      assert(t._3 >= 1L && t._4 >= SpanOps.GramK, s"doc $id leak mass: $t")
+      assert(t._5.contains(9100L), s"doc $id must implicate eval 9100: $t")
+      // the eval coordinate lands in the shared-run region of the eval
+      // doc (the run itself plus the word-boundary overlap around it)
+      val runStartInEval = evalText.indexOf(runA) + 1
+      assert(t._6.exists(p => p >= runStartInEval - SpanOps.GramK &&
+        p <= runStartInEval + floor), s"doc $id eval pos: $t")
+    }
+    // only clean inserts entered the near-dup signature index... plus the
+    // contaminated docs (documented: the sig append precedes the span
+    // verdict, conservative and correct); the EVAL index is untouched
+    spark.catalog.refreshTable("decontam_eval_idx")
+    val evalDocsAtRest = spark.table("decontam_eval_idx")
+      .select("eval_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(evalDocsAtRest == Set(9100L), "the batch path must never append to the eval index")
+  }
+
   test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
