@@ -280,12 +280,69 @@ object GateBench {
         s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
         s""""overhead_ratio":${f4(hygMed / baseEarlyMed)},"warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
 
+    // Span-decontamination A/B epilogue (round 14): the SAME batch
+    // generator through gatedIngestPipelineDecontam against a fresh
+    // seed-built sig index plus an eval-gram index holding a small
+    // benchmark slice — measures what the span gate (winnow selection of
+    // each batch's inserts + the file-pruned eval probe + the span merge)
+    // adds per batch over the same-warmup baseline windows. A few seed
+    // docs double as "eval" docs, so a fraction of batch inserts (the
+    // concatenation novels built from rest docs sharing runs with eval —
+    // none by construction) stay clean while exact-seed copies die
+    // upstream as skip_dup; the measured number is the gate's COST, its
+    // detection behavior is StreamingSpec's job.
+    val evalSlice = rest.takeRight(200).map { case (id, t) => (900000L + id, t) }
+    val evalTable = "gate_bench_eval_idx"
+    graft.streaming.SpanGate.writeEvalGramIndex(
+      spark, evalSlice.toSeq.toDF("doc_id", "text"), evalTable)
+    val gateTable3 = "gate_bench_dec_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable3)
+    val input3 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val ckpt3 = Files.createTempDirectory("graft-gate-bench-dec-ckpt").toString
+    val contamCounts = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q3 = StreamMerge.gatedIngestPipelineDecontam(
+      input3.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable3, evalTable,
+      (df: DataFrame, _: Long) => {
+        val c = df.groupBy("decision").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        contamCounts.addAndGet(c.getOrElse("contaminated", 0L)): Unit
+      },
+      minTokens = 10, minQuality = 0.05)
+      .option("checkpointLocation", ckpt3)
+      .start()
+    val dWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      // eval-sourced contaminated docs injected at a fixed rate: the gate
+      // must do real span work, not just empty probes
+      val contam = (0 until 4).map { i =>
+        val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
+        (4000000L + b * 100 + i, "leading words " + t + " trailing words",
+          at(100L + b))
+      }
+      input3.addData(batchRows(b) ++ contam)
+      val t0 = System.nanoTime()
+      q3.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (b >= HygWarmup) dWalls += wall
+    }
+    q3.stop()
+    val decMed = median(dWalls.toSeq)
+    val decontam =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(decMed)},""" +
+        s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
+        s""""overhead_ratio":${f4(decMed / baseEarlyMed)},""" +
+        s""""contaminated_total":${contamCounts.get()},""" +
+        s""""warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
-        s""""summary":$summary,"hygiene":$hygiene}"""
+        s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"GATE_BENCH summary=$summary hygiene=$hygiene")
+    println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam")
     spark.stop()
   }
 }
