@@ -302,6 +302,8 @@ object GateBench {
       spark.sqlContext)
     val ckpt3 = Files.createTempDirectory("graft-gate-bench-dec-ckpt").toString
     val contamCounts = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spanTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SpanGateTimings]()
     val q3 = StreamMerge.gatedIngestPipelineDecontam(
       input3.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable3, evalTable,
       (df: DataFrame, _: Long) => {
@@ -309,7 +311,8 @@ object GateBench {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         contamCounts.addAndGet(c.getOrElse("contaminated", 0L)): Unit
       },
-      minTokens = 10, minQuality = 0.05)
+      minTokens = 10, minQuality = 0.05,
+      onSpanTimings = t => { spanTimings.add(t): Unit })
       .option("checkpointLocation", ckpt3)
       .start()
     val dWalls = ArrayBuffer.empty[Double]
@@ -329,12 +332,18 @@ object GateBench {
     }
     q3.stop()
     val decMed = median(dWalls.toSeq)
+    val spanT = spanTimings.asScala.toVector
+    def medOf(f: graft.streaming.SpanGateTimings => Double): Double =
+      if (spanT.isEmpty) 0.0 else median(spanT.map(f))
     val decontam =
       s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
         s""""median_wall":${f4(decMed)},""" +
         s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
         s""""overhead_ratio":${f4(decMed / baseEarlyMed)},""" +
         s""""contaminated_total":${contamCounts.get()},""" +
+        s""""span_select_med":${f4(medOf(_.selectSec))},""" +
+        s""""span_probe_med":${f4(medOf(_.probeSec))},""" +
+        s""""span_sink_med":${f4(medOf(_.sinkSec))},""" +
         s""""warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
 
     val out =

@@ -533,6 +533,71 @@ object HygieneOps {
       .orderBy("doc_id")
   }
 
+  // ---- unicode / whitespace normalization (round 14) --------------------
+
+  /** Control characters stripped by [[withTextNormalize]]: C0 controls
+    * except TAB/LF/CR (which the whitespace pass owns) plus DEL. Same
+    * class literal in the DuckDB oracle.
+    */
+  private val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** The normalization-PLANTED corpus view (the `pii_redact` decoration
+    * idiom — the synthetic corpus is clean ASCII, so the dirt is
+    * synthesized in-plan, identically in both engines, and the oracle
+    * verifies the TRANSFORM): `% 4 == 1` docs gain NFD-decomposed
+    * accents (`e` + combining acute U+0301 — composes to `é` under
+    * NFC), `% 5 == 2` docs gain a tab run and a BEL control, `% 7 == 3`
+    * docs gain doubled spaces and trailing whitespace.
+    */
+  private def normPlanted(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit(" cafe"), lit("\u0301"), lit(" expose"), lit("\u0301"), lit("s")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("\t\tcols"), lit("\u0007"), lit("end"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        lit("  doubled  spaces  ")).otherwise(lit(""))).as("text"))
+
+  private val NormPlantedSql: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 4 = 1
+      |       THEN ' cafe' || chr(769) || ' expose' || chr(769) || 's'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 2
+      |       THEN chr(9) || chr(9) || 'cols' || chr(7) || 'end'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 3
+      |       THEN '  doubled  spaces  '
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  /** Unicode + whitespace normalization — the C4-style canonicalization
+    * pass that must run BEFORE any hashing/dedup operator, or
+    * equal-looking text (NFD vs NFC accents, doubled spaces) hashes as
+    * distinct and every exact-dedup pass silently under-merges: NFC
+    * composition ([[graft.functions.NfcNormalize]], the native
+    * expression — Spark has no builtin), C0-control strip (TAB excluded
+    * — the whitespace pass owns it; LF/CR excluded — line structure
+    * feeds `dedup_lines`), space/tab-run collapse, and edge trim.
+    * Narrow Column algebra end to end: no shuffle, composes with the
+    * streaming gates unchanged.
+    */
+  private[graft] def withTextNormalize(d: DataFrame): DataFrame =
+    d.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(
+          graft.functions.NfcNormalize.nfc_normalize(col("text")), CtrlRe, ""),
+        "[ \\t]+", " ")))
+      .withColumn("n_removed",
+        (length(col("text")) - length(col("norm_text"))).cast("long"))
+      .withColumn("changed", col("norm_text") =!= col("text"))
+
+  private def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    withTextNormalize(normPlanted(docs(spark, sfDir).select("doc_id", "text")))
+      .select("doc_id", "norm_text", "n_removed", "changed")
+      .orderBy("doc_id")
+
   private def charlmQuality(spark: SparkSession, sfDir: String): DataFrame =
     charlmScoreOf(docs(spark, sfDir).select("doc_id", "text")).orderBy("doc_id")
 
@@ -562,6 +627,21 @@ object HygieneOps {
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "text_normalize" -> QueryDef(textNormalize,
+      Some(s"""WITH d AS ($NormPlantedSql)
+              |SELECT doc_id,
+              |       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              |              '$CtrlRe', '', 'g'),
+              |            '[ \\t]+', ' ', 'g')) AS norm_text,
+              |       length(text) -
+              |         length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              |                  '$CtrlRe', '', 'g'),
+              |                '[ \\t]+', ' ', 'g'))) AS n_removed,
+              |       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              |              '$CtrlRe', '', 'g'),
+              |            '[ \\t]+', ' ', 'g')) <> text AS changed
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
     "charlm_quality" -> QueryDef(charlmQuality, None),
 
     "quality_buckets" -> QueryDef(qualityBuckets, None),

@@ -210,17 +210,24 @@ object SpanGate {
     * sink's job, as everywhere in this streaming surface).
     */
   private[graft] def spanGateDecisions(table: String,
-      onBatch: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+      onBatch: (DataFrame, Long) => Unit,
+      onTimings: SpanGateTimings => Unit = _ => ())(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     s.catalog.refreshTable(table)
     validateMeta(s, table)
     import org.apache.spark.sql.GraftShim
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
     val inserts = batch.filter(col("decision") === "insert").select("doc_id", "text")
     // one tracked evaluation of the selected sites serves the probe
     // literal collect and the mark join; blocks free deterministically
-    val (sites, sitesRdd) = GraftShim.localCheckpointTracked(SpanOps.winnowSites(inserts))
+    val ((sites, sitesRdd), tSelect) =
+      timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(inserts)))
     try {
-      val perDoc = leakSpansOf(s, sites, table)
+      val rawPerDoc = leakSpansOf(s, sites, table)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_leak_spans"),
           sum("span_len").as("leak_chars"),
@@ -228,13 +235,30 @@ object SpanGate {
         .select(col("doc_id"), col("n_leak_spans"), col("leak_chars"),
           col("fe.first_eval").as("first_eval"),
           col("fe.first_eval_pos").as("first_eval_pos"))
-      val out = batch.join(perDoc, Seq("doc_id"), "left")
-        .withColumn("decision",
-          when(col("n_leak_spans").isNotNull && col("decision") === "insert",
-            "contaminated").otherwise(col("decision")))
-        .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
-        .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
-      onBatch(out, batchId)
+      val ((perDoc, perDocRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawPerDoc))
+      try {
+        val out = batch.join(perDoc, Seq("doc_id"), "left")
+          .withColumn("decision",
+            when(col("n_leak_spans").isNotNull && col("decision") === "insert",
+              "contaminated").otherwise(col("decision")))
+          .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
+          .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
+        val (_, tSink) = timed(onBatch(out, batchId))
+        onTimings(SpanGateTimings(batchId, tSelect, tProbe, tSink))
+      } finally GraftShim.releaseCheckpoint(perDocRdd)
     } finally GraftShim.releaseCheckpoint(sitesRdd)
   }
 }
+
+/** Wall-clock seconds per span-gate stage for ONE micro-batch (the
+  * [[GateStageTimings]] pattern applied to [[SpanGate]]):
+  *   - `selectSec`: winnow selection of the batch's insert rows (the
+  *     tracked checkpoint of the selected sites);
+  *   - `probeSec`: the file-pruned eval-index probe + mark join + span
+  *     merge + per-doc aggregation (the checkpoint of the verdicts) —
+  *     the number that must stay flat as the eval index grows, or the
+  *     bucketed-probe claim is wrong;
+  *   - `sinkSec`: the caller's `onBatch` body.
+  */
+final case class SpanGateTimings(
+    batchId: Long, selectSec: Double, probeSec: Double, sinkSec: Double)

@@ -292,13 +292,16 @@ object StreamMerge {
       docs: DataFrame, baseIndex: DataFrame, sigTable: String, evalGramTable: String,
       onBatch: (DataFrame, Long) => Unit,
       delayThreshold: String = Reassembly.DefaultTtl,
-      minTokens: Int = 20, minQuality: Double = 0.4): DataStreamWriter[Row] =
+      minTokens: Int = 20, minQuality: Double = 0.4,
+      onGateTimings: GateStageTimings => Unit = _ => (),
+      onSpanTimings: SpanGateTimings => Unit = _ => ()): DataStreamWriter[Row] =
     pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
       .writeStream
       .outputMode("append")
       .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) =>
         SpanGate.spanGateDecisions(evalGramTable,
-          (flagged, fid) => onBatch(flagged.drop("text"), fid))(out, id)) _)
+          (flagged, fid) => onBatch(flagged.drop("text"), fid),
+          onSpanTimings)(out, id), onGateTimings) _)
 
   /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`
     * hook — the [[decisionsToParquet]] layout (each micro-batch

@@ -525,4 +525,42 @@ class QueriesSpec extends AnyFunSuite {
     // the global max user must not be expired
     assert(df.orderBy(desc("last_ts")).limit(1).filter(col("expired")).count() == 0)
   }
+
+  test("text_normalize: NFC composition, control strip, whitespace collapse — narrow and exact") {
+    import graft.operators.HygieneOps
+    import spark.implicits._
+    val cases = Seq(
+      // NFD accents compose: e + U+0301 -> U+00E9 (1 code point)
+      (1L, "café now", "café now"),
+      // already-NFC text byte-identical (the fast path)
+      (2L, "café now", "café now"),
+      // C0 controls stripped, TAB collapsed with spaces, edges trimmed
+      (3L, "  ab\t\tc  ", "ab c"),
+      // LF and CR survive (line structure feeds dedup_lines)
+      (4L, "line1\nline2\rline3", "line1\nline2\rline3"),
+      // non-BMP passthrough (emoji is already NFC)
+      (5L, "ok 😀 done", "ok 😀 done"),
+      (6L, "", ""))
+    val out = HygieneOps.withTextNormalize(cases.map(c => (c._1, c._2)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    cases.zip(out).foreach { case ((id, _, want), r) =>
+      assert(r.getAs[String]("norm_text") == want,
+        s"doc $id: got '${r.getAs[String]("norm_text")}', want '$want'")
+      assert(r.getAs[Boolean]("changed") == (want != cases(id.toInt - 1)._2))
+    }
+    // idempotence: normalizing the normalized output is the identity
+    val again = HygieneOps.withTextNormalize(
+      out.map(r => (r.getLong(0), r.getAs[String]("norm_text"))).toSeq.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    again.foreach(r => assert(!r.getAs[Boolean]("changed"),
+      s"doc ${r.getLong(0)}: normalization is not idempotent"))
+    // the dedup motivation: NFD and NFC spellings hash equal after the pass
+    val spellings = Seq((10L, "exposé"), (11L, "exposé")).toDF("doc_id", "text")
+    val hashes = HygieneOps.withTextNormalize(spellings)
+      .select(md5(col("norm_text"))).distinct().count()
+    assert(hashes == 1, "equal-looking spellings must hash equal after normalization")
+    // narrow: no shuffle anywhere in the plan
+    val plan = HygieneOps.withTextNormalize(spellings).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalization must be shuffle-free:\n$plan")
+  }
 }

@@ -1069,6 +1069,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 301L).get._2 == 20L, "n_tokens must ride the decision row")
   }
 
+  test("normalization composes upstream: NFD/NFC spellings of one doc exact-dedup to one row") {
+    import graft.streaming.{DedupGate, StreamMerge}
+    import graft.operators.HygieneOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val base = wt("norm") + " expos"
+    val nfd = base + "é fin" // e + combining acute
+    val nfc = base + "é  fin" // composed é, doubled space
+    assert(nfd != nfc, "raw spellings must differ before normalization")
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("seeded")).toDF("doc_id", "text"), "norm_pipe_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("known"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-normpipe-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String)]()
+    // the composition contract: withTextNormalize is NARROW, so it slots
+    // into the streaming frame BEFORE the pipeline — every downstream
+    // hash (exact-dedup md5, minhash shingles) then sees canonical text
+    val raw = input.toDS().toDF("doc_id", "text", "ts")
+    val normalized = HygieneOps.withTextNormalize(raw)
+      .select(col("doc_id"), col("norm_text").as("text"), col("ts"))
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData(Seq((801L, nfd, at(10)), (802L, nfc, at(11))))
+    val q = StreamMerge.gatedIngestPipeline(
+      normalized, staticBase, "norm_pipe_idx",
+      (df, _) => df.collect().foreach { r =>
+        acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision")))
+      },
+      minTokens = 10, minQuality = 0.05)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = acc.asScala.toSeq
+    val pair = rows.filter(t => Set(801L, 802L)(t._1))
+    assert(pair.size == 1 && pair.head._2 == "insert",
+      s"NFD/NFC spellings must exact-dedup to ONE surviving insert, got $rows")
+  }
+
   test("decontam-gated pipeline: leaked eval runs rewrite inserts to 'contaminated' with coordinates") {
     import graft.streaming.{DedupGate, SpanGate, StreamMerge}
     import graft.operators.SpanOps

@@ -162,6 +162,58 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL property: engine matches an independent reference on random hosts, both forms") {
+    import graft.operators.Psl
+    import spark.implicits._
+    // independent driver-side implementation straight from the published
+    // PSL algorithm: collect ALL matching rules, exception prevails
+    // (public suffix = rule minus leftmost label), else longest rule
+    // (wildcard * matches exactly one extra label), else implicit '*'
+    val normal = Psl.Rules.filterNot(r => r.startsWith("*.") || r.startsWith("!"))
+      .map(_.split('.').toList).toSet
+    val wild = Psl.Rules.filter(_.startsWith("*.")).map(_.drop(2).split('.').toList).toSet
+    val exc = Psl.Rules.filter(_.startsWith("!")).map(_.drop(1).split('.').toList).toSet
+    def refPsLen(labels: List[String]): Int = {
+      def ends(suffix: List[String]) = labels.endsWith(suffix)
+      // exception prevails: its public suffix is the rule minus the
+      // leftmost label (longest matching exception wins, were there several)
+      val excHits = exc.filter(ends).map(_.length - 1)
+      if (excHits.nonEmpty) excHits.max
+      else {
+        val nHits = normal.filter(ends).map(_.length)
+        val wHits = wild.filter(b => labels.length >= b.length + 1 && ends(b)).map(_.length + 1)
+        (nHits.toSeq ++ wHits.toSeq ++ Seq(1)).max // the 1: the implicit '*' rule
+      }
+    }
+    def refDomain(host: String): Option[String] = {
+      if (host.isEmpty) return None
+      val labels = host.split('.').toList
+      val ps = refPsLen(labels)
+      if (labels.length > ps) Some(labels.takeRight(ps + 1).mkString(".")) else None
+    }
+    val rnd = new scala.util.Random(4242)
+    val bodies = Vector("a", "bb", "shop", "x1", "deep", "sub")
+    val tails = Vector("com", "org", "co.uk", "ac.uk", "com.au", "ck", "www.ck",
+      "anything.ck", "np", "co.jp", "unlisted", "xx.unlisted", "io", "uk", "au", "in", "co.in")
+    val hosts = (1 to 400).map { _ =>
+      val nBody = rnd.nextInt(3)
+      ((1 to nBody).map(_ => bodies(rnd.nextInt(bodies.size))) :+
+        tails(rnd.nextInt(tails.size))).mkString(".")
+    }.distinct
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+    val lit = df.select(col("id"), col("host"), Psl.registrableDomain(col("host")).as("d"))
+      .orderBy("id").collect()
+    val join = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDf(spark), "d")
+      .orderBy("id").collect()
+    hosts.indices.foreach { i =>
+      val want = refDomain(hosts(i)).orNull
+      val gl = Option(lit(i).getAs[String]("d")).orNull
+      val gj = Option(join(i).getAs[String]("d")).orNull
+      assert(gl == want, s"literal form, host '${hosts(i)}': got '$gl', want '$want'")
+      assert(gj == want, s"join form, host '${hosts(i)}': got '$gj', want '$want'")
+    }
+  }
+
   test("url_registrable key: PSL classes resolve correctly on the decorated corpus") {
     val rows = SparkEntry.queries("url_registrable")(spark, sfDir).collect()
     assert(rows.nonEmpty)
