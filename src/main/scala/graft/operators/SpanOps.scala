@@ -343,6 +343,60 @@ object SpanOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The BENCHMARK-OWNER view of the same relation: leak mass attributed
+    * per implicated eval doc (each span charges the eval doc its
+    * earliest coordinate names) — how many train docs collide with this
+    * benchmark item, over how many spans, carrying how many verbatim
+    * characters, and the worst single span. The flip side of
+    * `decontaminate_spans`' per-train-doc report: the train owner cuts
+    * spans, the eval owner retires (or re-splits) the most-leaked items.
+    * Pure aggregation over the span relation — same scale shape.
+    */
+  private def decontaminateReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(docs(spark, sfDir))
+    crossSpansOf(d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+      .groupBy(col("first_eval").as("eval_doc"))
+      .agg(countDistinct("doc_id").as("n_train_docs"),
+        count(lit(1)).as("n_spans"),
+        sum("span_len").as("leaked_chars"),
+        max("span_len").as("max_span"))
+      .orderBy("eval_doc")
+  }
+
+  /** Production OFFLINE cross-set variant: the same decontamination
+    * relation computed over WINNOW-SELECTED sites on BOTH sides — the
+    * shape for an eval side too big to broadcast raw grams (a giant
+    * benchmark suite, or cross-shard train-vs-train checks): 1/8 of the
+    * site volume, 16-byte (gh, gh2) keys instead of 30-char gram
+    * strings. Cross-corpus winnow sync gives the same deterministic
+    * floor as `dup_spans_winnow`: every shared run ≥ K+w−1 chars
+    * selects a common gram in both corpora and is reported at the train
+    * site (shorter leaks best-effort); soundness (every winnow cross
+    * span inside an exact cross span) modulo the documented 128-bit
+    * collision. The ONLINE micro-batch form of this exact computation
+    * is [[graft.streaming.SpanGate]]; this is its batch declaration.
+    */
+  private[graft] def crossSpansWinnowOf(train: DataFrame, eval: DataFrame,
+      w: Int = WinnowW): DataFrame = {
+    val evalSel = winnowSites(eval, w)
+      .groupBy("gh", "gh2")
+      .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
+      .select(col("gh"), col("gh2"),
+        col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
+    val marked = winnowSites(train, w).join(broadcast(evalSel), Seq("gh", "gh2"))
+      .select("doc_id", "pos", "first_eval", "first_eval_pos")
+    val fe = min(struct(col("first_eval"), col("first_eval_pos")))
+    mergeSpans(marked, Seq(
+      fe.getField("first_eval") -> "first_eval",
+      fe.getField("first_eval_pos") -> "first_eval_pos"))
+  }
+
+  private def decontaminateSpansWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(docs(spark, sfDir))
+    crossSpansWinnowOf(d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---- declarations ------------------------------------------------------
 
   /** Shared oracle CTE chain up to the span relation (DuckDB). `range` is
@@ -434,6 +488,48 @@ object SpanOps {
               |       struct_extract(min(struct_pack(fd := first_eval, fp := first_eval_pos)), 'fp') AS first_eval_pos
               |FROM isl GROUP BY doc_id, span_id
               |ORDER BY doc_id, span_start""".stripMargin)),
+
+    "decontaminate_report" -> QueryDef(decontaminateReport,
+      Some(s"""WITH d AS ($PlantedSql),
+              |tg AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
+              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK AND doc_id % 10 <> 7),
+              |eg AS (
+              |  SELECT substring(text, CAST(i AS INT), $GramK) AS gram,
+              |         min(struct_pack(fd := doc_id, fp := CAST(i AS BIGINT))) AS fe
+              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK AND doc_id % 10 = 7
+              |  GROUP BY 1),
+              |m AS (
+              |  SELECT tg.doc_id, tg.pos,
+              |         struct_extract(eg.fe, 'fd') AS first_eval,
+              |         struct_extract(eg.fe, 'fp') AS first_eval_pos
+              |  FROM tg JOIN eg USING (gram)),
+              |w AS (
+              |  SELECT doc_id, pos, first_eval, first_eval_pos,
+              |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
+              |                        + $GramK
+              |              THEN 1 ELSE 0 END AS new_span
+              |  FROM m),
+              |isl AS (
+              |  SELECT doc_id, pos, first_eval, first_eval_pos,
+              |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              |  FROM w),
+              |spans AS (
+              |  SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end,
+              |         max(pos) + $GramK - min(pos) AS span_len,
+              |         struct_extract(min(struct_pack(fd := first_eval, fp := first_eval_pos)), 'fd') AS first_eval
+              |  FROM isl GROUP BY doc_id, span_id)
+              |SELECT first_eval AS eval_doc,
+              |       count(DISTINCT doc_id) AS n_train_docs,
+              |       count(*) AS n_spans,
+              |       CAST(sum(span_len) AS BIGINT) AS leaked_chars,
+              |       max(span_len) AS max_span
+              |FROM spans GROUP BY first_eval
+              |ORDER BY eval_doc""".stripMargin)),
+
+    "decontaminate_spans_winnow" -> QueryDef(decontaminateSpansWinnow, None),
 
     "dup_profile" -> QueryDef(dupProfile,
       Some(s"""$SpansSqlCte,

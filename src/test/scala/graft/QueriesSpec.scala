@@ -40,7 +40,7 @@ class QueriesSpec extends AnyFunSuite {
       "dedup_clusters_minhash", "dedup_clusters_simhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences",
-      "dup_spans_winnow", "charlm_quality", "quality_buckets"),
+      "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

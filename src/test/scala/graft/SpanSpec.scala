@@ -262,6 +262,65 @@ class SpanSpec extends AnyFunSuite {
       "no span pinpoints the boiler start position in eval doc 7")
   }
 
+  test("decontaminate_report aggregates the span relation exactly, per implicated eval doc") {
+    val spans = SparkEntry.queries("decontaminate_spans")(spark, sfDir).collect()
+    val report = SparkEntry.queries("decontaminate_report")(spark, sfDir).collect()
+    val want = spans.groupBy(_.getAs[Long]("first_eval")).view.mapValues { rs =>
+      (rs.map(_.getLong(0)).distinct.length.toLong, rs.length.toLong,
+        rs.map(_.getAs[Long]("span_len")).sum, rs.map(_.getAs[Long]("span_len")).max)
+    }.toMap
+    assert(report.length == want.size && report.nonEmpty)
+    report.foreach { r =>
+      val k = r.getAs[Long]("eval_doc")
+      assert((r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("leaked_chars"), r.getAs[Long]("max_span")) == want(k),
+        s"eval doc $k: report disagrees with the span relation")
+    }
+  }
+
+  test("winnowed cross-set spans: sound vs exact cross spans, deterministic on the boiler, train-train invisible") {
+    import spark.implicits._
+    // fixture: cross-set run at the recall floor + a train-train-only run
+    val floor = K + SpanOps.WinnowW - 1
+    val run = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    val runTT = (('0' to '9') ++ ('A' to 'Z') ++ "#$%&+=@^".toSeq).mkString
+    val train = Seq(
+      1L -> (filler('a', 70) + run + filler('b', 40)),
+      2L -> (filler('c', 55) + runTT + filler('d', 60)),
+      3L -> (filler('e', 45) + runTT + filler('f', 80))).toDF("doc_id", "text")
+    val eval = Seq(100L -> (filler('g', 30) + run + filler('h', 50))).toDF("doc_id", "text")
+    val out = SpanOps.crossSpansWinnowOf(train, eval).collect()
+    // only doc 1 may report (train-train runs invisible), span inside the
+    // exact cross span [71, 71+44), eval coordinate inside [31, 31+44)
+    assert(out.nonEmpty && out.forall(_.getLong(0) == 1L), s"got ${out.toSeq}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("span_start") >= 71 && r.getAs[Long]("span_end") <= 71 + floor)
+      assert(r.getAs[Long]("first_eval") == 100L)
+      val p = r.getAs[Long]("first_eval_pos")
+      assert(p >= 31 && p + K <= 31 + floor + 1, s"eval pos $p")
+    }
+    // corpus: every winnow cross span sits inside an exact cross span,
+    // and every planted train doc's boiler (>= floor chars) is flagged
+    val exact = SparkEntry.queries("decontaminate_spans")(spark, sfDir)
+      .select(col("doc_id"), col("span_start").as("es"), col("span_end").as("ee"))
+    val win = SparkEntry.queries("decontaminate_spans_winnow")(spark, sfDir)
+    val uncontained = win.join(exact,
+      win("doc_id") === exact("doc_id") &&
+        win("span_start") >= col("es") && win("span_end") <= col("ee"),
+      "left_anti")
+    assert(uncontained.count() == 0, "winnow cross span outside every exact cross span")
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantedTrain = docs.keySet.filter(id => id % 6 == 1 && id % 10 != 7)
+    val flagged = win.collect().groupBy(_.getLong(0))
+    plantedTrain.foreach { id =>
+      assert(flagged.getOrElse(id, Array.empty)
+        .exists(_.getAs[Long]("span_end") > docs(id) + 1),
+        s"planted train doc $id boiler not flagged by the winnowed cross pass")
+    }
+  }
+
   test("winnow strip removes a subset of the exact cut's mass, and cuts every planted doc") {
     val d = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
     val exact = SpanOps.stripSpansOf(d).collect()
