@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, FmtSize, MinHashSig, SimHashSig, SlotMatch, TopK}
+import graft.functions.{FloatDot, FmtSize, MinHashSig, NfcNormalize, SimHashSig, SlotMatch, TopK, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -77,6 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("slot_match", "slot_match(a, b) - count of equal non-null ARRAY<BIGINT> slots (codegen)"),
       (exprs: Seq[Expression]) => SlotMatch(
         castNumeric(exprs(0), ArrayType(LongType)), castNumeric(exprs(1), ArrayType(LongType)))))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      info("winnow_select", "winnow_select(text, k, w) - 1-based code-point positions of the " +
+        "window-min winnowing fingerprint sites over K-char grams (Schleimer et al. 2003)"),
+      (exprs: Seq[Expression]) => WinnowSelect(exprs.head,
+        intLit(exprs(1), "winnow_select k"), intLit(exprs(2), "winnow_select w"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 
     ext.injectFunction((
       FunctionIdentifier("top_k"),

@@ -286,4 +286,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 2L), (0.7, 3L)))
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
   }
+
+  test("winnow_select and nfc_normalize are callable from SQL") {
+    // winnow_select: positions agree with the library entry point
+    val text = ('a' to 'z').mkString * 4
+    val got = spark.sql(s"SELECT winnow_select('$text', 30, 15)")
+      .head().getSeq[Int](0)
+    val want = graft.functions.WinnowSelect
+      .selectPositions(text, 30, 15).toSeq
+    assert(got == want, s"SQL $got vs library $want")
+    // non-literal k must fail loudly, not silently misparse
+    intercept[Exception] {
+      spark.sql("SELECT winnow_select('abc', length('abc'), 2)").collect()
+    }
+    // nfc_normalize: NFD composes; already-normalized passes through
+    // NOTE: Spark's chr() is ASCII-mod-256 (unlike DuckDB's) — embed the
+    // combining acute directly in the SQL text
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301'), nfc_normalize('plain')").head()
+    assert(r.getString(0) == "caf\u00e9" && r.getString(1) == "plain")
+  }
 }
