@@ -403,6 +403,40 @@ object DedupOps {
     clusterReportReleased(nodes, edges, s"dedup_clusters_$sfDir")
   }
 
+  /** Quality-aware cluster representative selection — the KEEP POLICY a
+    * curation pipeline actually wants: within each near-dup cluster
+    * (the `dedup_clusters` relation), keep the member with the HIGHEST
+    * composite quality score ([[TextOps.withQualityScore]], the exact
+    * `text_quality` formula — one definition, no drift), ties to the
+    * lowest doc_id — instead of the structural min-id policy, which
+    * throws away the best copy whenever boilerplate landed first.
+    * Singleton clusters keep themselves. Scale shape: the per-cluster
+    * argmax is one partial-agg'd `min(struct(-quality, doc_id))` — no
+    * window, no skew funnel (cluster sizes bound the groups) — and the
+    * quality pass is narrow; everything else is the `dedup_clusters`
+    * plan. Cross-engine float note: quality is the same deterministic
+    * double expression tree in both engines, so the argmax ordering
+    * cannot diverge.
+    */
+  private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = jaccardScored(spark, sfDir, 300)
+      .filter(col("jacc") >= 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = docs(spark, sfDir).filter(col("doc_id") < 300).select("doc_id")
+    val clusters = clusterReportReleased(nodes, edges, s"dedup_keep_best_$sfDir")
+    val quality = TextOps.withQualityScore(
+      docs(spark, sfDir).filter(col("doc_id") < 300))
+      .select(col("doc_id"), col("quality"))
+    val joined = clusters.join(quality, Seq("doc_id"))
+    val best = joined.groupBy("cluster")
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("bid"))).as("b"))
+      .select(col("cluster"), col("b.bid").as("best_doc"))
+    joined.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Edge verification + clustering over scored candidate pairs: only
     * pairs whose signatures agree on ≥ [[MinhashVerifySlots]] of 16 slots
     * (est. Jaccard ≥ 0.75) enter the transitive closure — a raw band
@@ -887,6 +921,46 @@ object DedupOps {
              |FROM comp c
              |JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) cnt USING (cluster)
              |ORDER BY c.doc_id""".stripMargin)),
+
+    "dedup_keep_best" -> QueryDef(dedupKeepBest,
+      Some(s"""WITH RECURSIVE
+             |t AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents WHERE doc_id < 300),
+             |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pr
+             |  JOIN s sa ON pr.doc_a = sa.doc_id JOIN s sb ON pr.doc_b = sb.doc_id
+             |  WHERE pr.inter / (sa.n + sb.n - pr.inter) >= 0.8
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM pr
+             |  JOIN s sa ON pr.doc_a = sa.doc_id JOIN s sb ON pr.doc_b = sb.doc_id
+             |  WHERE pr.inter / (sa.n + sb.n - pr.inter) >= 0.8),
+             |reach(src, dst) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+             |q AS (
+             |  SELECT doc_id, ${TextOps.QualityExprSql} AS quality
+             |  FROM (${TextOps.QualityCountersSql}) WHERE doc_id < 300),
+             |j AS (
+             |  SELECT c.doc_id, c.cluster, cnt.n AS cluster_size, q.quality
+             |  FROM comp c
+             |  JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) cnt USING (cluster)
+             |  JOIN q USING (doc_id)),
+             |best AS (
+             |  SELECT cluster,
+             |         struct_extract(min(struct_pack(nq := -quality, bid := doc_id)), 'bid') AS best_doc
+             |  FROM j GROUP BY cluster)
+             |SELECT j.doc_id, j.cluster, j.cluster_size, j.quality,
+             |       j.doc_id = best.best_doc AS keep
+             |FROM j JOIN best USING (cluster)
+             |ORDER BY j.doc_id""".stripMargin)),
 
     "ngram_jaccard" -> QueryDef(ngramJaccard,
       Some("""WITH t AS (

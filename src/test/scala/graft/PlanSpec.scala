@@ -280,6 +280,13 @@ class PlanSpec extends AnyFunSuite {
       s"the domain-sized phase-1 window is not salted:\n${windowLines.mkString("\n")}")
   }
 
+  test("url_registrable is scan + generate + narrow PSL chain: no text shuffle, no join") {
+    val p = plan("url_registrable")
+    assert(!p.contains("Join"), s"PSL literal form must not join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
   test("dup_spans_winnow mark join keys on (gh, gh2, salt), not the bare gram hash") {
     val docs = graft.operators.SpanOps.planted(
       graft.sources.Tables(spark, sfDir, "documents"))
