@@ -344,7 +344,13 @@ object GateBench {
         s""""span_select_med":${f4(medOf(_.selectSec))},""" +
         s""""span_probe_med":${f4(medOf(_.probeSec))},""" +
         s""""span_sink_med":${f4(medOf(_.sinkSec))},""" +
-        s""""warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
+        s""""warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate",""" +
+        // the decontam stream processes batchRows(b) PLUS 4 injected
+        // contaminated docs per batch while the baseline windows ran
+        // batchRows(b) alone, so overhead_ratio conflates gate cost with
+        // ~4 extra docs/batch of input — recorded, not corrected (the
+        // injection is what makes the gate do real span work)
+        s""""input_bias":"+4 contaminated docs/batch vs the baseline windows; ratio is a mild overestimate"}"""
 
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +

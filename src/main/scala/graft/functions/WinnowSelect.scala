@@ -70,13 +70,35 @@ object WinnowSelect {
   def winnow_select(text: Column, gramK: Int, winW: Int): Column =
     GraftShim.column(WinnowSelect(GraftShim.expression(text), gramK, winW))
 
+  /** Rolling polynomial hash base. Part of the selection geometry: a
+    * different base selects different sites, so the value participates in
+    * [[schemeTag]] and changing it invalidates persisted gram indexes.
+    */
+  private[graft] val PolyBase = 1000003L
+
+  /** MurmurHash3 fmix64 multipliers (public constants, Appleby 2011). */
+  private[graft] val FmixC1 = 0xff51afd7ed558ccdL
+  private[graft] val FmixC2 = 0xc4ceb9fe1a85ec53L
+
+  /** Tag of the selection algorithm's full constant set — built FROM the
+    * live constants (not a hand-maintained literal), so changing the
+    * polynomial base, the fmix multipliers, or the tie-break rule changes
+    * the tag automatically. [[graft.streaming.SpanGate]] stamps it into
+    * every eval-gram index's meta table and refuses probes under a
+    * different tag: selected SITES (not just hash values) depend on all
+    * of these, and a silent change would desynchronize detection against
+    * persisted indexes.
+    */
+  private[graft] def schemeTag: String =
+    f"poly$PolyBase%d-fmix64($FmixC1%016x,$FmixC2%016x)-tie-leftmost"
+
   /** MurmurHash3 fmix64: decorrelates the rolling polynomial hash so the
     * window minimum is uniform over gram content, not over text structure.
     */
   private def fmix64(x0: Long): Long = {
     var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x *= FmixC1
+    x ^= x >>> 33; x *= FmixC2
     x ^= x >>> 33; x
   }
 
@@ -88,7 +110,7 @@ object WinnowSelect {
     val n = cps.length - k + 1
     if (n <= 0) return Array.emptyIntArray
     // rolling polynomial gram hashes, 1-based, fmix64-finalized
-    val B = 1000003L
+    val B = PolyBase
     var bk = 1L
     var j = 0
     while (j < k - 1) { bk *= B; j += 1 }

@@ -589,13 +589,17 @@ object HygieneOps {
         regexp_replace(
           graft.functions.NfcNormalize.nfc_normalize(col("text")), CtrlRe, ""),
         "[ \\t]+", " ")))
-      .withColumn("n_removed",
+      // length_delta is a CODE-POINT LENGTH DELTA, not a strip count: NFC
+      // composition shrinkage (2 code points -> 1) lands in it, and it can
+      // go NEGATIVE for NFC-expanding code points (composition exclusions
+      // such as U+0958, which NFC decomposes 1 -> 2) — named accordingly
+      .withColumn("length_delta",
         (length(col("text")) - length(col("norm_text"))).cast("long"))
       .withColumn("changed", col("norm_text") =!= col("text"))
 
   private def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
     withTextNormalize(normPlanted(docs(spark, sfDir).select("doc_id", "text")))
-      .select("doc_id", "norm_text", "n_removed", "changed")
+      .select("doc_id", "norm_text", "length_delta", "changed")
       .orderBy("doc_id")
 
   private def charlmQuality(spark: SparkSession, sfDir: String): DataFrame =
@@ -636,7 +640,7 @@ object HygieneOps {
               |       length(text) -
               |         length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
               |                  '$CtrlRe', '', 'g'),
-              |                '[ \\t]+', ' ', 'g'))) AS n_removed,
+              |                '[ \\t]+', ' ', 'g'))) AS length_delta,
               |       trim(regexp_replace(regexp_replace(nfc_normalize(text),
               |              '$CtrlRe', '', 'g'),
               |            '[ \\t]+', ' ', 'g')) <> text AS changed

@@ -39,7 +39,15 @@ import org.apache.spark.sql.functions._
   * which cuts the shuffled volume to the winnowing density 2/(w+1) using
   * TRUE window-min winnowing (Schleimer et al. 2003 §4, "Winnowing:
   * Local Algorithms for Document Fingerprinting"): from every window of
-  * [[WinnowW]] consecutive gram hashes, select the rightmost minimum.
+  * [[WinnowW]] consecutive gram hashes, select the LEFTMOST minimum —
+  * a deliberate deviation from Schleimer §4's rightmost-tie rule
+  * ([[graft.functions.WinnowSelect]]'s strict-pop deque keeps the
+  * leftmost tie); the guarantee is unaffected because either tie rule
+  * is a pure function of window content, but the implemented rule is
+  * part of the persisted eval-gram index GEOMETRY — "fixing" it to
+  * match the paper would silently desynchronize every stored index
+  * from its probes (the [[graft.streaming.SpanGate]] meta table pins
+  * it for exactly that reason).
   * Selection is a pure function of the window's CONTENT, so two copies
   * of a duplicated run select the same grams in every window that lies
   * fully inside the run — which gives the DETERMINISTIC recall
@@ -79,6 +87,24 @@ object SpanOps {
     * over this many reducers instead of funneling through one.
     */
   val MarkSaltN = 16
+
+  /** Seed string of the second mark hash (`gh2 = xxhash64(Gh2Seed,
+    * gram)`) — one constant feeds both [[winnowSites]] and
+    * [[SelectionTag]] so the tag cannot drift from the live scheme.
+    */
+  private[graft] val Gh2Seed = "winnow-g2"
+
+  /** Full selection-scheme tag: the winnow constants AND the mark-hash
+    * scheme, assembled from the LIVE values (gram hash base, fmix64
+    * multipliers, tie rule via [[graft.functions.WinnowSelect.schemeTag]];
+    * xxhash64 mark hashes and the gh2 seed here). Persisted eval-gram
+    * indexes stamp it into their meta table and probes validate it
+    * ([[graft.streaming.SpanGate]]): selected sites and mark keys depend
+    * on every one of these constants, and a change that slipped past the
+    * (gram_k, winnow_w) check would silently desynchronize detection.
+    */
+  private[graft] def SelectionTag: String =
+    s"${graft.functions.WinnowSelect.schemeTag}:gh=xxhash64:gh2=xxhash64('$Gh2Seed')"
 
   /** Planted cross-doc duplication: docs with `doc_id % 6 == 1` carry a
     * shared license-boilerplate tail (appended, so every original gram
@@ -181,7 +207,7 @@ object SpanOps {
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(text, p, $GramK)").as("gram"))
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"),
-        xxhash64(lit("winnow-g2"), col("gram")).as("gh2"))
+        xxhash64(lit(Gh2Seed), col("gram")).as("gh2"))
 
   /** Winnowed production sibling: identical span pipeline, but only
     * winnow-selected gram sites ([[winnowSites]]) enter the count
@@ -197,7 +223,7 @@ object SpanOps {
     *    spans never bridge;
     *  - recall: DETERMINISTIC — every duplicated run of length
     *    L ≥ K+w−1 contains a window fully inside both copies; its
-    *    rightmost-min gram is the same content at both sites, selected
+    *    leftmost-min gram is the same content at both sites, selected
     *    at both, so its count reaches 2 and the run is detected at every
     *    site (the §3 winnowing guarantee; shorter runs may or may not be
     *    caught).

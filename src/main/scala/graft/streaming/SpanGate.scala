@@ -20,9 +20,12 @@ import graft.operators.{IndexEpoch, SpanOps, VectorOps}
   * bucket filter (the session must set
   * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`, as for
   * every other persisted-index probe; asserted in BucketingSpec). The
-  * meta table pins (gram_k, winnow_w, base eval-doc count): an index
-  * written under different constants fails validation instead of
-  * silently desynchronizing selection between index and probe.
+  * meta table pins (gram_k, winnow_w, base eval-doc count) PLUS the full
+  * selection-scheme tag ([[graft.operators.SpanOps.SelectionTag]] —
+  * gram-hash base, fmix64 multipliers, leftmost tie rule, xxhash mark
+  * seeds): an index written under different constants fails validation
+  * instead of silently desynchronizing selection between index and
+  * probe.
   *
   * Detection contract — the winnowing guarantee CROSS-CORPUS: batch doc
   * and eval doc run the SAME content-pure selection, so any shared run
@@ -71,8 +74,13 @@ object SpanGate {
       .format("parquet").saveAsTable(table)
     val baseN = spark.table(table).select("eval_doc").distinct().count()
     VectorOps.clearStaleLocation(spark, metaTableFor(table))
-    spark.createDataFrame(Seq((GramK, WinnowW, baseN)))
-      .toDF("gram_k", "winnow_w", "base_n")
+    // sel_tag pins the FULL selection scheme (gram-hash base, fmix64
+    // multipliers, tie rule, mark-hash seeds) next to the geometry pair:
+    // selected sites depend on all of it, and a constants change that
+    // kept (gram_k, winnow_w) would otherwise pass validation and
+    // silently desynchronize probes from persisted indexes
+    spark.createDataFrame(Seq((GramK, WinnowW, baseN, SpanOps.SelectionTag)))
+      .toDF("gram_k", "winnow_w", "base_n", "sel_tag")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
     IndexEpoch.bumpUnconditional(spark, table)
   }
@@ -80,13 +88,22 @@ object SpanGate {
   private def validateMeta(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(metaTableFor(table)))
       spark.catalog.refreshTable(metaTableFor(table))
-    spark.table(metaTableFor(table)).collect().headOption match {
+    val meta = spark.table(metaTableFor(table))
+    require(meta.columns.contains("sel_tag"),
+      s"eval-gram index $table has a pre-sel_tag meta table — its selection " +
+        "scheme cannot be validated; rebuild with writeEvalGramIndex")
+    meta.collect().headOption match {
       case Some(r) =>
         require(r.getInt(0) == GramK && r.getInt(1) == WinnowW,
           s"eval-gram index $table was built with (gram_k, winnow_w) = " +
             s"(${r.getInt(0)}, ${r.getInt(1)}), this build expects ($GramK, $WinnowW) — " +
             "mismatched selection constants desynchronize detection; rebuild with " +
             "writeEvalGramIndex")
+        require(r.getString(3) == SpanOps.SelectionTag,
+          s"eval-gram index $table was built under selection scheme " +
+            s"'${r.getString(3)}', this build selects under " +
+            s"'${SpanOps.SelectionTag}' — same geometry, different hash/tie " +
+            "constants select DIFFERENT sites; rebuild with writeEvalGramIndex")
       case None => throw new IllegalStateException(
         s"eval-gram index $table has an empty meta table; rebuild with writeEvalGramIndex")
     }
@@ -177,16 +194,24 @@ object SpanGate {
 
   private def leakSpansOf(spark: SparkSession, sites: DataFrame,
       table: String): DataFrame = {
-    // pre-aggregate the pruned slice to one row per gram-hash pair (the
-    // lexicographically earliest eval coordinate), so the mark join
-    // never fans a batch site out over multiple eval sites
-    val slice = prunedIndexSlice(spark, table, sites)
-      .groupBy("gh", "gh2")
+    // Probe shape (round 15, the r14 "cut the probe cost" task): the
+    // batch's selected sites are micro-batch-small BY CONTRACT (the
+    // maxProbeLiterals bound above), so they BROADCAST into the pruned
+    // index scan — the eval slice is hash-joined in place, never
+    // shuffled. The r14 shape instead partial-agg'd the whole slice by
+    // (gh, gh2) and sort-merge-joined it against the sites: two slice-
+    // sized shuffles per batch, both eliminated here (GATE_BENCH probe
+    // median 3.98 s → see span_decontam record). Only MATCHED rows (a
+    // batch site × its eval hits) leave the scan, and the post-join
+    // per-site argmin collapses the eval fan-out to the lexicographically
+    // earliest coordinate — partial-agg'd, so a site hitting many eval
+    // sites combines map-side instead of shuffling every hit.
+    val marked = prunedIndexSlice(spark, table, sites)
+      .join(broadcast(sites), Seq("gh", "gh2"))
+      .groupBy("doc_id", "pos")
       .agg(min(struct(col("eval_doc").as("fd"), col("eval_pos").as("fp"))).as("fe"))
-      .select(col("gh"), col("gh2"),
+      .select(col("doc_id"), col("pos"),
         col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
-    val marked = sites.join(slice, Seq("gh", "gh2"))
-      .select("doc_id", "pos", "first_eval", "first_eval_pos")
     val fe = min(struct(col("first_eval"), col("first_eval_pos")))
     SpanOps.mergeSpans(marked, Seq(
       fe.getField("first_eval") -> "first_eval",

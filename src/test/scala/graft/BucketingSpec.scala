@@ -614,13 +614,32 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("span_gate_idx").count() == rowsNow,
       "the failed appender must write no rows")
     // a geometry-mismatched index fails validation loudly
-    spark.createDataFrame(Seq((K + 1, SpanOps.WinnowW, 1L)))
-      .toDF("gram_k", "winnow_w", "base_n")
+    spark.createDataFrame(Seq((K + 1, SpanOps.WinnowW, 1L, SpanOps.SelectionTag)))
+      .toDF("gram_k", "winnow_w", "base_n", "sel_tag")
       .write.mode("overwrite").format("parquet").saveAsTable("span_gate_idx_meta")
     val bad = intercept[IllegalArgumentException] {
       SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
     }
     assert(bad.getMessage.contains("selection constants"), bad.getMessage)
+    // same geometry, different selection-scheme tag (hash/tie constants
+    // changed) also fails — the r14 advice gap: (gram_k, winnow_w) alone
+    // would pass while selected sites silently diverge
+    spark.createDataFrame(Seq((K, SpanOps.WinnowW, 1L, "poly31-fmix64(0,0)-tie-rightmost")))
+      .toDF("gram_k", "winnow_w", "base_n", "sel_tag")
+      .write.mode("overwrite").format("parquet").saveAsTable("span_gate_idx_meta")
+    val badTag = intercept[IllegalArgumentException] {
+      SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
+    }
+    assert(badTag.getMessage.contains("different hash/tie"), badTag.getMessage)
+    // a pre-sel_tag meta table (no tag column) is unverifiable → rebuild
+    spark.sql("DROP TABLE span_gate_idx_meta")
+    spark.createDataFrame(Seq((K, SpanOps.WinnowW, 1L)))
+      .toDF("gram_k", "winnow_w", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable("span_gate_idx_meta")
+    val badCol = intercept[IllegalArgumentException] {
+      SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
+    }
+    assert(badCol.getMessage.contains("pre-sel_tag"), badCol.getMessage)
   }
 
   test("charlm persisted model scores the training corpus row-identically to the inline key") {
