@@ -418,6 +418,28 @@ object DedupOps {
     * double expression tree in both engines, so the argmax ordering
     * cannot diverge.
     */
+  /** The keep-policy decoration, decoupled from HOW clusters were built
+    * (the [[clusterReport]]/[[clustersFromScoredPairs]] split applied to
+    * the keep policy): given any `(doc_id, cluster, cluster_size, …)`
+    * cluster relation and a `(doc_id, quality)` frame, marks the
+    * highest-quality member of each cluster (ties to the lowest doc_id)
+    * as the keeper. One partial-agg'd `min(struct(-quality, doc_id))`
+    * per cluster — no window, no skew funnel — shared by the bounded
+    * oracle key ([[dedupKeepBest]]) and the production minhash
+    * composition ([[dedupKeepBestMinhash]]) so the argmax rule lands
+    * once.
+    */
+  private[graft] def keepBestReport(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val joined = clusters.join(quality, Seq("doc_id"))
+    val best = joined.groupBy("cluster")
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("bid"))).as("b"))
+      .select(col("cluster"), col("b.bid").as("best_doc"))
+    joined.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = jaccardScored(spark, sfDir, 300)
       .filter(col("jacc") >= 0.8)
@@ -427,14 +449,29 @@ object DedupOps {
     val quality = TextOps.withQualityScore(
       docs(spark, sfDir).filter(col("doc_id") < 300))
       .select(col("doc_id"), col("quality"))
-    val joined = clusters.join(quality, Seq("doc_id"))
-    val best = joined.groupBy("cluster")
-      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("bid"))).as("b"))
-      .select(col("cluster"), col("b.bid").as("best_doc"))
-    joined.join(best, Seq("cluster"))
-      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
-        (col("doc_id") === col("best_doc")).as("keep"))
-      .orderBy("doc_id")
+    keepBestReport(clusters, quality)
+  }
+
+  /** The keep policy COMPOSED WITH THE PRODUCTION CLUSTERING — the form
+    * a curation pipeline actually runs (r14 verdict task 1): quality-
+    * aware representative selection over the FULL-corpus MinHash+LSH
+    * cluster relation ([[dedupClustersMinhash]] — banded candidates,
+    * ≥ [[MinhashVerifySlots]]/16 verified edges, checkpointed CC), not
+    * the bounded-range jaccard baseline the oracle key proves the argmax
+    * on. Same [[keepBestReport]] decoration, same `text_quality` formula
+    * ([[TextOps.withQualityScore]] — one definition, no drift); the
+    * quality pass is narrow, so the plan adds two partial-agg'd
+    * shuffles (quality join + per-cluster argmax) to the clustering —
+    * still no window, no all-pairs stage, no driver drain. No oracle
+    * (LSH is not ANSI-expressible); DedupSpec pins one-keeper-per-
+    * cluster, argmax identity, and cluster agreement with
+    * `dedup_clusters_minhash` on the full corpus.
+    */
+  private def dedupKeepBestMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val clusters = clustersFromScoredPairs(d.select("doc_id"), minhashPairsScored(d),
+      s"dedup_keep_best_minhash_$sfDir")
+    keepBestReport(clusters, TextOps.withQualityScore(d).select(col("doc_id"), col("quality")))
   }
 
   /** Edge verification + clustering over scored candidate pairs: only
@@ -1021,6 +1058,8 @@ object DedupOps {
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
+
+    "dedup_keep_best_minhash" -> QueryDef(dedupKeepBestMinhash, None),
 
     "dedup_minhash" -> QueryDef(dedupMinhash, None),
 

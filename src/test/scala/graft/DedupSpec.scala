@@ -488,6 +488,40 @@ class DedupSpec extends AnyFunSuite {
     }, "keep-best is indistinguishable from min-id on this corpus")
   }
 
+  test("dedup_keep_best_minhash: keep policy composed with the PRODUCTION clustering (r14 task 1)") {
+    val out = SparkEntry.queries("dedup_keep_best_minhash")(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == nDocs, "every document must receive a keep verdict")
+    // cluster agreement with the production relation, full corpus
+    val prod = SparkEntry.queries("dedup_clusters_minhash")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == prod(r.getLong(0)),
+      s"doc ${r.getLong(0)}: cluster diverges from dedup_clusters_minhash"))
+    // one keeper per cluster; the keeper is the quality argmax (ties to
+    // lowest doc_id) under the shared text_quality formula
+    val quality = SparkEntry.queries("text_quality")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rs) =>
+      val keepers = rs.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $c must keep exactly one member")
+      val best = rs.minBy(r => (-quality(r.getLong(0)), r.getLong(0)))
+      assert(keepers.head.getLong(0) == best.getLong(0),
+        s"cluster $c kept ${keepers.head.getLong(0)}, argmax is ${best.getLong(0)}")
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length))
+    }
+    // non-vacuous: the minhash relation must have real multi-doc
+    // clusters at sf0.01, and somewhere the keep policy must pick a
+    // NON-min-id member (else this proves nothing over is_rep)
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no multi-doc minhash clusters at sf0.01 — test is vacuous")
+    assert(multi.exists { case (c, rs) =>
+      rs.filter(_.getAs[Boolean]("keep")).head.getLong(0) != c
+    } || multi.forall { case (_, rs) =>
+      rs.map(r => quality(r.getLong(0))).distinct.length > 1
+    }, "keep-best indistinguishable from min-id on the minhash relation")
+  }
+
   test("dedup_containment: containment dominates Jaccard and hits 1.0 on a planted sub-document") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
