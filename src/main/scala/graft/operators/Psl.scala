@@ -42,8 +42,11 @@ import org.apache.spark.sql.functions._
 object Psl {
 
   /** The shipped rule slice, raw PSL syntax: plain rules, `*.` wildcard
-    * rules, `!` exception rules. Max rule length 3 labels (the full list
-    * goes to 5; [[MaxRuleLabels]] is the only thing to grow).
+    * rules, `!` exception rules. Includes 4- and 5-label private-section
+    * entries and a punycode TLD, so every chain depth the full list
+    * needs ([[MaxRuleLabels]] = 5) is exercised; the same slice is
+    * shipped in `.dat` wire format at `resources/graft/psl_slice.dat`
+    * and [[loadSliceFile]] must round-trip it (WebSpec).
     */
   val Rules: Seq[String] = Seq(
     // generic TLDs
@@ -66,23 +69,89 @@ object Psl {
     "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
     "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
     // wildcard + exception (the canonical PSL pair)
-    "*.ck", "!www.ck", "*.np")
+    "*.ck", "!www.ck", "*.np",
+    // punycode TLD (the IDN form the list actually stores: рф)
+    "xn--p1ai",
+    // deep private-section suffixes (the 4-5-label chains the full list
+    // needs; real entries from publicsuffix.org)
+    "cdn.prod.atlassian-dev.net",
+    "s3.eu-west-2.amazonaws.com",
+    "s3.dualstack.eu-west-2.amazonaws.com",
+    "*.compute.amazonaws.com")
 
-  /** Longest rule length in the slice (labels, wildcard star included). */
-  val MaxRuleLabels = 3
+  /** Longest rule length the evaluation chains check (labels, wildcard
+    * star included) — 5, the full list's maximum (round 15; was 3).
+    */
+  val MaxRuleLabels = 5
 
   private def labelCount(r: String): Int = r.count(_ == '.') + 1
 
+  require(Rules.forall(labelCount(_) <= MaxRuleLabels),
+    s"shipped rule slice exceeds MaxRuleLabels=$MaxRuleLabels — the evaluation " +
+      "chains would silently never match the longer rules")
+
+  // ---- public_suffix_list.dat loader (round 15) --------------------------
+
+  /** Parses the real `public_suffix_list.dat` wire format into the rule
+    * syntax [[Rules]] uses (`*.`-wildcards and `!`-exceptions preserved):
+    * per publicsuffix.org/list/ — `//` comment lines and blank lines are
+    * ignored, each other line is read up to the first whitespace, and
+    * Unicode labels are stored lowercased in their IDN punycode (A-label)
+    * form via `java.net.IDN.toASCII` (the list file itself carries
+    * U-labels like `рф`; hosts are matched in A-label space). Section
+    * markers (`===BEGIN ICANN DOMAINS===` etc.) are comments and fall out
+    * naturally. The output feeds [[rulesDfFrom]] +
+    * [[withRegistrableDomainJoin]] — the full ~9k-rule list is DATA on
+    * the broadcast-join path, no recompilation.
+    */
+  def parseList(lines: Iterator[String]): Seq[String] = {
+    def asciiLabel(l: String): String =
+      if (l == "*" || l.forall(_ < 0x80)) l.toLowerCase(java.util.Locale.ROOT)
+      else java.net.IDN.toASCII(l).toLowerCase(java.util.Locale.ROOT)
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.takeWhile(!_.isWhitespace))
+      .filter(_.nonEmpty)
+      .map { raw =>
+        val (bang, rest) = if (raw.startsWith("!")) ("!", raw.drop(1)) else ("", raw)
+        bang + rest.split('.').map(asciiLabel).mkString(".")
+      }
+      .toSeq
+  }
+
+  /** Parses a `.dat`-format stream (UTF-8). Caller owns the stream. */
+  def parseList(in: java.io.InputStream): Seq[String] =
+    parseList(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+
+  /** The shipped slice serialized as a real `.dat` file
+    * (`src/main/resources/graft/psl_slice.dat`, comments + section
+    * markers + the U-label form of the punycode rule) — loading it must
+    * reproduce [[Rules]] exactly (round-tripped in WebSpec), proving the
+    * parser handles the wire format the full list arrives in.
+    */
+  def loadSliceFile(): Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/psl_slice.dat")
+    require(in != null, "resource /graft/psl_slice.dat missing from the build")
+    try parseList(in) finally in.close()
+  }
+
+  /** (normal rules, wildcard bases, exception rules) by label count —
+    * the shape every consumer evaluates against, derivable from ANY rule
+    * list (the shipped slice at compile time; a [[parseList]]-loaded
+    * full list at run time for the join form).
+    */
+  private[graft] def splitRules(rules: Seq[String])
+      : (Map[Int, Seq[String]], Map[Int, Seq[String]], Map[Int, Seq[String]]) = (
+    rules.filterNot(r => r.startsWith("*.") || r.startsWith("!")).groupBy(labelCount),
+    rules.filter(_.startsWith("*.")).map(_.drop(2)).groupBy(labelCount),
+    rules.filter(_.startsWith("!")).map(_.drop(1)).groupBy(labelCount))
+
   /** Normal rules by label count (1-based index). */
-  private[graft] val normalByLen: Map[Int, Seq[String]] = Rules
-    .filterNot(r => r.startsWith("*.") || r.startsWith("!"))
-    .groupBy(labelCount)
+  private[graft] val normalByLen: Map[Int, Seq[String]] = splitRules(Rules)._1
   /** Wildcard BASES (the part after `*.`) by base label count. */
-  private[graft] val wildBaseByLen: Map[Int, Seq[String]] = Rules
-    .filter(_.startsWith("*.")).map(_.drop(2)).groupBy(labelCount)
+  private[graft] val wildBaseByLen: Map[Int, Seq[String]] = splitRules(Rules)._2
   /** Exception rules (without `!`) by label count. */
-  private[graft] val excByLen: Map[Int, Seq[String]] = Rules
-    .filter(_.startsWith("!")).map(_.drop(1)).groupBy(labelCount)
+  private[graft] val excByLen: Map[Int, Seq[String]] = splitRules(Rules)._3
 
   /** The last `k` dot-labels of the (already-split) host as one string;
     * when the host has fewer than k labels this yields the whole host,
@@ -133,12 +202,25 @@ object Psl {
     * with kind ∈ normal | wild | exc; wildcard rows carry the BASE (the
     * part the host suffix must equal) and `labels` = base length.
     */
-  def rulesDf(spark: SparkSession): DataFrame = {
+  def rulesDf(spark: SparkSession): DataFrame = rulesDfFrom(spark, Rules)
+
+  /** [[rulesDf]] over an ARBITRARY rule list (e.g. the full
+    * [[parseList]]-loaded `public_suffix_list.dat`) — the production
+    * swap-in point: the join form + generated SQL treat the list as
+    * data. Rules longer than [[MaxRuleLabels]] labels fail loudly here
+    * (the evaluation chains would silently never match them).
+    */
+  def rulesDfFrom(spark: SparkSession, rules: Seq[String]): DataFrame = {
     import spark.implicits._
+    val over = rules.filter(r => labelCount(r.stripPrefix("!")) > MaxRuleLabels)
+    require(over.isEmpty,
+      s"rules exceed MaxRuleLabels=$MaxRuleLabels label(s): ${over.take(5).mkString(", ")} — " +
+        "the suffix chains stop there and would silently never match these")
+    val (normal, wild, exc) = splitRules(rules)
     val rows =
-      normalByLen.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "normal")) } ++
-        wildBaseByLen.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "wild")) } ++
-        excByLen.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "exc")) }
+      normal.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "normal")) } ++
+        wild.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "wild")) } ++
+        exc.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "exc")) }
     // one row per (rule, labels) — the join must never fan a host row
     // out; precedence exc > wild > normal is semantics-preserving (an
     // exception always prevails; a wildcard *.x subsumes a same-string

@@ -39,9 +39,14 @@ import graft.operators.{IndexEpoch, SpanOps, VectorOps}
   *
   * Scale shape (100 TB ingest against benchmark-sized eval sets): the
   * batch side is small by the micro-batch contract; its selected sites
-  * are ~chars/8. The index is eval-corpus-sized but each batch touches
-  * only the buckets its own gram hashes land in — probe cost is
-  * O(batch sites × bucket population), never an index scan. The span
+  * are ~chars/8. A sparse batch (≤ [[ProbeLiteralPlanMax]] distinct gram
+  * hashes) probes only the buckets its hashes land in via a literal
+  * bucket filter — O(batch sites × bucket population); a dense batch
+  * hits every bucket anyway, so it skips the (driver-expensive) literal
+  * plan and lets the broadcast mark join filter the index scan at
+  * hash-lookup speed — O(index), but the index is eval-corpus-sized
+  * (benchmarks, not the training corpus), so one scan per micro-batch
+  * is bounded. The span
   * merge windows only MATCHED sites per batch doc. Appends (new
   * benchmarks arriving over time) are idempotent by eval_doc anti-join
   * and epoch-guarded ([[graft.operators.IndexEpoch]]) — same
@@ -151,6 +156,20 @@ object SpanGate {
     */
   val DefaultMaxProbeLiterals = 65536
 
+  /** Ceiling on the number of gh literals actually PLANTED in the probe
+    * plan as a bucket filter. Above it the probe switches to a plain
+    * index scan filtered by the broadcast mark join — measured on
+    * GATE_BENCH: a dense batch selects ~30k distinct gram hashes, and a
+    * 30k-literal `isin` costs seconds of DRIVER-side analysis/optimizer
+    * time per micro-batch while pruning NOTHING (30k uniform hashes hit
+    * every one of the 16 buckets with near certainty — the r14 probe's
+    * 3.9 s/batch was this, not executor work). At or below the ceiling
+    * the literal filter keeps its real value: a single-doc or trickle
+    * probe touches only its own buckets (SelectedBucketsCount pruning,
+    * pinned in BucketingSpec).
+    */
+  val ProbeLiteralPlanMax = 2048
+
   /** The index slice a batch's selected sites can possibly match: their
     * distinct `gh` values as a literal bucket filter (file pruning on
     * the bucketed scan). Empty batch → `limit(0)` slice, keeping
@@ -174,7 +193,9 @@ object SpanGate {
         "micro-batch-is-small probe contract is broken; use smaller triggers, the " +
         "offline decontaminate_spans path, or raise graft.spanGate.maxProbeLiterals")
     if (ghs.isEmpty) spark.table(table).limit(0)
-    else spark.table(table).filter(col("gh").isin(ghs.toIndexedSeq: _*))
+    else if (ghs.length <= ProbeLiteralPlanMax)
+      spark.table(table).filter(col("gh").isin(ghs.toIndexedSeq: _*))
+    else spark.table(table) // dense batch: see ProbeLiteralPlanMax
   }
 
   /** Leak spans of a batch against the persisted index: one row per

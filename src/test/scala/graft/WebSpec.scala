@@ -162,6 +162,75 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL deep chains: 4- and 5-label suffixes and punycode TLD resolve through both forms (r14 task 5)") {
+    import graft.operators.Psl
+    import spark.implicits._
+    val cases = Seq(
+      // 4-label normal rule s3.eu-west-2.amazonaws.com
+      ("bucket.s3.eu-west-2.amazonaws.com", "bucket.s3.eu-west-2.amazonaws.com"),
+      ("a.bucket.s3.eu-west-2.amazonaws.com", "bucket.s3.eu-west-2.amazonaws.com"),
+      ("s3.eu-west-2.amazonaws.com", null), // the suffix itself
+      // the 4-label rule must BEAT the 1-label 'com' rule (longest match),
+      // but an unlisted region falls through to 'com'
+      ("s3.eu-west-9.amazonaws.com", "amazonaws.com"),
+      // 5-label normal rule s3.dualstack.eu-west-2.amazonaws.com
+      ("b.s3.dualstack.eu-west-2.amazonaws.com", "b.s3.dualstack.eu-west-2.amazonaws.com"),
+      ("x.b.s3.dualstack.eu-west-2.amazonaws.com", "b.s3.dualstack.eu-west-2.amazonaws.com"),
+      ("s3.dualstack.eu-west-2.amazonaws.com", null),
+      // 4-label wildcard rule *.compute.amazonaws.com
+      ("vm1.uswest.compute.amazonaws.com", "vm1.uswest.compute.amazonaws.com"),
+      ("a.vm1.uswest.compute.amazonaws.com", "vm1.uswest.compute.amazonaws.com"),
+      ("uswest.compute.amazonaws.com", null), // matched by the wildcard
+      ("compute.amazonaws.com", "amazonaws.com"), // too short for *: falls to 'com'
+      // 4-label normal rule cdn.prod.atlassian-dev.net
+      ("app1.cdn.prod.atlassian-dev.net", "app1.cdn.prod.atlassian-dev.net"),
+      ("cdn.prod.atlassian-dev.net", null),
+      ("other.prod.atlassian-dev.net", "atlassian-dev.net"), // falls to 'net'
+      // punycode TLD
+      ("site.xn--p1ai", "site.xn--p1ai"),
+      ("xn--p1ai", null))
+    val df = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }.toDF("id", "host")
+    val got = df.select(col("id"), Psl.registrableDomain(col("host")).as("d"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)).orNull)
+    cases.zip(got).foreach { case ((h, want), g) =>
+      assert(g == want, s"literal form, host '$h': got '$g', want '$want'")
+    }
+    val joined = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDf(spark), "d")
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d")).orNull)
+    cases.zip(joined).foreach { case ((h, want), g) =>
+      assert(g == want, s"join form, host '$h': got '$g', want '$want'")
+    }
+  }
+
+  test("PSL loader: the shipped .dat slice round-trips to Psl.Rules; rulesDfFrom guards depth") {
+    import graft.operators.Psl
+    // wire-format parse (comments, section markers, first-whitespace
+    // truncation, U-label -> A-label punycode) reproduces the compiled
+    // slice EXACTLY, order included
+    assert(Psl.loadSliceFile() == Psl.Rules,
+      "psl_slice.dat must parse to the exact compiled rule slice")
+    // parser details pinned independently of the file
+    val parsed = Psl.parseList(Iterator(
+      "// comment", "", "  ", "com", "  co.uk   trailing junk",
+      "*.ck", "!www.ck", "РФ", "example.укр"))
+    assert(parsed == Seq("com", "co.uk", "*.ck", "!www.ck", "xn--p1ai", "example.xn--j1amh"),
+      s"got $parsed")
+    // a rule deeper than the evaluation chains fails loudly, not silently
+    val boom = intercept[IllegalArgumentException] {
+      Psl.rulesDfFrom(spark, Seq("a.b.c.d.e.f"))
+    }
+    assert(boom.getMessage.contains("MaxRuleLabels"), boom.getMessage)
+    // a parsed-list-backed rules frame drives the join form identically
+    // to the compiled slice's frame (list-as-data contract)
+    import spark.implicits._
+    val df = Seq((1L, "a.bucket.s3.eu-west-2.amazonaws.com"), (2L, "x.y.co.uk"))
+      .toDF("id", "host")
+    val fromFile = Psl.withRegistrableDomainJoin(
+      df, "host", Psl.rulesDfFrom(spark, Psl.loadSliceFile()), "d")
+      .orderBy("id").collect().map(_.getAs[String]("d")).toSeq
+    assert(fromFile == Seq("bucket.s3.eu-west-2.amazonaws.com", "y.co.uk"), s"got $fromFile")
+  }
+
   test("PSL property: engine matches an independent reference on random hosts, both forms") {
     import graft.operators.Psl
     import spark.implicits._
@@ -194,7 +263,11 @@ class WebSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(4242)
     val bodies = Vector("a", "bb", "shop", "x1", "deep", "sub")
     val tails = Vector("com", "org", "co.uk", "ac.uk", "com.au", "ck", "www.ck",
-      "anything.ck", "np", "co.jp", "unlisted", "xx.unlisted", "io", "uk", "au", "in", "co.in")
+      "anything.ck", "np", "co.jp", "unlisted", "xx.unlisted", "io", "uk", "au", "in", "co.in",
+      // deep private-section chains (round 15: MaxRuleLabels = 5)
+      "s3.eu-west-2.amazonaws.com", "s3.dualstack.eu-west-2.amazonaws.com",
+      "compute.amazonaws.com", "west.compute.amazonaws.com", "amazonaws.com",
+      "cdn.prod.atlassian-dev.net", "prod.atlassian-dev.net", "xn--p1ai")
     val hosts = (1 to 400).map { _ =>
       val nBody = rnd.nextInt(3)
       ((1 to nBody).map(_ => bodies(rnd.nextInt(bodies.size))) :+
