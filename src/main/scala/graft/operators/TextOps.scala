@@ -350,13 +350,19 @@ object TextOps {
     * builds the distinct-word frequency table (partial-agg'd groupBy —
     * the same `vocab_topk` input), and every training round runs on
     * THAT table (|vocab| rows — millions at 100 TB, trivially
-    * partitioned), never the corpus again. Per round: a pair-count
-    * partial aggregation, a top-1 via orderBy+limit(1) (planned as
-    * TakeOrdered — no global sort), ONE collected row (metadata scale),
-    * and a narrow string-replace map applying the merge. Word-table
-    * generations are tracked localCheckpoints with deterministic
-    * release (the CC discipline — lineage stays flat across rounds and
-    * no generation's blocks strand).
+    * partitioned), never the corpus again. Per driver round: a
+    * pair-count partial aggregation, a top-(batch+1) via orderBy+limit
+    * (planned as TakeOrdered — no global sort), batch+1 collected rows
+    * (metadata scale), and a narrow string-replace map applying the
+    * accepted merges. Rounds are BATCHED (round 15): up to `batch`
+    * pairwise-non-conflicting merges land per round under an exactness
+    * rule that keeps the output bit-identical to one-merge-per-round
+    * training ([[bpeMergesTrained]]) — the driver-round count, i.e. the
+    * cluster-job floor that makes a 32k-merge vocabulary days instead
+    * of hours, drops by up to `batch`×. Word-table generations are
+    * tracked localCheckpoints with deterministic release (the CC
+    * discipline — lineage stays flat across rounds and no generation's
+    * blocks strand).
     *
     * Words are encoded as bar-wrapped symbols joined by two spaces
     * (`"bat"` → `"|b|  |a|  |t|"`): the double-space separator makes
@@ -370,12 +376,83 @@ object TextOps {
     * corrupt symbol boundaries in a way no downstream check could see.
     *
     * Ties on pair frequency break lexicographically on (left, right) —
-    * fully deterministic across runs/partitionings. No oracle
+    * the UNWRAPPED symbol strings, not their bar-wrapped encoding (fixed
+    * round 15: '|' outsorts letters, silently inverting the rule on
+    * ties) — fully deterministic across runs/partitionings. No oracle
     * (iterative fixpoint, not ANSI-expressible); QueriesSpec pins the
     * whole merge list against an independent driver-side reference BPE.
     */
+  /** Default merge-batch width of the trainer (see [[bpeMergesTrained]]):
+    * every batched run is PROVABLY identical to the sequential trainer,
+    * so the width is a pure rounds-vs-merges knob with no quality
+    * tradeoff. How much it saves depends on how symbol-disjoint the
+    * head of the pair distribution is: natural text chains its top
+    * pairs through shared letters, so EXACT batching is modest there
+    * (BpeBench, sf0.01: 90 → 78 driver rounds for 89 merges, identical
+    * lists at widths 1/8/32/128), while wider symbol distributions
+    * batch fat (PropertySpec's 8-letter corpus). Raising the width
+    * never changes output and never adds driver rounds, so the default
+    * errs high.
+    */
+  val MergeBatchDefault = 8
+
   private[graft] def bpeMerges(
-      spark: SparkSession, sfDir: String, rounds: Int = 10): DataFrame = {
+      spark: SparkSession, sfDir: String, rounds: Int = 10,
+      batch: Int = MergeBatchDefault): DataFrame =
+    bpeMergesOf(spark, docs(spark, sfDir), rounds, batch)
+
+  private[graft] def bpeMergesOf(spark: SparkSession, d: DataFrame,
+      rounds: Int, batch: Int = MergeBatchDefault): DataFrame = {
+    import spark.implicits._
+    bpeMergesTrained(spark, d, rounds, batch)._1
+      .toDF("merge_rank", "left", "right", "pair_freq")
+      .orderBy("merge_rank")
+  }
+
+  /** The trainer core — BATCHED merge rounds (round 15, r14 verdict
+    * task 2): each driver round collects the top `batch + 1` pair
+    * candidates and applies a PREFIX of them chosen so the result is
+    * BIT-IDENTICAL to the sequential (one-merge-per-round) trainer —
+    * cutting driver rounds (and so cluster job floors) by up to
+    * `batch`× where the pair distribution allows (see
+    * [[MergeBatchDefault]] for the measured real-corpus curve).
+    * Returns (merges, driver rounds used).
+    *
+    * Stop-at-first-conflict is MAXIMAL for an exact batcher, not a
+    * shortcut: a candidate ranked below the first conflicting pair has
+    * count ≤ that pair's, and acceptance needs count STRICTLY above it
+    * (the bound below), so skipping the conflict and scanning on can
+    * never admit anything — the classic skip-and-continue batcher is
+    * inherently approximate.
+    *
+    * Why the prefix rule is exact (not an approximation): after applying
+    * the rank-1 merge, pair counts can only change for pairs SHARING A
+    * SYMBOL with it (those only DECREASE — a merge removes adjacencies,
+    * never creates ones between existing symbols) or for NEW pairs
+    * involving its output symbol (each new pair `(lr, z)` occurrence
+    * comes from an old `l r z` run, so its count is bounded by an old
+    * pair `(r, z)` that shares a symbol — which, candidates being a
+    * rank prefix, is bounded by the first REJECTED candidate's count).
+    * So the sequential trainer's next pick is exactly the next accepted
+    * candidate provided (a) its symbols are disjoint from every earlier
+    * accepted merge's, and (b) its count is STRICTLY above the bound
+    * (ties could flip on the lexicographic tie-break, so equality is
+    * not kept). One genuine subtlety: if an accepted merge's OUTPUT
+    * string equals an already-existing multi-char symbol (two merge
+    * paths spelling the same string — "ab"+"c" and "a"+"bc"), pairs
+    * involving that symbol can INCREASE, breaking the bound — the
+    * trainer tracks all previously created symbol strings driver-side
+    * and closes the batch at such a merge (acceptance up to and
+    * including it stays exact; the next round recounts). The batch is
+    * always a RANK PREFIX — conflicted candidates end the batch, they
+    * are not skipped — and the rank-1 candidate is always kept, so
+    * progress is guaranteed and `batch = 1` IS the sequential trainer.
+    * PropertySpec pins batched ≡ reference-sequential at 64 merges on
+    * randomized corpora engineered to hit the collision guard.
+    */
+  private[graft] def bpeMergesTrained(spark: SparkSession, d: DataFrame,
+      rounds: Int, batch: Int): (Seq[(Long, String, String, Long)], Int) = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     import org.apache.spark.sql.GraftShim
     val guardedFreq = col("freq") + coalesce(
       assert_true(not(col("w").contains("|")),
@@ -383,7 +460,7 @@ object TextOps {
           lit("' contains the symbol-boundary bar — encoding would corrupt silently"))
         ).cast("long"),
       lit(0L))
-    val raw = docs(spark, sfDir)
+    val raw = d
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -391,11 +468,15 @@ object TextOps {
         concat(lit("|"), array_join(split(col("w"), ""), "|  |"), lit("|")).as("s"))
     var (words, handle) = GraftShim.localCheckpointTracked(raw)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // every multi-char symbol string created so far (single chars cannot
+    // collide with a ≥2-char merge output) — the collision guard above
+    val knownMulti = scala.collection.mutable.Set.empty[String]
     def inner(sym: String): String = sym.stripPrefix("|").stripSuffix("|")
+    var driverRounds = 0
     try {
-      var r = 1
       var exhausted = false
-      while (r <= rounds && !exhausted) {
+      while (merges.size < rounds && !exhausted) {
+        val want = math.min(batch, rounds - merges.size)
         val top = words
           .select(col("freq"), split(col("s"), "  ").as("a"))
           .filter(size(col("a")) >= 2) // sequence(1, 0) would DESCEND, not empty
@@ -404,27 +485,63 @@ object TextOps {
               "i -> named_struct('l', element_at(a, i), 'r', element_at(a, i + 1)))")).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("freq").as("pf"))
-          .orderBy(col("pf").desc, col("l"), col("r"))
-          .limit(1).collect()
+          // ties order on the UNWRAPPED symbol strings: the bar wrapper
+          // is encoding, not content, and '|' (0x7C) sorting above every
+          // letter would otherwise rank "|a|" AFTER "|acc|" — the exact
+          // inversion of the documented (left, right) lexicographic rule
+          // (latent until round 15's 64-merge property corpora hit ties)
+          .orderBy(col("pf").desc,
+            translate(col("l"), "|", ""), translate(col("r"), "|", ""))
+          .limit(want + 1).collect()
+        driverRounds += 1
         if (top.isEmpty) exhausted = true
         else {
-          val (l, rr, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r.toLong, inner(l), inner(rr), pf))
+          val cand = top.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toVector
+          // greedy prefix acceptance under the exactness rule
+          var kept = Vector(cand(0))
+          var dirty = Set(cand(0)._1, cand(0)._2, "|" + inner(cand(0)._1) + inner(cand(0)._2) + "|")
+          var open = !knownMulti.contains(inner(cand(0)._1) + inner(cand(0)._2))
+          var boundPf: Option[Long] = None
+          var i = 1
+          while (open && i < cand.length && kept.size < want) {
+            val (l, r, pf) = cand(i)
+            if (dirty.contains(l) || dirty.contains(r)) { boundPf = Some(pf); open = false }
+            else {
+              val out = inner(l) + inner(r)
+              kept :+= cand(i)
+              dirty = dirty + l + r + ("|" + out + "|")
+              if (knownMulti.contains(out)) open = false
+              i += 1
+            }
+          }
+          // stopped by the batch cap or the collision guard with unseen
+          // candidates remaining: the next collected row bounds whatever
+          // sequential recounting could surface
+          if (boundPf.isEmpty && i < cand.length) boundPf = Some(cand(i)._3)
+          val accepted = boundPf match {
+            case Some(b) => kept.head +: kept.tail.takeWhile(_._3 > b)
+            case None => kept // candidate list globally exhausted
+          }
+          accepted.foreach { case (l, rr, pf) =>
+            merges += ((merges.size + 1L, inner(l), inner(rr), pf))
+            knownMulti += (inner(l) + inner(rr))
+          }
           // call_function avoids SQL-literal quoting of corpus-derived
-          // symbols (replace() is left-to-right non-overlapping = BPE)
-          val merged = words.withColumn("s",
-            call_function("replace", col("s"),
+          // symbols (replace() is left-to-right non-overlapping = BPE);
+          // accepted merges are symbol-disjoint, so the chained replaces
+          // commute — applying them in rank order in ONE projection is
+          // the sequential application
+          val merged = accepted.foldLeft(words) { case (wdf, (l, rr, _)) =>
+            wdf.withColumn("s", call_function("replace", col("s"),
               lit(s"$l  $rr"), lit(s"|${inner(l)}${inner(rr)}|")))
+          }
           val (w2, h2) = GraftShim.localCheckpointTracked(merged)
           GraftShim.releaseCheckpoint(handle)
           words = w2; handle = h2
-          r += 1
         }
       }
     } finally GraftShim.releaseCheckpoint(handle)
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "left", "right", "pair_freq")
-      .orderBy("merge_rank")
+    (merges.toSeq, driverRounds)
   }
 
   /** BPE APPLICATION — the other half of the tokenizer: encode every

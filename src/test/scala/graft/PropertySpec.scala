@@ -13,6 +13,80 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
 
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // --- independent sequential reference BPE over an explicit word-freq
+  // map (the QueriesSpec reference, corpus-parametric and
+  // exhaustion-tolerant) — the ground truth the BATCHED trainer must
+  // reproduce bit for bit ---
+  private def refMergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refBpe(wordFreq: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.groupMapReduce { case (w, _) => w.split("").toVector } (_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= rounds && !done) {
+      val pairs = words.iterator
+        .flatMap { case (syms, f) => syms.zip(syms.tail).map(p => p -> f) }
+        .foldLeft(Map.empty[(String, String), Long])((m, kv) =>
+          m.updated(kv._1, m.getOrElse(kv._1, 0L) + kv._2))
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), pf) = pairs.minBy { case ((pl, pr), ppf) => (-ppf, pl, pr) }
+        out += ((rank.toLong, l, r, pf))
+        words = words.groupMapReduce { case (syms, _) => refMergeWord(syms, l, r) } (_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("batched BPE trainer ≡ sequential reference at 64 merges on randomized corpora (r14 task 2)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // two regimes: a small alphabet makes early merges CONFLICT-heavy
+    // (exercises the prefix-stop + strict-bound truncation and, at deep
+    // merge counts, the output-string collision guard — "ab"+"c" and
+    // "a"+"bc" paths exist by construction); a wider alphabet makes
+    // batches fat (exercises genuine multi-merge rounds)
+    for ((seed, alpha) <- Seq((101, "abc"), (202, "abcdefgh"), (303, "abcd"))) {
+      val rnd = new Random(seed)
+      val distinct = (1 to 80).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val tokens = (1 to 2500).map(_ => distinct(rnd.nextInt(distinct.length)))
+      val wordFreq = tokens.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      val docs = tokens.grouped(50).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val want = refBpe(wordFreq, 64)
+      val (gotB, roundsB) = TextOps.bpeMergesTrained(spark, docs, 64, batch = 16)
+      assert(gotB == want,
+        s"seed $seed: batched(16) trainer diverged from the sequential reference\n" +
+          s" got  ${gotB.take(12)}…\n want ${want.take(12)}…")
+      // batch = 1 IS the sequential trainer (same core, degenerate batch)
+      val (got1, rounds1) = TextOps.bpeMergesTrained(spark, docs, 64, batch = 1)
+      assert(got1 == want, s"seed $seed: batch=1 trainer diverged from the reference")
+      assert(rounds1 == want.size, "batch=1 must use one driver round per merge")
+      assert(roundsB < rounds1,
+        s"seed $seed: batching saved no driver rounds ($roundsB vs $rounds1)")
+    }
+  }
+
   test("TopK.Buf equals take-k of the fully sorted input, for random inputs and k") {
     val rnd = new Random(42)
     (1 to 300).foreach { _ =>
