@@ -303,6 +303,36 @@ object StreamMerge {
           (flagged, fid) => onBatch(flagged.drop("text"), fid),
           onSpanTimings)(out, id), onGateTimings) _)
 
+  /** [[gatedIngestPipeline]] plus the PERSISTED-model quality gate — the
+    * train-once model artifact ([[graft.operators.HygieneOps
+    * .writeCharLmTable]]) scoring every micro-batch through the
+    * broadcast-join form inside foreachBatch ([[CharLmGate]]), where the
+    * literal-map form of [[gatedIngestPipelineHygiene]] cannot follow
+    * (its model must fit `CharLmLiteralMax`; a KenLM-scale artifact can
+    * only go through here). Rows above `maxBits` become `lm_tail` BEFORE
+    * the near-dup gate — the documented precedence (structural gates,
+    * then model gates, then dup classification), and `lm_tail` rows
+    * never pay signature cost or touch the signature index. Stream
+    * scores are bit-identical to the batch `charlm_quality` key on the
+    * same docs (StreamingSpec); no new stream state — the stateful plan
+    * is byte-identical to [[gatedIngestPipeline]]'s.
+    */
+  def gatedIngestPipelineLm(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String, lmTable: String,
+      maxBits: Double,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4,
+      onGateTimings: GateStageTimings => Unit = _ => ()): DataStreamWriter[Row] =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val decorated = CharLmGate.withLmDecisions(batch, lmTable, maxBits)
+        DedupGate.gateDecisions(sigTable,
+          (out, bid) => onBatch(out.drop("text"), bid), onGateTimings)(decorated, id)
+      }
+
   /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`
     * hook — the [[decisionsToParquet]] layout (each micro-batch
     * overwrites its own `batch=<id>` dir, replay lands byte-identically)

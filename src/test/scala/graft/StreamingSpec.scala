@@ -1189,6 +1189,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(evalDocsAtRest == Set(9100L), "the batch path must never append to the eval index")
   }
 
+  test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
+    import graft.streaming.{DedupGate, StreamMerge}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    graft.operators.HygieneOps.writeCharLmTable(spark, sfDir, "lmgate_model")
+    // the batch ground truth: the charlm_quality key on the SAME corpus
+    // the model was trained on (every lookup hits; the join form reduces
+    // to the inline key — BucketingSpec's persisted-model pin)
+    val batchBits = SparkEntry.queries("charlm_quality")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val streamed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // a threshold that splits the streamed docs into both verdicts
+    val maxBits = {
+      val bs = streamed.map(d => batchBits(d._1)._2).sorted
+      bs(bs.length / 2)
+    }
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("corp")).toDF("doc_id", "text"), "lmgate_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("known"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-lmgate-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Long, Option[Double])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    input.addData(streamed.zipWithIndex.map { case ((id, t), i) => (id, t, at(10L + i)) }.toSeq)
+    val q = StreamMerge.gatedIngestPipelineLm(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+      "lmgate_sig_idx", "lmgate_model", maxBits,
+      (df, _) => df.collect().foreach { r =>
+        acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+          r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Double]("bits")).map(_.doubleValue())))
+      },
+      minTokens = 0, minQuality = 0.0)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId.keySet == streamed.map(_._1).toSet, "every streamed doc must get a verdict")
+    var tails = 0
+    streamed.foreach { case (id, _) =>
+      val (_, decision, nBg, bits) = byId(id)
+      val (wantBg, wantBits) = batchBits(id)
+      // BIT-identical: the broadcast-join scoring inside the gate is the
+      // same decimal-sum expression tree as the batch key
+      assert(bits.contains(wantBits) && nBg == wantBg,
+        s"doc $id: stream score ($nBg, $bits) != batch charlm_quality ($wantBg, $wantBits)")
+      val want = if (wantBits > maxBits) "lm_tail" else "insert"
+      assert(decision == want, s"doc $id bits=$bits maxBits=$maxBits: got $decision, want $want")
+      if (decision == "lm_tail") tails += 1
+    }
+    assert(tails > 0 && tails < streamed.length,
+      "threshold must split the stream into both verdicts or the test is vacuous")
+    // lm_tail rows must not have entered the near-dup signature index
+    spark.catalog.refreshTable("lmgate_sig_idx")
+    val indexed = spark.table("lmgate_sig_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    streamed.foreach { case (id, _) =>
+      if (byId(id)._2 == "lm_tail")
+        assert(!indexed.contains(id), s"lm_tail doc $id leaked into the signature index")
+    }
+  }
+
   test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
