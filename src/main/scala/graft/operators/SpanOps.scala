@@ -376,7 +376,11 @@ object SpanOps {
     * characters, and the worst single span. The flip side of
     * `decontaminate_spans`' per-train-doc report: the train owner cuts
     * spans, the eval owner retires (or re-splits) the most-leaked items.
-    * Pure aggregation over the span relation — same scale shape.
+    * Pure aggregation over the span relation — same scale shape. As a
+    * STANDALONE bench key this recomputes the cross-span relation from
+    * scratch (by design — the driver contract is one self-contained
+    * frame per key); a real pipeline materializes `decontaminate_spans`
+    * once and derives both owner views from the parquet.
     */
   private def decontaminateReport(spark: SparkSession, sfDir: String): DataFrame = {
     val d = planted(docs(spark, sfDir))

@@ -565,6 +565,8 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = flags.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"eval-gram probe must file-prune the bucketed index:\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN "),
+      s"sparse probe must plant the literal gh filter (the pruning source):\n$plan")
     val rows = flags.collect()
     val byDoc = rows.groupBy(_.getLong(0))
     assert(!byDoc.contains(2L), "clean doc must not flag")
@@ -593,6 +595,34 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "appended benchmark must be probe-visible")
     assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
       "probe must stay file-pruned after the append")
+
+    // DENSE batch (> ProbeLiteralPlanMax distinct gram hashes): the
+    // probe must NOT plant tens of thousands of gh literals — that was
+    // the r14 3.9 s/batch driver-planning cost, and with every bucket
+    // hit the literals prune nothing — it switches to the plain index
+    // scan filtered by the broadcast mark join (r15)
+    val denseText = {
+      var x = 12345L
+      Array.fill(30000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ('a' + ((x >>> 33) % 26).toInt).toChar
+      }.mkString
+    }
+    val dense = Seq(5L -> denseText).toDF("doc_id", "text")
+    assert(SpanOps.winnowSites(dense).select("gh").distinct().count() >
+      SpanGate.ProbeLiteralPlanMax, "dense fixture must exceed the literal-plan ceiling")
+    val denseFlags = SpanGate.flagLeakSpans(spark, dense, "span_gate_idx")
+    val densePlan = denseFlags.queryExecution.executedPlan.toString
+    assert(densePlan.contains("BroadcastHashJoin"),
+      s"dense probe must filter the index scan through the broadcast mark join:\n$densePlan")
+    // the bucketed scan always reports SelectedBucketsCount; dense must
+    // select ALL buckets (no literal filter planted — the driver-cost
+    // trap) rather than pruning through a 3000-literal INSET
+    assert(densePlan.contains("SelectedBucketsCount: 8 out of 8"),
+      s"dense probe should scan all buckets unpruned:\n$densePlan")
+    assert(!densePlan.contains("INSET") && !densePlan.contains("dynamicpruning"),
+      "dense probe must not carry the gh literal set in the plan")
+    assert(denseFlags.count() == 0, "random text must share no 30-gram with the eval docs")
     // rows per eval doc are stable under replay (no duplicate sites)
     spark.catalog.refreshTable("span_gate_idx")
     val siteCounts = spark.table("span_gate_idx").groupBy("eval_doc", "gh", "gh2", "eval_pos")

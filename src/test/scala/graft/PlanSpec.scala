@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"no map-side partial argmin:\n$p")
   }
 
+  test("dedup_keep_best_minhash: per-cluster argmax is a partial aggregation, not a window") {
+    // the keep decoration must stay window-free on the PRODUCTION
+    // relation too — a window over (cluster) would funnel mega-clusters
+    // through single reducers at 100 TB
+    val p = plan("dedup_keep_best_minhash")
+    assert(!p.contains("Window"), s"keep policy plans a window:\n$p")
+    assert(p.contains("partial_min"), s"no map-side partial argmax:\n$p")
+  }
+
   test("corpus_filter composes with aggregation + join only — no window") {
     val p = plan("corpus_filter")
     assert(!p.contains("Window"), s"corpus_filter must not window:\n$p")

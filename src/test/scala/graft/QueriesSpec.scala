@@ -37,7 +37,8 @@ class QueriesSpec extends AnyFunSuite {
   test("oracle SQL exists for every key except the declared non-SQL ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("bpe_merges", "bpe_encode", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-      "dedup_clusters_minhash", "dedup_clusters_simhash", "ann_lsh", "ann_lsh_indexed", "ann_ivf",
+      "dedup_clusters_minhash", "dedup_keep_best_minhash", "dedup_clusters_simhash",
+      "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences",
       "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets"),
