@@ -104,9 +104,9 @@ object SpanGate {
             s"(${r.getInt(0)}, ${r.getInt(1)}), this build expects ($GramK, $WinnowW) — " +
             "mismatched selection constants desynchronize detection; rebuild with " +
             "writeEvalGramIndex")
-        require(r.getString(3) == SpanOps.SelectionTag,
+        require(r.getAs[String]("sel_tag") == SpanOps.SelectionTag,
           s"eval-gram index $table was built under selection scheme " +
-            s"'${r.getString(3)}', this build selects under " +
+            s"'${r.getAs[String]("sel_tag")}', this build selects under " +
             s"'${SpanOps.SelectionTag}' — same geometry, different hash/tie " +
             "constants select DIFFERENT sites; rebuild with writeEvalGramIndex")
       case None => throw new IllegalStateException(
