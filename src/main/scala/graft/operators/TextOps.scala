@@ -500,6 +500,14 @@ object TextOps {
           // greedy prefix acceptance under the exactness rule
           var kept = Vector(cand(0))
           var dirty = Set(cand(0)._1, cand(0)._2, "|" + inner(cand(0)._1) + inner(cand(0)._2) + "|")
+          // outputs created THIS batch: a second accepted merge spelling
+          // the same output would let a new pair collect contributions
+          // from both (sum can break the bound), so it closes the batch
+          // exactly like a knownMulti collision — likely unreachable
+          // under leftmost-greedy global merging (the two spellings of
+          // one string cannot coexist as pairs), but the guard is one
+          // set lookup and makes the exactness argument unconditional
+          var outsSeen = Set(inner(cand(0)._1) + inner(cand(0)._2))
           var open = !knownMulti.contains(inner(cand(0)._1) + inner(cand(0)._2))
           var boundPf: Option[Long] = None
           var i = 1
@@ -510,7 +518,8 @@ object TextOps {
               val out = inner(l) + inner(r)
               kept :+= cand(i)
               dirty = dirty + l + r + ("|" + out + "|")
-              if (knownMulti.contains(out)) open = false
+              if (knownMulti.contains(out) || outsSeen.contains(out)) open = false
+              outsSeen += out
               i += 1
             }
           }
