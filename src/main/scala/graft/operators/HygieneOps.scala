@@ -507,8 +507,14 @@ object HygieneOps {
     * train once on the reference corpus, score everything else against
     * the artifact without retraining.
     */
-  def writeCharLmTable(spark: SparkSession, sfDir: String, table: String): Unit = {
-    val (counts, ctx, vocab) = charlmModelOf(docs(spark, sfDir).select("doc_id", "text"))
+  def writeCharLmTable(spark: SparkSession, sfDir: String, table: String): Unit =
+    writeCharLmTableFrom(spark, docs(spark, sfDir).select("doc_id", "text"), table)
+
+  /** [[writeCharLmTable]] over an explicit reference-corpus frame — the
+    * train-on-anything entry (demo corpora, a curated reference slice).
+    */
+  def writeCharLmTableFrom(spark: SparkSession, d: DataFrame, table: String): Unit = {
+    val (counts, ctx, vocab) = charlmModelOf(d)
     graft.operators.VectorOps.clearStaleLocation(spark, table)
     graft.operators.VectorOps.clearStaleLocation(spark, table + "_ctx")
     counts.write.mode("overwrite").format("parquet").saveAsTable(table)

@@ -248,13 +248,41 @@ object StreamDemo {
       hSeen.get(301L).contains("blocked_domain") &&
       hSeen.get(302L).contains("lm_tail")
 
+    // Persisted-model LM gate (round 15): the same tail cut driven from
+    // the train-once TABLE artifact through the per-batch broadcast-join
+    // gate (the any-model-size path) instead of literal maps.
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark, hyTrain, "stream_demo_lm_model")
+    val gate4 = "stream_demo_gate4_idx"
+    DedupGate.writeSigIndex(spark,
+      Seq(0L -> wt("lseed")).toDF("doc_id", "text"), gate4, nBuckets = 4)
+    val lInput = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val lSeen = new scala.collection.concurrent.TrieMap[Long, String]()
+    val lCkpt = Files.createTempDirectory("graft-stream-lm-ckpt").toString
+    lInput.addData(Seq(
+      (400L, wt("hw5"), new java.sql.Timestamp(10000L)),
+      (401L, hyJunk, new java.sql.Timestamp(11000L))))
+    val lq = StreamMerge.gatedIngestPipelineLm(
+      lInput.toDS().toDF("doc_id", "text", "ts"), baseIdx, gate4,
+      "stream_demo_lm_model", hyMax,
+      (df, _) => df.collect().foreach { r =>
+        lSeen.put(r.getAs[Long]("doc_id"), r.getAs[String]("decision"))
+      },
+      minQuality = 0.0)
+      .option("checkpointLocation", lCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    lq.awaitTermination()
+    val lmGate = lSeen.get(400L).contains("insert") && lSeen.get(401L).contains("lm_tail")
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
       s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub " +
-      s"hygieneChain=$hygieneChain")
+      s"hygieneChain=$hygieneChain lmGate=$lmGate")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
         gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub &&
-        hygieneChain)) sys.exit(1)
+        hygieneChain && lmGate)) sys.exit(1)
   }
 }
