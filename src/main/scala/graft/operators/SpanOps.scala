@@ -369,6 +369,29 @@ object SpanOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The decontamination REMEDIATION (round 15 — completes the family
+    * matrix: detect `decontaminate_spans`, attribute
+    * `decontaminate_report`, winnow `decontaminate_spans_winnow`, gate
+    * online `SpanGate`, and now CUT): every leaked span removed from its
+    * train doc, the flanks spliced — Lee et al. §6.2's eval-dedup applied
+    * as surgery rather than the flag-don't-drop report, for pipelines
+    * whose policy is "keep the document, lose the leak" (the drop-whole-
+    * doc policy is `decontaminate`'s flag + a filter). Same shape as
+    * `strip_dup_spans` driven by the CROSS-set relation: the eval gram
+    * table broadcasts, the train corpus never shuffles, and the rebuild
+    * is the per-doc Catalyst fold (spans are disjoint and sorted by the
+    * merge). Caveat, documented not guarded: splicing can in principle
+    * mint a NEW K-gram across the seam that coincidentally matches eval
+    * — SpanSpec pins zero re-detection on this corpus; a paranoid
+    * pipeline iterates strip→detect to fixpoint.
+    */
+  private def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(docs(spark, sfDir))
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    stripWith(train, crossSpansOf(train, d.filter(col("doc_id") % 10 === 7)))
+      .orderBy("doc_id")
+  }
+
   /** The BENCHMARK-OWNER view of the same relation: leak mass attributed
     * per implicated eval doc (each span charges the eval doc its
     * earliest coordinate names) — how many train docs collide with this
@@ -560,6 +583,49 @@ object SpanOps {
               |ORDER BY eval_doc""".stripMargin)),
 
     "decontaminate_spans_winnow" -> QueryDef(decontaminateSpansWinnow, None),
+
+    "decontaminate_strip" -> QueryDef(decontaminateStrip,
+      Some(s"""WITH d AS ($PlantedSql),
+              |t AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+              |tg AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
+              |  FROM t, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK),
+              |eg AS (
+              |  SELECT DISTINCT substring(text, CAST(i AS INT), $GramK) AS gram
+              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+              |  WHERE length(text) >= $GramK AND doc_id % 10 = 7),
+              |m AS (SELECT tg.doc_id, tg.pos FROM tg JOIN eg USING (gram)),
+              |w AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
+              |                        + $GramK
+              |              THEN 1 ELSE 0 END AS new_span
+              |  FROM m),
+              |isl AS (
+              |  SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              |  FROM w),
+              |spans AS (
+              |  SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end
+              |  FROM isl GROUP BY doc_id, span_id),
+              |gaps AS (
+              |  SELECT doc_id,
+              |         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS gs,
+              |         span_start AS ge
+              |  FROM spans
+              |  UNION ALL
+              |  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id),
+              |rebuilt AS (
+              |  SELECT gaps.doc_id,
+              |         string_agg(
+              |           substring(t.text, CAST(gaps.gs AS INT),
+              |                     CAST(coalesce(gaps.ge, length(t.text) + 1) - gaps.gs AS INT)),
+              |           '' ORDER BY gaps.gs) AS clean_text
+              |  FROM gaps JOIN t USING (doc_id) GROUP BY gaps.doc_id)
+              |SELECT t.doc_id, coalesce(r.clean_text, t.text) AS clean_text,
+              |       length(t.text) - length(coalesce(r.clean_text, t.text)) AS n_removed
+              |FROM t LEFT JOIN rebuilt r USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
 
     "dup_profile" -> QueryDef(dupProfile,
       Some(s"""$SpansSqlCte,

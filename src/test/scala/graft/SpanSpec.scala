@@ -262,6 +262,32 @@ class SpanSpec extends AnyFunSuite {
       "no span pinpoints the boiler start position in eval doc 7")
   }
 
+  test("decontaminate_strip: leak mass cut exactly, clean text re-detects ZERO spans (r15)") {
+    val spans = SparkEntry.queries("decontaminate_spans")(spark, sfDir).collect()
+    val stripped = SparkEntry.queries("decontaminate_strip")(spark, sfDir).collect()
+    // mass conservation: each train doc loses exactly its merged span mass
+    val massByDoc = spans.groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("span_len")).sum }
+    stripped.foreach { r =>
+      val want = massByDoc.getOrElse(r.getLong(0), 0L)
+      assert(r.getAs[Long]("n_removed") == want,
+        s"doc ${r.getLong(0)}: removed ${r.getAs[Long]("n_removed")}, span mass $want")
+    }
+    assert(massByDoc.nonEmpty && stripped.exists(_.getAs[Long]("n_removed") > 0),
+      "corpus must contain real leaks or the test is vacuous")
+    // the remediation post-condition: re-running detection on the CLEAN
+    // text against the same eval slice finds nothing (no seam-minted
+    // gram on this corpus — the documented caveat would show up here)
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, sfDir, "documents")
+    val evalDocs = SpanOps.planted(d.select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 10 === 7)
+    val cleanAsDocs = stripped.map(r => (r.getLong(0), r.getAs[String]("clean_text")))
+      .toSeq.toDF("doc_id", "text")
+    val re = SpanOps.crossSpansOf(cleanAsDocs, evalDocs).count()
+    assert(re == 0, s"clean text still leaks $re spans against eval")
+  }
+
   test("decontaminate_report aggregates the span relation exactly, per implicated eval doc") {
     val spans = SparkEntry.queries("decontaminate_spans")(spark, sfDir).collect()
     val report = SparkEntry.queries("decontaminate_report")(spark, sfDir).collect()
