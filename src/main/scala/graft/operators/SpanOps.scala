@@ -450,6 +450,20 @@ object SpanOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Winnowed REMEDIATION sibling (the [[stripSpansWinnowOf]] pattern
+    * applied cross-set): cut the winnow-detected leak spans — for eval
+    * suites too big to broadcast raw grams. Inherits the winnow
+    * contract: every leak ≥ K+w−1 chars is cut deterministically at
+    * every site, shorter leaks best-effort; soundness means it removes
+    * a SUBSET of [[decontaminateStrip]]'s mass, never clean text
+    * (SpanSpec). Library function, not a declared key — mirroring the
+    * self-dup family, where the winnow strip is also spec-pinned
+    * composition surface.
+    */
+  private[graft] def decontaminateStripWinnowOf(train: DataFrame, eval: DataFrame,
+      w: Int = WinnowW): DataFrame =
+    stripWith(train, crossSpansWinnowOf(train, eval, w))
+
   // ---- declarations ------------------------------------------------------
 
   /** Shared oracle CTE chain up to the span relation (DuckDB). `range` is

@@ -286,6 +286,24 @@ class SpanSpec extends AnyFunSuite {
       .toSeq.toDF("doc_id", "text")
     val re = SpanOps.crossSpansOf(cleanAsDocs, evalDocs).count()
     assert(re == 0, s"clean text still leaks $re spans against eval")
+    // production sibling: the WINNOWED cut is sound — per doc it removes
+    // a subset of the exact cut's mass (never clean text) — and still
+    // cuts every planted train doc's boiler (≥ K+w−1 chars, the
+    // deterministic floor)
+    val train = SpanOps.planted(d.select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 10 =!= 7)
+    val winStrip = SpanOps.decontaminateStripWinnowOf(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    stripped.foreach { r =>
+      assert(winStrip(r.getLong(0)) <= r.getAs[Long]("n_removed"),
+        s"doc ${r.getLong(0)}: winnow cut ${winStrip(r.getLong(0))} exceeds exact " +
+          s"cut ${r.getAs[Long]("n_removed")}")
+    }
+    val plantedTrain = stripped.map(_.getLong(0)).filter(id => id % 6 == 1)
+    assert(plantedTrain.nonEmpty)
+    plantedTrain.foreach { id =>
+      assert(winStrip(id) > 0, s"planted train doc $id: winnow cut removed nothing")
+    }
   }
 
   test("decontaminate_report aggregates the span relation exactly, per implicated eval doc") {
