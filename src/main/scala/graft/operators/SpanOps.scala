@@ -273,10 +273,19 @@ object SpanOps {
   private[graft] def stripSpansWinnowOf(d: DataFrame, w: Int = WinnowW): DataFrame =
     stripWith(d, dupSpansWinnowOf(d, w))
 
-  private def stripWith(d: DataFrame, spanRel: DataFrame): DataFrame = {
-    val spans = spanRel
+  /** `broadcastSpans`: when the span-bearing docs are RARE relative to
+    * the corpus — decontamination's case by nature (leaks against a
+    * benchmark-sized eval set) — the per-doc span lists broadcast and
+    * the corpus TEXT never shuffles for the join; the self-dup strip
+    * keeps the default shuffle join (duplicated docs are routinely a
+    * double-digit corpus fraction — too big to broadcast).
+    */
+  private def stripWith(d: DataFrame, spanRel: DataFrame,
+      broadcastSpans: Boolean = false): DataFrame = {
+    val spans0 = spanRel
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    val spans = if (broadcastSpans) broadcast(spans0) else spans0
     d.join(spans, Seq("doc_id"), "left")
       .withColumn("clean_text",
         when(col("sp").isNull, col("text")).otherwise(expr(
@@ -388,7 +397,8 @@ object SpanOps {
   private def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
     val d = planted(docs(spark, sfDir))
     val train = d.filter(col("doc_id") % 10 =!= 7)
-    stripWith(train, crossSpansOf(train, d.filter(col("doc_id") % 10 === 7)))
+    stripWith(train, crossSpansOf(train, d.filter(col("doc_id") % 10 === 7)),
+      broadcastSpans = true)
       .orderBy("doc_id")
   }
 
@@ -462,7 +472,7 @@ object SpanOps {
     */
   private[graft] def decontaminateStripWinnowOf(train: DataFrame, eval: DataFrame,
       w: Int = WinnowW): DataFrame =
-    stripWith(train, crossSpansWinnowOf(train, eval, w))
+    stripWith(train, crossSpansWinnowOf(train, eval, w), broadcastSpans = true)
 
   // ---- declarations ------------------------------------------------------
 

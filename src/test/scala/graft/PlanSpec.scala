@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"no map-side partial argmin:\n$p")
   }
 
+  test("decontaminate_strip joins only by broadcast: train text never shuffles for a join") {
+    // both joins broadcast their small-by-nature side (eval gram table;
+    // the rare leaked-doc span lists) — a sort-merge join here would
+    // shuffle the full corpus text at 100 TB. (The final orderBy's range
+    // exchange is the declared deterministic-output cost, not a join.)
+    val p = plan("decontaminate_strip")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontaminate_strip must not sort-merge join (full-text shuffle):\n$p")
+  }
+
   test("dedup_keep_best_minhash: per-cluster argmax is a partial aggregation, not a window") {
     // the keep decoration must stay window-free on the PRODUCTION
     // relation too — a window over (cluster) would funnel mega-clusters

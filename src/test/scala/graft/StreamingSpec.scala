@@ -1232,6 +1232,12 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the gate's no-new-stream-state claim, asserted structurally: the
+    // only stateful operator is pipelineCore's watermarked dedup — the
+    // per-batch LM join+groupBy lives inside foreachBatch, off-plan
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty && progresses.forall(_.stateOperators.length == 1),
+      s"LM gate added stream state: ${progresses.map(_.stateOperators.length).toSeq}")
     val byId = acc.asScala.map(t => t._1 -> t).toMap
     assert(byId.keySet == streamed.map(_._1).toSet, "every streamed doc must get a verdict")
     var tails = 0
