@@ -280,6 +280,22 @@ object SpanOps {
     * keeps the default shuffle join (duplicated docs are routinely a
     * double-digit corpus fraction — too big to broadcast).
     */
+  /** Rebuild `text` with the sorted disjoint `(span_start, span_end)`
+    * structs in the `sp` array column cut out — the per-doc Catalyst
+    * fold shared by the offline strips and the streaming scrub gate
+    * ([[graft.streaming.SpanGate]]). Expects `text` and `sp` in scope.
+    */
+  private[graft] def cutSpansFold: Column = expr(
+    """aggregate(sp,
+      |  named_struct('cur', CAST(1 AS BIGINT), 'acc', CAST('' AS STRING)),
+      |  (a, s) -> named_struct(
+      |    'cur', s.span_end,
+      |    'acc', concat(a.acc,
+      |      substring(text, CAST(a.cur AS INT), CAST(s.span_start - a.cur AS INT)))),
+      |  a -> concat(a.acc,
+      |    substring(text, CAST(a.cur AS INT), length(text) - CAST(a.cur AS INT) + 1)))"""
+      .stripMargin)
+
   private def stripWith(d: DataFrame, spanRel: DataFrame,
       broadcastSpans: Boolean = false): DataFrame = {
     val spans0 = spanRel
@@ -288,16 +304,7 @@ object SpanOps {
     val spans = if (broadcastSpans) broadcast(spans0) else spans0
     d.join(spans, Seq("doc_id"), "left")
       .withColumn("clean_text",
-        when(col("sp").isNull, col("text")).otherwise(expr(
-          """aggregate(sp,
-            |  named_struct('cur', CAST(1 AS BIGINT), 'acc', CAST('' AS STRING)),
-            |  (a, s) -> named_struct(
-            |    'cur', s.span_end,
-            |    'acc', concat(a.acc,
-            |      substring(text, CAST(a.cur AS INT), CAST(s.span_start - a.cur AS INT)))),
-            |  a -> concat(a.acc,
-            |    substring(text, CAST(a.cur AS INT), length(text) - CAST(a.cur AS INT) + 1)))"""
-            .stripMargin)))
+        when(col("sp").isNull, col("text")).otherwise(cutSpansFold))
       .select(col("doc_id"), col("clean_text"),
         (length(col("text")) - length(col("clean_text"))).cast("long").as("n_removed"))
   }

@@ -294,6 +294,80 @@ object SpanGate {
       } finally GraftShim.releaseCheckpoint(perDocRdd)
     } finally GraftShim.releaseCheckpoint(sitesRdd)
   }
+
+  /** [[spanGateDecisions]]' REMEDIATION sibling: instead of dropping a
+    * contaminated doc, CUT its leak spans and keep the surgery — the
+    * online form of the offline `decontaminate_strip` / winnowed-strip
+    * policy (Lee et al. §6.2 surgery at ingest time). Detection is the
+    * identical probe (winnow selection against the persisted eval
+    * index), so stream scrub output is BIT-identical to the batch
+    * [[graft.operators.SpanOps]] winnowed strip on the same docs and
+    * eval set (StreamingSpec pins this). Decision rewrite for `insert`
+    * rows with leaks: `scrubbed` (text replaced by the cut rebuild,
+    * [[graft.operators.SpanOps.cutSpansFold]] over the broadcast span
+    * lists — the batch's own text never shuffles) — or `scrub_gutted`
+    * when the surgery leaves fewer than `minTokens` whitespace tokens
+    * (a doc that was mostly leak is a stub, not a document; same token
+    * measure as the upstream length gate). Clean inserts pass through
+    * text-unchanged.
+    *
+    * Audit caveats, both deliberate: `h` and `n_tokens` remain the
+    * INGEST-time values of the original text (`h` is the lineage link
+    * to the watermarked dedup and the signature index — recomputing it
+    * would orphan both); and the near-dup signature index holds the
+    * PRE-scrub signature ([[DedupGate]] appended before the span
+    * verdict exists — conservative: future near-dups of the original
+    * still flag). `leak_chars` equals the chars removed (spans are
+    * disjoint by the merge rule). Replay-idempotent for the same reason
+    * as the flag path: pure function of (batch, index), no per-batch
+    * state written.
+    */
+  private[graft] def spanScrubDecisions(table: String, minTokens: Int,
+      onBatch: (DataFrame, Long) => Unit,
+      onTimings: SpanGateTimings => Unit = _ => ())(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    s.catalog.refreshTable(table)
+    validateMeta(s, table)
+    import org.apache.spark.sql.GraftShim
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val inserts = batch.filter(col("decision") === "insert").select("doc_id", "text")
+    val ((sites, sitesRdd), tSelect) =
+      timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(inserts)))
+    try {
+      // one per-doc row carries BOTH the scrub input (the sorted span
+      // list the cut fold walks) and the flag-path leak stats
+      val rawPerDoc = leakSpansOf(s, sites, table)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+          count(lit(1)).as("n_leak_spans"),
+          sum("span_len").as("leak_chars"),
+          min(struct(col("first_eval"), col("first_eval_pos"))).as("fe"))
+        .select(col("doc_id"), col("sp"), col("n_leak_spans"), col("leak_chars"),
+          col("fe.first_eval").as("first_eval"),
+          col("fe.first_eval_pos").as("first_eval_pos"))
+      val ((perDoc, perDocRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawPerDoc))
+      try {
+        val out = batch.join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("sp").isNull || col("decision") =!= "insert", col("text"))
+              .otherwise(SpanOps.cutSpansFold))
+          .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
+          .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
+          .withColumn("decision",
+            when(col("decision") === "insert" && col("n_leak_spans") > 0L,
+              when(size(split(col("text"), " ")) < minTokens, "scrub_gutted")
+                .otherwise("scrubbed"))
+              .otherwise(col("decision")))
+          .drop("sp")
+        val (_, tSink) = timed(onBatch(out, batchId))
+        onTimings(SpanGateTimings(batchId, tSelect, tProbe, tSink))
+      } finally GraftShim.releaseCheckpoint(perDocRdd)
+    } finally GraftShim.releaseCheckpoint(sitesRdd)
+  }
 }
 
 /** Wall-clock seconds per span-gate stage for ONE micro-batch (the

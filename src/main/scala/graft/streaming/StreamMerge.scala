@@ -303,6 +303,34 @@ object StreamMerge {
           (flagged, fid) => onBatch(flagged.drop("text"), fid),
           onSpanTimings)(out, id), onGateTimings) _)
 
+  /** [[gatedIngestPipelineDecontam]]'s REMEDIATION sibling — same chain,
+    * same probe, different policy on contaminated inserts: leak spans
+    * are CUT from the text and the doc is kept ([[SpanGate
+    * .spanScrubDecisions]]; decision `scrubbed`, or `scrub_gutted` when
+    * the surgery leaves a sub-`minTokens` stub — the keep/drop split a
+    * curation pipeline actually wants online, completing the family
+    * matrix in the streaming dimension: detect / gate / CUT). Because
+    * the scrubbed text IS the payload, `onBatch` receives rows WITH the
+    * `text` column (post-surgery) — unlike every flag-only pipeline,
+    * whose sinks audit decisions, this one's sink persists documents.
+    * The signature-index caveat from the flag sibling carries over
+    * verbatim (pre-scrub signatures at rest, conservative); the eval
+    * index is never touched by the batch path.
+    */
+  def gatedIngestPipelineDecontamScrub(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String, evalGramTable: String,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4,
+      onGateTimings: GateStageTimings => Unit = _ => (),
+      onSpanTimings: SpanGateTimings => Unit = _ => ()): DataStreamWriter[Row] =
+    pipelineCore(docs, baseIndex, delayThreshold, minTokens, minQuality)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) =>
+        SpanGate.spanScrubDecisions(evalGramTable, minTokens,
+          onBatch, onSpanTimings)(out, id), onGateTimings) _)
+
   /** [[gatedIngestPipeline]] plus the PERSISTED-model quality gate — the
     * train-once model artifact ([[graft.operators.HygieneOps
     * .writeCharLmTable]]) scoring every micro-batch through the

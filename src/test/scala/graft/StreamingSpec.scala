@@ -1189,6 +1189,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(evalDocsAtRest == Set(9100L), "the batch path must never append to the eval index")
   }
 
+  test("scrub-gated pipeline: leak spans are cut online, bit-identical to the batch winnowed strip; mostly-leak docs become scrub_gutted") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.SpanOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val floor = SpanOps.GramK + SpanOps.WinnowW - 1
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    assert(runA.length == floor)
+    val evalText = wt("evq") + " " + runA + " " + wt("evr")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9200L -> evalText).toDF("doc_id", "text"), "scrub_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("corp")).toDF("doc_id", "text"), "scrub_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("known"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-scrub-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, String, Long, Long, Option[Long])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineDecontamScrub(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        "scrub_sig_idx", "scrub_eval_idx",
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            r.getAs[String]("text"),
+            r.getAs[Long]("n_leak_spans"), r.getAs[Long]("leak_chars"),
+            Option(r.getAs[java.lang.Long]("first_eval")).map(_.longValue())))
+        },
+        minTokens = 10, minQuality = 0.05)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val contamText = wt("cona") + " " + runA + " " + wt("conb")
+    // batch 1: clean insert, contaminated insert (one leaked run amid
+    // clean words — surgery keeps the doc), short, exact-known
+    phase(Seq((711L, wt("nova"), at(10)), (712L, contamText, at(11)),
+      (713L, "tiny doc", at(12)), (714L, wt("known"), at(13))))
+    // batch 2: a doc that IS the eval text — the whole doc is one leak
+    // span; surgery leaves a sub-minTokens stub → scrub_gutted. Proves
+    // cross-batch detection against the static index too.
+    phase(Seq((715L, evalText, at(40))))
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId(711L)._2 == "insert" && byId(711L)._3 == wt("nova") && byId(711L)._4 == 0L,
+      s"clean insert must pass through text-unchanged: ${byId(711L)}")
+    assert(byId(713L)._2 == "short" && byId(714L)._2 == "skip_dup")
+    // ground truth: the BATCH winnowed strip on the same (train, eval)
+    val train = Seq(711L -> wt("nova"), 712L -> contamText, 715L -> evalText)
+      .toDF("doc_id", "text")
+    val evalDf = Seq(9200L -> evalText).toDF("doc_id", "text")
+    val batchClean = SpanOps.decontaminateStripWinnowOf(train, evalDf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    Seq(711L, 712L, 715L).foreach { id =>
+      val t = byId(id)
+      assert(t._3 == batchClean(id)._1,
+        s"stream scrub of doc $id must be bit-identical to the batch winnowed strip:\n" +
+          s"  stream: '${t._3}'\n  batch:  '${batchClean(id)._1}'")
+      assert(t._5 == batchClean(id)._2, s"doc $id leak_chars vs batch n_removed: $t")
+    }
+    val t712 = byId(712L)
+    assert(t712._2 == "scrubbed" && t712._4 >= 1L && t712._5 >= SpanOps.GramK
+      && t712._6.contains(9200L), s"contaminated insert must be kept scrubbed: $t712")
+    // mass conservation: output length = original minus the cut mass
+    assert(t712._3.length.toLong == contamText.length - t712._5, s"mass: $t712")
+    val t715 = byId(715L)
+    assert(t715._2 == "scrub_gutted" && t715._6.contains(9200L),
+      s"a mostly-leak doc must be dropped as a stub: $t715")
+    assert(t715._3.length < SpanOps.GramK + SpanOps.WinnowW,
+      s"gutted residue must be boundary slivers only: '${t715._3}'")
+    // the eval index is never appended from the batch path
+    spark.catalog.refreshTable("scrub_eval_idx")
+    val evalDocsAtRest = spark.table("scrub_eval_idx")
+      .select("eval_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(evalDocsAtRest == Set(9200L), "the batch path must never append to the eval index")
+  }
+
   test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
