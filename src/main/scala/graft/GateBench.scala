@@ -352,12 +352,78 @@ object GateBench {
         // injection is what makes the gate do real span work)
         s""""input_bias":"+4 contaminated docs/batch vs the baseline windows; ratio is a mild overestimate"}"""
 
+    // Span-SCRUB A/B epilogue (round 15): the IDENTICAL generator and
+    // contamination injection through the REMEDIATION sibling
+    // (gatedIngestPipelineDecontamScrub) — apples-to-apples with the
+    // decontam epilogue above (same input volume, same injected docs),
+    // so scrub_vs_flag_ratio isolates what the surgery itself adds: the
+    // per-doc rebuild fold plus a sink that materializes the
+    // post-surgery TEXT of every row (a document sink, not a decision
+    // counter — forced via the length sum so column pruning cannot
+    // skip the rebuild).
+    val gateTable4 = "gate_bench_scrub_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable4)
+    val input4 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val ckpt4 = Files.createTempDirectory("graft-gate-bench-scrub-ckpt").toString
+    val scrubbedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val guttedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val scrubTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SpanGateTimings]()
+    val q4 = StreamMerge.gatedIngestPipelineDecontamScrub(
+      input4.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable4, evalTable,
+      (df: DataFrame, _: Long) => {
+        val r = df.agg(
+          sum(when(col("decision") === "scrubbed", 1L).otherwise(0L)),
+          sum(when(col("decision") === "scrub_gutted", 1L).otherwise(0L)),
+          sum(length(col("text")))).collect()(0)
+        scrubbedTotal.addAndGet(if (r.isNullAt(0)) 0L else r.getLong(0))
+        guttedTotal.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1)): Unit
+      },
+      minTokens = 10, minQuality = 0.05,
+      onSpanTimings = t => { scrubTimings.add(t): Unit })
+      .option("checkpointLocation", ckpt4)
+      .start()
+    val sWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      val contam = (0 until 4).map { i =>
+        val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
+        (5000000L + b * 100 + i, "leading words " + t + " trailing words",
+          at(100L + b))
+      }
+      input4.addData(batchRows(b) ++ contam)
+      val t0 = System.nanoTime()
+      q4.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (b >= HygWarmup) sWalls += wall
+    }
+    q4.stop()
+    val scrubMed = median(sWalls.toSeq)
+    val scrubT = scrubTimings.asScala.toVector
+    def scrubMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
+      if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
+    val scrub =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(scrubMed)},""" +
+        s""""flag_median_wall":${f4(decMed)},""" +
+        s""""scrub_vs_flag_ratio":${f4(scrubMed / decMed)},""" +
+        s""""overhead_ratio":${f4(scrubMed / baseEarlyMed)},""" +
+        s""""scrubbed_total":${scrubbedTotal.get()},""" +
+        s""""gutted_total":${guttedTotal.get()},""" +
+        s""""span_select_med":${f4(scrubMedOf(_.selectSec))},""" +
+        s""""span_probe_med":${f4(scrubMedOf(_.probeSec))},""" +
+        s""""span_sink_med":${f4(scrubMedOf(_.sinkSec))},""" +
+        s""""warm_jvm_bias":"epilogue runs in the baseline- and flag-warmed JVM; ratios are mild underestimates",""" +
+        s""""input_bias":"+4 contaminated docs/batch vs the baseline windows (same as the flag epilogue, so scrub_vs_flag_ratio carries no input bias)"}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
-        s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam}"""
+        s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam,"span_scrub":$scrub}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam")
+    println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam " +
+      s"span_scrub=$scrub")
     spark.stop()
   }
 }

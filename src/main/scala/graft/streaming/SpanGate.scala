@@ -320,7 +320,11 @@ object SpanGate {
     * still flag). `leak_chars` equals the chars removed (spans are
     * disjoint by the merge rule). Replay-idempotent for the same reason
     * as the flag path: pure function of (batch, index), no per-batch
-    * state written.
+    * state written. The offline strips' seam caveat carries over: the
+    * splice can mint grams spanning a cut seam, so a re-probe of
+    * scrubbed text is not guaranteed span-free (it IS pinned span-free
+    * for the offline exact strip's corpus in SpanSpec; the residue is
+    * boundary slivers shorter than the recall floor either way).
     */
   private[graft] def spanScrubDecisions(table: String, minTokens: Int,
       onBatch: (DataFrame, Long) => Unit,

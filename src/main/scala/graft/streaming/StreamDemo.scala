@@ -276,13 +276,48 @@ object StreamDemo {
     lq.awaitTermination()
     val lmGate = lSeen.get(400L).contains("insert") && lSeen.get(401L).contains("lm_tail")
 
+    // Span-scrub gate (round 15): a doc carrying a verbatim eval run is
+    // kept with the run cut out (decision "scrubbed", surgery online);
+    // a clean doc passes text-unchanged.
+    val floor = graft.operators.SpanOps.GramK + graft.operators.SpanOps.WinnowW - 1
+    val runS = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    require(runS.length == floor)
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9500L -> (wt("sevl") + " " + runS + " " + wt("sevr"))).toDF("doc_id", "text"),
+      "stream_demo_eval_idx", nBuckets = 4)
+    val gate5 = "stream_demo_gate5_idx"
+    DedupGate.writeSigIndex(spark,
+      Seq(0L -> wt("sseed")).toDF("doc_id", "text"), gate5, nBuckets = 4)
+    val sInput = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val sSeen = new scala.collection.concurrent.TrieMap[Long, (String, String, Long)]()
+    val sCkpt = Files.createTempDirectory("graft-stream-scrub-ckpt").toString
+    val leakyText = wt("scla") + " " + runS + " " + wt("sclb")
+    sInput.addData(Seq(
+      (500L, wt("sclean"), new java.sql.Timestamp(10000L)),
+      (501L, leakyText, new java.sql.Timestamp(11000L))))
+    val sq = StreamMerge.gatedIngestPipelineDecontamScrub(
+      sInput.toDS().toDF("doc_id", "text", "ts"), baseIdx, gate5, "stream_demo_eval_idx",
+      (df, _) => df.collect().foreach { r =>
+        sSeen.put(r.getAs[Long]("doc_id"), (r.getAs[String]("decision"),
+          r.getAs[String]("text"), r.getAs[Long]("leak_chars")))
+      })
+      .option("checkpointLocation", sCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val scrubGate = sSeen.get(500L).exists(t => t._1 == "insert" && t._2 == wt("sclean")) &&
+      sSeen.get(501L).exists(t => t._1 == "scrubbed" && !t._2.contains(runS) &&
+        t._2.length.toLong == leakyText.length - t._3)
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
       s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub " +
-      s"hygieneChain=$hygieneChain lmGate=$lmGate")
+      s"hygieneChain=$hygieneChain lmGate=$lmGate scrubGate=$scrubGate")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
         gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub &&
-        hygieneChain && lmGate)) sys.exit(1)
+        hygieneChain && lmGate && scrubGate)) sys.exit(1)
   }
 }
