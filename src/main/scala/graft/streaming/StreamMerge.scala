@@ -361,6 +361,81 @@ object StreamMerge {
           (out, bid) => onBatch(out.drop("text"), bid), onGateTimings)(decorated, id)
       }
 
+  /** The COMPLETE production ingest chain — every gate this surface
+    * ships, composed in the documented precedence, as ONE streaming
+    * query: within-stream exact dedup → length gate → heuristic quality
+    * gate → URL-blocklist gate (narrow in-plan passes) → stream-static
+    * exact-dup classification, then per micro-batch: PERSISTED-model LM
+    * tail cut ([[CharLmGate]], any artifact size) → near-dup gate
+    * ([[DedupGate]]) → span-decontamination SCRUB ([[SpanGate
+    * .spanScrubDecisions]], surgery not drop) → PII redaction on the
+    * rows that will actually be persisted.
+    *
+    * The ordering is load-bearing, cheapest-and-rawest first:
+    *   - structural gates are narrow Column algebra in the streaming
+    *     plan itself (no state beyond the watermarked dedup);
+    *   - the LM cut precedes signature work so `lm_tail` rows never pay
+    *     shingle/minhash cost or enter the signature index;
+    *   - near-dup precedes the span probe (cheap signatures; a flagged
+    *     near-dup of an indexed doc needs no span check);
+    *   - span detection runs on ORIGINAL text — eval-gram indexes are
+    *     built from raw text, so the probe must see raw text;
+    *   - PII redaction runs LAST, on the POST-surgery text of keep rows
+    *     (`insert` | `scrubbed`) only: a redaction placeholder must
+    *     perturb neither the near-dup signatures nor the span grams,
+    *     and drop-path rows store nothing so nothing is scrubbed.
+    * Inherited caveat: signatures append before the span/scrub verdict
+    * exists, so a scrubbed doc's at-rest signature is of its PRE-scrub
+    * text (conservative — near-dups of the original still flag).
+    * `onBatch` receives every decision row with the raw `text` dropped;
+    * keep rows carry the `redacted` post-surgery payload plus the full
+    * per-gate attribution trail (`n_urls`/`n_blocked`, `bits`/
+    * `n_bigrams`, `dup_of`/`sig_match`, leak coordinates, PII counts).
+    */
+  def gatedIngestPipelineProduction(
+      docs: DataFrame, baseIndex: DataFrame, sigTable: String,
+      evalGramTable: String, lmTable: String, maxBits: Double,
+      onBatch: (DataFrame, Long) => Unit,
+      delayThreshold: String = Reassembly.DefaultTtl,
+      minTokens: Int = 20, minQuality: Double = 0.4,
+      onGateTimings: GateStageTimings => Unit = _ => (),
+      onSpanTimings: SpanGateTimings => Unit = _ => ()): DataStreamWriter[Row] = {
+    val scored = graft.operators.WebOps.withDomainGate(
+      graft.operators.TextOps.withQualityScore(docs))
+    scored
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("h")
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"),
+        col("n_urls"), col("n_blocked"),
+        when(col("n_tok") < minTokens, "short")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("n_blocked") > 0, "blocked_domain")
+          .when(col("existing_id").isNotNull, "skip_dup")
+          .otherwise("insert").as("decision"),
+        col("existing_id"), col("ts"), col("text"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val lmDecided = CharLmGate.withLmDecisions(batch, lmTable, maxBits)
+        DedupGate.gateDecisions(sigTable, (deduped, bid) =>
+          SpanGate.spanScrubDecisions(evalGramTable, minTokens, (scrubbed, sid) => {
+            val keep = col("decision").isin("insert", "scrubbed")
+            val core = scrubbed.withColumn("txt",
+              when(keep, col("text")).otherwise(lit("")))
+            val out = graft.operators.HygieneOps.withPiiScrub(core)
+              .withColumn("redacted", when(keep, col("redacted")))
+              .withColumn("n_email", when(keep, col("n_email")))
+              .withColumn("n_phone", when(keep, col("n_phone")))
+              .withColumn("n_ip", when(keep, col("n_ip")))
+              .drop("text", "txt")
+            onBatch(out, sid)
+          }, onSpanTimings)(deduped, bid), onGateTimings)(lmDecided, id)
+      }
+  }
+
   /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`
     * hook — the [[decisionsToParquet]] layout (each micro-batch
     * overwrites its own `batch=<id>` dir, replay lands byte-identically)

@@ -1271,6 +1271,114 @@ class StreamingSpec extends AnyFunSuite {
     assert(evalDocsAtRest == Set(9200L), "the batch path must never append to the eval index")
   }
 
+  test("production pipeline: every gate composed, each doc attributed to its first gate, keep rows carry the redacted post-surgery payload") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.SpanOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val floor = SpanOps.GramK + SpanOps.WinnowW - 1
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    assert(runA.length == floor)
+    // persisted artifacts: LM model, eval-gram index, sig index
+    val lmTrain = (1L to 12L).map(i => i -> wt(s"pw$i")).toDF("doc_id", "text")
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark, lmTrain, "prod_lm_model")
+    val junk = (1 to 30).map(i => s"zqxj${i}vkwq").mkString(" ")
+    val piiText = wt("pnova") + " mail bob@corp.io from 10.1.2.3"
+    val contamText = wt("pcona") + " " + runA + " " + wt("pconb")
+    val blockedText = wt("pblk") + " see https://x.badsite.com/p"
+    // threshold between the WORST-scoring doc that must survive the LM
+    // gate and the junk doc (runA's uppercase and the PII/URL chars are
+    // out-of-model, so score the actual stream texts, not a proxy)
+    val (mc, mx, mv) = graft.operators.HygieneOps.charlmModelOf(lmTrain)
+    val (mBg, mA, mvv) = graft.operators.HygieneOps.collectCharLmModel(mc, mx, mv)
+    val bitsOf = graft.operators.HygieneOps.withCharLmScore(
+      Seq(1L -> piiText, 2L -> contamText, 3L -> blockedText, 4L -> junk)
+        .toDF("doc_id", "text"), mBg, mA, mvv)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits")).toMap
+    val worstKeep = Seq(1L, 2L, 3L).map(bitsOf).max
+    assert(bitsOf(4L) > worstKeep, s"fixture vacuous: junk must out-score keeps ($bitsOf)")
+    val maxBits = (worstKeep + bitsOf(4L)) / 2
+    val evalText = wt("pevq") + " " + runA + " " + wt("pevr")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9300L -> evalText).toDF("doc_id", "text"), "prod_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("corp")).toDF("doc_id", "text"), "prod_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("known"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-prod-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[
+      (Long, String, Option[String], Option[Long], Option[Long], Long, Option[Long])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    var lastStates: Seq[Int] = Nil
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        "prod_sig_idx", "prod_eval_idx", "prod_lm_model", maxBits,
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            Option(r.getAs[String]("redacted")),
+            Option(r.getAs[java.lang.Long]("n_email")).map(_.longValue()),
+            Option(r.getAs[java.lang.Long]("n_ip")).map(_.longValue()),
+            r.getAs[Long]("leak_chars"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+        },
+        minTokens = 10, minQuality = 0.05)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastStates = q.recentProgress.toIndexedSeq.map(_.stateOperators.length)
+    }
+    phase(Seq(
+      (801L, piiText, at(10)),              // insert, PII redacted
+      (802L, contamText, at(11)),           // scrubbed (leak cut, then redaction no-op)
+      (803L, "tiny doc", at(12)),           // short
+      (804L, wt("known"), at(13)),          // skip_dup
+      (805L, junk, at(14)),                 // lm_tail
+      (806L, blockedText, at(15))))         // blocked_domain
+    // batch 2: near-dup of 801's ORIGINAL text (the sig index stores
+    // pre-redaction signatures) must flag before the span probe runs
+    phase(Seq((807L, piiText.split(" ").init.mkString(" ") + " zz", at(40))))
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId.view.mapValues(_._2).toMap == Map(
+      801L -> "insert", 802L -> "scrubbed", 803L -> "short", 804L -> "skip_dup",
+      805L -> "lm_tail", 806L -> "blocked_domain", 807L -> "near_dup"),
+      s"first-gate attribution: $byId")
+    // keep rows: redacted post-surgery payload + PII counts
+    val t801 = byId(801L)
+    assert(t801._3.exists(s => s.contains("<EMAIL>") && s.contains("<IP>")
+      && !s.contains("bob@corp.io")) && t801._4.contains(1L) && t801._5.contains(1L)
+      && t801._6 == 0L, s"801: $t801")
+    val t802 = byId(802L)
+    val batchClean = SpanOps.decontaminateStripWinnowOf(
+      Seq(802L -> contamText).toDF("doc_id", "text"),
+      Seq(9300L -> evalText).toDF("doc_id", "text"))
+      .collect().head.getAs[String]("clean_text")
+    assert(t802._3.contains(batchClean) && t802._6 >= SpanOps.GramK,
+      s"802 must carry the batch-identical post-surgery text: $t802")
+    // drop rows persist nothing: redacted and counts are null
+    Seq(803L, 804L, 805L, 806L, 807L).foreach { id =>
+      assert(byId(id)._3.isEmpty && byId(id)._4.isEmpty, s"drop row $id must carry no payload")
+    }
+    assert(byId(807L)._7.contains(801L), s"807 must name its sibling: ${byId(807L)}")
+    // the composed chain still has exactly the one watermarked-dedup state op
+    assert(lastStates.nonEmpty && lastStates.forall(_ == 1),
+      s"production chain added stream state: $lastStates")
+    // lm_tail never entered the sig index; batch path never wrote the eval index
+    spark.catalog.refreshTable("prod_sig_idx")
+    val sigDocs = spark.table("prod_sig_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!sigDocs.contains(805L), "lm_tail doc leaked into the signature index")
+    spark.catalog.refreshTable("prod_eval_idx")
+    assert(spark.table("prod_eval_idx").select("eval_doc").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(9300L),
+      "the batch path must never append to the eval index")
+  }
+
   test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
