@@ -328,23 +328,47 @@ object HygieneOps {
           IpRe, "<IP>"))
   }
 
-  private def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
-    val decorated = concat(col("text"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
-        .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(4)) === 0,
-        concat(lit(" call 415-555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-        .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
-          lit(".0."), pmod(col("doc_id"), lit(200)).cast("string")))
-        .otherwise(lit("")))
-    withPiiScrub(docs(spark, sfDir).select(col("doc_id"), decorated.as("txt")))
+  /** The deterministic PII planting suffix (doc_id-keyed email / phone /
+    * IP decorations) — the fixture `pii_redact` and `corpus_curate` both
+    * append so their redaction stages are non-vacuous on corpora that
+    * carry no real PII. One Scala value; [[PiiPlantSuffixSql]] mirrors
+    * it for the oracle so the engines cannot drift.
+    */
+  private[graft] val PiiPlantSuffix: Column = concat(
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      concat(lit(" call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(200)).cast("string")))
+      .otherwise(lit("")))
+
+  /** DuckDB fragment mirroring [[PiiPlantSuffix]] (concatenate after the
+    * base text expression). No line of this fragment may START with `|`
+    * or `||` — it is interpolated into templates whose own
+    * `stripMargin` would eat the leading bar (`||` → `|`, bitwise-or).
+    */
+  private[graft] val PiiPlantSuffixSql: String =
+    """CASE WHEN doc_id % 3 = 0
+      |     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0
+      |     THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0
+      |     THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+      |          '.0.' || CAST(doc_id % 200 AS VARCHAR)
+      |     ELSE '' END""".stripMargin
+
+  private def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    withPiiScrub(docs(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"), PiiPlantSuffix).as("txt")))
       .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
       .orderBy("doc_id")
-  }
 
   /** Model-based quality scoring, the CCNet idiom (Wenzek et al. 2020,
     * arXiv:1911.00359): score each document by its mean surprisal under a
@@ -737,17 +761,7 @@ object HygieneOps {
 
     "pii_redact" -> QueryDef(piiRedact,
       Some(s"""WITH d AS (
-              |  SELECT doc_id, text
-              |    || CASE WHEN doc_id % 3 = 0
-              |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-              |            ELSE '' END
-              |    || CASE WHEN doc_id % 4 = 0
-              |            THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              |            ELSE '' END
-              |    || CASE WHEN doc_id % 5 = 0
-              |            THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
-              |                 || '.0.' || CAST(doc_id % 200 AS VARCHAR)
-              |            ELSE '' END AS txt
+              |  SELECT doc_id, text || $PiiPlantSuffixSql AS txt
               |  FROM documents)
               |SELECT doc_id,
               |       CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_email,

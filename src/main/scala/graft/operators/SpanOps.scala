@@ -127,6 +127,50 @@ object SpanOps {
        |       CASE WHEN doc_id % 6 = 1 THEN text || '$Boiler' ELSE text END AS text
        |FROM documents""".stripMargin
 
+  /** Shared DuckDB CTE chain cutting eval-leak spans from a train CTE:
+    * expects CTEs `t (doc_id, text)` (the docs to cut) and
+    * `ev (doc_id, text)` (the eval docs) in scope, defines
+    * `tg … rebuilt`; callers finish with `t LEFT JOIN rebuilt` (see
+    * `decontaminate_strip` / `corpus_curate` — one fragment, so the
+    * family's surgeries cannot drift between keys).
+    */
+  private def stripChainSql: String =
+    s"""tg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
+       |  FROM t, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+       |  WHERE length(text) >= $GramK),
+       |eg AS (
+       |  SELECT DISTINCT substring(text, CAST(i AS INT), $GramK) AS gram
+       |  FROM ev, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
+       |  WHERE length(text) >= $GramK),
+       |m AS (SELECT tg.doc_id, tg.pos FROM tg JOIN eg USING (gram)),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
+       |                        + $GramK
+       |              THEN 1 ELSE 0 END AS new_span
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM w),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end
+       |  FROM isl GROUP BY doc_id, span_id),
+       |gaps AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS gs,
+       |         span_start AS ge
+       |  FROM spans
+       |  UNION ALL
+       |  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id),
+       |rebuilt AS (
+       |  SELECT gaps.doc_id,
+       |         string_agg(
+       |           substring(t.text, CAST(gaps.gs AS INT),
+       |                     CAST(coalesce(gaps.ge, length(t.text) + 1) - gaps.gs AS INT)),
+       |           '' ORDER BY gaps.gs) AS clean_text
+       |  FROM gaps JOIN t USING (doc_id) GROUP BY gaps.doc_id)""".stripMargin
+
   /** All K-gram sites of a `(doc_id, text)` frame as
     * `(doc_id, pos, gram)` — 1-based pos, stride 1. The `size >= K`
     * guard is load-bearing: Spark's `sequence(1, n)` with n < 1 yields a
@@ -409,6 +453,43 @@ object SpanOps {
       .orderBy("doc_id")
   }
 
+  /** The batch PRODUCTION curation composite — the offline mirror of
+    * [[graft.streaming.StreamMerge.gatedIngestPipelineProduction]]'s
+    * oracle-expressible stages, in the same load-bearing order: quality
+    * + length gates and exact dedup on RAW text → decontamination
+    * SURGERY on the kept canonical set → PII redaction LAST on the
+    * post-surgery text (placeholders must perturb neither the content
+    * hashes nor the span grams). Kept docs come out with the final
+    * redacted text, the cut mass, and per-category PII counts — what a
+    * curation run actually persists. The PII planting suffix is the
+    * `pii_redact` fixture ([[HygieneOps.PiiPlantSuffix]], appended
+    * post-surgery so the redaction stage is non-vacuous on corpora
+    * without real PII); eval set and thresholds are the family's
+    * (doc_id % 10 = 7; n_tokens ≥ 20, quality ≥ 0.4 as in
+    * `corpus_filter`). Scale shape: narrow quality pass → partial-agg
+    * canonical groupBy + equi-join → the broadcast-spans strip (kept
+    * text never shuffles for the cut) → narrow regex pass.
+    */
+  private def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = planted(docs(spark, sfDir))
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val eval = d.filter(col("doc_id") % 10 === 7)
+    val base = TextOps.withQualityScore(train)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val kept = base.join(canon, Seq("h"))
+      .filter(col("doc_id") === col("keep_id")
+        && col("n_tokens") >= 20 && col("quality") >= 0.4)
+      .select("doc_id", "text")
+    val stripped = stripWith(kept, crossSpansOf(kept, eval), broadcastSpans = true)
+    HygieneOps.withPiiScrub(stripped.select(col("doc_id"), col("n_removed"),
+      concat(col("clean_text"), HygieneOps.PiiPlantSuffix).as("txt")))
+      .select(col("doc_id"), col("redacted").as("final_text"), col("n_removed"),
+        col("n_email"), col("n_phone"), col("n_ip"))
+      .orderBy("doc_id")
+  }
+
   /** The BENCHMARK-OWNER view of the same relation: leak mass attributed
     * per implicated eval doc (each span charges the eval doc its
     * earliest coordinate names) — how many train docs collide with this
@@ -617,46 +698,53 @@ object SpanOps {
 
     "decontaminate_strip" -> QueryDef(decontaminateStrip,
       Some(s"""WITH d AS ($PlantedSql),
-              |t AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
-              |tg AS (
-              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, CAST(i AS INT), $GramK) AS gram
-              |  FROM t, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
-              |  WHERE length(text) >= $GramK),
-              |eg AS (
-              |  SELECT DISTINCT substring(text, CAST(i AS INT), $GramK) AS gram
-              |  FROM d, UNNEST(range(1, greatest(length(text) - ${GramK - 1}, 0) + 1)) AS u(i)
-              |  WHERE length(text) >= $GramK AND doc_id % 10 = 7),
-              |m AS (SELECT tg.doc_id, tg.pos FROM tg JOIN eg USING (gram)),
-              |w AS (
-              |  SELECT doc_id, pos,
-              |         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -$GramK * 2)
-              |                        + $GramK
-              |              THEN 1 ELSE 0 END AS new_span
-              |  FROM m),
-              |isl AS (
-              |  SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-              |  FROM w),
-              |spans AS (
-              |  SELECT doc_id, min(pos) AS span_start, max(pos) + $GramK AS span_end
-              |  FROM isl GROUP BY doc_id, span_id),
-              |gaps AS (
-              |  SELECT doc_id,
-              |         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS gs,
-              |         span_start AS ge
-              |  FROM spans
-              |  UNION ALL
-              |  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id),
-              |rebuilt AS (
-              |  SELECT gaps.doc_id,
-              |         string_agg(
-              |           substring(t.text, CAST(gaps.gs AS INT),
-              |                     CAST(coalesce(gaps.ge, length(t.text) + 1) - gaps.gs AS INT)),
-              |           '' ORDER BY gaps.gs) AS clean_text
-              |  FROM gaps JOIN t USING (doc_id) GROUP BY gaps.doc_id)
+              |t AS (SELECT doc_id, text FROM d WHERE doc_id % 10 <> 7),
+              |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 10 = 7),
+              |${stripChainSql}
               |SELECT t.doc_id, coalesce(r.clean_text, t.text) AS clean_text,
               |       length(t.text) - length(coalesce(r.clean_text, t.text)) AS n_removed
               |FROM t LEFT JOIN rebuilt r USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
+
+    "corpus_curate" -> QueryDef(corpusCurate,
+      Some(s"""WITH d AS ($PlantedSql),
+              |t0 AS (SELECT doc_id, text FROM d WHERE doc_id % 10 <> 7),
+              |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 10 = 7),
+              |cnt AS (
+              |  SELECT doc_id, text, md5(text) AS h,
+              |         len(string_split(text, ' ')) AS n_tok,
+              |         len(list_filter(string_split(text, ' '),
+              |             x -> x IN (${TextOps.Stop.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+              |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              |         length(replace(text, ' ', '')) AS n_nonspace
+              |  FROM t0),
+              |s AS (
+              |  SELECT doc_id, text, h, CAST(n_tok AS BIGINT) AS n_tokens,
+              |         ${TextOps.QualityExprSql} AS quality
+              |  FROM cnt),
+              |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h),
+              |t AS (
+              |  SELECT s.doc_id, s.text FROM s JOIN c USING (h)
+              |  WHERE s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4),
+              |${stripChainSql},
+              |r0 AS (
+              |  SELECT t.doc_id, coalesce(r.clean_text, t.text) AS clean_text,
+              |         length(t.text) - length(coalesce(r.clean_text, t.text)) AS n_removed
+              |  FROM t LEFT JOIN rebuilt r USING (doc_id)),
+              |p AS (
+              |  SELECT doc_id, n_removed,
+              |         clean_text || ${HygieneOps.PiiPlantSuffixSql} AS txt
+              |  FROM r0)
+              |SELECT doc_id,
+              |       regexp_replace(regexp_replace(regexp_replace(txt,
+              |         '${HygieneOps.EmailRe}', '<EMAIL>', 'g'),
+              |         '${HygieneOps.PhoneRe}', '<PHONE>', 'g'),
+              |         '${HygieneOps.IpRe}', '<IP>', 'g') AS final_text,
+              |       CAST(n_removed AS BIGINT) AS n_removed,
+              |       CAST(len(regexp_extract_all(txt, '${HygieneOps.EmailRe}')) AS BIGINT) AS n_email,
+              |       CAST(len(regexp_extract_all(txt, '${HygieneOps.PhoneRe}')) AS BIGINT) AS n_phone,
+              |       CAST(len(regexp_extract_all(txt, '${HygieneOps.IpRe}')) AS BIGINT) AS n_ip
+              |FROM p ORDER BY doc_id""".stripMargin)),
 
     "dup_profile" -> QueryDef(dupProfile,
       Some(s"""$SpansSqlCte,

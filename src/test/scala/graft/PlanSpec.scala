@@ -141,6 +141,18 @@ class PlanSpec extends AnyFunSuite {
       s"decontaminate_strip must not sort-merge join (full-text shuffle):\n$p")
   }
 
+  test("corpus_curate: canonical dedup partial-aggs and the strip joins broadcast") {
+    // the canonical groupBy(h).min(doc_id) must map-side combine (the
+    // 100 TB dedup shape) and the span-cut join must broadcast its span
+    // lists; kept text shuffles only for the canonical equi-join, which
+    // is hash-partitioned by design. (The plan's only windows are the
+    // span family's doc_id-partitioned merge — group size bounded by
+    // document length, the declared-sound shape.)
+    val p = plan("corpus_curate")
+    assert(p.contains("partial_min"), s"no map-side partial canonical argmin:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast strip join:\n$p")
+  }
+
   test("dedup_keep_best_minhash: per-cluster argmax is a partial aggregation, not a window") {
     // the keep decoration must stay window-free on the PRODUCTION
     // relation too — a window over (cluster) would funnel mega-clusters

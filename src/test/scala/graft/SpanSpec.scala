@@ -306,6 +306,33 @@ class SpanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_curate: per-doc cut mass matches decontaminate_strip, filters drop, redaction lands (r15)") {
+    val out = SparkEntry.queries("corpus_curate")(spark, sfDir).collect()
+    val strip = SparkEntry.queries("decontaminate_strip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
+    // the filter stages must actually drop documents (quality/length/dup)
+    assert(out.nonEmpty && out.length < strip.size,
+      s"filter stages vacuous: kept ${out.length} of ${strip.size} train docs")
+    // a doc's eval-leak spans depend only on (doc, eval) — not on which
+    // other train docs survived the filters — so the composite's cut
+    // mass must equal the standalone strip key's, doc by doc
+    out.foreach { r =>
+      assert(strip(r.getLong(0)) == r.getAs[Long]("n_removed"),
+        s"doc ${r.getLong(0)}: curate cut ${r.getAs[Long]("n_removed")}, " +
+          s"standalone strip cut ${strip(r.getLong(0))}")
+    }
+    assert(out.exists(_.getAs[Long]("n_removed") > 0), "strip stage vacuous: no kept doc was cut")
+    // the planted PII is redacted in the final payload
+    val planted3 = out.filter(_.getLong(0) % 3 == 0)
+    assert(planted3.nonEmpty)
+    planted3.foreach { r =>
+      assert(r.getAs[Long]("n_email") >= 1L
+        && r.getAs[String]("final_text").contains("<EMAIL>")
+        && !r.getAs[String]("final_text").contains("@example.com"),
+        s"doc ${r.getLong(0)}: planted email not redacted: ${r.getAs[String]("final_text").takeRight(80)}")
+    }
+  }
+
   test("decontaminate_report aggregates the span relation exactly, per implicated eval doc") {
     val spans = SparkEntry.queries("decontaminate_spans")(spark, sfDir).collect()
     val report = SparkEntry.queries("decontaminate_report")(spark, sfDir).collect()
