@@ -387,9 +387,12 @@ object GateBench {
       .start()
     val sWalls = ArrayBuffer.empty[Double]
     for (b <- 0 until HygWarmup + HygieneBatches) {
+      // 6000000L base: disjoint from the novel-doc id range (5000000L +
+      // b*1000 + k) — a clashing id would cross-wire the per-doc span
+      // join inside the batch
       val contam = (0 until 4).map { i =>
         val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
-        (5000000L + b * 100 + i, "leading words " + t + " trailing words",
+        (6000000L + b * 100 + i, "leading words " + t + " trailing words",
           at(100L + b))
       }
       input4.addData(batchRows(b) ++ contam)
@@ -417,13 +420,80 @@ object GateBench {
         s""""warm_jvm_bias":"epilogue runs in the baseline- and flag-warmed JVM; ratios are mild underestimates",""" +
         s""""input_bias":"+4 contaminated docs/batch vs the baseline windows (same as the flag epilogue, so scrub_vs_flag_ratio carries no input bias)"}"""
 
+    // PRODUCTION-chain A/B epilogue (round 15): the complete stack —
+    // persisted-model LM gate + near-dup gate + span scrub + PII
+    // redaction — through gatedIngestPipelineProduction with the same
+    // generator and injection, measuring what the WHOLE curation chain
+    // costs per batch vs the ungated baseline. The LM threshold is set
+    // unreachable: the scoring join/agg work is identical at any
+    // threshold, and this epilogue measures COST (detection behavior is
+    // StreamingSpec's job — the same stance as the injected-contam
+    // comment above).
+    graft.operators.HygieneOps.writeCharLmTableFrom(
+      spark, seed.toSeq.toDF("doc_id", "text"), "gate_bench_lm_model")
+    val gateTable5 = "gate_bench_prod_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable5)
+    val input5 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val ckpt5 = Files.createTempDirectory("graft-gate-bench-prod-ckpt").toString
+    val prodKept = new java.util.concurrent.atomic.AtomicLong(0L)
+    val prodTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SpanGateTimings]()
+    val q5 = StreamMerge.gatedIngestPipelineProduction(
+      input5.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable5,
+      evalTable, "gate_bench_lm_model", Double.MaxValue,
+      (df: DataFrame, _: Long) => {
+        // a document sink: force the redacted payload to materialize
+        val r = df.agg(
+          sum(when(col("decision").isin("insert", "scrubbed"), 1L).otherwise(0L)),
+          sum(length(col("redacted")))).collect()(0)
+        prodKept.addAndGet(if (r.isNullAt(0)) 0L else r.getLong(0)): Unit
+      },
+      minTokens = 10, minQuality = 0.05,
+      onSpanTimings = t => { prodTimings.add(t): Unit })
+      .option("checkpointLocation", ckpt5)
+      .start()
+    val pWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      val contam = (0 until 4).map { i =>
+        val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
+        (7000000L + b * 100 + i, "leading words " + t + " trailing words",
+          at(100L + b))
+      }
+      input5.addData(batchRows(b) ++ contam)
+      val t0 = System.nanoTime()
+      q5.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (b >= HygWarmup) pWalls += wall
+    }
+    q5.stop()
+    val prodMed = median(pWalls.toSeq)
+    val prodT = prodTimings.asScala.toVector
+    def prodMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
+      if (prodT.isEmpty) 0.0 else median(prodT.map(f))
+    val production =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(prodMed)},""" +
+        s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
+        s""""overhead_ratio":${f4(prodMed / baseEarlyMed)},""" +
+        s""""scrub_only_median_wall":${f4(scrubMed)},""" +
+        s""""prod_vs_scrub_ratio":${f4(prodMed / scrubMed)},""" +
+        s""""kept_total":${prodKept.get()},""" +
+        s""""span_select_med":${f4(prodMedOf(_.selectSec))},""" +
+        s""""span_probe_med":${f4(prodMedOf(_.probeSec))},""" +
+        s""""span_sink_med":${f4(prodMedOf(_.sinkSec))},""" +
+        s""""warm_jvm_bias":"epilogue runs last in a fully warmed JVM; ratios are mild underestimates",""" +
+        s""""input_bias":"+4 contaminated docs/batch vs the baseline windows; same volume as the flag/scrub epilogues"}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
-        s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam,"span_scrub":$scrub}"""
+        s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam,"span_scrub":$scrub,""" +
+        s""""production":$production}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam " +
-      s"span_scrub=$scrub")
+      s"span_scrub=$scrub production=$production")
     spark.stop()
   }
 }
