@@ -849,8 +849,14 @@ object TextOps {
     * equi-join (both sides partitioned on the hash) tags canonicity —
     * no window, no driver state; the decision CASE is free.
     */
-  private def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = withQualityScore(docs(spark, sfDir))
+  /** The per-doc decision relation shared by `corpus_filter` (the audit
+    * view) and `corpus_stats` (the data-card aggregate) — ONE definition
+    * of the dup/short/quality precedence, so the report can never drift
+    * from the filter it summarizes. (The DuckDB oracles share the
+    * corresponding [[CorpusDecisionsSql]] CTE chain the same way.)
+    */
+  private[graft] def corpusDecisions(d: DataFrame): DataFrame = {
+    val base = withQualityScore(d)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
         col("n_tok").cast("long").as("n_tokens"), col("quality"))
     val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
@@ -861,9 +867,56 @@ object TextOps {
           .when(col("n_tokens") < 20, "short")
           .when(col("quality") < 0.4, "quality")
           .otherwise("keep"))
+  }
+
+  /** Oracle CTE chain mirroring [[corpusDecisions]] (terminal CTE `dec`).
+    * Continuation lines must not START with `||` (outer-stripMargin rule).
+    */
+  private[graft] val CorpusDecisionsSql: String =
+    s"""q AS (
+       |  $QualityCountersSql),
+       |s AS (
+       |  SELECT doc_id, lang, h, CAST(n_tok AS BIGINT) AS n_tokens,
+       |         $QualityExprSql AS quality
+       |  FROM q),
+       |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h),
+       |dec AS (
+       |  SELECT s.doc_id, s.lang, s.n_tokens, s.quality,
+       |         s.doc_id = c.keep_id AS is_canonical,
+       |         CASE WHEN s.doc_id <> c.keep_id THEN 'dup'
+       |              WHEN s.n_tokens < 20 THEN 'short'
+       |              WHEN s.quality < 0.4 THEN 'quality'
+       |              ELSE 'keep' END AS decision
+       |  FROM s JOIN c USING (h))""".stripMargin
+
+  private def corpusFilter(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDecisions(docs(spark, sfDir))
       .withColumn("keep", col("decision") === "keep")
       .select("doc_id", "lang", "n_tokens", "quality", "is_canonical", "decision", "keep")
       .orderBy("doc_id")
+
+  /** The DATA CARD — the per-(language × decision) mixture report every
+    * curation run publishes (docs, tokens, and each cell's share of its
+    * language): what survived the gate, what was cut and why, and how the
+    * kept token mass is distributed. This is the observability face of
+    * [[corpusDecisions]] — same relation, one partial-agg'd groupBy down
+    * to |langs × decisions| rows, then a broadcast self-join for the
+    * per-language denominators. Scale shape: the corpus is touched once
+    * (narrow quality pass + the dedup-hash groupBy the filter already
+    * pays); everything after is algebra on a ≤ |langs|·4-row frame.
+    */
+  private def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = corpusDecisions(docs(spark, sfDir))
+      .groupBy("lang", "decision")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // denominators fold the CELL frame, not the corpus — one corpus pass
+    val tot = cell.groupBy("lang")
+      .agg(sum("n_docs").as("lang_docs"), sum("n_tokens").as("lang_tokens"))
+    cell.join(broadcast(tot), "lang")
+      .select(col("lang"), col("decision"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") / col("lang_docs")).as("doc_share"),
+        (col("n_tokens") / col("lang_tokens")).as("token_share"))
+      .orderBy("lang", "decision")
   }
 
   /** Deterministic train/val/test assignment — the split primitive of a
@@ -884,6 +937,48 @@ object TextOps {
           .otherwise("train"))
       .select("doc_id", "lang", "split")
       .orderBy("doc_id")
+
+  /** Epoch-shuffle writer fan-out. Production sets this to (corpus
+    * bytes / writer-task budget); 8 keeps the sf-local result readable.
+    */
+  val EpochShards = 8
+
+  /** Deterministic EPOCH ORDERING — the reproducible global shuffle a
+    * training run needs: every epoch consumes the corpus in a fresh
+    * pseudo-random order that is a PURE FUNCTION of (seed, doc_id), so a
+    * crashed run resumes mid-epoch on any cluster size with the same
+    * order, and two data-parallel readers agree without coordination
+    * (`DataFrame.sample`/`orderBy(rand)` give neither). The draw is the
+    * seeded Karp-Rabin fold squared mod 1e9+7 — the same engine-
+    * replayable mix `sample_stratified` uses (the square kills the
+    * constant-prefix bias, SURVEY §7.5); the seed lives in the fold
+    * prefix (`ep1:`), so epoch 2 is one literal away and completely
+    * decorrelated. Output: shard = hv mod [[EpochShards]] (the writer
+    * task a doc lands in), pos = the doc's rank within its shard.
+    *
+    * Scale shape: shard assignment is a narrow codegen'd map; the
+    * within-shard rank is a window partitioned by shard — physically
+    * exactly the `repartition(shard) + sortWithinPartitions(hv)` a
+    * shard writer runs, one linear scan per writer task, no global
+    * sort, no driver state. Shard count bounds a task's rows at
+    * corpus/[[EpochShards]]: production raises it with the corpus
+    * (thousands of shards at 100 TB), which SHRINKS per-task work —
+    * the plan has no skew risk because hv is uniform.
+    */
+  private def epochOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000000007L
+    val fold = expr("aggregate(transform(split(concat('ep1:', CAST(doc_id AS STRING)), ''), " +
+      "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
+    docs(spark, sfDir)
+      .select(col("doc_id"), fold.as("f"))
+      .select(col("doc_id"), (col("f") * col("f") % lit(M)).as("hv"))
+      .withColumn("shard", pmod(col("hv"), lit(EpochShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
 
   /** Exact dedup by content hash: canonical doc + duplicate count. */
   private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -1097,21 +1192,40 @@ object TextOps {
              |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     "corpus_filter" -> QueryDef(corpusFilter,
-      Some(s"""WITH q AS (
-              |  $QualityCountersSql),
-              |s AS (
-              |  SELECT doc_id, lang, h, CAST(n_tok AS BIGINT) AS n_tokens,
-              |         $QualityExprSql AS quality
-              |  FROM q),
-              |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h)
-              |SELECT s.doc_id, s.lang, s.n_tokens, s.quality,
-              |       s.doc_id = c.keep_id AS is_canonical,
-              |       CASE WHEN s.doc_id <> c.keep_id THEN 'dup'
-              |            WHEN s.n_tokens < 20 THEN 'short'
-              |            WHEN s.quality < 0.4 THEN 'quality'
-              |            ELSE 'keep' END AS decision,
-              |       (s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4) AS keep
-              |FROM s JOIN c USING (h) ORDER BY s.doc_id""".stripMargin)),
+      Some(s"""WITH $CorpusDecisionsSql
+              |SELECT doc_id, lang, n_tokens, quality, is_canonical, decision,
+              |       (decision = 'keep') AS keep
+              |FROM dec ORDER BY doc_id""".stripMargin)),
+
+    "corpus_stats" -> QueryDef(corpusStats,
+      Some(s"""WITH $CorpusDecisionsSql,
+              |cell AS (
+              |  SELECT lang, decision, count(*) AS n_docs,
+              |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              |  FROM dec GROUP BY 1, 2),
+              |tot AS (
+              |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs,
+              |         CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+              |  FROM cell GROUP BY 1)
+              |SELECT cell.lang, cell.decision, cell.n_docs, cell.n_tokens,
+              |       CAST(cell.n_docs AS DOUBLE) / tot.lang_docs AS doc_share,
+              |       CAST(cell.n_tokens AS DOUBLE) / tot.lang_tokens AS token_share
+              |FROM cell JOIN tot USING (lang)
+              |ORDER BY cell.lang, cell.decision""".stripMargin)),
+
+    "epoch_order" -> QueryDef(epochOrder,
+      Some("""WITH h0 AS (
+             |  SELECT doc_id,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(string_split('ep1:' || CAST(doc_id AS VARCHAR), ''),
+             |             ch -> ord(ch))),
+             |           (a, b) -> (a * 131 + b) % 1000000007) AS f
+             |  FROM documents),
+             |h AS (SELECT doc_id, (f * f) % 1000000007 AS hv FROM h0)
+             |SELECT doc_id, hv % 8 AS shard,
+             |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+             |            AS BIGINT) AS pos
+             |FROM h ORDER BY shard, pos""".stripMargin)),
 
     "corpus_merge" -> QueryDef(corpusMerge,
       Some("""WITH delta AS (

@@ -213,6 +213,108 @@ object WebOps {
   private def urlRegistrable(spark: SparkSession, sfDir: String): DataFrame =
     urlsOf(decoratedPsl(docs(spark, sfDir))).orderBy("doc_id", "url")
 
+  /** URL shape for the CANONICALIZATION key — deliberately permissive
+    * (uppercase scheme/host, explicit ports, query strings, fragments)
+    * because its job is to exercise the normalizer on messy real-web
+    * spellings that [[UrlRe]]'s hygiene-anchored form never admits.
+    * Boundary trimming is [[UrlRe]]'s concern (`url_extract`); this key
+    * tests the canonical transform itself, which is boundary-agnostic.
+    */
+  val UrlCanonRe: String =
+    "(?i)https?://[a-z0-9.-]+(?::[0-9]+)?[a-z0-9_./?&=#%-]*"
+
+  /** RFC 3986 §6 syntax-based normalization + the tracking-param scrub
+    * every web-corpus pipeline applies before URL-keyed dedup (two raw
+    * spellings of one resource must collide): lowercase scheme and host
+    * (path stays case-sensitive), strip the fragment, drop default ports
+    * (http:80 / https:443 — other ports keep), strip trailing slashes
+    * (empty path → "/"), drop `utm_*`/`fbclid`/`gclid` params, and sort
+    * the survivors so param order cannot split a dedup key. Pure
+    * stateless Column algebra — narrow, codegen'd, no shuffle — so it
+    * composes with streaming frames and the domain gates unchanged.
+    */
+  private[graft] def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(u, "(?i)^(https?)", 1))
+    val host = regexp_replace(lower(regexp_extract(u, "(?i)^https?://([^/:?#]+)", 1)), "\\.+$", "")
+    val port = regexp_extract(u, "(?i)^https?://[^/:?#]+:([0-9]+)", 1)
+    val path1 = regexp_replace(regexp_extract(u, "(?i)^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(u, "[?]([^#]*)", 1)
+    val keptParams = filter(split(q, "&"), p =>
+      p =!= "" && substring(p, 1, 4) =!= "utm_" &&
+        substring(p, 1, 7) =!= "fbclid=" && substring(p, 1, 6) =!= "gclid=")
+    val qc = array_join(array_sort(keptParams), "&")
+    val portC = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), host, portC,
+      when(path1 === "", lit("/")).otherwise(path1),
+      when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
+  }
+
+  /** In-plan decoration for the canonicalization key: the messy spelling
+    * classes a crawl actually yields — uppercase scheme+host, default and
+    * non-default explicit ports, tracking params interleaved with real
+    * ones, fragments, trailing slashes, and two spellings of ONE resource
+    * (`Dup.Example.COM/a/?utm_…` vs `dup.example.com/a`) that must
+    * collapse to the same canonical form.
+    */
+  private def decoratedCanon(d: DataFrame): DataFrame = {
+    def m(n: Int) = pmod(col("doc_id"), lit(n)).cast("string")
+    d.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" buy HTTP://WWW.Shop"), m(5), lit(".Example.COM:80/Cat"), m(7),
+          lit("/?b=2&utm_source=feed&a=1#top"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" img https://CDN"), m(11), lit(".Mirror.IO:443/x"), m(13),
+          lit("/"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit(" api http://api"), m(4),
+          lit(".example.org:8080/q?z=9&y=8&fbclid=abc123"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(lit(" ref HTTPS://Dup.Example.COM/a/?utm_campaign=x"), m(2)))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(15)) === 0,
+        lit(" ref2 https://dup.example.com/a")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit(" root https://plain"), m(2), lit(".net#frag"))).otherwise(lit(""))
+    ).as("text"))
+  }
+
+  /** Shared DuckDB fragment mirroring [[decoratedCanon]]. */
+  private val DecoratedCanonSql: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' buy HTTP://WWW.Shop' || CAST(doc_id % 5 AS VARCHAR) ||
+      |            '.Example.COM:80/Cat' || CAST(doc_id % 7 AS VARCHAR) ||
+      |            '/?b=2&utm_source=feed&a=1#top'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' img https://CDN' || CAST(doc_id % 11 AS VARCHAR) ||
+      |            '.Mirror.IO:443/x' || CAST(doc_id % 13 AS VARCHAR) || '/'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 9 = 0
+      |       THEN ' api http://api' || CAST(doc_id % 4 AS VARCHAR) ||
+      |            '.example.org:8080/q?z=9&y=8&fbclid=abc123'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 10 = 0
+      |       THEN ' ref HTTPS://Dup.Example.COM/a/?utm_campaign=x' ||
+      |            CAST(doc_id % 2 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 15 = 0 THEN ' ref2 https://dup.example.com/a'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN ' root https://plain' || CAST(doc_id % 2 AS VARCHAR) || '.net#frag'
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  private def urlCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    decoratedCanon(docs(spark, sfDir))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlCanonRe), lit(0))).as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .orderBy("doc_id", "url")
+
   /** Per-domain document cap. */
   val DomainCapN = 25
 
@@ -314,6 +416,39 @@ object WebOps {
               |SELECT doc_id, url, host,
               |       ${Psl.sqlRegistrableDomain("host")} AS domain
               |FROM uu ORDER BY doc_id, url""".stripMargin)),
+
+    "url_canonical" -> QueryDef(urlCanonical,
+      Some(s"""WITH d AS ($DecoratedCanonSql),
+              |u AS (
+              |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlCanonRe')) AS url
+              |  FROM d),
+              |c AS (
+              |  -- DuckDB regexp_extract is NULL on no match (Spark: '') — coalesce
+              |  SELECT doc_id, url,
+              |         lower(regexp_extract(url, '(?i)^(https?)', 1)) AS scheme,
+              |         regexp_replace(lower(regexp_extract(url,
+              |           '(?i)^https?://([^/:?#]+)', 1)), '\\.+$$', '') AS host,
+              |         coalesce(regexp_extract(url,
+              |           '(?i)^https?://[^/:?#]+:([0-9]+)', 1), '') AS port,
+              |         coalesce(regexp_replace(regexp_extract(url,
+              |           '(?i)^https?://[^/?#]+([^?#]*)', 1), '/+$$', ''), '') AS path1,
+              |         coalesce(regexp_extract(url, '[?]([^#]*)', 1), '') AS q
+              |  FROM u),
+              |c2 AS (
+              |  SELECT doc_id, url, scheme, host,
+              |         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              |                OR (scheme = 'https' AND port = '443')
+              |              THEN '' ELSE ':' || port END AS portc,
+              |         CASE WHEN path1 = '' THEN '/' ELSE path1 END AS pathc,
+              |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+              |           p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+              |                AND substr(p, 1, 7) <> 'fbclid='
+              |                AND substr(p, 1, 6) <> 'gclid=')), '&'), '') AS qc
+              |  FROM c)
+              |SELECT doc_id, url,
+              |       scheme || '://' || host || portc || pathc ||
+              |       CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canon
+              |FROM c2 ORDER BY doc_id, url""".stripMargin)),
 
     "domain_filter" -> QueryDef(domainFilter,
       Some(s"""$UrlsSqlCte,

@@ -466,6 +466,46 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch_order: a bijective, deterministic, seed-keyed permutation") {
+    val rows = SparkEntry.queries("epoch_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == rows.length,
+      "every doc appears exactly once")
+    // independent driver-side replay of the seeded squared draw
+    def hv(id: Long): Long = {
+      val f = s"ep1:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      f * f % 1000000007L
+    }
+    rows.foreach { case (id, shard, _) =>
+      assert(shard == hv(id) % graft.operators.TextOps.EpochShards, s"doc $id shard")
+    }
+    rows.groupBy(_._2).foreach { case (shard, grp) =>
+      assert(grp.map(_._3).sorted.toSeq == (1L to grp.length).toSeq,
+        s"shard $shard positions must be contiguous 1..n")
+      val byPos = grp.sortBy(_._3).map(_._1).toSeq
+      val expect = grp.map(_._1).sortBy(id => (hv(id), id)).toSeq
+      assert(byPos == expect, s"shard $shard order must follow the seeded draw")
+    }
+  }
+
+  test("corpus_stats: the data card reconciles exactly with corpus_filter") {
+    val stats = SparkEntry.queries("corpus_stats")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val filt = SparkEntry.queries("corpus_filter")(spark, sfDir).collect()
+    val want = filt.groupBy(r => (r.getString(1), r.getString(5)))
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum)) }
+    assert(stats.keySet == want.keySet, "cell grid must match the filter's decisions")
+    want.foreach { case (k, (nd, nt)) =>
+      assert(stats(k)._1 == nd && stats(k)._2 == nt, s"cell $k docs/tokens")
+    }
+    stats.groupBy(_._1._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.values.map(_._3).sum - 1.0) < 1e-9, s"$lang doc_share sums to 1")
+      assert(math.abs(cells.values.map(_._4).sum - 1.0) < 1e-9, s"$lang token_share sums to 1")
+    }
+  }
+
   test("roundtrip_pipeline reproduces every document") {
     val df = SparkEntry.queries("roundtrip_pipeline")(spark, sfDir)
     assert(df.filter(not(col("ok"))).count() == 0)

@@ -309,6 +309,49 @@ class WebSpec extends AnyFunSuite {
       "a bare public-suffix host has no registrable domain")
   }
 
+  test("canonicalUrl: RFC-3986 normalization + tracking-param scrub classes") {
+    import spark.implicits._
+    val cases = Seq(
+      // case-fold scheme+host (path stays), default port, param sort, utm, fragment
+      "HTTP://WWW.Example.COM:80/Shop/?b=2&utm_source=f&a=1#top" ->
+        "http://www.example.com/Shop?a=1&b=2",
+      "https://CDN.Mirror.IO:443/x/" -> "https://cdn.mirror.io/x",
+      // a NON-default port must survive
+      "http://api.example.org:8080/q?z=9&y=8&fbclid=abc" ->
+        "http://api.example.org:8080/q?y=8&z=9",
+      // two raw spellings of one resource → one canonical form
+      "HTTPS://Dup.Example.COM/a/?utm_campaign=x1" -> "https://dup.example.com/a",
+      "https://dup.example.com/a" -> "https://dup.example.com/a",
+      // empty path → '/', fragment dropped, trailing host dot dropped
+      "https://plain.net#frag" -> "https://plain.net/",
+      "http://host.org./p" -> "http://host.org/p",
+      "https://x.net/?gclid=1&utm_medium=m" -> "https://x.net/"
+    )
+    val out = cases.map(_._1).toDF("url")
+      .withColumn("canon", WebOps.canonicalUrl(col("url"))).collect()
+    cases.zip(out).foreach { case ((raw, want), r) =>
+      assert(r.getString(1) == want, s"canon of '$raw': got '${r.getString(1)}'")
+    }
+  }
+
+  test("url_canonical key: spelling variants collapse, no raw artifacts survive") {
+    val rows = SparkEntry.queries("url_canonical")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dup = rows.filter(_.getString(2).startsWith("https://dup.example.com/a"))
+    assert(dup.map(_.getString(2)).distinct.toSeq == Seq("https://dup.example.com/a"),
+      "both planted spellings must canonicalize identically")
+    assert(dup.map(_.getString(1)).distinct.length >= 2,
+      "the collapse must come from DISTINCT raw spellings")
+    rows.foreach { r =>
+      val c = r.getString(2)
+      assert(c.startsWith("http://") || c.startsWith("https://"), c)
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("fbclid"), c)
+      assert(!c.contains(":80/") && !c.contains(":443/"), c)
+      val host = c.split("://")(1).split("[/:?]")(0)
+      assert(host == host.toLowerCase && !host.endsWith("."), c)
+    }
+  }
+
   test("declared keys are mutually consistent on the real corpus") {
     val urls = SparkEntry.queries("url_extract")(spark, sfDir)
     val stats = SparkEntry.queries("domain_stats")(spark, sfDir).collect()
