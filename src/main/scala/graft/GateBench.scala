@@ -120,6 +120,20 @@ object GateBench {
       val shorts = (0 until 3).map(i => (3000000L + b * 100 + i, s"tiny doc $b $i", ts))
       novel ++ mutants ++ exacts ++ shorts
     }
+    // Epilogues inject extra docs per batch (contaminated fixtures) under
+    // their own id bases; a clash with batchRows' bases would cross-wire
+    // the per-doc joins inside the batch SILENTLY. Assert disjointness at
+    // every injection site instead of trusting comments about id strides —
+    // the r14 scrub-injection clash was exactly a stride edit one comment
+    // away from its rationale.
+    def withInjected(rows: Seq[(Long, String, java.sql.Timestamp)],
+        contam: Seq[(Long, String, java.sql.Timestamp)]): Seq[(Long, String, java.sql.Timestamp)] = {
+      val all = rows ++ contam
+      require(all.map(_._1).distinct.size == all.size,
+        s"injected doc ids clash with generated batch ids: " +
+          s"${rows.map(_._1).toSet.intersect(contam.map(_._1).toSet).take(5)}")
+      all
+    }
 
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](
       implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
@@ -324,7 +338,7 @@ object GateBench {
         (4000000L + b * 100 + i, "leading words " + t + " trailing words",
           at(100L + b))
       }
-      input3.addData(batchRows(b) ++ contam)
+      input3.addData(withInjected(batchRows(b), contam))
       val t0 = System.nanoTime()
       q3.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -395,7 +409,7 @@ object GateBench {
         (6000000L + b * 100 + i, "leading words " + t + " trailing words",
           at(100L + b))
       }
-      input4.addData(batchRows(b) ++ contam)
+      input4.addData(withInjected(batchRows(b), contam))
       val t0 = System.nanoTime()
       q4.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -461,7 +475,7 @@ object GateBench {
         (7000000L + b * 100 + i, "leading words " + t + " trailing words",
           at(100L + b))
       }
-      input5.addData(batchRows(b) ++ contam)
+      input5.addData(withInjected(batchRows(b), contam))
       val t0 = System.nanoTime()
       q5.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9

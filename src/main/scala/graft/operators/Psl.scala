@@ -221,14 +221,14 @@ object Psl {
       normal.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "normal")) } ++
         wild.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "wild")) } ++
         exc.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, "exc")) }
-    // one row per (rule, labels) — the join must never fan a host row
-    // out; precedence exc > wild > normal is semantics-preserving (an
-    // exception always prevails; a wildcard *.x subsumes a same-string
-    // normal rule x for every host the length guard admits)
-    val prec = Map("exc" -> 0, "wild" -> 1, "normal" -> 2)
-    rows.groupBy(r => (r._1, r._2)).values
-      .map(_.minBy(r => prec(r._3))).toSeq
-      .toDF("rule", "labels", "kind")
+    // one row per (rule, labels, KIND): a real list can carry both `x`
+    // and `*.x` (e.g. platformsh.site + *.platformsh.site), and both
+    // kinds are load-bearing — the normal rule decides hosts EQUAL to x
+    // (wild only fires one label deeper), so collapsing kinds diverges
+    // from the literal publicSuffixLen form. Fan-out safety is the join
+    // side's job: [[withRegistrableDomainJoin]] aggregates kinds into
+    // per-(rule, labels) flags before joining.
+    rows.distinct.toDF("rule", "labels", "kind")
   }
 
   /** Broadcast-join form: appends `out` (the registrable domain) to `d`
@@ -245,14 +245,26 @@ object Psl {
       case (df, k) => df.withColumn(s"__suf$k", lastK(col("__labels"), k))
     }
     // one broadcast left join per suffix length; each may hit a normal
-    // rule (labels = k), a wildcard base (labels = k), or an exception
+    // rule (labels = k), a wildcard base (labels = k), or an exception.
+    // Kinds are aggregated into per-(rule, labels) FLAGS first: the rule
+    // table may legitimately carry the same string as both a normal rule
+    // and a wildcard base (x + *.x), and a host row must see both facts
+    // without fanning out on the join.
+    val flat = rules.groupBy("rule", "labels").agg(
+      max(when(col("kind") === "normal", 1).otherwise(0)).as("kn"),
+      max(when(col("kind") === "wild", 1).otherwise(0)).as("kw"),
+      max(when(col("kind") === "exc", 1).otherwise(0)).as("ke"))
     val joined = (1 to MaxRuleLabels).foldLeft(withSufs) { case (df, k) =>
-      val r = rules.filter(col("labels") === k)
-        .select(col("rule").as(s"__r$k"), col("kind").as(s"__k$k"))
+      val r = flat.filter(col("labels") === k)
+        .select(col("rule").as(s"__r$k"), col("kn").as(s"__n$k"),
+          col("kw").as(s"__w$k"), col("ke").as(s"__e$k"))
       df.join(broadcast(r), df(s"__suf$k") === col(s"__r$k"), "left")
     }
-    def kindAt(k: Int, kind: String): Column =
-      col(s"__k$k").isNotNull && col(s"__k$k") === kind
+    def kindAt(k: Int, kind: String): Column = kind match {
+      case "normal" => col(s"__n$k") === 1
+      case "wild" => col(s"__w$k") === 1
+      case _ => col(s"__e$k") === 1
+    }
     // ascending folds wrap the longest rule outermost (checked first)
     val excChain = (1 to MaxRuleLabels).foldLeft(lit(null).cast("int")) {
       case (acc, k) => when(kindAt(k, "exc"), lit(k - 1)).otherwise(acc)
@@ -267,7 +279,7 @@ object Psl {
     val dom = when(size(col("__labels")) > psLen && length(col(hostCol)) > 0,
       concat_ws(".", slice(col("__labels"), -(psLen + lit(1)), psLen + lit(1))))
     val cleanup = Seq("__labels") ++ (1 to MaxRuleLabels).flatMap(k =>
-      Seq(s"__suf$k", s"__r$k", s"__k$k"))
+      Seq(s"__suf$k", s"__r$k", s"__n$k", s"__w$k", s"__e$k"))
     joined.withColumn(out, dom).drop(cleanup: _*)
   }
 

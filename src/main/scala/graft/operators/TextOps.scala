@@ -588,12 +588,39 @@ object TextOps {
     * in QueriesSpec.
     */
   private[graft] def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
-    bpeEncodeFrom(docs(spark, sfDir),
+    bpeEncodeNativeFrom(docs(spark, sfDir),
       bpeMerges(spark, sfDir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
-  /** The encoding core over an explicit rank-ordered merge list — shared
-    * by the declared key (which trains inline) and the persisted-table
-    * path ([[bpeEncodeWithTable]], the production train-once shape).
+  /** The VOCABULARY-SCALE encoding core: one [[graft.functions.BpeEncode]]
+    * native-expression pass per document over the rank-ordered merge
+    * list — per-doc cost independent of merge count, so a 32k-merge
+    * production vocabulary encodes in the same plan shape as the
+    * 10-merge key (the replace-chain form's plan grows linearly and
+    * dies long before that; see the expression's scaladoc for the
+    * priority-queue ≡ in-order-pass equivalence and its pins). Backs
+    * the declared key and the persisted-table path; output is
+    * row-identical to [[bpeEncodeFrom]] on any trained table
+    * (QueriesSpec pins it).
+    */
+  private[graft] def bpeEncodeNativeFrom(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.BpeEncode.bpe_encode(col("text"), merges).as("e"))
+      .select(col("doc_id"),
+        col("e.n_words").as("n_words"),
+        col("e.n_chars").as("n_chars"),
+        size(col("e.toks")).cast("long").as("n_tok"),
+        (col("e.n_chars") - size(col("e.toks"))).as("n_merged"),
+        array_join(slice(col("e.toks"), 1, 8), " ").as("head_toks"))
+      .orderBy("doc_id")
+
+  /** The REPLACE-CHAIN encoding form over an explicit rank-ordered merge
+    * list: each merge applied in rank order as one left-to-right
+    * non-overlapping codegen'd `replace` over the bar-wrapped symbol
+    * run. Retained as the independent Column-algebra implementation the
+    * native form is pinned row-identical against (QueriesSpec) — its
+    * plan grows linearly with the table, so it serves SMALL tables only;
+    * the declared key and the persisted-table path run
+    * [[bpeEncodeNativeFrom]], whose cost is vocabulary-independent.
     *
     * Two guards make the train-once path as safe as the inline one:
     * (1) the merge list is validated DRIVER-SIDE (it is already collected,
@@ -660,10 +687,13 @@ object TextOps {
   /** Encodes the corpus with merges loaded from a persisted merge table
     * (rank order restored from `merge_rank`) — row-identical to the
     * inline-training `bpe_encode` key by construction (same
-    * [[bpeEncodeFrom]] core; pinned in QueriesSpec).
+    * [[bpeEncodeNativeFrom]] core; pinned in QueriesSpec). The
+    * production train-once path, and the one that serves REAL
+    * vocabularies: the native core's per-doc cost does not grow with
+    * the table, so this same call works at 32k merges.
     */
   def bpeEncodeWithTable(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    bpeEncodeFrom(docs(spark, sfDir),
+    bpeEncodeNativeFrom(docs(spark, sfDir),
       spark.table(table).orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 

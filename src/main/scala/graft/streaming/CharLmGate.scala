@@ -47,11 +47,23 @@ object CharLmGate {
     * logic; the model tables must exist (`writeCharLmTable`) or this
     * fails loudly.
     */
+  /** Table names whose non-emptiness has been validated once — the model
+    * is a train-once artifact ([[HygieneOps.writeCharLmTable]] always
+    * writes a non-empty `_ctx`), so it cannot become empty mid-query;
+    * re-running the `limit(1).count()` probe per micro-batch would add a
+    * driver-side Spark job to every batch of the production chain for a
+    * condition only the FIRST batch can catch (r15 ADVICE).
+    */
+  private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def withLmDecisions(batch: DataFrame, lmTable: String, maxBits: Double): DataFrame = {
     val s = batch.sparkSession
     val ctxV = s.table(lmTable + "_ctx")
-    require(ctxV.limit(1).count() == 1,
-      s"charlm model table ${lmTable}_ctx is empty — train first (writeCharLmTable)")
+    if (!validated.contains(lmTable)) {
+      require(ctxV.limit(1).count() == 1,
+        s"charlm model table ${lmTable}_ctx is empty — train first (writeCharLmTable)")
+      validated.add(lmTable): Unit
+    }
     val scores = HygieneOps.charlmScoreAgainst(
       batch.filter(col("decision") === "insert").select("doc_id", "text"),
       s.table(lmTable), ctxV.select("ch", "c_a"), ctxV.select("v").limit(1))

@@ -612,16 +612,37 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SpanOps.winnowSites(dense).select("gh").distinct().count() >
       SpanGate.ProbeLiteralPlanMax, "dense fixture must exceed the literal-plan ceiling")
     val denseFlags = SpanGate.flagLeakSpans(spark, dense, "span_gate_idx")
-    val densePlan = denseFlags.queryExecution.executedPlan.toString
-    assert(densePlan.contains("BroadcastHashJoin"),
-      s"dense probe must filter the index scan through the broadcast mark join:\n$densePlan")
-    // the bucketed scan always reports SelectedBucketsCount; dense must
-    // select ALL buckets (no literal filter planted — the driver-cost
-    // trap) rather than pruning through a 3000-literal INSET
-    assert(densePlan.contains("SelectedBucketsCount: 8 out of 8"),
-      s"dense probe should scan all buckets unpruned:\n$densePlan")
-    assert(!densePlan.contains("INSET") && !densePlan.contains("dynamicpruning"),
-      "dense probe must not carry the gh literal set in the plan")
+    // Assert the STRUCTURAL facts, not plan-string rendering (r15 ADVICE:
+    // 'SelectedBucketsCount: 8 out of 8' / INSET fragments are brittle
+    // against Spark formatting changes): the index scan must plant no
+    // bucket-pruning subset and no gh literal list — the r14 driver-cost
+    // trap — and the mark join must be the broadcast hash join.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(denseFlags.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"dense probe must filter the index scan through the broadcast mark join:\n" +
+        denseFlags.queryExecution.executedPlan)
+    val idxScans = nodes.collect {
+      case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == "span_gate_idx") => s
+    }
+    assert(idxScans.nonEmpty, "the probe must scan the bucketed index table")
+    idxScans.foreach { s =>
+      assert(s.optionalBucketSet.forall(_.cardinality() == 8),
+        "dense probe must not plant a bucket-pruning subset (all buckets are hit anyway)")
+      val planted = (s.dataFilters ++ s.partitionFilters).exists(_.exists {
+        case i: In => i.list.size > 16
+        case i: InSet => i.hset.size > 16
+        case _ => false
+      })
+      assert(!planted, "dense probe must not carry the gh literal set in the scan filters")
+    }
     assert(denseFlags.count() == 0, "random text must share no 30-gram with the eval docs")
     // rows per eval doc are stable under replay (no duplicate sites)
     spark.catalog.refreshTable("span_gate_idx")

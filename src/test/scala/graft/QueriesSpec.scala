@@ -371,6 +371,169 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("native BpeEncode equals the replace-chain form row for row on the trained table") {
+    // the declared key now runs the native priority-queue expression;
+    // this is the explicit pin that it matches the independent
+    // Column-algebra replace-chain implementation on a trained table
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val merges = refBpeMerges(10).map(t => (t._2, t._3))
+    val native = TextOps.bpeEncodeNativeFrom(docs, merges).collect().toSeq
+    val chain = TextOps.bpeEncodeFrom(docs, merges).collect().toSeq
+    assert(native == chain, "native expression and replace chain must encode identically")
+  }
+
+  test("native BpeEncode: adversarial unit cases (repeats, chained merges, ties, non-BMP)") {
+    import spark.implicits._
+    def enc(text: String, merges: Seq[(String, String)]): (Long, Long, Seq[String]) = {
+      val r = Seq(text).toDF("text")
+        .select(graft.functions.BpeEncode.bpe_encode(org.apache.spark.sql.functions.col("text"),
+          merges).as("e"))
+        .select("e.n_words", "e.n_chars", "e.toks").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getSeq[String](2))
+    }
+    // overlapping repeats: leftmost-greedy non-overlapping per rank
+    assert(enc("aaaa", Seq(("a", "a"))) == ((1L, 4L, Seq("aa", "aa"))))
+    assert(enc("aaa", Seq(("a", "a"))) == ((1L, 3L, Seq("aa", "a"))))
+    // a later merge consuming an earlier merge's output (chained vocab)
+    assert(enc("abc abc", Seq(("a", "b"), ("ab", "c"))) == ((2L, 6L, Seq("abc", "abc"))))
+    // priority inversion: (s,t) outranks (a,s), so "fast" -> f a st
+    assert(enc("fast", Seq(("s", "t"), ("a", "s")))._3 == Seq("f", "a", "st"))
+    // rank ties across positions resolve leftmost-first
+    assert(enc("abab", Seq(("a", "b"), ("ab", "ab"))) == ((1L, 4L, Seq("abab"))))
+    // merged symbol then merges again with a following single
+    assert(enc("aab", Seq(("a", "a"), ("aa", "b"))) == ((1L, 3L, Seq("aab"))))
+    // the sentinel bar is just a character here (no wrapping scheme)
+    assert(enc("a|b", Seq(("|", "b"))) == ((1L, 3L, Seq("a", "|b"))))
+    // non-BMP symbols are code points, not UTF-16 halves
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(enc(clef + clef + " x", Seq((clef, clef))) == ((2L, 3L, Seq(clef + clef, "x"))))
+    // multiple spaces collapse (empty words skipped), word count honest
+    assert(enc("  ab  ba ", Seq(("a", "b")))._1 == 2L)
+    assert(enc("  ab  ba ", Seq(("a", "b")))._3 == Seq("ab", "b", "a"))
+  }
+
+  /** Driver-side Sennrich trainer over an explicit sequence-frequency
+    * map (count all adjacent pairs weighted by frequency, merge the
+    * (freq desc, left asc, right asc) winner leftmost-greedy, repeat) —
+    * the same count/tie rule the Spark trainer is pinned to at 10 and
+    * 64 merges. Stops early when pairs exhaust.
+    */
+  private def trainMerges(seqFreq: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var words = new scala.collection.mutable.HashMap[Vector[String], Long]()
+    seqFreq.foreach { case (w, f) =>
+      val k = w.split("").toVector
+      words.update(k, words.getOrElse(k, 0L) + f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val pairs = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairs.update(p, pairs.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = pairs.minBy { case ((l, r), pf) => (-pf, l, r) }
+        merges += ((l, r))
+        val nw = new scala.collection.mutable.HashMap[Vector[String], Long]()
+        words.foreach { case (syms, f) =>
+          val m = refMergeWord(syms, l, r)
+          nw.update(m, nw.getOrElse(m, 0L) + f)
+        }
+        words = nw
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Independent priority encoder: repeated linear scan for the
+    * min-(rank, position) adjacent pair, ONE merge per step — different
+    * mechanics from the expression's heap + linked list.
+    */
+  private def refPriorityEncode(rank: Map[(String, String), Int])(w: String): Vector[String] = {
+    var syms = w.split("").toVector
+    var go = true
+    while (go && syms.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) go = false
+      else syms = (syms.take(best) :+ (syms(best) + syms(best + 1))) ++ syms.drop(best + 2)
+    }
+    syms
+  }
+
+  test("native BpeEncode serves a 1k+ merge vocabulary, equal to an independent priority encoder") {
+    // The synthetic corpus has only 31 distinct words, so WORD-level BPE
+    // saturates at 89 merges (every word one symbol) at any SF — a 1k
+    // vocabulary must train on longer sequences. Two tables, two pins:
+    //  (a) the word-level table TRAINED TO EXHAUSTION (89 merges, the
+    //      corpus' full word-level vocabulary);
+    //  (b) 1024 merges trained on the same sf0.01 corpus' space-stripped
+    //      CHARACTER streams (the modern tokenizer shape — GPT-2-style
+    //      byte-level training sees word-boundary-free runs), applied to
+    //      the corpus through the native expression.
+    // Both compare FULL token sequences against the independent
+    // driver-side priority encoder — the scale the replace-chain form
+    // structurally cannot reach (1024 chained replaces would not even
+    // analyze).
+    val sf01 = "/root/testdata/sf0.01"
+    val texts = spark.read.parquet(s"$sf01/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_._2.split(" ").filter(_.nonEmpty)
+      .foreach(w => wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)))
+    val wordTable = trainMerges(wordFreq.toMap, Int.MaxValue)
+    assert(wordTable.length == 89,
+      s"word-level vocabulary should exhaust at 89 merges, got ${wordTable.length}")
+    val charStreams = texts.map { case (_, t) => t.replace(" ", "").take(150) }
+      .groupBy(identity).map { case (s, g) => s -> g.length.toLong }
+    val charTable = trainMerges(charStreams, 1024)
+    assert(charTable.length >= 1024, s"char streams exhausted at ${charTable.length} merges")
+    for ((merges, tag) <- Seq((wordTable, "word-89"), (charTable, "char-1024"))) {
+      // trained tables satisfy the no-resurrection condition by
+      // construction (a merged pair never becomes adjacent again) —
+      // check it held, so priority semantics coincide with rank-order
+      // passes and the chain-form equivalence argument applies
+      val parts = new scala.collection.mutable.HashSet[String]()
+      merges.foreach { case (l, r) =>
+        assert(!parts.contains(l + r), s"$tag: output ${l + r} re-creates an earlier part")
+        parts += l; parts += r
+      }
+      val rank = merges.zipWithIndex.toMap
+      val got = spark.read.parquet(s"$sf01/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.functions.BpeEncode.bpe_encode(
+            org.apache.spark.sql.functions.col("text"), merges).as("e"))
+        .select("doc_id", "e.toks").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      var totalToks = 0L
+      texts.foreach { case (id, text) =>
+        val want = text.split(" ").filter(_.nonEmpty).toVector
+          .flatMap(refPriorityEncode(rank))
+        assert(got(id) == want,
+          s"$tag doc $id: native ${got(id).take(12)} vs reference ${want.take(12)}")
+        totalToks += want.length
+      }
+      // the vocabulary must actually bite: far fewer tokens than chars
+      val totalChars = texts.map(_._2.count(_ != ' ').toLong).sum
+      assert(totalToks < totalChars / 2,
+        s"$tag should compress the corpus well below half its chars " +
+          s"($totalToks tokens vs $totalChars chars)")
+    }
+  }
+
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
