@@ -456,31 +456,37 @@ object SpanOps {
   /** The batch PRODUCTION curation composite — the offline mirror of
     * [[graft.streaming.StreamMerge.gatedIngestPipelineProduction]]'s
     * oracle-expressible stages, in the same load-bearing order: quality
-    * + length gates and exact dedup on RAW text → decontamination
-    * SURGERY on the kept canonical set → PII redaction LAST on the
-    * post-surgery text (placeholders must perturb neither the content
-    * hashes nor the span grams). Kept docs come out with the final
-    * redacted text, the cut mass, and per-category PII counts — what a
-    * curation run actually persists. The PII planting suffix is the
-    * `pii_redact` fixture ([[HygieneOps.PiiPlantSuffix]], appended
-    * post-surgery so the redaction stage is non-vacuous on corpora
-    * without real PII); eval set and thresholds are the family's
-    * (doc_id % 10 = 7; n_tokens ≥ 20, quality ≥ 0.4 as in
-    * `corpus_filter`). Scale shape: narrow quality pass → partial-agg
-    * canonical groupBy + equi-join → the broadcast-spans strip (kept
-    * text never shuffles for the cut) → narrow regex pass.
+    * + length gates, URL-blocklist gate (r15 verdict task 3 — the
+    * [[WebOps.withDomainGate]] narrow pass on RAW text, over the
+    * URL-decorated corpus so the stage actually bites) and exact dedup
+    * on RAW text → decontamination SURGERY on the kept canonical set →
+    * PII redaction LAST on the post-surgery text (placeholders must
+    * perturb neither the content hashes nor the span grams). Kept docs
+    * come out with the final redacted text, the cut mass, and
+    * per-category PII counts — what a curation run actually persists.
+    * The PII planting suffix is the `pii_redact` fixture
+    * ([[HygieneOps.PiiPlantSuffix]], appended post-surgery so the
+    * redaction stage is non-vacuous on corpora without real PII); eval
+    * set and thresholds are the family's (doc_id % 10 = 7;
+    * n_tokens ≥ 20, quality ≥ 0.4 as in `corpus_filter`). Scale shape:
+    * narrow quality + URL passes → partial-agg canonical groupBy +
+    * equi-join → the broadcast-spans strip (kept text never shuffles
+    * for the cut) → narrow regex pass. The NON-oracle stages the stream
+    * chain adds (persisted-model LM tail, signature-index near-dup) have
+    * their batch mirror in [[corpusCurateDecisionsOf]], spec-pinned
+    * decision-identical to the stream.
     */
   private def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = planted(docs(spark, sfDir))
+    val d = WebOps.decorated(planted(docs(spark, sfDir)))
     val train = d.filter(col("doc_id") % 10 =!= 7)
     val eval = d.filter(col("doc_id") % 10 === 7)
-    val base = TextOps.withQualityScore(train)
+    val base = WebOps.withDomainGate(TextOps.withQualityScore(train))
       .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
-        col("n_tok").cast("long").as("n_tokens"), col("quality"))
+        col("n_tok").cast("long").as("n_tokens"), col("quality"), col("n_blocked"))
     val canon = base.groupBy("h").agg(min("doc_id").as("keep_id"))
     val kept = base.join(canon, Seq("h"))
       .filter(col("doc_id") === col("keep_id")
-        && col("n_tokens") >= 20 && col("quality") >= 0.4)
+        && col("n_tokens") >= 20 && col("quality") >= 0.4 && col("n_blocked") === 0L)
       .select("doc_id", "text")
     val stripped = stripWith(kept, crossSpansOf(kept, eval), broadcastSpans = true)
     HygieneOps.withPiiScrub(stripped.select(col("doc_id"), col("n_removed"),
@@ -488,6 +494,79 @@ object SpanOps {
       .select(col("doc_id"), col("redacted").as("final_text"), col("n_removed"),
         col("n_email"), col("n_phone"), col("n_ip"))
       .orderBy("doc_id")
+  }
+
+  /** The COMPLETE batch mirror of [[graft.streaming.StreamMerge
+    * .gatedIngestPipelineProduction]] — every gate, including the two
+    * that are NOT oracle-expressible and so live outside the declared
+    * `corpus_curate` key: the persisted-model LM tail cut and the
+    * signature-index near-dup stage. One decision row per SURVIVING
+    * ingest row (within-corpus exact duplicates collapse to their
+    * min-id canonical silently, mirroring the stream's watermark dedup,
+    * which also emits no row for a dropped duplicate), in the stream's
+    * exact attribution order: short → quality → blocked_domain →
+    * skip_dup (vs the static hash index) → lm_tail → near_dup →
+    * contamination surgery (`scrubbed` / `scrub_gutted`) → PII LAST on
+    * keep rows. Decision identity with the stream chain on shared docs
+    * and artifacts is pinned in StreamingSpec — the model/gate STAGES
+    * themselves are the shared implementations
+    * ([[graft.streaming.CharLmGate.withLmDecisions]],
+    * [[graft.streaming.DedupGate.combinedFlags]],
+    * [[graft.streaming.SpanGate.applyScrub]] over [[crossSpansWinnowOf]]
+    * — the batch declaration of the gate's persisted-index probe), so
+    * batch and stream cannot drift stage by stage.
+    *
+    * Scale shape is the stream body's, minus the micro-batch bound:
+    * narrow structural gates, broadcast model join, banded-signature
+    * probe (broadcast the batch side), broadcast winnow span lists,
+    * narrow regex PII pass — the corpus text shuffles only for the
+    * canonical groupBy join.
+    */
+  private[graft] def corpusCurateDecisionsOf(raw: DataFrame,
+      evalDocs: DataFrame, baseIndex: DataFrame, sigIndex: DataFrame,
+      lmTable: String, maxBits: Double,
+      minTokens: Int = 20, minQuality: Double = 0.4): DataFrame = {
+    import graft.streaming.{CharLmGate, DedupGate, SpanGate}
+    val scored = WebOps.withDomainGate(TextOps.withQualityScore(raw))
+      .withColumn("h", md5(col("text")))
+    val canon = scored.groupBy("h").agg(min("doc_id").as("canon_id"))
+    val decided = scored.join(canon, Seq("h"))
+      .filter(col("doc_id") === col("canon_id"))
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        col("n_tok").cast("long").as("n_tokens"), col("quality"),
+        col("n_urls"), col("n_blocked"),
+        when(col("n_tok") < minTokens, "short")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("n_blocked") > 0, "blocked_domain")
+          .when(col("existing_id").isNotNull, "skip_dup")
+          .otherwise("insert").as("decision"),
+        col("existing_id"), col("text"))
+    val lmDecided = CharLmGate.withLmDecisions(decided, lmTable, maxBits)
+    val inserts = lmDecided.filter(col("decision") === "insert").select("doc_id", "text")
+    val flags = DedupGate.combinedFlags(sigIndex, DedupOps.bandedSigs(inserts))
+    val deduped = lmDecided.join(flags, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
+    val still = deduped.filter(col("decision") === "insert").select("doc_id", "text")
+    val perDoc = crossSpansWinnowOf(still, evalDocs)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_leak_spans"),
+        sum("span_len").as("leak_chars"),
+        min(struct(col("first_eval"), col("first_eval_pos"))).as("fe"))
+      .select(col("doc_id"), col("sp"), col("n_leak_spans"), col("leak_chars"),
+        col("fe.first_eval").as("first_eval"),
+        col("fe.first_eval_pos").as("first_eval_pos"))
+    val scrubbed = SpanGate.applyScrub(deduped, perDoc, minTokens)
+    val keep = col("decision").isin("insert", "scrubbed")
+    HygieneOps.withPiiScrub(scrubbed.withColumn("txt",
+        when(keep, col("text")).otherwise(lit(""))))
+      .withColumn("redacted", when(keep, col("redacted")))
+      .withColumn("n_email", when(keep, col("n_email")))
+      .withColumn("n_phone", when(keep, col("n_phone")))
+      .withColumn("n_ip", when(keep, col("n_ip")))
+      .drop("text", "txt")
   }
 
   /** The BENCHMARK-OWNER view of the same relation: leak mass attributed
@@ -707,9 +786,20 @@ object SpanOps {
               |ORDER BY t.doc_id""".stripMargin)),
 
     "corpus_curate" -> QueryDef(corpusCurate,
-      Some(s"""WITH d AS ($PlantedSql),
+      Some(s"""WITH pl AS ($PlantedSql),
+              |d AS (${WebOps.decoratedSqlFrom("pl")}),
               |t0 AS (SELECT doc_id, text FROM d WHERE doc_id % 10 <> 7),
               |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 10 = 7),
+              |ub AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked
+              |  FROM (
+              |    SELECT doc_id,
+              |           nullif(regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
+              |                                 '([^.]+\\.[^.]+)$$', 1), '') AS domain
+              |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '${WebOps.UrlRe}')) AS url
+              |          FROM t0))
+              |  WHERE domain IN (SELECT domain FROM (VALUES ${WebOps.blocklistValuesSql}) AS b(domain))
+              |  GROUP BY doc_id),
               |cnt AS (
               |  SELECT doc_id, text, md5(text) AS h,
               |         len(string_split(text, ' ')) AS n_tok,
@@ -725,7 +815,9 @@ object SpanOps {
               |c AS (SELECT h, min(doc_id) AS keep_id FROM s GROUP BY h),
               |t AS (
               |  SELECT s.doc_id, s.text FROM s JOIN c USING (h)
-              |  WHERE s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4),
+              |  LEFT JOIN ub ON s.doc_id = ub.doc_id
+              |  WHERE s.doc_id = c.keep_id AND s.n_tokens >= 20 AND s.quality >= 0.4
+              |    AND coalesce(ub.n_blocked, 0) = 0),
               |${stripChainSql},
               |r0 AS (
               |  SELECT t.doc_id, coalesce(r.clean_text, t.text) AS clean_text,

@@ -56,9 +56,11 @@ object WebOps {
 
   /** In-plan URL decoration (deterministic from doc_id; ~1/3 of docs get
     * a content URL, ~1/7 a CDN mirror, ~1/9 a BLOCKLISTED link — the
-    * overlap classes exercise keep/drop on multi-URL docs).
+    * overlap classes exercise keep/drop on multi-URL docs). Shared with
+    * [[SpanOps]]' `corpus_curate`, whose blocklist stage needs a corpus
+    * that actually carries blocked links.
     */
-  private def decorated(d: DataFrame): DataFrame =
+  private[graft] def decorated(d: DataFrame): DataFrame =
     d.select(col("doc_id"), concat(col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(lit(" see https://w"), pmod(col("doc_id"), lit(20)).cast("string"),
@@ -72,26 +74,35 @@ object WebOps {
         concat(lit(" via https://s"), pmod(col("doc_id"), lit(4)).cast("string"),
           lit(".badsite.com/z"))).otherwise(lit(""))).as("text"))
 
-  /** Shared DuckDB fragment mirroring [[decorated]]. No continuation line
-    * may START with `||`: this fragment is embedded in an outer
-    * `stripMargin` string, which would strip the first pipe again.
+  /** Shared DuckDB fragment mirroring [[decorated]] over an arbitrary
+    * source relation. No continuation line may START with `||`: this
+    * fragment is embedded in an outer `stripMargin` string, which would
+    * strip the first pipe again.
     */
-  private val DecoratedSql: String =
-    """SELECT doc_id, text ||
-      |  CASE WHEN doc_id % 3 = 0
-      |       THEN ' see https://w' || CAST(doc_id % 20 AS VARCHAR) ||
-      |            '.example' || CAST(doc_id % 5 AS VARCHAR) ||
-      |            '.org/p/' || CAST(doc_id AS VARCHAR)
-      |       ELSE '' END ||
-      |  CASE WHEN doc_id % 7 = 0
-      |       THEN ' mirror http://cdn' || CAST(doc_id % 11 AS VARCHAR) ||
-      |            '.mirror.io/x' || CAST(doc_id % 13 AS VARCHAR)
-      |       ELSE '' END ||
-      |  CASE WHEN doc_id % 9 = 0
-      |       THEN ' via https://s' || CAST(doc_id % 4 AS VARCHAR) ||
-      |            '.badsite.com/z'
-      |       ELSE '' END AS text
-      |FROM documents""".stripMargin
+  private[graft] def decoratedSqlFrom(src: String): String =
+    s"""SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN ' see https://w' || CAST(doc_id % 20 AS VARCHAR) ||
+       |            '.example' || CAST(doc_id % 5 AS VARCHAR) ||
+       |            '.org/p/' || CAST(doc_id AS VARCHAR)
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0
+       |       THEN ' mirror http://cdn' || CAST(doc_id % 11 AS VARCHAR) ||
+       |            '.mirror.io/x' || CAST(doc_id % 13 AS VARCHAR)
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 9 = 0
+       |       THEN ' via https://s' || CAST(doc_id % 4 AS VARCHAR) ||
+       |            '.badsite.com/z'
+       |       ELSE '' END AS text
+       |FROM $src""".stripMargin
+
+  private val DecoratedSql: String = decoratedSqlFrom("documents")
+
+  /** DuckDB VALUES rows generated from the SAME [[Blocklist]] value the
+    * Column forms use, so the engines cannot drift on the list.
+    */
+  private[graft] def blocklistValuesSql: String =
+    Blocklist.map(d => s"('$d')").mkString(", ")
 
   /** `(doc_id, url, host, domain)` — one row per URL occurrence. Spark's
     * `regexp_extract_all` needs the explicit group-0 literal (SURVEY
@@ -452,7 +463,7 @@ object WebOps {
 
     "domain_filter" -> QueryDef(domainFilter,
       Some(s"""$UrlsSqlCte,
-              |b AS (SELECT * FROM (VALUES ('badsite.com'), ('tracker.net')) AS t(domain)),
+              |b AS (SELECT * FROM (VALUES $blocklistValuesSql) AS t(domain)),
               |v AS (
               |  SELECT uu.doc_id, count(*) AS n_urls,
               |         CAST(sum(CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

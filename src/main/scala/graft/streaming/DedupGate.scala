@@ -184,7 +184,7 @@ object DedupGate {
         math.max(0.0, (now - baseN).toDouble / baseN)
     }
 
-  private def validateMeta(spark: SparkSession, table: String): Unit = {
+  private[streaming] def validateMeta(spark: SparkSession, table: String): Unit = {
     // a rebuild may have overwritten the meta through ANOTHER session
     // (driver-side maintenance beside a streaming gate) — refresh, or this
     // session's relation cache serves the replaced file list and the next
@@ -257,7 +257,7 @@ object DedupGate {
     * matched doc id — the [[checkAgainst]] rule re-applied over the
     * union).
     */
-  private def combinedFlags(index: DataFrame, banded: DataFrame): DataFrame =
+  private[graft] def combinedFlags(index: DataFrame, banded: DataFrame): DataFrame =
     checkAgainst(index, banded).unionByName(withinBatchFlags(banded))
       .groupBy("doc_id")
       .agg(min(struct((lit(SigWidth) - col("sig_match")).as("miss"),
@@ -299,7 +299,7 @@ object DedupGate {
     * corpus keys on, so a downstream sink never sees the column type
     * flip on an intermittently empty micro-batch.
     */
-  private def prunedIndexSlice(
+  private[streaming] def prunedIndexSlice(
       spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
     val bound = spark.conf.getOption("graft.dedupGate.maxProbeLiterals")
       .map { raw =>
@@ -339,7 +339,7 @@ object DedupGate {
     * re-shingling and re-hashing the text (meta validation is the
     * caller's, done once per batch).
     */
-  private def appendBandedIdempotent(
+  private[streaming] def appendBandedIdempotent(
       spark: SparkSession, banded: DataFrame, table: String): Long = {
     import org.apache.spark.sql.GraftShim
     // epoch span start (see [[graft.operators.IndexEpoch]]): before the

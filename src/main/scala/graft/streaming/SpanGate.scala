@@ -90,7 +90,7 @@ object SpanGate {
     IndexEpoch.bumpUnconditional(spark, table)
   }
 
-  private def validateMeta(spark: SparkSession, table: String): Unit = {
+  private[streaming] def validateMeta(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(metaTableFor(table)))
       spark.catalog.refreshTable(metaTableFor(table))
     val meta = spark.table(metaTableFor(table))
@@ -342,36 +342,55 @@ object SpanGate {
     val ((sites, sitesRdd), tSelect) =
       timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(inserts)))
     try {
-      // one per-doc row carries BOTH the scrub input (the sorted span
-      // list the cut fold walks) and the flag-path leak stats
-      val rawPerDoc = leakSpansOf(s, sites, table)
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
-          count(lit(1)).as("n_leak_spans"),
-          sum("span_len").as("leak_chars"),
-          min(struct(col("first_eval"), col("first_eval_pos"))).as("fe"))
-        .select(col("doc_id"), col("sp"), col("n_leak_spans"), col("leak_chars"),
-          col("fe.first_eval").as("first_eval"),
-          col("fe.first_eval_pos").as("first_eval_pos"))
-      val ((perDoc, perDocRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawPerDoc))
+      val ((perDoc, perDocRdd), tProbe) =
+        timed(GraftShim.localCheckpointTracked(scrubPerDoc(s, sites, table)))
       try {
-        val out = batch.join(broadcast(perDoc), Seq("doc_id"), "left")
-          .withColumn("text",
-            when(col("sp").isNull || col("decision") =!= "insert", col("text"))
-              .otherwise(SpanOps.cutSpansFold))
-          .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
-          .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
-          .withColumn("decision",
-            when(col("decision") === "insert" && col("n_leak_spans") > 0L,
-              when(size(split(col("text"), " ")) < minTokens, "scrub_gutted")
-                .otherwise("scrubbed"))
-              .otherwise(col("decision")))
-          .drop("sp")
+        val out = applyScrub(batch, perDoc, minTokens)
         val (_, tSink) = timed(onBatch(out, batchId))
         onTimings(SpanGateTimings(batchId, tSelect, tProbe, tSink))
       } finally GraftShim.releaseCheckpoint(perDocRdd)
     } finally GraftShim.releaseCheckpoint(sitesRdd)
   }
+
+  /** Per-doc scrub verdict relation for a batch's selected sites: one
+    * row per leaking doc carrying BOTH the scrub input (the sorted span
+    * list the cut fold walks) and the flag-path leak stats. Shared by
+    * [[spanScrubDecisions]] and [[StreamMerge
+    * .gatedIngestPipelineProduction]]'s flattened batch body — ONE
+    * implementation, so stream scrub stays bit-identical to the batch
+    * strip everywhere it is composed.
+    */
+  private[streaming] def scrubPerDoc(s: SparkSession, sites: DataFrame,
+      table: String): DataFrame =
+    leakSpansOf(s, sites, table)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_leak_spans"),
+        sum("span_len").as("leak_chars"),
+        min(struct(col("first_eval"), col("first_eval_pos"))).as("fe"))
+      .select(col("doc_id"), col("sp"), col("n_leak_spans"), col("leak_chars"),
+        col("fe.first_eval").as("first_eval"),
+        col("fe.first_eval_pos").as("first_eval_pos"))
+
+  /** Applies the [[scrubPerDoc]] verdicts to a decision frame: cut the
+    * leak spans out of still-`insert` rows (the broadcast-join surgery),
+    * rewrite their decision to `scrubbed` / `scrub_gutted`, pass every
+    * other row through text-unchanged.
+    */
+  private[graft] def applyScrub(frame: DataFrame, perDoc: DataFrame,
+      minTokens: Int): DataFrame =
+    frame.join(broadcast(perDoc), Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("sp").isNull || col("decision") =!= "insert", col("text"))
+          .otherwise(SpanOps.cutSpansFold))
+      .withColumn("n_leak_spans", coalesce(col("n_leak_spans"), lit(0L)))
+      .withColumn("leak_chars", coalesce(col("leak_chars"), lit(0L)))
+      .withColumn("decision",
+        when(col("decision") === "insert" && col("n_leak_spans") > 0L,
+          when(size(split(col("text"), " ")) < minTokens, "scrub_gutted")
+            .otherwise("scrubbed"))
+          .otherwise(col("decision")))
+      .drop("sp")
 }
 
 /** Wall-clock seconds per span-gate stage for ONE micro-batch (the

@@ -384,9 +384,27 @@ object StreamMerge {
     *     (`insert` | `scrubbed`) only: a redaction placeholder must
     *     perturb neither the near-dup signatures nor the span grams,
     *     and drop-path rows store nothing so nothing is scrubbed.
-    * Inherited caveat: signatures append before the span/scrub verdict
-    * exists, so a scrubbed doc's at-rest signature is of its PRE-scrub
-    * text (conservative — near-dups of the original still flag).
+    * Signature policy — DUAL-SIGN (r15 verdict task 2): novel `insert`
+    * rows index their original-text signatures as everywhere else;
+    * `scrubbed` rows index BOTH the original signature AND the
+    * signature of the POST-surgery text that actually persists. Either
+    * alone has a blind spot: original-only misses future near-dups of
+    * the persisted (cut) text when the cut was large; post-scrub-only
+    * would miss future near-dups of the original (they arrive with
+    * original-text signatures, get scrubbed the same way, and would
+    * persist as at-rest duplicates). Both variants append under the
+    * doc's id in ONE idempotent call, so replay appends neither twice
+    * and the self-match exclusion covers both rows.
+    *
+    * Batch-body shape (r15 verdict task 4): the stage cascade is FLAT,
+    * not nested callbacks, and the LM-decided batch is pinned with one
+    * tracked localCheckpoint at entry — every later stage filters or
+    * joins back into those rows several times, and without the pin each
+    * pass re-evaluated the whole upstream chain (stream source → gates →
+    * LM join) from scratch; the scrubbed frame is pinned again before
+    * the PII/sink/re-sign passes for the same reason. Blocks free
+    * deterministically before the batch returns.
+    *
     * `onBatch` receives every decision row with the raw `text` dropped;
     * keep rows carry the `redacted` post-surgery payload plus the full
     * per-gate attribution trail (`n_urls`/`n_blocked`, `bits`/
@@ -418,22 +436,96 @@ object StreamMerge {
         col("existing_id"), col("ts"), col("text"))
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val lmDecided = CharLmGate.withLmDecisions(batch, lmTable, maxBits)
-        DedupGate.gateDecisions(sigTable, (deduped, bid) =>
-          SpanGate.spanScrubDecisions(evalGramTable, minTokens, (scrubbed, sid) => {
-            val keep = col("decision").isin("insert", "scrubbed")
-            val core = scrubbed.withColumn("txt",
-              when(keep, col("text")).otherwise(lit("")))
-            val out = graft.operators.HygieneOps.withPiiScrub(core)
-              .withColumn("redacted", when(keep, col("redacted")))
-              .withColumn("n_email", when(keep, col("n_email")))
-              .withColumn("n_phone", when(keep, col("n_phone")))
-              .withColumn("n_ip", when(keep, col("n_ip")))
-              .drop("text", "txt")
-            onBatch(out, sid)
-          }, onSpanTimings)(deduped, bid), onGateTimings)(lmDecided, id)
-      }
+      .foreachBatch(productionBatch(sigTable, evalGramTable, lmTable, maxBits,
+        minTokens, onBatch, onGateTimings, onSpanTimings) _)
+  }
+
+  /** The production chain's foreachBatch body — the gate cascade of
+    * [[DedupGate.gateDecisions]] ∘ [[SpanGate.spanScrubDecisions]] ∘ PII
+    * written FLAT so (a) intermediate frames are pinned exactly once
+    * each and (b) the signature append can see the span verdicts and
+    * dual-sign scrubbed rows (see [[gatedIngestPipelineProduction]]'s
+    * scaladoc for both contracts). Stage semantics are the shared
+    * primitives themselves — [[CharLmGate.withLmDecisions]],
+    * [[graft.operators.DedupOps.bandedSigs]] +
+    * [[DedupGate.combinedFlags]], [[SpanGate.scrubPerDoc]] +
+    * [[SpanGate.applyScrub]] — so decisions stay bit-identical to the
+    * component pipelines (StreamingSpec).
+    */
+  private def productionBatch(sigTable: String, evalGramTable: String,
+      lmTable: String, maxBits: Double, minTokens: Int,
+      onBatch: (DataFrame, Long) => Unit,
+      onGateTimings: GateStageTimings => Unit,
+      onSpanTimings: SpanGateTimings => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.GraftShim
+    import graft.operators.{DedupOps, SpanOps}
+    val s = batch.sparkSession
+    s.catalog.refreshTable(sigTable)
+    DedupGate.validateMeta(s, sigTable)
+    s.catalog.refreshTable(evalGramTable)
+    SpanGate.validateMeta(s, evalGramTable)
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // pin the LM-decided batch ONCE: every stage below filters or joins
+    // back into these rows (its evaluation time lands in the epilogue's
+    // `upstream` bucket, like the fused structural gates)
+    val (decided, decidedRdd) = GraftShim.localCheckpointTracked(
+      CharLmGate.withLmDecisions(batch, lmTable, maxBits))
+    try {
+      val inserts = decided.filter(col("decision") === "insert").select("doc_id", "text")
+      val ((banded, bandedRdd), tSig) =
+        timed(GraftShim.localCheckpointTracked(DedupOps.bandedSigs(inserts)))
+      try {
+        val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(
+          DedupGate.combinedFlags(
+            DedupGate.prunedIndexSlice(s, sigTable, banded), banded)))
+        try {
+          val deduped = decided.join(flags, Seq("doc_id"), "left")
+            .withColumn("decision",
+              when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
+          val still = deduped.filter(col("decision") === "insert").select("doc_id", "text")
+          val ((sites, sitesRdd), tSelect) =
+            timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(still)))
+          try {
+            val ((perDoc, perDocRdd), tSpanProbe) = timed(
+              GraftShim.localCheckpointTracked(
+                SpanGate.scrubPerDoc(s, sites, evalGramTable)))
+            try {
+              // pin the post-surgery decision frame: the PII/sink pass
+              // AND the dual-sign append both read it
+              val (scrubbed, scrubbedRdd) = GraftShim.localCheckpointTracked(
+                SpanGate.applyScrub(deduped, perDoc, minTokens))
+              try {
+                val keep = col("decision").isin("insert", "scrubbed")
+                val core = scrubbed.withColumn("txt",
+                  when(keep, col("text")).otherwise(lit("")))
+                val out = graft.operators.HygieneOps.withPiiScrub(core)
+                  .withColumn("redacted", when(keep, col("redacted")))
+                  .withColumn("n_email", when(keep, col("n_email")))
+                  .withColumn("n_phone", when(keep, col("n_phone")))
+                  .withColumn("n_ip", when(keep, col("n_ip")))
+                  .drop("text", "txt")
+                val (_, tSink) = timed(onBatch(out, batchId))
+                // novel unflagged rows keep their original-text
+                // signatures; scrubbed rows ALSO sign the post-surgery
+                // text (dual-sign — one idempotent append covers both)
+                val novel = banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti")
+                val resigned = DedupOps.bandedSigs(
+                  scrubbed.filter(col("decision") === "scrubbed").select("doc_id", "text"))
+                val (appended, tAppend) = timed(DedupGate.appendBandedIdempotent(
+                  s, novel.unionByName(resigned), sigTable))
+                onGateTimings(GateStageTimings(
+                  batchId, tSig, tProbe, tSink, tAppend, appended))
+                onSpanTimings(SpanGateTimings(batchId, tSelect, tSpanProbe, tSink))
+              } finally GraftShim.releaseCheckpoint(scrubbedRdd)
+            } finally GraftShim.releaseCheckpoint(perDocRdd)
+          } finally GraftShim.releaseCheckpoint(sitesRdd)
+        } finally GraftShim.releaseCheckpoint(flagsRdd)
+      } finally GraftShim.releaseCheckpoint(bandedRdd)
+    } finally GraftShim.releaseCheckpoint(decidedRdd)
   }
 
   /** Idempotent per-batch audit sink for the GATED pipelines' `onBatch`

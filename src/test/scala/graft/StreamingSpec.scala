@@ -1379,6 +1379,195 @@ class StreamingSpec extends AnyFunSuite {
       "the batch path must never append to the eval index")
   }
 
+  test("corpusCurateDecisionsOf: the complete batch mirror equals the production stream decision for decision, payload for payload (r15 task 3)") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.{SpanOps, HygieneOps}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String, n: Int = 30) = (1 to n).map(i => s"${seed}_$i").mkString(" ")
+    def mutate(text: String) = (text.split(" ").init :+ "zzqx").mkString(" ")
+    val floor = SpanOps.GramK + SpanOps.WinnowW - 1
+    val runA = (('A' to 'Z') ++ ('a' to 'r')).mkString
+    assert(runA.length == floor)
+    val junk = (1 to 30).map(i => s"zqxj${i}vkwq").mkString(" ")
+    val lowQ = (1 to 15).map(_ => "z").mkString(" ") // 15 tokens, 1 distinct
+    val mcorp = wt("mcorp", 60) // 60 words: the +1-token near-dups stay over 12/16 slots
+    val piiText = wt("mnova") + " mail bob@corp.io from 10.1.2.3"
+    val contamText = wt("mcona") + " " + runA + " " + wt("mconb")
+    val blockedText = wt("mblk") + " see https://x.badsite.com/p"
+    val evalText = wt("mevq") + " " + runA + " " + wt("mevr")
+    // shared artifacts
+    val lmTrain = (1L to 12L).map(i => i -> wt(s"mlm$i")).toDF("doc_id", "text")
+    HygieneOps.writeCharLmTableFrom(spark, lmTrain, "mirror_lm_model")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9500L -> evalText).toDF("doc_id", "text"), "mirror_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> mcorp).toDF("doc_id", "text"), "mirror_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("mknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    // the fixture: one doc per decision path PLUS multi-gate docs that
+    // pin the attribution ORDER (each must land on its FIRST gate)
+    val rows: Seq[(Long, String)] = Seq(
+      951L -> piiText,                                   // insert (PII redacted)
+      952L -> contamText,                                // scrubbed
+      953L -> "tiny doc",                                // short
+      954L -> wt("mknown"),                              // skip_dup (static index)
+      955L -> junk,                                      // lm_tail
+      956L -> blockedText,                               // blocked_domain
+      957L -> mcorp,                                     // near_dup (sig index, 16/16)
+      958L -> (lowQ + " via https://s1.badsite.com/z"),  // quality BEFORE blocked_domain
+      959L -> (junk + " see https://x.badsite.com/p"),   // blocked_domain BEFORE lm_tail
+      960L -> (junk + " " + runA),                       // lm_tail BEFORE contaminated
+      961L -> (mcorp + " " + runA),                      // near_dup BEFORE scrubbed
+      962L -> piiText)                                   // exact in-corpus dup: NO row
+    // threshold separating every LM-scored keep from the tails
+    val (mc, mx, mv) = HygieneOps.charlmModelOf(lmTrain)
+    val (mBg, mA, mvv) = HygieneOps.collectCharLmModel(mc, mx, mv)
+    val bitsOf = HygieneOps.withCharLmScore(
+      rows.toDF("doc_id", "text"), mBg, mA, mvv)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits")).toMap
+    val scoredKeeps = Seq(951L, 952L, 957L, 961L).map(bitsOf).max
+    val tails = Seq(955L, 960L).map(bitsOf).min
+    assert(tails > scoredKeeps, s"fixture vacuous: tails must out-score keeps ($bitsOf)")
+    val maxBits = (scoredKeeps + tails) / 2
+    // stream side
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-mirror-ckpt").toString
+    type Rec = (String, Option[String], Option[Long], Long, Option[Long], Option[Long])
+    val acc = new ConcurrentLinkedQueue[(Long, Rec)]()
+    input.addData(rows.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, new java.sql.Timestamp(10000L + i * 1000L))
+    })
+    val q = StreamMerge.gatedIngestPipelineProduction(
+      input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+      "mirror_sig_idx", "mirror_eval_idx", "mirror_lm_model", maxBits,
+      (df, _) => df.collect().foreach { r =>
+        acc.add((r.getAs[Long]("doc_id"), (r.getAs[String]("decision"),
+          Option(r.getAs[String]("redacted")),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+          r.getAs[Long]("leak_chars"),
+          Option(r.getAs[java.lang.Long]("n_email")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("n_ip")).map(_.longValue()))))
+      },
+      minTokens = 10, minQuality = 0.3)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stream = acc.asScala.toMap
+    // batch side: the SAME artifacts, the SAME thresholds
+    spark.catalog.refreshTable("mirror_sig_idx")
+    val batch = SpanOps.corpusCurateDecisionsOf(
+      rows.toDF("doc_id", "text"),
+      Seq(9500L -> evalText).toDF("doc_id", "text"),
+      staticBase, spark.table("mirror_sig_idx"),
+      "mirror_lm_model", maxBits, minTokens = 10, minQuality = 0.3)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("decision"),
+          Option(r.getAs[String]("redacted")),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+          r.getAs[Long]("leak_chars"),
+          Option(r.getAs[java.lang.Long]("n_email")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("n_ip")).map(_.longValue())))
+      }.toMap
+    // attribution order, pinned doc by doc (first gate wins, both forms)
+    val wantDecisions = Map(
+      951L -> "insert", 952L -> "scrubbed", 953L -> "short", 954L -> "skip_dup",
+      955L -> "lm_tail", 956L -> "blocked_domain", 957L -> "near_dup",
+      958L -> "quality", 959L -> "blocked_domain", 960L -> "lm_tail",
+      961L -> "near_dup")
+    assert(stream.view.mapValues(_._1).toMap == wantDecisions,
+      s"stream attribution: ${stream.view.mapValues(_._1).toMap}")
+    // the in-corpus exact duplicate emits NO row in either form
+    assert(!stream.contains(962L) && !batch.contains(962L),
+      "an exact in-corpus duplicate must collapse silently in both forms")
+    // full record identity: decision, payload, dup_of, leak mass, PII
+    assert(batch == stream,
+      s"batch mirror diverges from the stream:\n batch=$batch\n stream=$stream")
+  }
+
+  test("production chain dual-signs scrubbed docs: a near-dup of the PERSISTED post-surgery text flags; replay appends nothing (r15 task 2)") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String, n: Int = 30) = (1 to n).map(i => s"${seed}_$i").mkString(" ")
+    // the leak dominates the original doc (90 of 120 words), so the
+    // PRE-scrub signature describes mostly-leak content while the
+    // PERSISTED doc is the 30-word body — the at-rest blind spot the
+    // dual-sign closes
+    val body = wt("rbody")
+    val evalText = wt("rev", 90)
+    val textA = body + " " + evalText
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark,
+      (1L to 8L).map(i => i -> wt(s"rlm$i")).toDF("doc_id", "text"), "resign_lm_model")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9400L -> evalText).toDF("doc_id", "text"), "resign_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("rcorp")).toDF("doc_id", "text"), "resign_sig_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("rknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-resign-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Option[String], Option[Long])]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        "resign_sig_idx", "resign_eval_idx", "resign_lm_model", Double.MaxValue,
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            Option(r.getAs[String]("redacted")),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+        },
+        minTokens = 10, minQuality = 0.05)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sigRowsOf(id: Long): Seq[(Int, Long, Seq[Long])] = {
+      spark.catalog.refreshTable("resign_sig_idx")
+      spark.table("resign_sig_idx").filter(col("doc_id") === id)
+        .collect().map(r => (r.getAs[Int]("band_id"), r.getAs[Long]("bh"),
+          r.getAs[Seq[Long]]("sig"))).toSeq
+    }
+    // batch 1: A arrives, gets scrubbed, and must be DUAL-signed
+    phase(Seq((901L, textA, at(10))))
+    val a = acc.asScala.find(_._1 == 901L).get
+    assert(a._2 == "scrubbed", s"fixture: A must be scrubbed, got $a")
+    val persisted = a._3.get
+    assert(persisted.startsWith("rbody_1") && !persisted.contains("rev_40"),
+      s"persisted payload must be the cut body: '${persisted.take(60)}...'")
+    val rows1 = sigRowsOf(901L)
+    assert(rows1.size > DedupOps.MinhashBands && rows1.size <= 2 * DedupOps.MinhashBands,
+      s"scrubbed doc must carry BOTH signature variants, got ${rows1.size} band rows")
+    assert(rows1.distinct.size == rows1.size, "dual-sign must not duplicate band rows")
+    // negative control: the PERSISTED text does NOT match A's PRE-scrub
+    // signature — without the re-sign, batch 2's probe would miss
+    val preScrub = DedupOps.bandedSigs(Seq(901L -> textA).toDF("doc_id", "text"))
+    val probeB = DedupOps.bandedSigs(Seq(902L -> persisted).toDF("doc_id", "text"))
+    assert(DedupGate.checkAgainst(preScrub, probeB).collect().isEmpty,
+      "fixture vacuous: persisted text must NOT near-dup the pre-scrub signature")
+    // batch 2: a copy of the PERSISTED post-surgery text must flag
+    phase(Seq((902L, persisted, at(60))))
+    val b = acc.asScala.find(_._1 == 902L).get
+    assert(b._2 == "near_dup" && b._4.contains(901L),
+      s"near-dup of the persisted text must flag against the scrubbed doc: $b")
+    assert(sigRowsOf(902L).isEmpty, "a flagged near-dup must not enter the index")
+    // batch 3: A re-delivered (watermark state long expired) — the gate
+    // re-scrubs it identically but the idempotent append writes NOTHING
+    phase(Seq((901L, textA, at(120))))
+    val a2 = acc.asScala.toSeq.filter(_._1 == 901L).last
+    assert(a2._2 == "scrubbed" && a2._3.contains(persisted),
+      s"replayed A must reproduce its decisions exactly: $a2")
+    assert(sigRowsOf(901L) == rows1,
+      "replay must append no signature rows (idempotent by doc id)")
+  }
+
   test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
