@@ -169,7 +169,32 @@ object Psl {
     * label), then rules longest-first — a wildcard base of length b is a
     * rule of length b+1 — then the implicit `*`.
     */
-  private[graft] def publicSuffixLen(labels: Column): Column = {
+  private[graft] def publicSuffixLen(labels: Column): Column =
+    publicSuffixLenWith(labels, normalByLen, wildBaseByLen, excByLen)
+
+  /** [[publicSuffixLen]] over an ARBITRARY rule list — the literal form
+    * as a function of the list, so WebSpec can drive BOTH evaluation
+    * forms over the same generated wide slice and assert row identity
+    * (r15 verdict task 7). Production still prefers the join form past
+    * a few hundred rules (plan-literal bloat), but the semantics must
+    * agree wherever both run.
+    */
+  private[graft] def publicSuffixLenFrom(labels: Column, rules: Seq[String]): Column = {
+    val (n, w, e) = splitRules(rules)
+    publicSuffixLenWith(labels, n, w, e)
+  }
+
+  /** [[registrableDomain]] over an arbitrary rule list (literal form). */
+  private[graft] def registrableDomainFrom(host: Column, rules: Seq[String]): Column = {
+    val labels = split(host, "\\.")
+    val psLen = publicSuffixLenFrom(labels, rules)
+    when(size(labels) > psLen && length(host) > 0,
+      concat_ws(".", slice(labels, -(psLen + lit(1)), psLen + lit(1))))
+  }
+
+  private def publicSuffixLenWith(labels: Column,
+      normalByLen: Map[Int, Seq[String]], wildBaseByLen: Map[Int, Seq[String]],
+      excByLen: Map[Int, Seq[String]]): Column = {
     // ascending folds wrap the LONGEST rule outermost, so it is checked
     // first — the PSL longest-match precedence
     val excChain = (1 to MaxRuleLabels).foldLeft(lit(null).cast("int")) {

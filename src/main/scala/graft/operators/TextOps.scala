@@ -995,19 +995,28 @@ object TextOps {
     * (thousands of shards at 100 TB), which SHRINKS per-task work —
     * the plan has no skew risk because hv is uniform.
     */
-  private def epochOrder(spark: SparkSession, sfDir: String): DataFrame = {
+  private def epochOrder(spark: SparkSession, sfDir: String): DataFrame =
+    epochOrderOf(docs(spark, sfDir), epoch = 1).orderBy("shard", "pos")
+
+  /** The multi-epoch form (r15 verdict task 6): the epoch number IS the
+    * seed — it lands in the fold prefix (`ep<N>:`), so each epoch draws
+    * a fresh decorrelated permutation while staying a pure function of
+    * (epoch, doc_id). The declared key is epoch 1; a training loop calls
+    * this per epoch (QueriesSpec pins epoch 2 as a valid permutation,
+    * rank-decorrelated from epoch 1, bit-stable across repartitionings,
+    * and composable with `pack_sequences` as the trainer handoff).
+    */
+  private[graft] def epochOrderOf(d: DataFrame, epoch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 1000000007L
-    val fold = expr("aggregate(transform(split(concat('ep1:', CAST(doc_id AS STRING)), ''), " +
+    val fold = expr(s"aggregate(transform(split(concat('ep$epoch:', CAST(doc_id AS STRING)), ''), " +
       "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
-    docs(spark, sfDir)
-      .select(col("doc_id"), fold.as("f"))
+    d.select(col("doc_id"), fold.as("f"))
       .select(col("doc_id"), (col("f") * col("f") % lit(M)).as("hv"))
       .withColumn("shard", pmod(col("hv"), lit(EpochShards.toLong)))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))).cast("long"))
       .select("doc_id", "shard", "pos")
-      .orderBy("shard", "pos")
   }
 
   /** Exact dedup by content hash: canonical doc + duplicate count. */

@@ -534,6 +534,67 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch_order: multi-epoch draws are decorrelated permutations, repartition-stable, and order packed sequences (r15 task 6)") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    def ordering(epoch: Int): Seq[(Long, Long, Long)] =
+      TextOps.epochOrderOf(docs, epoch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e1 = ordering(1)
+    val e2 = ordering(2)
+    // the declared key IS epoch 1
+    val key = SparkEntry.queries("epoch_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(key == e1.sortBy(t => (t._2, t._3)), "declared key must be the epoch-1 draw")
+    // each epoch is a valid permutation: every doc exactly once, and
+    // within each shard positions are contiguous from 1
+    def checkPermutation(e: Seq[(Long, Long, Long)], tag: String): Unit = {
+      assert(e.map(_._1).toSet == e1.map(_._1).toSet && e.size == e1.size,
+        s"$tag must place every doc exactly once")
+      e.groupBy(_._2).foreach { case (shard, g) =>
+        assert(g.map(_._3).sorted == (1L to g.size.toLong),
+          s"$tag shard $shard positions must be contiguous from 1")
+      }
+    }
+    checkPermutation(e1, "epoch 1")
+    checkPermutation(e2, "epoch 2")
+    // decorrelation: Spearman rank correlation of the global consumption
+    // order (by shard, then pos) near 0 — with n=500 the null sd is
+    // ~0.045, so |rho| < 0.15 is a 3-sigma bound that still rules out
+    // any systematic carryover between epochs
+    def globalRank(e: Seq[(Long, Long, Long)]): Map[Long, Int] =
+      e.sortBy(t => (t._2, t._3)).map(_._1).zipWithIndex.toMap
+    val (r1, r2) = (globalRank(e1), globalRank(e2))
+    val n = r1.size
+    val xs = r1.keys.toSeq
+    val mean = (n - 1) / 2.0
+    val cov = xs.map(id => (r1(id) - mean) * (r2(id) - mean)).sum
+    val varr = xs.map(id => (r1(id) - mean) * (r1(id) - mean)).sum
+    val rho = cov / varr
+    assert(math.abs(rho) < 0.15, s"epochs 1 and 2 correlate: rho=$rho")
+    // bit-stability: the draw is a pure function of (epoch, doc_id) —
+    // input partitioning must not leak into shard/pos
+    val e2b = TextOps.epochOrderOf(docs.repartition(7), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(e2b.sortBy(_._1) == e2.sortBy(_._1),
+      "epoch draw must be identical under any input partitioning")
+    // trainer handoff: epoch-order the PACKED training sequences from
+    // pack_sequences — every packed sequence gets exactly one
+    // consumption slot, deterministically
+    val packed = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    val seqs = packed.select((col("shard") * 1000000L + col("seq_id")).as("doc_id")).distinct()
+    val nSeqs = seqs.count()
+    val slots = TextOps.epochOrderOf(seqs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(slots.size.toLong == nSeqs && slots.map(_._1).distinct.size.toLong == nSeqs,
+      "every packed sequence must get exactly one epoch slot")
+    slots.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted == (1L to g.size.toLong),
+        s"packed-sequence epoch shard $shard must be contiguous")
+    }
+  }
+
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

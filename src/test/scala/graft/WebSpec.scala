@@ -231,6 +231,59 @@ class WebSpec extends AnyFunSuite {
     assert(fromFile == Seq("bucket.s3.eu-west-2.amazonaws.com", "y.co.uk"), s"got $fromFile")
   }
 
+  test("PSL at realistic width: a generated few-hundred-rule slice evaluates identically in both forms, x + *.x pairs included (r15 task 7)") {
+    import graft.operators.Psl
+    import spark.implicits._
+    // a generated wide slice exercising every rule class the full list
+    // carries, INCLUDING same-string normal + wildcard pairs (the real
+    // platformsh.site + *.platformsh.site shape whose kind-collapse the
+    // r15 ADVICE flagged) and depth-5 private-section chains
+    val wide: Seq[String] =
+      (0 until 80).map(i => s"t$i") ++
+        (0 until 60).map(i => s"co.t${i % 30}") ++
+        (0 until 40).map(i => s"org.co.t${i % 20}") ++
+        (0 until 30).flatMap(i => Seq(s"p$i.host", s"*.p$i.host")) ++   // x + *.x
+        (0 until 20).map(i => s"*.w$i") ++
+        (0 until 20).map(i => s"!ex.w$i") ++
+        (0 until 10).map(i => s"cdn.prod.vendor$i.net") ++
+        (0 until 10).map(i => s"s3.dual.r$i.cloud.com")
+    val rules = wide.distinct
+    assert(rules.length >= 250, s"fixture: ${rules.length} distinct rules")
+    // hosts hitting every class at every depth, plus misses
+    val hosts: Seq[String] =
+      (0 until 30).flatMap(i => Seq(
+        s"p$i.host",                 // EQUALS the normal rule -> null (the ADVICE case)
+        s"a$i.p$i.host",             // one deeper: public suffix via *.x -> null
+        s"b$i.a$i.p$i.host")) ++     // two deeper: registrable under the wildcard
+        (0 until 20).flatMap(i => Seq(s"w$i", s"q$i.w$i", s"r$i.q$i.w$i",
+          s"ex.w$i", s"deep$i.ex.w$i")) ++
+        (0 until 30).flatMap(i => Seq(s"t$i", s"site$i.t$i", s"sub$i.site$i.t$i",
+          s"shop$i.co.t${i % 30}", s"x$i.org.co.t${i % 20}")) ++
+        (0 until 10).flatMap(i => Seq(s"cdn.prod.vendor$i.net", s"acct$i.cdn.prod.vendor$i.net",
+          s"b.acct$i.cdn.prod.vendor$i.net", s"s3.dual.r$i.cloud.com", s"buck$i.s3.dual.r$i.cloud.com")) ++
+        Seq("unlisted.zz", "a.unlisted.zz", "zz", "", "single")
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+    val literal = df.withColumn("d", Psl.registrableDomainFrom(col("host"), rules))
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d"))).toSeq
+    val joined = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDfFrom(spark, rules), "d")
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d"))).toSeq
+    assert(joined.length == hosts.length,
+      "the join form must not fan any host row out (one row in, one row out)")
+    hosts.zip(literal.zip(joined)).zipWithIndex.foreach { case ((h, (l, j)), i) =>
+      assert(l == j, s"host '$h' (#$i): literal=$l join=$j")
+    }
+    // the ADVICE regression, pinned point-blank: a host equal to the
+    // normal rule of an x + *.x pair has NO registrable domain in
+    // either form (the normal rule decides; the wildcard needs a label)
+    val adviceIdx = hosts.indexOf("p0.host")
+    assert(literal(adviceIdx).isEmpty && joined(adviceIdx).isEmpty,
+      s"x + *.x pair: host equal to x must be a public suffix, got ${literal(adviceIdx)}")
+    // and one label under the wildcard base is a public suffix too,
+    // while two labels under yields the wildcard-sized registrable
+    assert(literal(hosts.indexOf("a0.p0.host")).isEmpty)
+    assert(literal(hosts.indexOf("b0.a0.p0.host")).contains("b0.a0.p0.host"))
+  }
+
   test("PSL property: engine matches an independent reference on random hosts, both forms") {
     import graft.operators.Psl
     import spark.implicits._
