@@ -569,6 +569,56 @@ object SpanOps {
       .drop("text", "txt")
   }
 
+  /** [[corpusCurateDecisionsOf]] as a DECLARED key — the complete
+    * production curation chain (structural + blocklist gates, exact
+    * dedup vs an "already ingested" base, persisted-model LM tail cut,
+    * signature-index near-dup, winnow decontamination surgery, PII
+    * last), self-contained over the driver corpus with train-once
+    * artifacts built on first use (the `ann_*_indexed` persisted-table
+    * precedent). Slices: eval = doc_id % 10 = 7 (the span family's);
+    * already-ingested base + signature index + LM reference corpus =
+    * doc_id % 10 = 3 of the remainder — so re-arrivals of that slice
+    * classify `skip_dup`, natural cross-slice near-dups exercise the
+    * signature gate, and the model scores in-distribution text. The LM
+    * threshold is the corpus' own exact 0.9 bits-quantile
+    * (deterministic — exact percentile over a fixed frame), so the tail
+    * cut is non-vacuous at any SF. No oracle (LM scoring and minhash
+    * signatures are not ANSI-expressible); decision semantics are
+    * pinned against the STREAM chain in StreamingSpec and shape/
+    * determinism in QueriesSpec.
+    */
+  private def corpusCurateFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = WebOps.decorated(planted(docs(spark, sfDir)))
+    val eval = d.filter(col("doc_id") % 10 === 7)
+    val raw = d.filter(col("doc_id") % 10 =!= 7)
+    val ingested = raw.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+    val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val lmTable = "graft_curate_lm_" + sfx
+    if (!spark.catalog.tableExists(lmTable + "_ctx")) {
+      VectorOps.clearStaleLocation(spark, lmTable)
+      VectorOps.clearStaleLocation(spark, lmTable + "_ctx")
+      HygieneOps.writeCharLmTableFrom(spark, ingested, lmTable)
+    }
+    val sigTable = "graft_curate_sig_" + sfx
+    if (!spark.catalog.tableExists(sigTable)) {
+      VectorOps.clearStaleLocation(spark, sigTable)
+      graft.streaming.DedupGate.writeSigIndex(spark, ingested, sigTable)
+    }
+    val baseIndex = ingested.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("existing_id"))
+    val ctxV = spark.table(lmTable + "_ctx")
+    val maxBits = HygieneOps.charlmScoreAgainst(raw.select("doc_id", "text"),
+        spark.table(lmTable), ctxV.select("ch", "c_a"), ctxV.select("v").limit(1))
+      .agg(expr("percentile(bits, 0.9)")).collect()(0).getDouble(0)
+    corpusCurateDecisionsOf(raw, eval, baseIndex, spark.table(sigTable),
+        lmTable, maxBits)
+      .select(col("doc_id"), col("decision"), col("n_tokens"), col("quality"),
+        col("n_urls"), col("n_blocked"), col("n_bigrams"), col("dup_of"),
+        col("sig_match"), col("n_leak_spans"), col("leak_chars"),
+        col("redacted"), col("n_email"), col("n_phone"), col("n_ip"))
+      .orderBy("doc_id")
+  }
+
   /** The BENCHMARK-OWNER view of the same relation: leak mass attributed
     * per implicated eval doc (each span charges the eval doc its
     * earliest coordinate names) — how many train docs collide with this
@@ -784,6 +834,8 @@ object SpanOps {
               |       length(t.text) - length(coalesce(r.clean_text, t.text)) AS n_removed
               |FROM t LEFT JOIN rebuilt r USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
+
+    "corpus_curate_full" -> QueryDef((s, d) => corpusCurateFull(s, d), None),
 
     "corpus_curate" -> QueryDef(corpusCurate,
       Some(s"""WITH pl AS ($PlantedSql),

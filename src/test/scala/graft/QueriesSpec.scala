@@ -41,7 +41,8 @@ class QueriesSpec extends AnyFunSuite {
       "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences",
-      "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets"),
+      "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets",
+      "corpus_curate_full"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
@@ -593,6 +594,42 @@ class QueriesSpec extends AnyFunSuite {
       assert(g.map(_._3).sorted == (1L to g.size.toLong),
         s"packed-sequence epoch shard $shard must be contiguous")
     }
+  }
+
+  test("corpus_curate_full: every production gate fires on the driver corpus; deterministic; decisions legal") {
+    // semantics vs the STREAM chain are pinned in StreamingSpec
+    // (corpusCurateDecisionsOf mirror test); this pins the DECLARED key:
+    // legal decision vocabulary, the expected classes non-empty on the
+    // fixture corpus, run-to-run determinism, and keep-row payload rules
+    val out = SparkEntry.queries("corpus_curate_full")(spark, sfDir).collect()
+    val legal = Set("insert", "short", "quality", "blocked_domain", "skip_dup",
+      "lm_tail", "near_dup", "scrubbed", "scrub_gutted")
+    val byDecision = out.groupBy(_.getAs[String]("decision"))
+    assert(byDecision.keySet.subsetOf(legal), s"illegal decisions: ${byDecision.keySet -- legal}")
+    Seq("insert", "skip_dup", "blocked_domain", "lm_tail", "scrubbed").foreach { d =>
+      assert(byDecision.contains(d), s"gate '$d' never fired — fixture vacuous " +
+        s"(got ${byDecision.view.mapValues(_.length).toMap})")
+    }
+    // the already-ingested slice lands on an EARLIER structural gate or
+    // on skip_dup — never deeper (the hash index catches it before the
+    // LM/near-dup/span stages), and never near_dup of itself
+    out.filter(r => r.getAs[Long]("doc_id") % 10 == 3).foreach { r =>
+      assert(Set("short", "quality", "blocked_domain", "skip_dup")(r.getAs[String]("decision")),
+        s"re-arrival of an ingested doc must stop at or before skip_dup: $r")
+    }
+    // keep rows carry payloads; drop rows carry none
+    out.foreach { r =>
+      val keep = Set("insert", "scrubbed")(r.getAs[String]("decision"))
+      assert((r.getAs[String]("redacted") != null) == keep,
+        s"payload presence must equal keep status: $r")
+    }
+    // scrubbed rows lost exactly their leak mass (code-point accounting
+    // is the strip family's; here: redacted ends with the PII-free cut)
+    out.filter(_.getAs[String]("decision") == "scrubbed").foreach { r =>
+      assert(r.getAs[Long]("leak_chars") >= graft.operators.SpanOps.GramK, s"trivial scrub: $r")
+    }
+    val again = SparkEntry.queries("corpus_curate_full")(spark, sfDir).collect()
+    assert(out.toSeq == again.toSeq, "the declared key must be deterministic run to run")
   }
 
   test("token_chunk: stride-prefix concatenation reconstructs every document exactly") {
