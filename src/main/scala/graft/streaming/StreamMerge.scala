@@ -288,6 +288,20 @@ object StreamMerge {
     * `onBatch` receives every decision row, text dropped, with the leak
     * columns appended.
     */
+  /** Runs `body` with `df` pinned under a tracked localCheckpoint — for
+    * multi-pass sink cascades: the span gates make 3+ passes over the
+    * handed-off decision frame (site selection, verdict join, sink), and
+    * unpinned each pass re-evaluates the whole micro-batch join plan
+    * from the source (the r16 production-body lesson, applied to the
+    * component chains). Blocks free deterministically before the batch
+    * returns.
+    */
+  private def pinned(df: DataFrame)(body: DataFrame => Unit): Unit = {
+    import org.apache.spark.sql.GraftShim
+    val (p, rdd) = GraftShim.localCheckpointTracked(df)
+    try body(p) finally GraftShim.releaseCheckpoint(rdd)
+  }
+
   def gatedIngestPipelineDecontam(
       docs: DataFrame, baseIndex: DataFrame, sigTable: String, evalGramTable: String,
       onBatch: (DataFrame, Long) => Unit,
@@ -299,9 +313,9 @@ object StreamMerge {
       .writeStream
       .outputMode("append")
       .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) =>
-        SpanGate.spanGateDecisions(evalGramTable,
+        pinned(out)(p => SpanGate.spanGateDecisions(evalGramTable,
           (flagged, fid) => onBatch(flagged.drop("text"), fid),
-          onSpanTimings)(out, id), onGateTimings) _)
+          onSpanTimings)(p, id)), onGateTimings) _)
 
   /** [[gatedIngestPipelineDecontam]]'s REMEDIATION sibling — same chain,
     * same probe, different policy on contaminated inserts: leak spans
@@ -328,8 +342,8 @@ object StreamMerge {
       .writeStream
       .outputMode("append")
       .foreachBatch(DedupGate.gateDecisions(sigTable, (out, id) =>
-        SpanGate.spanScrubDecisions(evalGramTable, minTokens,
-          onBatch, onSpanTimings)(out, id), onGateTimings) _)
+        pinned(out)(p => SpanGate.spanScrubDecisions(evalGramTable, minTokens,
+          onBatch, onSpanTimings)(p, id)), onGateTimings) _)
 
   /** [[gatedIngestPipeline]] plus the PERSISTED-model quality gate — the
     * train-once model artifact ([[graft.operators.HygieneOps
@@ -356,9 +370,13 @@ object StreamMerge {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val decorated = CharLmGate.withLmDecisions(batch, lmTable, maxBits)
-        DedupGate.gateDecisions(sigTable,
-          (out, bid) => onBatch(out.drop("text"), bid), onGateTimings)(decorated, id)
+        // pin the LM-decided frame: the gate's signature/probe/out passes
+        // would otherwise re-run the model join per pass (the production
+        // body's discipline, applied to the component chain)
+        pinned(CharLmGate.withLmDecisions(batch, lmTable, maxBits)) { decorated =>
+          DedupGate.gateDecisions(sigTable,
+            (out, bid) => onBatch(out.drop("text"), bid), onGateTimings)(decorated, id)
+        }
       }
 
   /** The COMPLETE production ingest chain — every gate this surface
