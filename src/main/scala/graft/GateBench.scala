@@ -207,6 +207,11 @@ object GateBench {
 
     def f4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // raw per-batch walls for each epilogue: medians over 6 batches hide
+    // the variance structure (a single GC/host stall can move a median
+    // 30-50% between runs — the r16 production-wall ambiguity); the raw
+    // vector lets a reader separate a level shift from one bad batch
+    def wallsJson(ws: Seq[Double]): String = ws.map(f4).mkString("[", ",", "]")
 
     val recs = walls.toVector.map { w =>
       val (tSig, tProbe, tSink, tAppend) = (
@@ -290,7 +295,7 @@ object GateBench {
       median(walls.slice(HygWarmup, HygWarmup + HygieneBatches).map(_.wall).toSeq)
     val hygiene =
       s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
-        s""""median_wall":${f4(hygMed)},""" +
+        s""""median_wall":${f4(hygMed)},"walls":${wallsJson(hWalls.toSeq)},""" +
         s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
         s""""overhead_ratio":${f4(hygMed / baseEarlyMed)},"warm_jvm_bias":"epilogue runs in the baseline-warmed JVM; ratio is a mild underestimate"}"""
 
@@ -351,7 +356,7 @@ object GateBench {
       if (spanT.isEmpty) 0.0 else median(spanT.map(f))
     val decontam =
       s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
-        s""""median_wall":${f4(decMed)},""" +
+        s""""median_wall":${f4(decMed)},"walls":${wallsJson(dWalls.toSeq)},""" +
         s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
         s""""overhead_ratio":${f4(decMed / baseEarlyMed)},""" +
         s""""contaminated_total":${contamCounts.get()},""" +
@@ -422,7 +427,7 @@ object GateBench {
       if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
     val scrub =
       s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
-        s""""median_wall":${f4(scrubMed)},""" +
+        s""""median_wall":${f4(scrubMed)},"walls":${wallsJson(sWalls.toSeq)},""" +
         s""""flag_median_wall":${f4(decMed)},""" +
         s""""scrub_vs_flag_ratio":${f4(scrubMed / decMed)},""" +
         s""""overhead_ratio":${f4(scrubMed / baseEarlyMed)},""" +
@@ -488,7 +493,7 @@ object GateBench {
       if (prodT.isEmpty) 0.0 else median(prodT.map(f))
     val production =
       s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
-        s""""median_wall":${f4(prodMed)},""" +
+        s""""median_wall":${f4(prodMed)},"walls":${wallsJson(pWalls.toSeq)},""" +
         s""""base_win${HygWarmup}to${HygWarmup + HygieneBatches}_median_wall":${f4(baseEarlyMed)},""" +
         s""""overhead_ratio":${f4(prodMed / baseEarlyMed)},""" +
         s""""scrub_only_median_wall":${f4(scrubMed)},""" +

@@ -312,6 +312,109 @@ object TextOps {
     stratifiedSample(spark, sfDir, quota, tag = "sample_temperature")
   }
 
+  /** The declared mixture spec for [[sampleMixture]]: per-language target
+    * weights in PER-MILLE (integer, summing to 1000) so every quota is
+    * exact integer arithmetic — no float weight normalization to drift
+    * across engines. Both the Spark plan and the DuckDB oracle SQL are
+    * generated from THIS value (the `domain_filter` rule-list discipline),
+    * so the two engines cannot disagree about the spec.
+    */
+  private[graft] val MixtureSpec: Seq[(String, Long)] =
+    Seq("en" -> 300L, "zh" -> 250L, "fr" -> 200L, "es" -> 150L, "de" -> 100L)
+
+  /** Total mixture budget (documents, pre-repeat) for the declared key. */
+  private[graft] val MixtureBudget = 600L
+
+  /** Mixture building with REPEAT FACTORS — the upsampling half of the
+    * pretraining mix that `sample_stratified`/`sample_temperature` (pure
+    * downsamplers) cannot express: a mixture spec assigns each language a
+    * target share of the token budget, and a tail language whose corpus is
+    * SMALLER than its target share is repeated (multiple epochs of that
+    * source per one epoch of the mix — the standard data-mixture remedy,
+    * cf. the sampling-ratio tables of public LLM data recipes). For each
+    * stratum with n docs and integer quota q = budget·w/1000:
+    *
+    *   base  = q div n            (full epochs of the source; 0 when q < n)
+    *   extra = q − base·n < n     (one more copy for a deterministic subset)
+    *
+    * so Σ copies = q EXACTLY. The extra subset is the `extra` smallest
+    * (hv, doc_id) under the seeded squared Karp-Rabin draw (`mix:` prefix —
+    * same engine-replayable mix as `sample_stratified`, decorrelated by
+    * prefix), so membership is a pure function of the key: stable across
+    * runs, engines, partitionings, cluster sizes. Output is one row per
+    * kept doc with its copy count (`n_copies` ≥ 1); a trainer materializes
+    * repeats downstream (explode + `epoch_order` per copy is the handoff —
+    * pinned in QueriesSpec).
+    *
+    * SCALE SHAPE: counts and the spec join are broadcast algebra on
+    * |strata| rows; the draw is a narrow codegen'd map; the only rank
+    * window runs on the oversample-PRUNED residue, whose size per stratum
+    * is ≤ min(n, ~4·extra) ≤ ~4·q — bounded by the stratum's BUDGET
+    * share, not the corpus (head strata prune hard because extra ≪ n;
+    * upsampled strata satisfy n ≤ q, and a language is only upsampled
+    * because its corpus is small). The same thresholds-side quota guard as
+    * [[stratifiedSample]] fails loudly if the 4× oversample assumption
+    * ever leaves a stratum short (zero-survivor strata included); the
+    * guard scalar rides inside `n_copies` so column pruning cannot drop
+    * it. The final per-doc copy count is a union + partial-agg'd groupBy
+    * on (lang, doc_id) — no full-stratum window anywhere.
+    */
+  private def sampleMixture(spark: SparkSession, sfDir: String): DataFrame =
+    sampleMixtureOf(spark, docs(spark, sfDir), MixtureSpec, MixtureBudget)
+
+  /** The parameterized form behind [[sampleMixture]]: any integer
+    * per-mille spec + budget over a (doc_id, lang) frame. */
+  private[graft] def sampleMixtureOf(
+      spark: SparkSession, d: DataFrame,
+      spec: Seq[(String, Long)], budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val M = 1000000007L
+    val Over = 4.0
+    val specDf = spec.toDF("lang", "w_pm")
+    val t = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(broadcast(specDf), "lang")
+      .withColumn("q", expr(s"($budget * w_pm) div 1000"))
+      .withColumn("base", expr("q div n"))
+      .withColumn("extra", col("q") - col("base") * col("n"))
+      .withColumn("thresh",
+        least(lit(M), ceil(lit(Over) * col("extra") * lit(M) / col("n")).cast("long")))
+    val fold = expr("aggregate(transform(split(concat('mix:', CAST(doc_id AS STRING)), ''), " +
+      "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
+    val pruned = d.select(col("doc_id"), col("lang"), fold.as("f"))
+      .select(col("doc_id"), col("lang"), (col("f") * col("f") % lit(M)).as("hv"))
+      .join(broadcast(t), "lang")
+      .filter(col("hv") < col("thresh"))
+    // thresholds-side guard (the stratifiedSample discipline): extra < n by
+    // construction, so the prune must leave >= extra survivors per stratum;
+    // a zero-survivor stratum still produces a failing (kept=null -> 0) row.
+    val survivorCounts = pruned.groupBy("lang").agg(count(lit(1)).as("kept"))
+    val guard = t.join(survivorCounts, Seq("lang"), "left")
+      .select(coalesce(
+        assert_true(coalesce(col("kept"), lit(0L)) >= col("extra"),
+          concat(lit("sample_mixture: stratum "), col("lang"),
+            lit(" kept "), coalesce(col("kept"), lit(0L)), lit(" of "), col("n"),
+            lit(" rows under the 4x oversample prune — below extra quota "),
+            col("extra"), lit("; raise Over"))).cast("long"),
+        lit(0L)).as("g"))
+      .agg(sum("g").as("g0"))
+    val extras = pruned
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rnk") <= col("extra"))
+      .select(col("lang"), col("doc_id"), lit(1L).as("c"))
+    val basePart = d.select(col("doc_id"), col("lang"))
+      .join(broadcast(t.select(col("lang"), col("base"))), "lang")
+      .filter(col("base") >= 1L)
+      .select(col("lang"), col("doc_id"), col("base").as("c"))
+    basePart.unionByName(extras)
+      .groupBy("lang", "doc_id").agg(sum("c").as("n_copies"))
+      .crossJoin(broadcast(guard))
+      .select(col("lang"), col("doc_id"),
+        (col("n_copies") + coalesce(col("g0"), lit(0L))).as("n_copies"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Vocabulary frequency analysis — top-5 tokens per language, the
     * vocab-building primitive of a tokenizer pipeline. Computed as a
     * SALTED TWO-PHASE top-k (the same shape `agg_salted` proves for sums):
@@ -1165,6 +1268,39 @@ object TextOps {
              |      FROM p)
              |SELECT lang, doc_id, smp_rank FROM r WHERE smp_rank <= q
              |ORDER BY lang, smp_rank""".stripMargin)),
+
+    "sample_mixture" -> QueryDef(sampleMixture,
+      // the VALUES fragment is generated from MixtureSpec — the Spark plan
+      // and this oracle read the SAME Scala value, so the spec cannot drift
+      Some(s"""WITH spec(lang, w_pm) AS (VALUES ${MixtureSpec.map { case (l, w) => s"('$l', $w)" }.mkString(", ")}),
+             |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT c.lang, c.n,
+             |        CAST(($MixtureBudget * s.w_pm) // 1000 AS BIGINT) AS q
+             |      FROM c JOIN spec s USING (lang)),
+             |t2 AS (SELECT lang, n, q, q // n AS base, q - (q // n) * n AS extra FROM t),
+             |t3 AS (SELECT lang, n, q, base, extra,
+             |        least(1000000007, CAST(ceil(4.0 * extra * 1000000007 / n) AS BIGINT)) AS thresh
+             |      FROM t2),
+             |h0 AS (SELECT d.doc_id, d.lang,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split('mix:' || CAST(d.doc_id AS VARCHAR), ''),
+             |            ch -> ord(ch))),
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS f
+             |      FROM documents d),
+             |h AS (SELECT doc_id, lang, (f * f) % 1000000007 AS hv FROM h0),
+             |p AS (SELECT h.doc_id, h.lang, h.hv FROM h JOIN t3 USING (lang)
+             |      WHERE h.hv < t3.thresh),
+             |r AS (SELECT lang, doc_id,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+             |      FROM p),
+             |extras AS (SELECT r.lang, r.doc_id, CAST(1 AS BIGINT) AS c
+             |           FROM r JOIN t3 USING (lang) WHERE r.rnk <= t3.extra),
+             |bp AS (SELECT d.lang, d.doc_id, CAST(t3.base AS BIGINT) AS c
+             |       FROM documents d JOIN t3 USING (lang) WHERE t3.base >= 1),
+             |u AS (SELECT lang, doc_id, c FROM bp UNION ALL SELECT lang, doc_id, c FROM extras)
+             |SELECT lang, doc_id, CAST(sum(c) AS BIGINT) AS n_copies
+             |FROM u GROUP BY lang, doc_id
+             |ORDER BY lang, doc_id""".stripMargin)),
 
     "vocab_topk" -> QueryDef(vocabTopk,
       Some("""WITH t AS (

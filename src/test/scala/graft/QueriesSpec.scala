@@ -105,6 +105,64 @@ class QueriesSpec extends AnyFunSuite {
       "α=0.5 must shrink the head language's share relative to α=1")
   }
 
+  test("sample_mixture: exact per-stratum copy totals, repeat factors, and the naive ground truth") {
+    // sf0.01 exercises BOTH halves of mixture building: en (n=218, q=180)
+    // and de (n=70, q=60) downsample; zh (n=75, q=150) repeats every doc
+    // exactly twice (extra=0); fr (n=64, q=120) and es (n=73, q=90) get
+    // base=1 plus a deterministic extra subset
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("sample_mixture")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent driver-side ground truth: same seeded squared draw
+    // ("mix:" prefix), naive full sort per stratum, base + extra membership
+    def hv(id: Long): Long = {
+      val f = s"mix:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      f * f % 1000000007L
+    }
+    val spec = graft.operators.TextOps.MixtureSpec.toMap
+    val budget = graft.operators.TextOps.MixtureBudget
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val truth = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val n = rows.length.toLong
+      val q = budget * spec(lang) / 1000L
+      val base = q / n
+      val extra = q - base * n
+      val extraIds = rows.map(_._2).sortBy(id => (hv(id), id)).take(extra.toInt).toSet
+      rows.map(_._2).map { id =>
+        (lang, id, base + (if (extraIds.contains(id)) 1L else 0L))
+      }.filter(_._3 >= 1L)
+    }.toSet
+    assert(out.toSet == truth, "mixture copy assignment differs from naive ground truth")
+    // exact budget conservation: per-stratum sum of copies == q, total == budget
+    val perLang = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    spec.foreach { case (lang, w) =>
+      assert(perLang(lang) == budget * w / 1000L, s"stratum $lang copy total != quota")
+    }
+    assert(out.map(_._3).sum == budget, "total copies != budget")
+    // the repeat-factor half really engaged: zh is exactly 2 copies per doc
+    assert(out.filter(_._1 == "zh").forall(_._3 == 2L), "zh must repeat every doc twice")
+    // the downsample half really engaged: en keeps 180 of 218 docs
+    assert(out.count(_._1 == "en") == 180, "en must downsample to quota")
+    // bit-stable across physical partitionings (pure function of the keys)
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+    val reparted = graft.operators.TextOps.sampleMixtureOf(
+        spark, d.repartition(7), graft.operators.TextOps.MixtureSpec, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reparted == truth, "mixture must be invariant to input partitioning")
+    // trainer handoff: explode copies into the epoch stream and hand to
+    // epoch_order — the materialized mix has exactly `budget` examples,
+    // each repeated doc under a distinct copy slot
+    import org.apache.spark.sql.functions.{col, explode, sequence, lit, concat, lpad}
+    val mix = SparkEntry.queries("sample_mixture")(spark, dir)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .select(concat(col("doc_id"), lit(":"), lpad(col("copy"), 2, "0")).as("doc_id"))
+    val ordered = graft.operators.TextOps.epochOrderOf(mix, epoch = 1).collect()
+    assert(ordered.length == budget, "exploded mix must have exactly budget examples")
+    assert(ordered.map(_.getString(0)).distinct.length == budget,
+      "every (doc, copy) slot must be a distinct epoch-stream example")
+  }
+
   test("doc_repetition reports single-token docs with null gram signals, not absent") {
     import spark.implicits._
     val d = Seq(
