@@ -415,6 +415,75 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Per-language token budget for [[sampleTokens]] (whitespace tokens —
+    * the `text_stats` tokenization both engines share). */
+  private[graft] val TokenBudget = 4000L
+
+  /** TOKEN-budget stratified sampling — quotas in the unit a pretraining
+    * mix is actually specified in: "take B tokens per language", not B
+    * documents (document quotas over-weight short-doc languages). The
+    * selection is the GREEDY PREFIX of the stratum in deterministic
+    * (hv, doc_id) draw order (`tokb:` seeded squared Karp-Rabin — the
+    * `sample_stratified` mix): keep every doc whose preceding cumulative
+    * token count is still below the budget, so the crossing doc is
+    * included and the realized total is the first prefix sum ≥ B (or the
+    * whole stratum when it holds fewer than B tokens). Membership is a
+    * pure function of the key — stable across runs, engines,
+    * partitionings.
+    *
+    * SCALE SHAPE — the [[stratifiedSample]] oversample-prune idiom
+    * generalized from ROW quotas to WEIGHTED quotas: a uniform draw puts
+    * the budget boundary at hv ≈ B/T·M (T = stratum tokens), so a narrow
+    * prune at `thresh = min(M, ceil(Over·B·M/T))` bounds the residue to
+    * ~Over·B TOKENS per stratum — the running-sum window runs on that
+    * residue only, bounded by the stratum's BUDGET, not the corpus.
+    * Correctness of the rewrite: `hv < thresh` is prefix-closed in the
+    * (hv, doc_id) order, so if the residue holds ≥ min(B, T) tokens it
+    * contains the true greedy prefix and the two-phase result EQUALS the
+    * naive full-stratum scan; that premise is ENFORCED by the same
+    * thresholds-side guard as the row-quota samplers (survivor TOKEN
+    * sums left-joined onto thresholds, zero-survivor strata fail loudly,
+    * the guard scalar rides inside `sel_rank`).
+    */
+  private def sampleTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000000007L
+    val Over = 4.0
+    val B = TokenBudget
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val t = d.groupBy("lang").agg(sum("n_tok").as("toks"))
+      .withColumn("thresh",
+        least(lit(M), ceil(lit(Over) * lit(B) * lit(M) / col("toks")).cast("long")))
+    val fold = expr("aggregate(transform(split(concat('tokb:', CAST(doc_id AS STRING)), ''), " +
+      "c -> ascii(c)), 0L, (a, b) -> (a * 131 + b) % 1000000007)")
+    val pruned = d.select(col("doc_id"), col("lang"), col("n_tok"), fold.as("f"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("f") * col("f") % lit(M)).as("hv"))
+      .join(broadcast(t), "lang")
+      .filter(col("hv") < col("thresh"))
+    val survivorToks = pruned.groupBy("lang").agg(sum("n_tok").as("kept_toks"))
+    val guard = t.join(survivorToks, Seq("lang"), "left")
+      .select(coalesce(
+        assert_true(coalesce(col("kept_toks"), lit(0L)) >= least(lit(B), col("toks")),
+          concat(lit("sample_tokens: stratum "), col("lang"),
+            lit(" kept "), coalesce(col("kept_toks"), lit(0L)), lit(" of "), col("toks"),
+            lit(" tokens under the 4x oversample prune — residue cannot cover the "),
+            lit(B), lit("-token budget; raise Over"))).cast("long"),
+        lit(0L)).as("g"))
+      .agg(sum("g").as("g0"))
+    val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+    pruned
+      .withColumn("cum_tok",
+        sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("cum_tok") - col("n_tok") < lit(B))
+      .crossJoin(broadcast(guard))
+      .select(col("lang"), col("doc_id"), col("n_tok"),
+        (col("sel_rank") + coalesce(col("g0"), lit(0L))).as("sel_rank"), col("cum_tok"))
+      .orderBy("lang", "sel_rank")
+  }
+
   /** Vocabulary frequency analysis — top-5 tokens per language, the
     * vocab-building primitive of a tokenizer pipeline. Computed as a
     * SALTED TWO-PHASE top-k (the same shape `agg_salted` proves for sums):
@@ -1301,6 +1370,32 @@ object TextOps {
              |SELECT lang, doc_id, CAST(sum(c) AS BIGINT) AS n_copies
              |FROM u GROUP BY lang, doc_id
              |ORDER BY lang, doc_id""".stripMargin)),
+
+    "sample_tokens" -> QueryDef(sampleTokens,
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |      FROM documents),
+             |c AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks FROM d GROUP BY lang),
+             |t AS (SELECT lang, toks,
+             |        least(1000000007, CAST(ceil(4.0 * $TokenBudget * 1000000007 / toks) AS BIGINT)) AS thresh
+             |      FROM c),
+             |h0 AS (SELECT d.doc_id, d.lang, d.n_tok,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split('tokb:' || CAST(d.doc_id AS VARCHAR), ''),
+             |            ch -> ord(ch))),
+             |          (a, b) -> (a * 131 + b) % 1000000007) AS f
+             |      FROM d),
+             |h AS (SELECT doc_id, lang, n_tok, (f * f) % 1000000007 AS hv FROM h0),
+             |p AS (SELECT h.doc_id, h.lang, h.n_tok, h.hv FROM h JOIN t USING (lang)
+             |      WHERE h.hv < t.thresh),
+             |r AS (SELECT lang, doc_id, n_tok,
+             |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hv, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sel_rank
+             |      FROM p)
+             |SELECT lang, doc_id, n_tok, sel_rank, cum_tok
+             |FROM r WHERE cum_tok - n_tok < $TokenBudget
+             |ORDER BY lang, sel_rank""".stripMargin)),
 
     "vocab_topk" -> QueryDef(vocabTopk,
       Some("""WITH t AS (

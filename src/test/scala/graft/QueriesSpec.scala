@@ -163,6 +163,51 @@ class QueriesSpec extends AnyFunSuite {
       "every (doc, copy) slot must be a distinct epoch-stream example")
   }
 
+  test("sample_tokens: greedy token-budget prefix equals the naive full-stratum scan") {
+    // sf0.01 token totals: en 11757, zh 4143 (> B=4000: real prefix
+    // selection); de 3549, fr 3758, es 3958 (< B: the exhausted path —
+    // whole stratum kept)
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("sample_tokens")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def hv(id: Long): Long = {
+      val f = s"tokb:$id".foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      f * f % 1000000007L
+    }
+    val B = graft.operators.TextOps.TokenBudget
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy { case (_, id, _) => (hv(id), id) }
+      var cum = 0L
+      ordered.zipWithIndex.flatMap { case ((_, id, nt), i) =>
+        val before = cum
+        cum += nt
+        if (before < B) Some((lang, id, nt, i + 1L, cum)) else None
+      }
+    }.toSet
+    assert(out.toSet == truth, "two-phase token-budget sample differs from naive scan")
+    // realized totals: the first prefix sum >= B, or the whole stratum
+    val tokTotals = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val realized = rows.map(_._3).sum
+      val total = tokTotals(lang)
+      if (total < B) {
+        assert(realized == total, s"$lang under budget must keep every token")
+        assert(rows.size == docs.count(_._1 == lang), s"$lang must keep every doc")
+      } else {
+        assert(realized >= B, s"$lang realized $realized below budget $B")
+        // minimality: dropping the last-selected doc goes back under budget
+        val last = rows.maxBy(_._4)
+        assert(realized - last._3 < B, s"$lang selection is not the minimal prefix")
+      }
+    }
+    // both paths actually engaged at this SF
+    assert(tokTotals.values.exists(_ < B) && tokTotals.values.exists(_ >= B),
+      "fixture drifted: sf0.01 no longer exercises both budget paths")
+  }
+
   test("doc_repetition reports single-token docs with null gram signals, not absent") {
     import spark.implicits._
     val d = Seq(
