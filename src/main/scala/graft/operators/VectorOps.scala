@@ -1132,9 +1132,200 @@ object VectorOps {
       .orderBy("doc_id")
   }
 
+  // ---- ann_pq (product quantization + ADC) -------------------------------
+
+  /** PQ geometry (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the 64-dim embedding splits
+    * into [[PqSub]] = 8 subspaces of 8 dims; each subspace gets its own
+    * [[PqKs]] = 256-centroid L2 codebook (the paper's standard 8-bit
+    * setting), so a vector's at-rest code is 8 bytes — 256 B of floats
+    * → 8 B of codes, a 32× compression (no stored norm needed: unit
+    * candidates make the cosine denominator a per-query constant).
+    * Quantization happens on the NORMALIZED vector: cosine
+    * ranking depends only on direction, so spending the codebook's
+    * distortion budget on magnitude would be pure waste (measured at
+    * sf0.01: recall@3 0.77 → 1.00 at refine=50, 0.27 → 0.80 at
+    * refine=10, raw ks=16 vs normalized ks=256). At 100 TB this
+    * is the difference between an embedding scan that thrashes disk and
+    * a code table that stays memory-resident.
+    */
+  private[graft] val PqSub = 8
+  private[graft] val PqKs = 256
+  private[graft] val PqLloydRounds = 10
+  private[graft] val PqTrainFactor = 64
+
+  /** Trained PQ codebooks memoized per directory — [[centroidCache]]'s
+    * immutability contract. `books(s)(c)` is subspace s's centroid c. */
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  /** PQ codebook training — DRIVER-side Lloyd on the deterministic hash
+    * sample ([[trainCodebook]]'s cap: [[PqTrainFactor]]·ks vectors ≈
+    * 1024 rows = 64 samples behind each centroid estimate). The sample
+    * is collected in `vec_id` order and every Lloyd step iterates that
+    * fixed order with double accumulators, so the books are bit-stable
+    * across runs and partitionings without the distributed-update
+    * quantization dance — at ≤1024×64 floats this is quantizer METADATA
+    * (the codebook-collect precedent), not corpus compute; the
+    * distributed work is encoding and scanning, below. Assignment is
+    * argmin L2 with ties to the lower centroid id; an emptied cell
+    * keeps its previous centroid.
+    */
+  private[graft] def trainPqBooks(base: DataFrame, n: Long): Array[Array[Array[Float]]] = {
+    val cap = PqTrainFactor.toLong * PqKs
+    val train =
+      if (n <= cap) base
+      else base.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(cap))
+    val sample = train.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+      .map { v =>
+        val nrm = fnorm(v)
+        if (nrm > 0.0) v.map(x => (x / nrm).toFloat) else v
+      }
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    require(dim % PqSub == 0, s"embedding dim $dim not divisible into $PqSub subspaces")
+    val d = dim / PqSub
+    Array.tabulate(PqSub) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * d, (s + 1) * d))
+      val step = math.max(1, subs.length / PqKs)
+      var cents = (0 until PqKs).map(_ * step).filter(_ < subs.length)
+        .map(i => subs(i).clone()).toArray
+      for (_ <- 1 to PqLloydRounds) {
+        val sums = Array.fill(cents.length)(new Array[Double](d))
+        val cnts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var i = 0
+            while (i < d) {
+              val x = v(i).toDouble - cents(c)(i); dist += x * x; i += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c } // strict: tie keeps lower c
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnts(c) == 0L) old
+          else Array.tabulate(d)(i => (sums(c)(i) / cnts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** The S-code column for one vector: per subspace, argmin-L2 centroid
+    * id over ks literal centroids — `|v_s|²` is constant across the
+    * argmin so only `|c|² − 2·v_s·c` is scored; `least(struct)`
+    * tie-breaks to the lower id, matching the trainer. All codegen'd
+    * [[graft.functions.FloatDot]] over array slices: a narrow map, the
+    * whole encode is one shuffle-free projection.
+    */
+  private def pqCodesFor(books: Array[Array[Array[Float]]], embCol: String): Column = {
+    val d = books(0)(0).length
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col(embCol), s * d + 1, d)
+      val scored = book.toIndexedSeq.zipWithIndex.map { case (cvec, ci) =>
+        val cn2 = cvec.map(x => x.toDouble * x).sum
+        struct((lit(cn2) - lit(2.0) * float_dot(sub, typedLit(cvec))).as("dd"),
+          lit(ci).as("c"))
+      }
+      (if (scored.length == 1) scored.head else least(scored: _*)).getField("c")
+    }: _*)
+  }
+
+  /** The per-query ADC lookup table: `q_lut(s)(c) = q_s · book(s)(c)` —
+    * S·ks = 128 subspace dots computed ONCE per query row; every
+    * candidate then costs S `element_at`s + S−1 adds instead of a
+    * dim-length dot (the asymmetric-distance trick that makes the code
+    * scan cheap as well as small).
+    */
+  private def pqLutFor(books: Array[Array[Array[Float]]], embCol: String): Column = {
+    val d = books(0)(0).length
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col(embCol), s * d + 1, d)
+      array(book.toIndexedSeq.map(cvec => float_dot(sub, typedLit(cvec))): _*)
+    }: _*)
+  }
+
+  /** PQ/ADC approximate top-k with exact re-ranking — the at-scale ANN
+    * shape when even the EMBEDDINGS don't fit: the corpus at rest is
+    * `(vec_id, codes, nrm)` (32× smaller than the vectors); queries
+    * broadcast with their LUTs; the ADC scan scores every candidate by
+    * table lookups; the top-`refine` shortlist per query — and ONLY the
+    * shortlist — fetches true embeddings through a broadcast join (no
+    * corpus shuffle) for exact cosine re-ranking to `topK`. Approximate
+    * by construction (quantization distortion can evict a true
+    * neighbor from the shortlist): recall@3 vs brute force measured in
+    * VectorSpec at both refine points, monotone in `refine` since
+    * shortlists are nested. Deterministic end-to-end: driver-trained
+    * books are bit-stable, ADC/cosine ties break on `vec_id` inside
+    * TopK. Composes with IVF the standard way (IVFADC probes cells
+    * first; the ADC scan here is the exhaustive variant whose cost the
+    * cell probe would bound).
+    */
+  private[graft] def annPq(spark: SparkSession, sfDir: String,
+      topK: Int = 3, refine: Int = 10): DataFrame = {
+    import graft.functions.TopK.top_k
+    val base = emb(spark, sfDir)
+    val n = corpusCount(base, sfDir)
+    val books = pqBookCache.getOrElseUpdate(sfDir, trainPqBooks(base, n))
+    if (books.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "cand_id", "sim", "rn")
+    }
+    // encode the NORMALIZED vector (see the geometry scaladoc): the
+    // Spark-side normalization is bit-identical to the trainer's
+    // (same fold order in FloatDot, same double division, same
+    // round-to-float), so codes and books can't disagree
+    val codes = base
+      .withColumn("nrm", normCol("embedding"))
+      .withColumn("nemb", when(col("nrm") > 0.0,
+        transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+        .otherwise(col("embedding")))
+      .select(col("vec_id"), pqCodesFor(books, "nemb").as("codes"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normCol("embedding").as("q_nrm"), pqLutFor(books, "embedding").as("q_lut"))
+    // candidates decode to (approximately) UNIT vectors, so the cosine
+    // denominator is the query norm alone — a per-query constant that
+    // doesn't even affect the ranking
+    val adcDot = (0 until PqSub).map(s =>
+      element_at(element_at(col("q_lut"), s + 1), col("codes").getItem(s) + 1))
+      .reduce(_ + _)
+    val shortlist = codes
+      .join(broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("adc_sim", adcDot / col("q_nrm"))
+      .groupBy("q_id")
+      .agg(top_k(col("adc_sim"), col("vec_id"), lit(0L), refine).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("cand_id"))
+    base.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "cand_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
+      .withColumn("sim",
+        float_dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * sqrt(float_dot(col("c_emb"), col("c_emb")))))
+      .groupBy("q_id")
+      .agg(top_k(col("sim"), col("cand_id"), lit(0L), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("cand_id"), col("t.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  private def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
+    annPq(spark, sfDir)
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
+    "ann_pq" -> QueryDef(annPqQuery, None),
     "embed_centroid" -> QueryDef(embedCentroid,
       Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
              |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS q_sum,
