@@ -1238,6 +1238,20 @@ object VectorOps {
     }: _*)
   }
 
+  /** Appends the `codes` column: encode of the NORMALIZED `embedding`.
+    * The Spark-side normalization is bit-identical to the trainer's
+    * (same fold order in FloatDot, same double division, same
+    * round-to-float), so codes and books can't disagree. Shared by the
+    * exhaustive scan ([[annPq]]) and the cell-bounded one ([[annIvfPq]]).
+    */
+  private def withPqCodes(df: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
+    df.withColumn("pq_nrm", normCol("embedding"))
+      .withColumn("nemb", when(col("pq_nrm") > 0.0,
+        transform(col("embedding"), x => (x / col("pq_nrm")).cast("float")))
+        .otherwise(col("embedding")))
+      .withColumn("codes", pqCodesFor(books, "nemb"))
+      .drop("pq_nrm", "nemb")
+
   /** The per-query ADC lookup table: `q_lut(s)(c) = q_s · book(s)(c)` —
     * S·ks = 128 subspace dots computed ONCE per query row; every
     * candidate then costs S `element_at`s + S−1 adds instead of a
@@ -1278,28 +1292,37 @@ object VectorOps {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "cand_id", "sim", "rn")
     }
-    // encode the NORMALIZED vector (see the geometry scaladoc): the
-    // Spark-side normalization is bit-identical to the trainer's
-    // (same fold order in FloatDot, same double division, same
-    // round-to-float), so codes and books can't disagree
-    val codes = base
-      .withColumn("nrm", normCol("embedding"))
-      .withColumn("nemb", when(col("nrm") > 0.0,
-        transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-        .otherwise(col("embedding")))
-      .select(col("vec_id"), pqCodesFor(books, "nemb").as("codes"))
-    val q = base.filter(col("vec_id") < 10)
+    val codes = withPqCodes(base, books).select("vec_id", "codes")
+    val q = pqQueries(base, books)
+    val cands = codes.join(
+      broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
+      col("vec_id") =!= col("q_id"))
+    pqRerankTopK(base, q, cands, topK, refine)
+  }
+
+  /** The standard query frame for the PQ paths: first 10 vectors with
+    * their norms and ADC LUTs. */
+  private def pqQueries(base: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
+    base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normCol("embedding").as("q_nrm"), pqLutFor(books, "embedding").as("q_lut"))
-    // candidates decode to (approximately) UNIT vectors, so the cosine
-    // denominator is the query norm alone — a per-query constant that
-    // doesn't even affect the ranking
+
+  /** ADC score + shortlist + exact re-rank tail shared by [[annPq]] and
+    * [[annIvfPq]]. `cands` carries (q_id, q_nrm, q_lut, vec_id, codes)
+    * — one row per (query, surviving candidate). Candidates decode to
+    * (approximately) UNIT vectors, so the ADC cosine denominator is the
+    * query norm alone — a per-query constant that doesn't even affect
+    * the ranking. The top-`refine` shortlist — and only it — fetches
+    * true embeddings through a broadcast join (no corpus shuffle) for
+    * exact cosine ranking to `topK`.
+    */
+  private def pqRerankTopK(base: DataFrame, q: DataFrame, cands: DataFrame,
+      topK: Int, refine: Int): DataFrame = {
+    import graft.functions.TopK.top_k
     val adcDot = (0 until PqSub).map(s =>
       element_at(element_at(col("q_lut"), s + 1), col("codes").getItem(s) + 1))
       .reduce(_ + _)
-    val shortlist = codes
-      .join(broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
-        col("vec_id") =!= col("q_id"))
+    val shortlist = cands
       .withColumn("adc_sim", adcDot / col("q_nrm"))
       .groupBy("q_id")
       .agg(top_k(col("adc_sim"), col("vec_id"), lit(0L), refine).as("top"))
@@ -1319,13 +1342,61 @@ object VectorOps {
       .orderBy("q_id", "rn")
   }
 
+  /** IVFADC — the composition the PQ paper actually ships at scale: the
+    * IVF coarse quantizer bounds WHICH codes are scanned (nProbe cells
+    * of the multi-assigned cell index, the `ann_ivf` machinery verbatim)
+    * and PQ bounds the BYTES per scanned candidate (8-byte codes + ADC
+    * lookups), composing the two orthogonal cost cuts: scan fraction
+    * ~nProbe/k of the corpus, at 32× fewer bytes per row, then the
+    * shared shortlist re-rank. Both quantizers are the deterministic
+    * trained artifacts of their standalone keys (same caches), so
+    * `ann_ivfpq` cannot drift from `ann_ivf` cells or `ann_pq` codes;
+    * the same multi-assign dedup filter keeps each (query, candidate)
+    * pair joined exactly once. Recall is bounded above by IVF's probe
+    * recall and below by PQ shortlist distortion — both knobs
+    * (`nProbe`, `refine`) measured in VectorSpec.
+    */
+  private[graft] def annIvfPq(spark: SparkSession, sfDir: String,
+      nProbe: Int = 4, topK: Int = 3, refine: Int = 10): DataFrame = {
+    val base = emb(spark, sfDir)
+    val n = corpusCount(base, sfDir)
+    val books = pqBookCache.getOrElseUpdate(sfDir, trainPqBooks(base, n))
+    val (cents, e) = ivfAssignments(spark, sfDir, kOpt = None,
+      lloydRounds = 10, multiAssign = 2)
+    if (books.isEmpty || cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "cand_id", "sim", "rn")
+    }
+    val codes = withPqCodes(e, books)
+      .select(col("vec_id"), col("cent"), col("cidx"), col("cell"), col("codes"))
+    // the probe join needs the per-probe EXPLODED query frame; the
+    // re-rank tail must see each query ONCE (an exploded q there would
+    // duplicate every (query, candidate) pair nProbe times and crowd
+    // the TopK with copies)
+    val q = pqQueries(base, books)
+    val qProbed = q
+      .withColumn("q_probes",
+        topCellsFor(cents, "q_emb", "q_nrm", math.min(nProbe, cents.length)))
+      .withColumn("probe", explode(col("q_probes")))
+    val cands = codes.join(
+      broadcast(qProbed.select(col("q_id"), col("q_nrm"), col("q_lut"),
+        col("q_probes"), col("probe"))),
+      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
+    pqRerankTopK(base, q, cands, topK, refine)
+  }
+
   private def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     annPq(spark, sfDir)
+
+  private def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPq(spark, sfDir)
 
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
     "ann_pq" -> QueryDef(annPqQuery, None),
+    "ann_ivfpq" -> QueryDef(annIvfPqQuery, None),
     "embed_centroid" -> QueryDef(embedCentroid,
       Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
              |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS q_sum,

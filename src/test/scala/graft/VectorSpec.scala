@@ -245,6 +245,39 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
+    import graft.functions.FloatDot.float_dot
+    val ground = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(float_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = ground.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    val bf = ground.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", float_dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = VectorOps.annIvfPq(spark, sfDir, nProbe = nProbe, refine = 10)
+        .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val p2 = recallAt(2)
+    val p4 = recallAt(4)
+    info(f"ann_ivfpq sf0.01 ma=2 refine=10 | nProbe 2: recall@3 $p2%.2f | nProbe 4: $p4%.2f")
+    // probe sets are nested, so the cell bound only ever ADDS candidates.
+    // NOTE: unlike IVF-Flat this does NOT prove final-recall monotonicity
+    // (a distorted ADC score of a newly probed candidate can push a true
+    // neighbor out of the fixed-size shortlist) — but the pipeline is
+    // deterministic, so this is a stable measured property of the
+    // fixtures (0.50 -> 0.73), not a flaky one
+    assert(p4 >= p2, "probing more cells lost final recall on this fixture")
+    // the composition is bounded above by IVF probe recall and below by
+    // PQ shortlist distortion — both components measured >= 0.8 at these
+    // settings, the composition must stay usable
+    assert(p4 >= 0.7, f"IVFADC at nProbe=4/refine=10 must reach recall@3 >= 0.7, got $p4%.2f")
+  }
+
   test("ann_ivf at sf0.1: the corpus-scaled probe knob restores recall >= 0.8") {
     // fixed nProbe decays with corpus growth (0.83 at sf0.01 → 0.60 at
     // sf0.1 for nProbe 4: k=√N grows, scanned fraction shrinks) — the
