@@ -1389,6 +1389,68 @@ object VectorOps {
   private def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     annPq(spark, sfDir)
 
+  private[graft] def pqBooksTableFor(table: String): String = table + "_books"
+
+  /** Persist the PQ index: the code table `(vec_id, codes)` — the 32×
+    * at-rest artifact that IS the point of PQ (the vectors can go cold;
+    * the scan works off codes alone) — plus the trained books next to it
+    * (S·ks rows of 8 floats, metadata scale), the [[writeIvfIndex]]
+    * codebook discipline: any later JVM probes with the books the codes
+    * were actually encoded with, never a retrain that could silently
+    * diverge from the at-rest codes.
+    */
+  def writePqIndex(spark: SparkSession, sfDir: String, table: String): Unit = {
+    val base = emb(spark, sfDir)
+    val n = corpusCount(base, sfDir)
+    val books = pqBookCache.getOrElseUpdate(sfDir, trainPqBooks(base, n))
+    require(books.nonEmpty, "cannot index an empty corpus")
+    clearStaleLocation(spark, table)
+    withPqCodes(base, books).select("vec_id", "codes")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    clearStaleLocation(spark, pqBooksTableFor(table))
+    val rows = for {
+      (book, s) <- books.zipWithIndex.toSeq
+      (cvec, c) <- book.zipWithIndex.toSeq
+    } yield (s, c, cvec.toSeq, n)
+    spark.createDataFrame(rows).toDF("sub", "cent", "centroid", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(pqBooksTableFor(table))
+  }
+
+  /** The persisted books, reassembled in (sub, cent) order — floats
+    * roundtrip parquet exactly, so these are bit-identical to what
+    * [[writePqIndex]] trained — plus the corpus size at build time.
+    */
+  def loadPqBooks(spark: SparkSession, table: String): (Array[Array[Array[Float]]], Long) = {
+    val rows = spark.table(pqBooksTableFor(table)).collect()
+    val baseN = if (rows.isEmpty) 0L else rows.head.getLong(3)
+    val books = rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    (books, baseN)
+  }
+
+  /** The exhaustive-ADC workload answered from the PERSISTED code table
+    * with the PERSISTED books (frozen-book policy — the
+    * [[annIvfIndexed]] stance): at rest the scan side is the 8-byte
+    * codes, not the vectors; only the shortlist re-rank touches true
+    * embeddings. Row-identical to `ann_pq` on unchanged data (books are
+    * bit-stable, so inline training and the persisted artifact agree —
+    * asserted in VectorSpec).
+    */
+  private[graft] def annPqIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = "graft_pq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    ensureIndexTable(spark, table)(writePqIndex(spark, sfDir, table))
+    val (books, _) = loadPqBooks(spark, table)
+    require(books.nonEmpty, s"PQ index $table has an empty books table")
+    val base = emb(spark, sfDir)
+    val codes = spark.table(table)
+    val q = pqQueries(base, books)
+    val cands = codes.join(
+      broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
+      col("vec_id") =!= col("q_id"))
+    pqRerankTopK(base, q, cands, topK = 3, refine = 10)
+  }
+
   private def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     annIvfPq(spark, sfDir)
 
@@ -1396,6 +1458,7 @@ object VectorOps {
 
   val defs: Map[String, QueryDef] = Map(
     "ann_pq" -> QueryDef(annPqQuery, None),
+    "ann_pq_indexed" -> QueryDef((s, d) => annPqIndexed(s, d), None),
     "ann_ivfpq" -> QueryDef(annIvfPqQuery, None),
     "embed_centroid" -> QueryDef(embedCentroid,
       Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,

@@ -245,6 +245,25 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq_indexed: persisted codes + frozen books answer row-identical to the inline key") {
+    val inline = SparkEntry.queries("ann_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val indexed = SparkEntry.queries("ann_pq_indexed")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(indexed == inline,
+      "the persisted-index path must be row-identical to inline ann_pq on unchanged data")
+    // the persisted books ARE the trained books, bit-for-bit (floats
+    // roundtrip parquet exactly)
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val trained = VectorOps.trainPqBooks(base, base.count())
+    val table = "graft_pq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val (loaded, baseN) = VectorOps.loadPqBooks(spark, table)
+    assert(baseN == base.count())
+    assert(trained.indices.forall(s =>
+      trained(s).indices.forall(c => trained(s)(c).sameElements(loaded(s)(c)))),
+      "persisted books must roundtrip bit-identical to the trained quantizer")
+  }
+
   test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
     import graft.functions.FloatDot.float_dot
     val ground = spark.read.parquet(s"$sfDir/embeddings.parquet")
