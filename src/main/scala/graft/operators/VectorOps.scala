@@ -1429,6 +1429,35 @@ object VectorOps {
     (books, baseN)
   }
 
+  /** Incremental maintenance for the persisted PQ index — the
+    * [[appendToIvfIndexIdempotent]] stance verbatim: arrivals encode
+    * against the FROZEN persisted books (train once, assign forever —
+    * a retrain would silently diverge from the codes already at rest);
+    * the cost of freezing is quantization distortion on drifted
+    * arrivals, quantified by [[pqIndexStaleness]] exactly like the IVF
+    * rebuild signal. Idempotent by vec_id anti-join with the same
+    * stale-cache refreshes; `insertInto` writes by POSITION, so the
+    * select is pinned to the table's (vec_id, codes) column order.
+    */
+  def appendToPqIndexIdempotent(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
+    val (books, _) = loadPqBooks(spark, table)
+    require(books.nonEmpty, s"PQ index $table has an empty books table")
+    spark.catalog.refreshTable(table)
+    val novel = newRows.dropDuplicates("vec_id")
+      .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti")
+    withPqCodes(novel, books).select("vec_id", "codes").write.insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Fraction of the code table appended since its books were trained —
+    * the [[ivfIndexStaleness]] analog for the frozen-book policy. */
+  def pqIndexStaleness(spark: SparkSession, table: String): Double = {
+    val (_, baseN) = loadPqBooks(spark, table)
+    if (baseN <= 0L) return 1.0
+    val now = spark.table(table).select("vec_id").distinct().count()
+    math.max(0.0, (now - baseN).toDouble / baseN)
+  }
+
   /** The exhaustive-ADC workload answered from the PERSISTED code table
     * with the PERSISTED books (frozen-book policy — the
     * [[annIvfIndexed]] stance): at rest the scan side is the 8-byte

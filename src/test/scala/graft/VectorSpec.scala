@@ -264,6 +264,35 @@ class VectorSpec extends AnyFunSuite {
       "persisted books must roundtrip bit-identical to the trained quantizer")
   }
 
+  test("PQ index append: frozen-book encode, idempotent replay, staleness signal") {
+    import spark.implicits._
+    val table = "pq_append_test_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${VectorOps.pqBooksTableFor(table)}")
+    VectorOps.writePqIndex(spark, sfDir, table)
+    val n0 = spark.table(table).count()
+    assert(VectorOps.pqIndexStaleness(spark, table) == 0.0, "fresh index must read staleness 0")
+    // two novel arrivals (ids beyond the corpus) + one replayed corpus id
+    val dim = spark.table(table).sparkSession.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").head().getSeq[Float](0).length
+    val arr1 = Array.tabulate(dim)(i => 0.01f * i)
+    val arr2 = Array.tabulate(dim)(i => 1.0f - 0.01f * i)
+    val arrivals = Seq((900001L, arr1.toSeq), (900002L, arr2.toSeq), (0L, arr1.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    VectorOps.appendToPqIndexIdempotent(spark, arrivals, table)
+    assert(spark.table(table).count() == n0 + 2, "two novel rows append; the replayed id does not")
+    val gotNew = spark.table(table).filter(col("vec_id") >= 900001L)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(gotNew.length == 2 && gotNew.forall(_._2.length == VectorOps.PqSub),
+      "appended rows carry full-width codes")
+    // replay: the whole batch again appends nothing
+    VectorOps.appendToPqIndexIdempotent(spark, arrivals, table)
+    assert(spark.table(table).count() == n0 + 2, "replayed append must be a no-op")
+    val staleness = VectorOps.pqIndexStaleness(spark, table)
+    assert(staleness > 0.0 && staleness < 0.05, s"2/$n0 appended rows, got staleness $staleness")
+  }
+
   test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
     import graft.functions.FloatDot.float_dot
     val ground = spark.read.parquet(s"$sfDir/embeddings.parquet")
