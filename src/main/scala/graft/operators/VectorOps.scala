@@ -1238,13 +1238,30 @@ object VectorOps {
     }: _*)
   }
 
-  /** Appends the `codes` column: encode of the NORMALIZED `embedding`.
-    * The Spark-side normalization is bit-identical to the trainer's
-    * (same fold order in FloatDot, same double division, same
+  /** Appends the `codes` column: encode of the NORMALIZED `embedding`
+    * via the native [[graft.functions.PqEncode]] expression (normalize +
+    * per-subspace argmin-L2 as tight JVM loops — the Column-algebra form
+    * at ks=256 is a 2048-node tree that breaks codegen and evaluated
+    * interpreted at ~17 ms/row; see the expression scaladoc). The
+    * normalization inside the expression is bit-identical to the
+    * trainer's (same fold order, same double division, same
     * round-to-float), so codes and books can't disagree. Shared by the
-    * exhaustive scan ([[annPq]]) and the cell-bounded one ([[annIvfPq]]).
+    * exhaustive scan ([[annPq]]), the cell-bounded one ([[annIvfPq]]),
+    * and the index build/append.
     */
   private def withPqCodes(df: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
+    df.withColumn("codes", graft.functions.PqEncode.pq_encode(col("embedding"), books))
+
+  /** The Column-algebra encode retained as the INDEPENDENT implementation
+    * the native expression is pinned bit-identical against (the
+    * `bpe_encode` replace-chain stance): normalize in column space, then
+    * S·ks literal-[[graft.functions.FloatDot]] terms under
+    * `least(struct)`. Correct at any ks, but past a few dozen centroids
+    * the tree exceeds janino's method limit and evaluates interpreted —
+    * never on the hot path, only under VectorSpec.
+    */
+  private[graft] def pqCodesColumnForm(df: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame =
     df.withColumn("pq_nrm", normCol("embedding"))
       .withColumn("nemb", when(col("pq_nrm") > 0.0,
         transform(col("embedding"), x => (x / col("pq_nrm")).cast("float")))
@@ -1258,7 +1275,7 @@ object VectorOps {
     * dim-length dot (the asymmetric-distance trick that makes the code
     * scan cheap as well as small).
     */
-  private def pqLutFor(books: Array[Array[Array[Float]]], embCol: String): Column = {
+  private[graft] def pqLutFor(books: Array[Array[Array[Float]]], embCol: String): Column = {
     val d = books(0)(0).length
     array(books.toIndexedSeq.zipWithIndex.map { case (book, s) =>
       val sub = slice(col(embCol), s * d + 1, d)
@@ -1301,11 +1318,14 @@ object VectorOps {
   }
 
   /** The standard query frame for the PQ paths: first 10 vectors with
-    * their norms and ADC LUTs. */
+    * their norms and ADC LUTs (native [[graft.functions.PqLut]] — the
+    * Column form's 2048-literal tree cost seconds of PER-EXECUTION
+    * driver analysis; pinned identical in VectorSpec). */
   private def pqQueries(base: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
     base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        normCol("embedding").as("q_nrm"), pqLutFor(books, "embedding").as("q_lut"))
+        normCol("embedding").as("q_nrm"),
+        graft.functions.PqEncode.pq_lut(col("embedding"), books).as("q_lut"))
 
   /** ADC score + shortlist + exact re-rank tail shared by [[annPq]] and
     * [[annIvfPq]]. `cands` carries (q_id, q_nrm, q_lut, vec_id, codes)

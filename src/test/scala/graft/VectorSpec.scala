@@ -264,6 +264,45 @@ class VectorSpec extends AnyFunSuite {
       "persisted books must roundtrip bit-identical to the trained quantizer")
   }
 
+  test("native pq_encode is bit-identical to the Column-algebra encode") {
+    // the independent-implementation pin (the bpe_encode stance): the
+    // interpreted Column form — normalize in column space, S·ks literal
+    // FloatDot terms under least(struct) — must agree code-for-code with
+    // the native loop on every corpus vector. sf0.001 keeps the
+    // interpreted side fast; the arithmetic is SF-independent.
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val books = VectorOps.trainPqBooks(base, base.count())
+    val native = base
+      .withColumn("codes", graft.functions.PqEncode.pq_encode(col("embedding"), books))
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val column = VectorOps.pqCodesColumnForm(base, books)
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(native.keySet == column.keySet)
+    val diffs = native.keySet.filter(k => native(k) != column(k))
+    assert(diffs.isEmpty, s"native/column encode differ on vec_ids $diffs")
+    // and the native ADC LUT against its Column form, value-identical
+    // (both are the same FloatDot double fold per (sub, cent))
+    val nativeLut = base
+      .withColumn("lut", graft.functions.PqEncode.pq_lut(col("embedding"), books))
+      .select("vec_id", "lut").collect()
+      .map(r => (r.getLong(0), r.getSeq[scala.collection.Seq[Double]](1).map(_.toList).toList)).toMap
+    val columnLut = base
+      .withColumn("lut", VectorOps.pqLutFor(books, "embedding"))
+      .select("vec_id", "lut").collect()
+      .map(r => (r.getLong(0), r.getSeq[scala.collection.Seq[Double]](1).map(_.toList).toList)).toMap
+    assert(nativeLut == columnLut, "native/column ADC LUTs differ")
+    // schema-drift contract: a wrong-length vector encodes to NULL, loudly
+    import spark.implicits._
+    val bad = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val r = bad.withColumn("codes",
+      graft.functions.PqEncode.pq_encode(col("embedding"), books))
+      .select("codes").head()
+    assert(r.isNullAt(0), "length-mismatched input must yield NULL codes")
+  }
+
   test("PQ index append: frozen-book encode, idempotent replay, staleness signal") {
     import spark.implicits._
     val table = "pq_append_test_idx"
