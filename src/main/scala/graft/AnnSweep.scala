@@ -62,6 +62,18 @@ object AnnSweep {
       val cands = VectorOps.annIvfCandidates(spark, sfDir, nProbe = nProbe, multiAssign = ma).count()
       println(f"ANN_SWEEP ann_ivf nProbe=$nProbe ma=$ma recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
     }
+    // PQ: the refine knob trades the exact-re-rank shortlist width
+    // against recall; the ADC scan always reads every code (32× fewer
+    // bytes), so scanned_frac is the SHORTLIST fraction re-ranked exactly
+    for (refine <- Seq(5, 10, 20, 50)) {
+      val (r, ms) = measure(VectorOps.annPq(spark, sfDir, refine = refine))
+      println(f"ANN_SWEEP ann_pq refine=$refine recall@3=$r%.2f reranked_frac=${refine / corpus.toDouble}%.4f latency_ms=$ms%.0f")
+    }
+    // IVFADC: both knobs — cells scanned × shortlist width
+    for (nProbe <- Seq(2, 4, 8); refine <- Seq(10, 50)) {
+      val (r, ms) = measure(VectorOps.annIvfPq(spark, sfDir, nProbe = nProbe, refine = refine))
+      println(f"ANN_SWEEP ann_ivfpq nProbe=$nProbe refine=$refine recall@3=$r%.2f latency_ms=$ms%.0f")
+    }
     spark.stop()
   }
 }
