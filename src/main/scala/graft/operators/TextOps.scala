@@ -511,6 +511,51 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Frequent char-trigram profile per language — the lang-ID model
+    * builder (the `lang_id` marker table is exactly "the n-grams that
+    * dominate each language"; at 100 TB this is how such a profile is
+    * trained) — via the TWO-PASS heavy-hitters composition:
+    *
+    * Pass 1: `misra_gries(gram, k)` per language — a BOUNDED aggregation
+    * buffer (<=k counters), so map-side partial aggregation reduces every
+    * task to <=k candidates before the exchange; the shuffle carries
+    * |langs| x |tasks| x k rows where an exact `groupBy(gram)` must move
+    * the whole distinct-gram domain. Pass 2: recount ONLY the candidates
+    * exactly (broadcast join of the <=k·|langs| candidate rows against
+    * the gram stream — map-side filter, near-empty shuffle) and keep
+    * grams with cnt·(k+1) > n. The Misra-Gries superset guarantee (any
+    * gram with true share > 1/(k+1) is a candidate) makes the candidate
+    * restriction LOSSLESS, so the output equals the exact full-domain
+    * answer — which is precisely what the DuckDB oracle computes: an
+    * oracle pass IS a witness of the sketch guarantee on this corpus.
+    * k = 127 engages the sketch honestly here (377 distinct trigrams per
+    * language, so slot eviction and merge-subtraction both fire) while
+    * the ~0.78 % threshold keeps a stable multi-row head (top shares
+    * ~1.8 %).
+    */
+  private def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MisraGries.misra_gries
+    import org.apache.spark.sql.expressions.Window
+    val k = 127
+    val grams = docs(spark, sfDir)
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("gram"))
+    val cand = grams.groupBy("lang")
+      .agg(misra_gries(col("gram"), k).as("cands"), count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), explode(col("cands")).as("c"))
+      .select(col("lang"), col("n"), col("c.item").as("gram"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    grams.join(broadcast(cand), Seq("lang", "gram"))
+      .groupBy("lang", "gram", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_ppm", expr("cnt * 1000000 DIV n"))
+      .select("lang", "rank", "gram", "cnt", "n", "share_ppm")
+      .orderBy("lang", "rank")
+  }
+
   /** Distributed BPE merge training — TOKENIZER INDUCTION, the step a
     * training-data pipeline runs before any `token_count`-style
     * accounting means anything: learn the first `rounds` byte-pair
@@ -1277,6 +1322,20 @@ object TextOps {
            |       ($pred) = lang AS hit
            |FROM s ORDER BY doc_id""".stripMargin
       }),
+
+    "heavy_hitters" -> QueryDef(heavyHitters,
+      Some("""WITH g AS (
+             |  SELECT lang, unnest(list_transform(range(1, len(text) - 1),
+             |                      i -> substr(text, i, 3))) AS gram
+             |  FROM documents WHERE len(text) >= 3),
+             |t AS (SELECT lang, count(*) AS n FROM g GROUP BY 1),
+             |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+             |h AS (SELECT c.lang, gram, cnt, n FROM c JOIN t USING (lang)
+             |      WHERE cnt * 128 > n)
+             |SELECT lang,
+             |       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank,
+             |       gram, cnt, n, cnt * 1000000 // n AS share_ppm
+             |FROM h ORDER BY lang, rank""".stripMargin)),
 
     "doc_fingerprint" -> QueryDef(docFingerprint,
       Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 16) AS fp16,

@@ -87,6 +87,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries.Buf: bound, undercount-only error <= n/(k+1), heavy superset — under random partitioning and merge order") {
+    import graft.functions.MisraGries
+    val rnd = new Random(4242)
+    for (trial <- 0 until 30) {
+      val k = 2 + rnd.nextInt(12)
+      // Zipf-ish head + uniform tail: a few genuinely heavy items exist,
+      // most don't — both regimes of the guarantee get exercised
+      val head = (0 until 3).flatMap(h => Seq.fill(50 + rnd.nextInt(200))(s"h$h"))
+      val tail = (0 until 200).map(_ => s"t${rnd.nextInt(60)}")
+      val stream = rnd.shuffle(head ++ tail)
+      val n = stream.size
+      val truth = stream.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      // split into random slices, sketch each, merge in a random tree order
+      val nParts = 1 + rnd.nextInt(7)
+      val parts = stream.zipWithIndex.groupBy(_._2 % nParts).values.toVector
+      var bufs = rnd.shuffle(parts.map { sl =>
+        val b = new MisraGries.Buf(k); sl.foreach { case (s, _) => b.add(s) }; b
+      })
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        bufs(i).mergeIn(bufs(i + 1))
+        bufs = bufs.patch(i + 1, Nil, 1)
+      }
+      val est = bufs.head.entries.toMap
+      assert(est.size <= k, s"trial $trial: ${est.size} entries > k=$k")
+      val bound = n.toLong / (k + 1)
+      truth.foreach { case (x, t) =>
+        val e = est.getOrElse(x, 0L)
+        assert(e <= t, s"trial $trial: overcount $x est=$e true=$t")
+        assert(e >= t - bound, s"trial $trial: $x est=$e below true=$t - n/(k+1)=$bound")
+        if (t > bound) assert(est.contains(x), s"trial $trial: heavy $x (true=$t > $bound) missing")
+      }
+    }
+  }
+
+  test("misra_gries two-pass heavy hitters ≡ exact full-domain groupBy, invariant across partitionings") {
+    import graft.functions.MisraGries.misra_gries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(7)
+    // skewed synthetic column: item i drawn with weight ~ 1/(i+1)
+    val rows = (0 until 5000).map { _ =>
+      val u = rnd.nextDouble()
+      val i = math.min(39, (math.pow(40.0, u) - 1).toInt) // log-uniform => Zipf-ish
+      s"item$i"
+    }
+    val k = 9
+    def result(parts: Int): Seq[(String, Long)] = {
+      val df = rows.toDF("item").repartition(parts)
+      val cand = df.agg(misra_gries(col("item"), k).as("c"), count(lit(1)).as("n"))
+        .select(col("n"), explode(col("c")).as("e"))
+        .select(col("n"), col("e.item").as("item"))
+      df.join(broadcast(cand), "item")
+        .groupBy("item", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .select("item", "cnt").sort("item")
+        .as[(String, Long)].collect().toSeq
+    }
+    val exact = {
+      val n = rows.size
+      rows.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+        .filter { case (_, c) => c * (k + 1) > n }.toSeq.sortBy(_._1)
+    }
+    assert(exact.nonEmpty, "constructed stream must actually have heavy hitters")
+    assert(result(1) == exact)
+    assert(result(13) == exact)
+    assert(result(32) == exact)
+  }
+
   test("TopK.Buf equals take-k of the fully sorted input, for random inputs and k") {
     val rnd = new Random(42)
     (1 to 300).foreach { _ =>

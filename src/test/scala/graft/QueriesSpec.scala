@@ -39,11 +39,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("bpe_merges", "bpe_encode", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "dedup_keep_best_minhash", "dedup_clusters_simhash",
       "ann_lsh", "ann_lsh_indexed", "ann_ivf",
-      "ann_ivf_indexed", "embed_neardup_lsh", "embed_clusters_lsh",
+      "ann_ivf_indexed", "ann_pq", "ann_pq_indexed", "ann_ivfpq",
+      "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences",
       "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets",
       "corpus_curate_full"),
       s"unexpected oracle-less keys: $noOracle")
+  }
+
+  test("heavy_hitters: sketch+recount equals the exact full-domain answer (sf0.001 and sf0.01)") {
+    // the declared key's correctness rests on the Misra-Gries superset
+    // guarantee making the candidate restriction lossless; pin it against
+    // an independent exact computation that never sees the sketch
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val out = SparkEntry.queries("heavy_hitters")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(out.nonEmpty, "no heavy hitters found — threshold degenerate at this SF")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+      val grams = docs.filter(_._2.length >= 3)
+        .flatMap { case (l, t) => (0 to t.length - 3).map(i => (l, t.substring(i, i + 3))) }
+      val nByLang = grams.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+      val exact = grams.groupBy(identity).map { case ((l, g), xs) => (l, g, xs.length.toLong) }
+        .filter { case (l, _, c) => c * 128L > nByLang(l) }
+        .toSeq
+      // ranks are per-lang; rebuild them from the exact set
+      val exactRanked = exact.groupBy(_._1).toSeq.flatMap { case (l, xs) =>
+        xs.sortBy { case (_, g, c) => (-c, g) }.zipWithIndex.map { case ((_, g, c), i) =>
+          (l, (i + 1).toLong, g, c, nByLang(l), c * 1000000L / nByLang(l))
+        }
+      }.sortBy { case (l, r, _, _, _, _) => (l, r) }
+      assert(out.toSeq == exactRanked,
+        s"sketch+recount diverged from exact at $dir")
+      // the sketch genuinely engaged: more distinct grams than k slots
+      val distinct = grams.distinct.length
+      assert(distinct > 127, s"degenerate test: only $distinct distinct grams")
+    }
   }
 
   test("sample_stratified: exact quota, and the two-phase prune+rank equals the naive full rank") {
