@@ -658,6 +658,47 @@ object HygieneOps {
     qualityBucketsOf(charlmScoreOf(docs(spark, sfDir).select("doc_id", "text")))
       .orderBy("doc_id")
 
+  /** Compression-ratio quality signal (the Gopher/MassiveText-family
+    * heuristic): deflate the text ([[graft.functions.DeflateSize]], the
+    * native expression — zero UDFs) and flag the two untrainable ends:
+    *
+    *   - `repetitive`   ratio < 0.30 — boilerplate/templated filler that
+    *                    LZ77 prices at a fraction of its length; catches
+    *                    NEAR-repeats and low-entropy character structure
+    *                    that the exact line/n-gram counters of
+    *                    `doc_repetition` cannot see
+    *   - `entropy_high` ratio ≥ 0.78 — non-language payloads (minified
+    *                    blobs, base64, hex dumps) that barely compress
+    *   - `short`        n_bytes < 256 — below the LZ window warmup the
+    *                    ratio is header-dominated (a 49-byte doc in this
+    *                    corpus "compresses" to 1.00) and says nothing;
+    *                    flagged, never classified
+    *   - `ok`           everything else
+    *
+    * Thresholds sit well clear of the natural corpus band (long-doc
+    * ratios 0.38–0.57 at every SF), so both cut paths are DELIBERATE
+    * classifications, not noise — the spec drives them with constructed
+    * repetitive/high-entropy frames through this same helper. ratio_ppm
+    * is integer (×10⁶ DIV) — no cross-run float drift. Narrow map end to
+    * end: no shuffle, composes upstream of `corpus_filter` like the
+    * other hygiene signals.
+    */
+  private[graft] def withQualityCompress(d: DataFrame): DataFrame =
+    d.withColumn("n_bytes", expr("octet_length(text)").cast("long"))
+      .withColumn("deflate_bytes",
+        graft.functions.DeflateSize.deflate_size(col("text")).cast("long"))
+      .withColumn("ratio_ppm", expr("deflate_bytes * 1000000 DIV n_bytes"))
+      .withColumn("flag",
+        when(col("n_bytes") < 256, "short")
+          .when(col("ratio_ppm") < 300000, "repetitive")
+          .when(col("ratio_ppm") >= 780000, "entropy_high")
+          .otherwise("ok"))
+
+  private def qualityCompress(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityCompress(docs(spark, sfDir).select("doc_id", "text"))
+      .select("doc_id", "n_bytes", "deflate_bytes", "ratio_ppm", "flag")
+      .orderBy("doc_id")
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
@@ -679,6 +720,8 @@ object HygieneOps {
     "charlm_quality" -> QueryDef(charlmQuality, None),
 
     "quality_buckets" -> QueryDef(qualityBuckets, None),
+
+    "quality_compress" -> QueryDef(qualityCompress, None),
 
     "doc_repetition" -> QueryDef(docRepetition,
       Some(s"""WITH d AS (

@@ -43,7 +43,7 @@ class QueriesSpec extends AnyFunSuite {
       "embed_neardup_lsh", "embed_clusters_lsh",
       "multimodal_features", "chunk_pack", "pack_sequences",
       "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets",
-      "corpus_curate_full"),
+      "quality_compress", "corpus_curate_full"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
@@ -75,6 +75,52 @@ class QueriesSpec extends AnyFunSuite {
       val distinct = grams.distinct.length
       assert(distinct > 127, s"degenerate test: only $distinct distinct grams")
     }
+  }
+
+  test("quality_compress: native deflate ≡ java.util.zip reference on every doc; flags fire exactly where constructed") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def refDeflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.finish()
+      val buf = new Array[Byte](8192); var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    // 1. expression parity with the JVM reference, every doc, both columns
+    val out = SparkEntry.queries("quality_compress")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, db, ppm, _) =>
+      val t = texts(id)
+      assert(nb == t.getBytes("UTF-8").length.toLong, s"doc $id n_bytes")
+      assert(db == refDeflate(t), s"doc $id deflate_bytes diverged from java reference")
+      assert(ppm == db * 1000000L / nb, s"doc $id ratio_ppm")
+    }
+    // 2. natural corpus sits clear of both cut thresholds: only ok/short
+    assert(out.map(_._5).toSet.subsetOf(Set("ok", "short")),
+      s"natural docs tripped a cut flag: ${out.filter(o => o._5 != "ok" && o._5 != "short").take(3).toSeq}")
+    assert(out.count(_._5 == "ok") > 0)
+    assert(out.count(_._5 == "short") > 0)
+    // 3. constructed frames drive the two cut paths through the same helper
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val printable = (0 until 600).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+    val planted = Seq(
+      (1L, "spam boilerplate row " * 40),  // near-pure repetition, >256 B
+      (2L, printable),                     // ~6.6 bits/char, barely compresses
+      (3L, "tiny"),                        // short
+      (4L, texts.maxBy(_._2.length)._2)    // a natural long doc stays ok
+    ).toDF("doc_id", "text")
+    val flags = graft.operators.HygieneOps.withQualityCompress(planted)
+      .select(col("doc_id"), col("flag"), col("ratio_ppm")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(flags(1L)._1 == "repetitive", s"got ${flags(1L)}")
+    assert(flags(2L)._1 == "entropy_high", s"got ${flags(2L)}")
+    assert(flags(3L)._1 == "short")
+    assert(flags(4L)._1 == "ok")
   }
 
   test("sample_stratified: exact quota, and the two-phase prune+rank equals the naive full rank") {
