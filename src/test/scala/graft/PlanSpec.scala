@@ -180,6 +180,26 @@ class PlanSpec extends AnyFunSuite {
       s"the vocab-sized phase-1 window is not salted:\n${windowLines.mkString("\n")}")
   }
 
+  test("heavy_hitters: sketch partial-aggregates map-side, recount joins by broadcast only") {
+    val p = plan("heavy_hitters")
+    // pass 1: the bounded MG buffer must combine BEFORE the exchange —
+    // partial_misra_gries is the whole point of a mergeable sketch
+    assert(p.contains("partial_misra_gries"), s"no map-side sketch partial agg:\n$p")
+    // pass 2: the <=k·|langs| candidate rows broadcast; the gram stream
+    // must never shuffle for the recount join
+    assert(p.contains("BroadcastHashJoin"), s"recount join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"recount must not sort-merge the gram stream:\n$p")
+  }
+
+  test("quality_compress is a narrow native-expression map: no shuffle before the output sort") {
+    val p = plan("quality_compress")
+    assert(p.contains("deflate_size"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), s"unexpected wide op:\n$p")
+    // exactly the one output-ordering exchange (rangepartitioning for orderBy)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the output-sort exchange, got $exchanges:\n$p")
+  }
+
   test("knn_topk broadcasts the query side and partial-aggregates the top-k") {
     val p = plan("knn_topk")
     assert(p.contains("Broadcast"), s"queries not broadcast:\n$p")
