@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, FmtSize, MinHashSig, NfcNormalize, SimHashSig, SlotMatch, TopK, WinnowSelect}
+import graft.functions.{DeflateSize, FloatDot, FmtSize, MinHashSig, MisraGries, NfcNormalize, SimHashSig, SlotMatch, TopK, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -89,6 +89,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      info("deflate_size", "deflate_size(text) - zlib-deflated byte length (compression-ratio quality signal)"),
+      (exprs: Seq[Expression]) => DeflateSize(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries", "misra_gries(item, k) - mergeable frequent-items sketch: <=k candidates " +
+        "with lower-bound estimates (superset of items with share > 1/(k+1))"),
+      (exprs: Seq[Expression]) =>
+        MisraGries(exprs(0), intLit(exprs(1), "misra_gries k")).toAggregateExpression()))
 
     ext.injectFunction((
       FunctionIdentifier("top_k"),

@@ -287,6 +287,28 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
   }
 
+  test("misra_gries and deflate_size are callable from SQL") {
+    // misra_gries: k larger than the distinct-item count degenerates to
+    // exact counts — a deterministic SQL-level check
+    val rows = spark.sql(
+      """SELECT misra_gries(x, 5) FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS t(x)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // deflate_size: matches the JVM zlib reference
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput("graft graft graft graft".getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](256); var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    assert(spark.sql("SELECT deflate_size('graft graft graft graft')").head().getInt(0) == n)
+    // non-literal k must fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT misra_gries(x, length(x)) FROM VALUES ('aa') AS t(x)").collect()
+    }: Unit
+  }
+
   test("winnow_select and nfc_normalize are callable from SQL") {
     // winnow_select: positions agree with the library entry point
     val text = ('a' to 'z').mkString * 4

@@ -239,6 +239,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1 == Seq((new java.sql.Timestamp(60 * 1000L), "u1", 3L, 12L)), s"rows: $rows")
   }
 
+  test("frequent-items sketch merges across micro-batches, emits once on close, and keeps the MG bounds") {
+    import graft.streaming.{FrequentItems, TimedItem}
+    import org.apache.spark.sql.Row
+    val enc = { import spark.implicits._; implicitly[Encoder[TimedItem]] }
+    val input = MemoryStream[TimedItem](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-freq-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(java.sql.Timestamp, Long, Map[String, Long])]()
+    val k = 4
+    def phase(is: Seq[TimedItem]): Unit = {
+      input.addData(is)
+      val q = FrequentItems.stream(spark, input.toDS(), k = k, windowLength = "1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.collect().foreach { r =>
+            val cands = r.getSeq[Row](3).map(e => e.getString(0) -> e.getLong(1)).toMap
+            acc.add((r.getTimestamp(0), r.getLong(2), cands))
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def at(item: String, sec: Long) = TimedItem(new java.sql.Timestamp(sec * 1000L), item)
+    // window [60,120): "hot" dominates, split ACROSS two micro-batches so
+    // the sketch state must merge through the state store; 12 distinct
+    // tail items (> k slots) force genuine eviction
+    val batch1 = (0 until 14).map(i => at("hot", 61 + (i % 50))) ++
+      (0 until 6).map(i => at(s"tail$i", 65 + i))
+    val batch2 = (0 until 16).map(i => at("hot", 70 + (i % 40))) ++
+      (6 until 12).map(i => at(s"tail$i", 80 + (i - 6)))
+    phase(batch1)
+    assert(acc.isEmpty, "window must not emit while it can still receive data")
+    phase(batch2)
+    assert(acc.isEmpty, "window must not emit while it can still receive data")
+    // advance the watermark past 120 -> [60,120) closes and emits once
+    phase(Seq(at("w2a", 300), at("w2a", 301), at("w2b", 302)))
+    val rows = acc.asScala.toSeq
+    assert(rows.size == 1, s"expected exactly the closed window, got: $rows")
+    val (ws, n, cands) = rows.head
+    assert(ws == new java.sql.Timestamp(60 * 1000L))
+    assert(n == 42L, s"window total: $n") // 30 hot + 12 tails
+    assert(cands.size <= k, s"sketch must hold <= k entries: $cands")
+    // true("hot") = 30 > n/(k+1) = 8 -> guaranteed present, est in bounds
+    val bound = n / (k + 1)
+    assert(cands.contains("hot"), s"heavy item missing after cross-batch merge: $cands")
+    assert(cands("hot") <= 30L && cands("hot") >= 30L - bound,
+      s"est out of [${30L - bound}, 30]: ${cands("hot")}")
+    // every estimate is an undercount of its true in-window count
+    val truth = (batch1 ++ batch2).groupBy(_.item).map { case (s, xs) => s -> xs.size.toLong }
+    cands.foreach { case (item, est) =>
+      assert(est <= truth(item), s"overcount for $item: est=$est true=${truth(item)}")
+      assert(est >= truth(item) - bound, s"$item est=$est below bound")
+    }
+  }
+
   test("file sink streams chunks per batch and reassembles byte-identically (A14)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
