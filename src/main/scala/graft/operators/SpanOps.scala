@@ -445,11 +445,18 @@ object SpanOps {
     * — SpanSpec pins zero re-detection on this corpus; a paranoid
     * pipeline iterates strip→detect to fixpoint.
     */
+  /** The exact strip over caller-supplied train/eval frames — the
+    * reference form the curate composites must agree with doc-by-doc on
+    * IDENTICAL inputs (a doc's cut depends only on its own text and the
+    * eval set, never on which other train docs survive any filter).
+    */
+  private[graft] def decontaminateStripOf(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    stripWith(train, crossSpansOf(train, evalDocs), broadcastSpans = true)
+
   private def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
     val d = planted(docs(spark, sfDir))
-    val train = d.filter(col("doc_id") % 10 =!= 7)
-    stripWith(train, crossSpansOf(train, d.filter(col("doc_id") % 10 === 7)),
-      broadcastSpans = true)
+    decontaminateStripOf(d.filter(col("doc_id") % 10 =!= 7),
+      d.filter(col("doc_id") % 10 === 7))
       .orderBy("doc_id")
   }
 

@@ -285,6 +285,51 @@ object FileSink {
     dropped
   }
 
+  /** Right-to-be-forgotten over the CONTENT store — the place a deletion
+    * request matters most: the chunk directories hold the actual payload
+    * bytes, and [[graft.operators.IndexPurge]] only clears the DERIVED
+    * artifacts. Drops every row of the given uuids (all generations, all
+    * batches) under the exact swap protocol compaction uses — phase-1
+    * replacement directories written before anything is touched, one
+    * manifest commit, claim-guarded swaps — so every crash point is
+    * recovered by the same [[recoverCompaction]]/[[recoverForRead]]
+    * machinery (the protocol does not care WHY directories are being
+    * rewritten), and concurrent swappers stay structurally impossible.
+    * Same single-maintainer contract as compaction: one purger/compactor
+    * at a time per sink dir.
+    *
+    * Zero-match purges return 0 without writing anything — deletion
+    * queues redeliver, and a replayed purge of already-removed uuids
+    * must be free. Returns the number of chunk rows dropped.
+    */
+  def purgeUuids(spark: SparkSession, path: String, uuids: Seq[String]): Long = {
+    require(uuids.nonEmpty, "purge requires at least one uuid")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
+    val all = normalized(spark.read
+      .option("basePath", path).option("mergeSchema", "true").parquet(path))
+    val uDf = spark.createDataFrame(uuids.distinct.map(Tuple1(_))).toDF("uuid")
+    val doomed = all.join(broadcast(uDf), Seq("uuid"), "left_semi")
+    val affectedBatches = doomed.select("batch").distinct().collect()
+      .map(_.getAs[Number](0).longValue()).sorted
+    if (affectedBatches.isEmpty) return 0L
+    val dropped = doomed.count()
+    // phase 1: replacements on disk before any original is touched
+    affectedBatches.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(path, s"batch=$b")
+      val tmp = new org.apache.hadoop.fs.Path(path, s".compact-batch=$b")
+      normalized(spark.read.option("mergeSchema", "true").parquet(dst.toString))
+        .join(broadcast(uDf), Seq("uuid"), "left_anti")
+        .select("uuid", "seq", "chunk", "done", "written", "gen", "expired")
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    // commit + claim-guarded swap — compaction's phase 2 verbatim
+    writeManifest(fs, path, affectedBatches)
+    claimAndRollForward(fs, path)
+    dropped
+  }
+
   /** Full recovery at a COMPACTION entry — the single-compactor path
     * (concurrent compactions on one sink dir are outside the contract):
     * adopt any crashed recoverer's claimed manifest, then roll a

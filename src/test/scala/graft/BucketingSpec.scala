@@ -332,6 +332,67 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atRest == Set(1L, 2L, 3L, 11L), s"index ids drifted: $atRest")
   }
 
+  test("IndexPurge: right-to-be-forgotten across sig and LSH indexes — semantics, layout, epoch, idempotence") {
+    import graft.operators.{IndexEpoch, IndexPurge, VectorOps}
+    import graft.streaming.DedupGate
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+
+    // --- signature index: the forgotten doc must stop matching ---
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> gateText("pa"), 2L -> gateText("pb"), 3L -> gateText("pc"))
+        .toDF("doc_id", "text"),
+      "purge_sig", nBuckets = 8)
+    // flagDuplicates emits MATCH rows only — an absent doc_id is novel
+    def flags(): Map[Long, Long] =
+      DedupGate.flagDuplicates(spark,
+        Seq(21L -> gateText("pa"), 22L -> gateText("pb")).toDF("doc_id", "text"), "purge_sig")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(flags() == Map(21L -> 1L, 22L -> 2L))
+    val e0 = IndexEpoch.current(spark, "purge_sig")
+    val schemaBefore = spark.table("purge_sig").schema
+    val bucketBefore =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier("purge_sig")).bucketSpec
+    val removed = IndexPurge.purge(spark, "purge_sig", "doc_id", Seq(1L))
+    assert(removed == DedupGate.NBands.toLong, s"doc 1 holds one row per band: $removed")
+    // a near-dup of the purged doc is novel now; doc 2's match is intact
+    assert(flags() == Map(22L -> 2L))
+    // layout survived the rewrite: schema, column order, bucket spec
+    assert(spark.table("purge_sig").schema == schemaBefore)
+    assert(spark.sessionState.catalog.getTableMetadata(TableIdentifier("purge_sig"))
+      .bucketSpec == bucketBefore, "purge must not flatten the bucket layout")
+    // the epoch moved exactly once; an appender whose span began before
+    // the purge fails its commit instead of resurrecting purged rows
+    assert(IndexEpoch.current(spark, "purge_sig") == e0 + 1)
+    intercept[java.util.ConcurrentModificationException] {
+      IndexEpoch.bump(spark, "purge_sig", e0)
+    }
+    // a re-issued deletion request (at-least-once queues) is a no-op:
+    // nothing rewrites, the epoch does not churn
+    assert(IndexPurge.purge(spark, "purge_sig", "doc_id", Seq(1L)) == 0L)
+    assert(IndexEpoch.current(spark, "purge_sig") == e0 + 1)
+
+    // --- LSH index: the purged vector must stop being a neighbor ---
+    val nBits = VectorOps.writeLshIndex(spark, sfDir, "purge_lsh", nBuckets = 8)
+    val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0).toArray
+    val before = VectorOps.probeLshIndex(spark, "purge_lsh", qVec, nBits, k = 1).collect()
+    assert(before.head.getLong(0) == 2L, "a vector is its own nearest neighbor pre-purge")
+    assert(IndexPurge.purge(spark, "purge_lsh", "vec_id", Seq(2L)) == 1L)
+    val after = VectorOps.probeLshIndex(spark, "purge_lsh", qVec, nBits, k = 3)
+    assert(!after.collect().map(_.getLong(0)).contains(2L),
+      "the ANN index must not keep serving a purged vector")
+    // the rewritten index still bucket-prunes the probe
+    assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "purge broke bucket pruning")
+
+    // --- guard rails ---
+    intercept[IllegalArgumentException](IndexPurge.purge(spark, "purge_sig", "doc_id", Nil))
+    intercept[IllegalArgumentException](
+      IndexPurge.purge(spark, "purge_sig", "no_such_col", Seq(1L)))
+  }
+
   test("DedupGate: probe prunes index buckets; a sub-threshold band collision is not flagged") {
     import spark.implicits._
     import graft.streaming.DedupGate

@@ -308,14 +308,21 @@ class SpanSpec extends AnyFunSuite {
 
   test("corpus_curate: per-doc cut mass matches decontaminate_strip, filters drop, redaction lands (r15)") {
     val out = SparkEntry.queries("corpus_curate")(spark, sfDir).collect()
-    val strip = SparkEntry.queries("decontaminate_strip")(spark, sfDir).collect()
+    // since r16 corpus_curate runs over the URL-DECORATED corpus (the
+    // blocklist gate must bite), so the strip reference must see the
+    // SAME decorated text — the declared decontaminate_strip key runs
+    // on the undecorated corpus and its cuts legitimately differ
+    val dd = graft.operators.WebOps.decorated(SpanOps.planted(
+      graft.sources.Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))))
+    val strip = SpanOps.decontaminateStripOf(
+      dd.filter(col("doc_id") % 10 =!= 7), dd.filter(col("doc_id") % 10 === 7)).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_removed")).toMap
     // the filter stages must actually drop documents (quality/length/dup)
     assert(out.nonEmpty && out.length < strip.size,
       s"filter stages vacuous: kept ${out.length} of ${strip.size} train docs")
     // a doc's eval-leak spans depend only on (doc, eval) — not on which
     // other train docs survived the filters — so the composite's cut
-    // mass must equal the standalone strip key's, doc by doc
+    // mass must equal the standalone strip's on identical inputs, doc by doc
     out.foreach { r =>
       assert(strip(r.getLong(0)) == r.getAs[Long]("n_removed"),
         s"doc ${r.getLong(0)}: curate cut ${r.getAs[Long]("n_removed")}, " +

@@ -327,6 +327,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch0.filter("uuid = 'sb'").count() == 2)
   }
 
+  test("content-store purge removes every byte of the purged uuid, spares the rest, and replays free") {
+    import graft.streaming.FileSink
+    val enc = { import spark.implicits._; implicitly[Encoder[Frame]] }
+    val input = MemoryStream[Frame](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-purge-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-spec-purge-out").toString
+    val textA = "purge me: sensitive payload alpha"
+    val textB = "keep me: innocent payload beta, spanning batches"
+    def phase(fs: Seq[Frame]): Unit = {
+      input.addData(fs)
+      val q = FileSink.chunksToParquet(
+        Reassembly.stream(spark, input.toDS(), GroupStateTimeout.NoTimeout), outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    // pa spans batches 0 and 1 — the purge must rewrite BOTH dirs
+    val fa = frames("pa", textA)
+    phase(fa.take(2) ++ frames("pb", textB))
+    phase(fa.drop(2))
+    assert(FileSink.assembled(spark, outDir).collect().map(_.getString(0)).toSet ==
+      Set("pa", "pb"))
+    val dropped = FileSink.purgeUuids(spark, outDir, Seq("pa"))
+    assert(dropped >= fa.size.toLong, s"all of pa's chunk rows must drop: $dropped")
+    // the surviving transfer still assembles byte-identically
+    val after = FileSink.assembled(spark, outDir)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(after == Map("pb" -> textB))
+    // NO raw row with the purged uuid remains anywhere on disk — the
+    // right-to-be-forgotten bar is bytes at rest, not reader filtering
+    val raw = spark.read.option("basePath", outDir).option("mergeSchema", "true")
+      .parquet(outDir)
+    assert(raw.filter(org.apache.spark.sql.functions.col("uuid") === "pa").count() == 0,
+      "purged payload bytes survive at rest")
+    assert(raw.filter(org.apache.spark.sql.functions.col("uuid") === "pb").count() > 0)
+    // a replayed deletion request is a free no-op
+    assert(FileSink.purgeUuids(spark, outDir, Seq("pa")) == 0L)
+    // and the sink keeps working after the rewrite: a new transfer lands
+    phase(frames("pc", "post-purge transfer"))
+    assert(FileSink.assembled(spark, outDir).collect().map(_.getString(0)).toSet ==
+      Set("pb", "pc"))
+  }
+
   test("expired-session compaction drops the expired generation's chunk rows, keeps completed sessions (A13 sweep)") {
     import graft.streaming.FileSink
     val enc = { import spark.implicits._; implicitly[Encoder[TimedFrame]] }
