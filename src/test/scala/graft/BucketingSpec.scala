@@ -387,6 +387,17 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
       "purge broke bucket pruning")
 
+    // --- PQ code table: the UNBUCKETED artifact exercises the generic
+    // layout path; the frozen books are corpus-level and must survive ---
+    VectorOps.writePqIndex(spark, sfDir, "purge_pq")
+    val codesBefore = spark.table("purge_pq").count()
+    val booksBefore = spark.table(VectorOps.pqBooksTableFor("purge_pq")).count()
+    assert(IndexPurge.purge(spark, "purge_pq", "vec_id", Seq(2L)) == 1L)
+    assert(spark.table("purge_pq").count() == codesBefore - 1)
+    assert(spark.table("purge_pq").filter(col("vec_id") === 2L).count() == 0)
+    assert(spark.table(VectorOps.pqBooksTableFor("purge_pq")).count() == booksBefore,
+      "purge must not touch the quantizer books")
+
     // --- guard rails ---
     intercept[IllegalArgumentException](IndexPurge.purge(spark, "purge_sig", "doc_id", Nil))
     intercept[IllegalArgumentException](
