@@ -687,9 +687,16 @@ object HygieneOps {
     d.withColumn("n_bytes", expr("octet_length(text)").cast("long"))
       .withColumn("deflate_bytes",
         graft.functions.DeflateSize.deflate_size(col("text")).cast("long"))
-      .withColumn("ratio_ppm", expr("deflate_bytes * 1000000 DIV n_bytes"))
+      // the division is guarded, not just ordered behind the flag: a
+      // projection computes every column for every row, so an unguarded
+      // DIV on an empty doc (n_bytes = 0) throws DIVIDE_BY_ZERO under
+      // Spark 4's default ANSI mode regardless of the when-chain
+      .withColumn("ratio_ppm",
+        when(col("n_bytes") > 0, expr("deflate_bytes * 1000000 DIV n_bytes")))
       .withColumn("flag",
-        when(col("n_bytes") < 256, "short")
+        // null text and 0-byte text are 'short' too: no content is the
+        // degenerate end of "too little signal", never 'ok'
+        when(col("n_bytes").isNull || col("n_bytes") < 256, "short")
           .when(col("ratio_ppm") < 300000, "repetitive")
           .when(col("ratio_ppm") >= 780000, "entropy_high")
           .otherwise("ok"))

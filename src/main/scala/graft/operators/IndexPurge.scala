@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.{broadcast, col}
 
@@ -17,13 +17,29 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * keep hashes, n-gram sites, and quantized codes derived from the
   * deleted content, and the ANN tables can keep serving the deleted
   * vector as a nearest neighbor. Purge is the lifecycle complement of
-  * the idempotent appends.
+  * the idempotent appends. The CONTENT store purges through
+  * [[graft.streaming.FileSink.purgeUuids]].
   *
   * Mechanics (plain parquet — no transactional format in this
   * container, see the FileSink port note in SURVEY §2):
-  *   - the survivor set stages through `<table>_purge` and writes back,
-  *     because Spark cannot overwrite a table from a plan that reads it
-  *     (the [[graft.streaming.DedupGate.rebuildSigIndex]] pattern);
+  *   - the survivor set stages through `<table>_purge`, then a 1-row
+  *     MARKER table (`<table>_purge_commit`) publishes the intent, then
+  *     the epoch check-and-bumps, then the staging writes back and the
+  *     marker and staging drop — the FileSink manifest discipline
+  *     adapted to catalog tables. Every crash point recovers at the
+  *     next purge entry ([[recover]]): marker present → roll FORWARD
+  *     (rewrite the live table from staging — idempotent — and fence
+  *     the epoch); staging without marker → roll BACK (the live table
+  *     was never touched). Without the marker, a crash inside the
+  *     non-atomic `saveAsTable(overwrite)` write-back would leave the
+  *     index dropped or half-written with the survivors stranded in an
+  *     undocumented staging table;
+  *   - recovery MUST run before other maintenance resumes (it is the
+  *     same single-sequential-maintainer contract every append path
+  *     documents): a roll-forward replays the staged survivor set, so
+  *     an append that landed between the crash and the recovery would
+  *     be lost — the epoch fence makes that ordering violation loud at
+  *     the appender's own commit, not silent;
   *   - the table's BUCKETING layout is read from the catalog and
   *     re-applied verbatim — a purge must not silently flatten the
   *     bucket-pruned probe shape the index was built for — and columns
@@ -31,12 +47,10 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *     to column 0);
   *   - ids ride a broadcast anti-join, never an `isin` literal tree
   *     (the plan-scale trap measured on the span-gate probe);
-  *   - the epoch is read at span start and check-and-bumped immediately
-  *     before the write-back, so a purge interleaving another
-  *     maintainer fails LOUDLY with the table untouched
-  *     ([[IndexEpoch]]), and any in-flight appender that began before
-  *     the purge fails ITS commit instead of resurrecting purged rows
-  *     it had already read.
+  *   - a purge interleaving another maintainer fails LOUDLY at the
+  *     epoch check with the live table untouched ([[IndexEpoch]]), and
+  *     any in-flight appender that began before the purge fails ITS
+  *     commit instead of resurrecting purged rows it had already read.
   *
   * What purge deliberately does NOT touch: meta/books/codebook side
   * tables (geometry and quantizers are corpus-level artifacts, not
@@ -52,12 +66,25 @@ import org.apache.spark.sql.functions.{broadcast, col}
   */
 object IndexPurge {
 
+  private[graft] def stagingTableFor(table: String): String = table + "_purge"
+  private[graft] def markerTableFor(table: String): String = table + "_purge_commit"
+
   /** Deletes `ids` (matched on `idCol`) from `table`. Returns the number
     * of rows removed.
     */
-  def purge(spark: SparkSession, table: String, idCol: String, ids: Seq[Long]): Long = {
+  def purge(spark: SparkSession, table: String, idCol: String, ids: Seq[Long]): Long =
+    purge(spark, table, idCol, ids, failAfterPhase = Int.MaxValue)
+
+  /** Test seam: `failAfterPhase` injects a crash after phase 1 (staging
+    * written, marker not yet committed — recovery must roll BACK) or
+    * phase 2 (marker committed, live table untouched — recovery must
+    * roll FORWARD). Production callers use the public overload.
+    */
+  private[graft] def purge(spark: SparkSession, table: String, idCol: String,
+      ids: Seq[Long], failAfterPhase: Int): Long = {
     require(ids.nonEmpty, "purge requires at least one id")
     require(spark.catalog.tableExists(table), s"no such table: $table")
+    recover(spark, table)
     spark.catalog.refreshTable(table)
     val base = spark.table(table)
     require(base.columns.contains(idCol),
@@ -68,30 +95,80 @@ object IndexPurge {
     val removed = base.join(broadcast(idsDf), Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L
 
-    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
     val order = base.columns.toSeq
     val kept = base.join(broadcast(idsDf), Seq(idCol), "left_anti")
       .select(order.map(col): _*)
 
-    def write(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
-      var w = df.write.mode("overwrite").format("parquet")
-      meta.bucketSpec.foreach { bs =>
-        w = w.bucketBy(bs.numBuckets, bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
-        if (bs.sortColumnNames.nonEmpty)
-          w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
-      }
-      w.saveAsTable(target)
-    }
-
-    val staging = table + "_purge"
+    // phase 1: survivors staged — live table untouched
+    val staging = stagingTableFor(table)
     VectorOps.clearStaleLocation(spark, staging)
-    write(kept, staging)
-    // commit point: if another maintainer moved the epoch during our
-    // read-stage span, this throws and the live table is untouched
-    IndexEpoch.bump(spark, table, epoch0)
-    write(spark.table(staging), table)
+    writeLike(spark, table, kept, staging)
+    if (failAfterPhase <= 1) sys.error("injected crash after phase 1 (staging, pre-commit)")
+    // phase 2: commit point — the marker publishes the intent; from here
+    // recovery rolls FORWARD from staging
+    VectorOps.clearStaleLocation(spark, markerTableFor(table))
+    spark.createDataFrame(Seq(Tuple1(removed))).toDF("removed")
+      .write.mode("overwrite").format("parquet").saveAsTable(markerTableFor(table))
+    if (failAfterPhase <= 2) sys.error("injected crash after phase 2 (committed, unswapped)")
+    // a concurrent maintainer moving the epoch during our read-stage span
+    // fails here, and the marker must be WITHDRAWN before rethrowing: the
+    // staged survivor set is stale (it misses that maintainer's rows), so
+    // leaving the marker would make the next recovery roll the stale set
+    // forward. Rolled back, the live table stays exactly as the
+    // conflicting maintainer wrote it and the caller re-issues the purge.
+    try IndexEpoch.bump(spark, table, epoch0)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        spark.sql(s"DROP TABLE IF EXISTS ${markerTableFor(table)}")
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        throw e
+    }
+    writeLike(spark, staging, spark.table(staging), table)
+    spark.sql(s"DROP TABLE IF EXISTS ${markerTableFor(table)}")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     spark.catalog.refreshTable(table)
     removed
+  }
+
+  /** Crash recovery, run at every purge entry (callers may also invoke
+    * it directly after a crash, BEFORE resuming appends): a committed
+    * marker rolls the staged survivor set forward (idempotent) and
+    * fences the epoch; an uncommitted staging rolls back — the live
+    * table was never touched.
+    */
+  def recover(spark: SparkSession, table: String): Unit = {
+    val staging = stagingTableFor(table)
+    val marker = markerTableFor(table)
+    if (spark.catalog.tableExists(marker)) {
+      require(spark.catalog.tableExists(staging),
+        s"purge marker $marker exists without its staging table $staging — " +
+          "manual intervention required (the staged survivor set is gone)")
+      spark.catalog.refreshTable(staging)
+      writeLike(spark, staging, spark.table(staging), table)
+      // fence unconditionally: the crashed purge may or may not have
+      // bumped before dying, and in-flight appenders must fail either way
+      IndexEpoch.bumpUnconditional(spark, table)
+      spark.sql(s"DROP TABLE IF EXISTS $marker")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      spark.catalog.refreshTable(table)
+    } else if (spark.catalog.tableExists(staging)) {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
+  /** Writes `df` as `target` carrying `layoutOf`'s catalog bucket spec —
+    * the layout rides the STAGING table too, so a roll-forward recovery
+    * can restore it even when the live table died mid-overwrite.
+    */
+  private def writeLike(spark: SparkSession, layoutOf: String,
+      df: DataFrame, target: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(layoutOf))
+    var w = df.write.mode("overwrite").format("parquet")
+    meta.bucketSpec.foreach { bs =>
+      w = w.bucketBy(bs.numBuckets, bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+      if (bs.sortColumnNames.nonEmpty)
+        w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    }
+    w.saveAsTable(target)
   }
 }

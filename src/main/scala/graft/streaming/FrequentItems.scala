@@ -44,7 +44,11 @@ object FrequentItems {
     items
       .withWatermark("ts", delayThreshold)
       .groupBy(window(col("ts"), windowLength).as("w"))
-      .agg(misra_gries(col("item"), k).as("candidates"), count(lit(1)).as("n"))
+      // count(item), not count(*): the sketch skips null items, and the
+      // documented second-pass threshold cnt·(k+1) > n is stated against
+      // the NON-null row count — an inflated n would silently raise the
+      // bar past the sketch guarantee
+      .agg(misra_gries(col("item"), k).as("candidates"), count(col("item")).as("n"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("n"), col("candidates"))
 }

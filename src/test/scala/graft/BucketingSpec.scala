@@ -398,6 +398,38 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(VectorOps.pqBooksTableFor("purge_pq")).count() == booksBefore,
       "purge must not touch the quantizer books")
 
+    // --- crash windows: pre-commit rolls back, post-commit rolls forward ---
+    DedupGate.writeSigIndex(spark,
+      Seq(5L -> gateText("pw"), 6L -> gateText("px")).toDF("doc_id", "text"),
+      "purge_crash", nBuckets = 8)
+    val rows0 = spark.table("purge_crash").count()
+    intercept[RuntimeException] {
+      IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(5L), failAfterPhase = 1)
+    }
+    // staging orphan, no marker: live table untouched; the next entry's
+    // recovery rolls back and the purge completes cleanly
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").count() == rows0)
+    assert(IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(5L)) == DedupGate.NBands.toLong)
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 5L).count() == 0)
+    // post-commit crash: the marker is published but the write-back never
+    // ran — the doomed rows are still live until recovery rolls forward
+    intercept[RuntimeException] {
+      IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(6L), failAfterPhase = 2)
+    }
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 6L).count() > 0,
+      "pre-write-back crash leaves rows; recovery owes the roll-forward")
+    val eC = IndexEpoch.current(spark, "purge_crash")
+    IndexPurge.recover(spark, "purge_crash")
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 6L).count() == 0,
+      "roll-forward must finish the committed purge")
+    assert(IndexEpoch.current(spark, "purge_crash") > eC, "recovery must fence the epoch")
+    assert(!spark.catalog.tableExists(IndexPurge.markerTableFor("purge_crash")))
+    assert(!spark.catalog.tableExists(IndexPurge.stagingTableFor("purge_crash")))
+
     // --- guard rails ---
     intercept[IllegalArgumentException](IndexPurge.purge(spark, "purge_sig", "doc_id", Nil))
     intercept[IllegalArgumentException](

@@ -112,15 +112,22 @@ class QueriesSpec extends AnyFunSuite {
       (1L, "spam boilerplate row " * 40),  // near-pure repetition, >256 B
       (2L, printable),                     // ~6.6 bits/char, barely compresses
       (3L, "tiny"),                        // short
-      (4L, texts.maxBy(_._2.length)._2)    // a natural long doc stays ok
+      (4L, texts.maxBy(_._2.length)._2),   // a natural long doc stays ok
+      (5L, ""),                            // 0 bytes: guarded DIV, 'short'
+      (6L, null.asInstanceOf[String])      // no content at all: 'short'
     ).toDF("doc_id", "text")
     val flags = graft.operators.HygieneOps.withQualityCompress(planted)
       .select(col("doc_id"), col("flag"), col("ratio_ppm")).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(flags(1L)._1 == "repetitive", s"got ${flags(1L)}")
     assert(flags(2L)._1 == "entropy_high", s"got ${flags(2L)}")
     assert(flags(3L)._1 == "short")
     assert(flags(4L)._1 == "ok")
+    // empty and null text must flag 'short' with a null ratio — never
+    // 'ok', and never an ANSI DIVIDE_BY_ZERO crash
+    assert(flags(5L) == (("short", None)), s"got ${flags(5L)}")
+    assert(flags(6L) == (("short", None)), s"got ${flags(6L)}")
   }
 
   test("sample_stratified: exact quota, and the two-phase prune+rank equals the naive full rank") {

@@ -269,7 +269,10 @@ class StreamingSpec extends AnyFunSuite {
     val batch1 = (0 until 14).map(i => at("hot", 61 + (i % 50))) ++
       (0 until 6).map(i => at(s"tail$i", 65 + i))
     val batch2 = (0 until 16).map(i => at("hot", 70 + (i % 40))) ++
-      (6 until 12).map(i => at(s"tail$i", 80 + (i - 6)))
+      (6 until 12).map(i => at(s"tail$i", 80 + (i - 6))) ++
+      // a null item carries no frequency information: skipped by the
+      // sketch AND excluded from n (the second-pass threshold base)
+      Seq(at(null, 90))
     phase(batch1)
     assert(acc.isEmpty, "window must not emit while it can still receive data")
     phase(batch2)
