@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DeflateSize, FloatDot, FmtSize, MinHashSig, MisraGries, NfcNormalize, SimHashSig, SlotMatch, TopK, WinnowSelect}
+import graft.functions.{CharGrams, DeflateSize, FloatDot, FmtSize, MinHashSig, MisraGries, NfcNormalize, SimHashSig, SlotMatch, TopK, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("char_grams"),
+      info("char_grams", "char_grams(text, n) - all overlapping code-point n-grams in one pass"),
+      (exprs: Seq[Expression]) => CharGrams(exprs(0), intLit(exprs(1), "char_grams n"))))
 
     ext.injectFunction((
       FunctionIdentifier("deflate_size"),

@@ -537,11 +537,13 @@ object TextOps {
     import graft.functions.MisraGries.misra_gries
     import org.apache.spark.sql.expressions.Window
     val k = 127
+    // native one-pass gram generation: the transform/substring Column
+    // form is QUADRATIC per doc (each substring re-scans to its code
+    // point) — see CharGrams; pinned ≡ that form in QueriesSpec
     val grams = docs(spark, sfDir)
       .filter(length(col("text")) >= 3)
       .select(col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("gram"))
+        explode(graft.functions.CharGrams.char_grams(col("text"), 3)).as("gram"))
     val cand = grams.groupBy("lang")
       .agg(misra_gries(col("gram"), k).as("cands"), count(lit(1)).as("n"))
       .select(col("lang"), col("n"), explode(col("cands")).as("c"))

@@ -307,6 +307,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("SELECT misra_gries(x, length(x)) FROM VALUES ('aa') AS t(x)").collect()
     }: Unit
+    // char_grams: code-point grams from SQL
+    assert(spark.sql("SELECT char_grams('a😀b', 2)").head().getSeq[String](0) ==
+      Seq("a😀", "😀b"))
   }
 
   test("winnow_select and nfc_normalize are callable from SQL") {

@@ -77,6 +77,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("char_grams ≡ the transform/substring Column form ≡ String.codePoints reference, incl. non-ASCII") {
+    import graft.functions.CharGrams.char_grams
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // the strings that distinguish byte-, UTF-16-, and code-point-gram
+    // semantics: multi-byte UTF-8 (accents, CJK) and supplementary-plane
+    // emoji (surrogate PAIRS in UTF-16, one code point each)
+    val cases = Seq("", "ab", "abc", "abcd", "héllo wörld", "中文分词测试",
+      "a😀b😀c", "😀😁😂")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = cases.toDF("text")
+        .select(col("text"), char_grams(col("text"), n).as("native"),
+          expr(s"CASE WHEN length(text) >= $n THEN " +
+            s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) " +
+            "ELSE array() END").as("column_form"))
+        .collect()
+      df.foreach { r =>
+        val text = r.getString(0)
+        val native = r.getSeq[String](1)
+        val columnForm = r.getSeq[String](2)
+        val cps = text.codePoints().toArray
+        val ref = (0 to cps.length - n).map(i => new String(cps, i, n))
+        assert(native == ref, s"native vs codePoints ref for '$text' n=$n")
+        assert(native == columnForm, s"native vs Column form for '$text' n=$n")
+      }
+    }
+    // and on the real corpus, the heavy_hitters input: every doc agrees
+    val docs3 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(expr("length(text) >= 3"))
+      .select(char_grams(col("text"), 3).as("native"),
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("cf"))
+      .filter(expr("native <> cf")).count()
+    assert(docs3 == 0L, s"$docs3 corpus docs disagree with the Column form")
+  }
+
   test("quality_compress: native deflate ≡ java.util.zip reference on every doc; flags fire exactly where constructed") {
     import org.apache.spark.sql.functions.{col, expr}
     def refDeflate(s: String): Long = {
