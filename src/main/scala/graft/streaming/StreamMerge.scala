@@ -98,6 +98,59 @@ object StreamMerge {
     // (the same mixed-schema failure FileSink.assembled guards against)
     spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path)
 
+  /** Incremental DATA CARD — the streaming face of the batch
+    * `corpus_stats` key: instead of re-scanning the corpus to refresh
+    * the per-(decision[, lang]) mixture report, each micro-batch folds
+    * its decisions down to CELL counts (≤ |decisions|·|langs| rows —
+    * metadata scale) and overwrites its own `batch=<id>` dir, the
+    * [[decisionsToParquet]] idempotence: a replayed batch lands
+    * byte-identically, so cells can never double-count. The cumulative
+    * card ([[dataCard]]) is then algebra over the persisted cell
+    * history alone — at 100 TB the card stays fresh for the cost of
+    * reading |batches|·|cells| tiny rows, never a corpus re-scan.
+    */
+  def statsToParquet(decisions: DataFrame, path: String): DataStreamWriter[Row] =
+    decisions.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        statsCell(df).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+
+  /** One micro-batch's card cells: docs and token mass per decision
+    * (and per language when the frame carries one). Dropped rows whose
+    * token count is null contribute 0 token mass, not null poisoning.
+    */
+  private[graft] def statsCell(df: DataFrame): DataFrame = {
+    val keys = ("decision" +: (if (df.columns.contains("lang")) Seq("lang") else Nil)).map(col)
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
+  }
+
+  /** The cumulative card over everything ingested so far — the
+    * `corpus_stats` shape (docs, tokens, shares) computed from the
+    * persisted cells alone. Shares are per language when the cells
+    * carry one, global otherwise.
+    */
+  def dataCard(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.option("basePath", path)
+      .option("mergeSchema", "true").parquet(path)
+    val hasLang = cells.columns.contains("lang")
+    val keys = ("decision" +: (if (hasLang) Seq("lang") else Nil)).map(col)
+    val agg = cells.groupBy(keys: _*)
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot =
+      if (hasLang) agg.groupBy("lang")
+        .agg(sum("n_docs").as("d_docs"), sum("n_tokens").as("d_tokens"))
+      else agg.agg(sum("n_docs").as("d_docs"), sum("n_tokens").as("d_tokens"))
+    val joined =
+      if (hasLang) agg.join(broadcast(tot), "lang") else agg.crossJoin(broadcast(tot))
+    joined.select(keys ++ Seq(col("n_docs"), col("n_tokens"),
+      (col("n_docs") / col("d_docs")).as("doc_share"),
+      (col("n_tokens") / col("d_tokens")).as("token_share")): _*)
+  }
+
   def ingestPipeline(
       docs: DataFrame, baseIndex: DataFrame,
       delayThreshold: String = Reassembly.DefaultTtl,

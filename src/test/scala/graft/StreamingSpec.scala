@@ -1958,6 +1958,58 @@ class StreamingSpec extends AnyFunSuite {
       "batch predicate must prune partitions")
   }
 
+  test("incremental data card: per-batch cells fold to the corpus_stats shape, replay-idempotent") {
+    import graft.streaming.StreamMerge
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val goodText = (1 to 20).map(i => s"a$i").mkString(" ")
+    val goodText2 = (1 to 25).map(i => s"c$i").mkString(" ")
+    val knownText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val staticBase = {
+      import spark.implicits._
+      Seq((10L, knownText)).toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    }
+    val enc = { import spark.implicits._; implicitly[Encoder[(Long, String, java.sql.Timestamp)]] }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-card-ckpt").toString
+    val cells = Files.createTempDirectory("graft-spec-card-cells").toString
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.statsToParquet(
+        StreamMerge.ingestPipeline(input.toDS().toDF("doc_id", "text", "ts"), staticBase),
+        cells)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    phase(Seq((501L, goodText, at(10)), (502L, "too short", at(11)), (503L, goodText2, at(12))))
+    phase(Seq((504L, knownText, at(20))))
+    def card(): Map[String, (Long, Long, Double, Double)] =
+      StreamMerge.dataCard(spark, cells).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    // 4 docs / 67 tokens total: insert 2/45, short 1/2, skip_dup 1/20 —
+    // the corpus_stats shape, assembled from cells without any re-scan
+    val c1 = card()
+    assert(c1 == Map(
+      "insert" -> ((2L, 45L, 2.0 / 4, 45.0 / 67)),
+      "short" -> ((1L, 2L, 1.0 / 4, 2.0 / 67)),
+      "skip_dup" -> ((1L, 20L, 1.0 / 4, 20.0 / 67))), s"card: $c1")
+    // the per-batch dirs hold CELLS, not decision rows (metadata scale)
+    val b0 = spark.read.parquet(s"$cells/batch=0")
+    assert(b0.count() == 2 && b0.columns.toSeq ==
+      Seq("decision", "n_docs", "n_tokens"), s"batch-0 cells: ${b0.collect().toSeq}")
+    // replay idempotence: a redelivered batch overwrites its own dir
+    // byte-identically — the card cannot double-count
+    locally {
+      import spark.implicits._
+      StreamMerge.statsCell(Seq(("skip_dup", 20L)).toDF("decision", "n_tokens"))
+        .write.mode("overwrite").parquet(s"$cells/batch=1")
+    }
+    assert(card() == c1, "a replayed batch must not change the card")
+  }
+
   test("audit log read merges pre-ts and post-ts batch directories without dropping ts") {
     import graft.streaming.StreamMerge
     import spark.implicits._
