@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions.{broadcast, col}
   *
   * Mechanics (plain parquet — no transactional format in this
   * container, see the FileSink port note in SURVEY §2):
-  *   - the survivor set stages through `<table>_purge`, then a 1-row
-  *     MARKER table (`<table>_purge_commit`) publishes the intent, then
-  *     the epoch check-and-bumps, then the staging writes back and the
-  *     marker and staging drop — the FileSink manifest discipline
-  *     adapted to catalog tables. Every crash point recovers at the
-  *     next purge entry ([[recover]]): marker present → roll FORWARD
-  *     (rewrite the live table from staging — idempotent — and fence
-  *     the epoch); staging without marker → roll BACK (the live table
-  *     was never touched). Without the marker, a crash inside the
-  *     non-atomic `saveAsTable(overwrite)` write-back would leave the
-  *     index dropped or half-written with the survivors stranded in an
+  *   - the survivor set stages through `<table>_purge`, then the epoch
+  *     check-and-bumps (the serialization point — a conflict discards
+  *     only the stale staging), then a 1-row MARKER table
+  *     (`<table>_purge_commit`) publishes the intent, then the staging
+  *     writes back and the marker and staging drop — the FileSink
+  *     manifest discipline adapted to catalog tables. Every crash point
+  *     recovers at the next purge entry ([[recover]], which runs BEFORE
+  *     any existence check so a table that died mid-overwrite is
+  *     restorable): marker present → roll FORWARD (rewrite the live
+  *     table from staging — idempotent); staging without marker → roll
+  *     BACK (the live table was never touched). The claim-before-marker
+  *     order is load-bearing: marker ⟺ the epoch is owned, so recovery
+  *     can never roll a survivor set forward over rows a concurrent
+  *     maintainer committed during the crashed purge's span. Without
+  *     the marker, a crash inside the non-atomic
+  *     `saveAsTable(overwrite)` write-back would leave the index
+  *     dropped or half-written with the survivors stranded in an
   *     undocumented staging table;
   *   - recovery MUST run before other maintenance resumes (it is the
   *     same single-sequential-maintainer contract every append path
@@ -76,15 +82,20 @@ object IndexPurge {
     purge(spark, table, idCol, ids, failAfterPhase = Int.MaxValue)
 
   /** Test seam: `failAfterPhase` injects a crash after phase 1 (staging
-    * written, marker not yet committed — recovery must roll BACK) or
-    * phase 2 (marker committed, live table untouched — recovery must
-    * roll FORWARD). Production callers use the public overload.
+    * written, epoch not yet claimed — recovery must roll BACK) or
+    * phase 2 (epoch claimed and marker committed, live table untouched —
+    * recovery must roll FORWARD). Production callers use the public
+    * overload.
     */
   private[graft] def purge(spark: SparkSession, table: String, idCol: String,
       ids: Seq[Long], failAfterPhase: Int): Long = {
     require(ids.nonEmpty, "purge requires at least one id")
-    require(spark.catalog.tableExists(table), s"no such table: $table")
+    // recovery FIRST: a crash inside the final overwrite leaves the live
+    // table dropped or partial — a tableExists check before the
+    // roll-forward would wedge every subsequent purge on exactly the
+    // crash the marker exists to heal
     recover(spark, table)
+    require(spark.catalog.tableExists(table), s"no such table: $table")
     spark.catalog.refreshTable(table)
     val base = spark.table(table)
     require(base.columns.contains(idCol),
@@ -104,25 +115,25 @@ object IndexPurge {
     VectorOps.clearStaleLocation(spark, staging)
     writeLike(spark, table, kept, staging)
     if (failAfterPhase <= 1) sys.error("injected crash after phase 1 (staging, pre-commit)")
-    // phase 2: commit point — the marker publishes the intent; from here
-    // recovery rolls FORWARD from staging
+    // serialization point BEFORE the commit marker: a concurrent
+    // maintainer moving the epoch during our read-stage span fails here
+    // with only the (stale) staging to discard — and because the marker
+    // can only exist AFTER a successful claim, recovery's roll-forward
+    // can never replay a survivor set that lost a race (the
+    // marker-then-bump order would let a crash in between roll a stale
+    // set over the other maintainer's committed rows, silently)
+    try IndexEpoch.bump(spark, table, epoch0)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        throw e
+    }
+    // phase 2: commit point — marker present ⟺ the epoch is OURS and the
+    // staged set is the one true next state; recovery rolls it forward
     VectorOps.clearStaleLocation(spark, markerTableFor(table))
     spark.createDataFrame(Seq(Tuple1(removed))).toDF("removed")
       .write.mode("overwrite").format("parquet").saveAsTable(markerTableFor(table))
     if (failAfterPhase <= 2) sys.error("injected crash after phase 2 (committed, unswapped)")
-    // a concurrent maintainer moving the epoch during our read-stage span
-    // fails here, and the marker must be WITHDRAWN before rethrowing: the
-    // staged survivor set is stale (it misses that maintainer's rows), so
-    // leaving the marker would make the next recovery roll the stale set
-    // forward. Rolled back, the live table stays exactly as the
-    // conflicting maintainer wrote it and the caller re-issues the purge.
-    try IndexEpoch.bump(spark, table, epoch0)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        spark.sql(s"DROP TABLE IF EXISTS ${markerTableFor(table)}")
-        spark.sql(s"DROP TABLE IF EXISTS $staging")
-        throw e
-    }
     writeLike(spark, staging, spark.table(staging), table)
     spark.sql(s"DROP TABLE IF EXISTS ${markerTableFor(table)}")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
@@ -132,9 +143,13 @@ object IndexPurge {
 
   /** Crash recovery, run at every purge entry (callers may also invoke
     * it directly after a crash, BEFORE resuming appends): a committed
-    * marker rolls the staged survivor set forward (idempotent) and
-    * fences the epoch; an uncommitted staging rolls back — the live
-    * table was never touched.
+    * marker rolls the staged survivor set forward (idempotent — and it
+    * RESTORES a live table that died mid-overwrite, since the staging
+    * carries the full survivor set and layout); an uncommitted staging
+    * rolls back — the live table was never touched, and the epoch claim,
+    * if it landed, is only a fence (loud for appenders, no data moved).
+    * No epoch bump here: a marker can only exist after the crashed
+    * purge's own successful claim, so the fence is already in place.
     */
   def recover(spark: SparkSession, table: String): Unit = {
     val staging = stagingTableFor(table)
@@ -145,9 +160,6 @@ object IndexPurge {
           "manual intervention required (the staged survivor set is gone)")
       spark.catalog.refreshTable(staging)
       writeLike(spark, staging, spark.table(staging), table)
-      // fence unconditionally: the crashed purge may or may not have
-      // bumped before dying, and in-flight appenders must fail either way
-      IndexEpoch.bumpUnconditional(spark, table)
       spark.sql(s"DROP TABLE IF EXISTS $marker")
       spark.sql(s"DROP TABLE IF EXISTS $staging")
       spark.catalog.refreshTable(table)

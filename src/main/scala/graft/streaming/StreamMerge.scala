@@ -119,11 +119,16 @@ object StreamMerge {
 
   /** One micro-batch's card cells: docs and token mass per decision
     * (and per language when the frame carries one). Dropped rows whose
-    * token count is null contribute 0 token mass, not null poisoning.
+    * token count is null contribute 0 token mass, not null poisoning;
+    * a null language buckets as "und" (the `lang_id` convention) — a
+    * null group key would silently vanish from [[dataCard]]'s inner
+    * per-language denominator join.
     */
   private[graft] def statsCell(df: DataFrame): DataFrame = {
-    val keys = ("decision" +: (if (df.columns.contains("lang")) Seq("lang") else Nil)).map(col)
-    df.groupBy(keys: _*)
+    val hasLang = df.columns.contains("lang")
+    val keyed = if (hasLang) df.withColumn("lang", coalesce(col("lang"), lit("und"))) else df
+    val keys = ("decision" +: (if (hasLang) Seq("lang") else Nil)).map(col)
+    keyed.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
   }
@@ -131,12 +136,16 @@ object StreamMerge {
   /** The cumulative card over everything ingested so far — the
     * `corpus_stats` shape (docs, tokens, shares) computed from the
     * persisted cells alone. Shares are per language when the cells
-    * carry one, global otherwise.
+    * carry one, global otherwise; cells from batch dirs written before
+    * the pipeline carried a lang column (read back as null under
+    * mergeSchema — the [[auditLog]] hazard) bucket as "und" rather
+    * than silently dropping out of the per-language join.
     */
   def dataCard(spark: SparkSession, path: String): DataFrame = {
-    val cells = spark.read.option("basePath", path)
-      .option("mergeSchema", "true").parquet(path)
-    val hasLang = cells.columns.contains("lang")
+    val raw = auditLog(spark, path)
+    val hasLang = raw.columns.contains("lang")
+    val cells =
+      if (hasLang) raw.withColumn("lang", coalesce(col("lang"), lit("und"))) else raw
     val keys = ("decision" +: (if (hasLang) Seq("lang") else Nil)).map(col)
     val agg = cells.groupBy(keys: _*)
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))

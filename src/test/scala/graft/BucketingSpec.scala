@@ -413,22 +413,47 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(5L)) == DedupGate.NBands.toLong)
     spark.catalog.refreshTable("purge_crash")
     assert(spark.table("purge_crash").filter(col("doc_id") === 5L).count() == 0)
-    // post-commit crash: the marker is published but the write-back never
-    // ran — the doomed rows are still live until recovery rolls forward
+    // post-commit crash: the epoch was claimed and the marker published,
+    // but the write-back never ran — the doomed rows are still live
+    // until recovery rolls forward
+    val ePre = IndexEpoch.current(spark, "purge_crash")
     intercept[RuntimeException] {
       IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(6L), failAfterPhase = 2)
     }
     spark.catalog.refreshTable("purge_crash")
     assert(spark.table("purge_crash").filter(col("doc_id") === 6L).count() > 0,
       "pre-write-back crash leaves rows; recovery owes the roll-forward")
-    val eC = IndexEpoch.current(spark, "purge_crash")
+    // the fence landed WITH the claim (marker ⟺ epoch owned): in-flight
+    // appenders already fail, and recovery need not bump again
+    assert(IndexEpoch.current(spark, "purge_crash") == ePre + 1,
+      "the epoch claim must precede the commit marker")
     IndexPurge.recover(spark, "purge_crash")
     spark.catalog.refreshTable("purge_crash")
     assert(spark.table("purge_crash").filter(col("doc_id") === 6L).count() == 0,
       "roll-forward must finish the committed purge")
-    assert(IndexEpoch.current(spark, "purge_crash") > eC, "recovery must fence the epoch")
+    assert(IndexEpoch.current(spark, "purge_crash") == ePre + 1,
+      "recovery must not move the already-claimed epoch")
     assert(!spark.catalog.tableExists(IndexPurge.markerTableFor("purge_crash")))
     assert(!spark.catalog.tableExists(IndexPurge.stagingTableFor("purge_crash")))
+    // the healed table still purges and probes normally
+    assert(IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(6L)) == 0L)
+    // the WORST window: the overwrite's drop phase ran and the process
+    // died before the recreate — live table GONE, marker + staging the
+    // only copies. The next purge entry must restore it (recovery runs
+    // before the existence check), not wedge on "no such table"
+    DedupGate.writeSigIndex(spark,
+      Seq(7L -> gateText("py"), 8L -> gateText("pz")).toDF("doc_id", "text"),
+      "purge_crash2", nBuckets = 8)
+    intercept[RuntimeException] {
+      IndexPurge.purge(spark, "purge_crash2", "doc_id", Seq(7L), failAfterPhase = 2)
+    }
+    spark.sql("DROP TABLE purge_crash2") // simulate dying mid-saveAsTable(overwrite)
+    assert(IndexPurge.purge(spark, "purge_crash2", "doc_id", Seq(7L)) == 0L,
+      "entry recovery must restore the dropped table and find doc 7 already purged")
+    spark.catalog.refreshTable("purge_crash2")
+    assert(spark.table("purge_crash2").filter(col("doc_id") === 8L).count() > 0,
+      "the survivor set must be restored from staging")
+    assert(spark.table("purge_crash2").filter(col("doc_id") === 7L).count() == 0)
 
     // --- guard rails ---
     intercept[IllegalArgumentException](IndexPurge.purge(spark, "purge_sig", "doc_id", Nil))

@@ -2008,6 +2008,26 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$cells/batch=1")
     }
     assert(card() == c1, "a replayed batch must not change the card")
+    // lang-carrying cells: null langs bucket as "und" (a null group key
+    // would silently drop out of the per-language denominator join), and
+    // a pre-lang batch dir mixed in (mergeSchema null) does the same
+    locally {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-spec-card-lang").toString
+      StreamMerge.statsCell(Seq(
+        ("insert", 10L, "en"), ("insert", 12L, null.asInstanceOf[String]),
+        ("short", 2L, "en")).toDF("decision", "n_tokens", "lang"))
+        .write.parquet(s"$dir/batch=0")
+      // an old dir written before decisions carried lang at all
+      StreamMerge.statsCell(Seq(("insert", 7L)).toDF("decision", "n_tokens"))
+        .write.parquet(s"$dir/batch=1")
+      val byLang = StreamMerge.dataCard(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(0)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(byLang == Map(
+        ("en", "insert") -> ((1L, 10L)), ("en", "short") -> ((1L, 2L)),
+        ("und", "insert") -> ((2L, 19L))), // null-lang row + pre-lang dir, nothing lost
+        s"lang card: $byLang")
+    }
   }
 
   test("audit log read merges pre-ts and post-ts batch directories without dropping ts") {
