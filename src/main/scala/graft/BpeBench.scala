@@ -78,8 +78,14 @@ object BpeBench {
       timeEncode(nativeFrame(n)) // warm
       val nat = timeEncode(nativeFrame(n))
       // the chain's plan grows linearly; past a few hundred merges the
-      // driver-side analysis alone dominates — only measure it while sane
-      val chain = if (n <= 128) Some(timeEncode(chainFrame(n))) else None
+      // driver-side analysis alone dominates — only measure it while sane.
+      // Warm the chain the same way the native form is warmed: each width
+      // is a DIFFERENT plan, and a cold-only measurement overstates the
+      // chain exactly where the two forms are meant to be comparable
+      val chain = if (n <= 128) {
+        timeEncode(chainFrame(n)) // warm
+        Some(timeEncode(chainFrame(n)))
+      } else None
       s"""{"merges":$n,"native_sec":${f2(nat)},""" +
         s""""chain_sec":${chain.map(f2).getOrElse("null")}}"""
     }.mkString("[", ",", "]")

@@ -204,9 +204,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
         }
       }
     }
-    var c = 0
     j = 0
-    while (j >= 0) { out += UTF8String.fromString(syms(j)); c += 1; j = next(j) }
+    while (j >= 0) { out += UTF8String.fromString(syms(j)); j = next(j) }
     n.toLong
   }
 

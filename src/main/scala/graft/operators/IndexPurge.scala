@@ -129,9 +129,14 @@ object IndexPurge {
         throw e
     }
     // phase 2: commit point — marker present ⟺ the epoch is OURS and the
-    // staged set is the one true next state; recovery rolls it forward
+    // staged set is the one true next state; recovery rolls it forward.
+    // The marker RECORDS the claimed epoch: recovery compares it to the
+    // live epoch, so an append that committed between a crash and the
+    // recovery (legal — it read the post-claim epoch and bumped past it)
+    // rolls the now-stale staging BACK instead of silently erasing the
+    // appended rows under the roll-forward
     VectorOps.clearStaleLocation(spark, markerTableFor(table))
-    spark.createDataFrame(Seq(Tuple1(removed))).toDF("removed")
+    spark.createDataFrame(Seq((removed, epoch0 + 1))).toDF("removed", "epoch")
       .write.mode("overwrite").format("parquet").saveAsTable(markerTableFor(table))
     if (failAfterPhase <= 2) sys.error("injected crash after phase 2 (committed, unswapped)")
     writeLike(spark, staging, spark.table(staging), table)
@@ -143,13 +148,20 @@ object IndexPurge {
 
   /** Crash recovery, run at every purge entry (callers may also invoke
     * it directly after a crash, BEFORE resuming appends): a committed
-    * marker rolls the staged survivor set forward (idempotent — and it
-    * RESTORES a live table that died mid-overwrite, since the staging
-    * carries the full survivor set and layout); an uncommitted staging
-    * rolls back — the live table was never touched, and the epoch claim,
-    * if it landed, is only a fence (loud for appenders, no data moved).
-    * No epoch bump here: a marker can only exist after the crashed
-    * purge's own successful claim, so the fence is already in place.
+    * marker whose recorded epoch still matches the live epoch rolls the
+    * staged survivor set forward (idempotent — and it RESTORES a live
+    * table that died mid-overwrite, since the staging carries the full
+    * survivor set and layout). If the live epoch has MOVED past the
+    * marker's, a maintainer legally committed between the crash and this
+    * recovery (it read the post-claim epoch and bumped past it), so the
+    * staged set is stale: recovery rolls it BACK — the live table was
+    * never touched by the crashed purge (an overwrite only happens after
+    * the marker, and an appender could only have committed against an
+    * intact table), and the caller re-issues the purge against current
+    * rows. An uncommitted staging rolls back likewise; an epoch claim
+    * without a marker is only a fence (loud for appenders, no data
+    * moved). No epoch bump here: a marker can only exist after the
+    * crashed purge's own successful claim.
     */
   def recover(spark: SparkSession, table: String): Unit = {
     val staging = stagingTableFor(table)
@@ -158,11 +170,21 @@ object IndexPurge {
       require(spark.catalog.tableExists(staging),
         s"purge marker $marker exists without its staging table $staging — " +
           "manual intervention required (the staged survivor set is gone)")
-      spark.catalog.refreshTable(staging)
-      writeLike(spark, staging, spark.table(staging), table)
+      spark.catalog.refreshTable(marker)
+      val claimed = spark.table(marker).collect().head.getLong(1)
+      if (IndexEpoch.current(spark, table) == claimed) {
+        spark.catalog.refreshTable(staging)
+        writeLike(spark, staging, spark.table(staging), table)
+      } else {
+        // stale staging: someone committed after the crash; the live
+        // table must be intact for that commit to have happened at all
+        require(spark.catalog.tableExists(table),
+          s"purge marker for $table is stale (epoch moved past ${claimed}) AND the " +
+            "live table is missing — manual intervention required")
+      }
       spark.sql(s"DROP TABLE IF EXISTS $marker")
       spark.sql(s"DROP TABLE IF EXISTS $staging")
-      spark.catalog.refreshTable(table)
+      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
     } else if (spark.catalog.tableExists(staging)) {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     }

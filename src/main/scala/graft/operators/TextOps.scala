@@ -372,8 +372,20 @@ object TextOps {
     val M = 1000000007L
     val Over = 4.0
     val specDf = spec.toDF("lang", "w_pm")
-    val t = d.groupBy("lang").agg(count(lit(1)).as("n"))
-      .join(broadcast(specDf), "lang")
+    // SPEC-side join, not corpus-side: an inner join keyed off the corpus
+    // would silently drop a spec language with zero corpus rows — that
+    // stratum's whole budget share vanishing with no error is exactly the
+    // shortfall the quota guard below exists to make loud, so the absence
+    // itself must fail in-plan too (assert_true rides n, which base/extra
+    // consume — column pruning cannot drop it)
+    val t = specDf
+      .join(d.groupBy("lang").agg(count(lit(1)).as("n")), Seq("lang"), "left")
+      .withColumn("n", coalesce(
+        assert_true(col("n").isNotNull,
+          concat(lit("sample_mixture: spec language "), col("lang"),
+            lit(" has no corpus rows — its budget share would silently vanish"))
+          ).cast("long"),
+        col("n")))
       .withColumn("q", expr(s"($budget * w_pm) div 1000"))
       .withColumn("base", expr("q div n"))
       .withColumn("extra", col("q") - col("base") * col("n"))

@@ -52,17 +52,23 @@ object CharLmGate {
     * writes a non-empty `_ctx`), so it cannot become empty mid-query;
     * re-running the `limit(1).count()` probe per micro-batch would add a
     * driver-side Spark job to every batch of the production chain for a
-    * condition only the FIRST batch can catch (r15 ADVICE).
+    * condition only the FIRST batch can catch (r15 ADVICE). Keyed by
+    * (warehouse, table), not table name alone: the cache lives for the
+    * JVM, and two sessions with different warehouses (sequential suites,
+    * maintenance beside a gate) can each hold a same-named model table —
+    * a name-only key would let the first session's validation silently
+    * waive the check for the second's possibly-empty table.
     */
   private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def withLmDecisions(batch: DataFrame, lmTable: String, maxBits: Double): DataFrame = {
     val s = batch.sparkSession
     val ctxV = s.table(lmTable + "_ctx")
-    if (!validated.contains(lmTable)) {
+    val cacheKey = s.sessionState.conf.warehousePath + "#" + lmTable
+    if (!validated.contains(cacheKey)) {
       require(ctxV.limit(1).count() == 1,
         s"charlm model table ${lmTable}_ctx is empty — train first (writeCharLmTable)")
-      validated.add(lmTable): Unit
+      validated.add(cacheKey): Unit
     }
     val scores = HygieneOps.charlmScoreAgainst(
       batch.filter(col("decision") === "insert").select("doc_id", "text"),

@@ -437,6 +437,30 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists(IndexPurge.stagingTableFor("purge_crash")))
     // the healed table still purges and probes normally
     assert(IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(6L)) == 0L)
+    // stale-marker window: an append legally commits BETWEEN the crash
+    // and the recovery (it read the post-claim epoch and bumped past it).
+    // Recovery must roll the now-stale staging BACK — a roll-forward
+    // would silently erase the appended rows
+    DedupGate.appendNewSigsIdempotent(spark,
+      Seq(8L -> gateText("pq8")).toDF("doc_id", "text"), "purge_crash")
+    intercept[RuntimeException] {
+      IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(8L), failAfterPhase = 2)
+    }
+    DedupGate.appendNewSigsIdempotent(spark,
+      Seq(9L -> gateText("pq9")).toDF("doc_id", "text"), "purge_crash")
+    IndexPurge.recover(spark, "purge_crash")
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 9L).count() > 0,
+      "roll-forward of a stale staging erased a committed append")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 8L).count() > 0,
+      "stale staging must roll BACK: the crashed purge never reached its write-back")
+    assert(!spark.catalog.tableExists(IndexPurge.markerTableFor("purge_crash")))
+    // and the re-issued purge completes against the CURRENT rows
+    assert(IndexPurge.purge(spark, "purge_crash", "doc_id", Seq(8L)) > 0L)
+    spark.catalog.refreshTable("purge_crash")
+    assert(spark.table("purge_crash").filter(col("doc_id") === 8L).count() == 0)
+    assert(spark.table("purge_crash").filter(col("doc_id") === 9L).count() > 0)
+
     // the WORST window: the overwrite's drop phase ran and the process
     // died before the recreate — live table GONE, marker + staging the
     // only copies. The next purge entry must restore it (recovery runs

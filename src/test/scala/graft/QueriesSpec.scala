@@ -282,6 +282,24 @@ class QueriesSpec extends AnyFunSuite {
       "every (doc, copy) slot must be a distinct epoch-stream example")
   }
 
+  test("sample_mixture: a spec language with zero corpus rows fails loudly, never a silent budget shortfall") {
+    import spark.implicits._
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    val boom = intercept[Exception] {
+      graft.operators.TextOps.sampleMixtureOf(spark, d,
+        Seq("en" -> 500L, "de" -> 500L), budget = 4L).collect()
+    }
+    assert(boom.getMessage.contains("has no corpus rows"),
+      s"wrong failure: ${boom.getMessage}")
+    // and the same spec over a corpus that HAS the language still works
+    val ok = graft.operators.TextOps.sampleMixtureOf(spark,
+      d.union(Seq((4L, "de"), (5L, "de")).toDF("doc_id", "lang")),
+      Seq("en" -> 500L, "de" -> 500L), budget = 4L)
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_copies").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok == Map("en" -> 2L, "de" -> 2L), s"quotas: $ok")
+  }
+
   test("sample_tokens: greedy token-budget prefix equals the naive full-stratum scan") {
     // sf0.01 token totals: en 11757, zh 4143 (> B=4000: real prefix
     // selection); de 3549, fr 3758, es 3958 (< B: the exhausted path —
