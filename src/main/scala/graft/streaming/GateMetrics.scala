@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming observability: a [[StreamingQueryListener]] that retains
+  * each micro-batch's progress — input rows, processing rate, trigger
+  * duration, and state-store row counts — in a BOUNDED per-JVM ring
+  * buffer, queryable as a DataFrame.
+  *
+  * The 100 TB point: on a long-running ingest gate the first sign of
+  * trouble is a drifting batch duration (the probe literal-plan
+  * regression of r14 showed up exactly there), a falling processing
+  * rate, or an unbounded state-rows curve (a missing watermark, a hot
+  * key) — and Spark surfaces all of these ONLY through listener
+  * progress events, which are print-and-lose unless something retains
+  * them. Retention is bounded by construction (`capacity` most-recent
+  * events): an ops view wants the recent window; unbounded history
+  * belongs in an external sink, not driver memory.
+  *
+  * Thread-safety: progress events arrive on Spark's listener bus thread
+  * while readers snapshot from test/ops threads — all buffer access is
+  * synchronized on the deque (events are tiny; contention is nil at
+  * micro-batch cadence).
+  */
+final class GateMetrics(capacity: Int = 1024) extends StreamingQueryListener {
+  require(capacity > 0, "capacity must be positive")
+
+  private val buf = new java.util.ArrayDeque[GateMetrics.BatchMetric]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val duration = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(-1L)
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    val m = GateMetrics.BatchMetric(
+      p.id.toString, p.runId.toString, p.batchId, p.timestamp,
+      p.numInputRows, p.processedRowsPerSecond, duration, stateRows)
+    buf.synchronized {
+      buf.addLast(m)
+      while (buf.size > capacity) { buf.removeFirst(): Unit }
+    }
+  }
+
+  /** The retained window, oldest first. */
+  def snapshot: Seq[GateMetrics.BatchMetric] = buf.synchronized {
+    val out = Seq.newBuilder[GateMetrics.BatchMetric]
+    buf.forEach(m => out += m)
+    out.result()
+  }
+
+  /** The retained window as a DataFrame — joinable against the audit log
+    * on batch_id for per-batch cost attribution.
+    */
+  def toDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.toDF()
+  }
+}
+
+object GateMetrics {
+  final case class BatchMetric(
+      query_id: String,
+      run_id: String,
+      batch_id: Long,
+      ts: String,
+      input_rows: Long,
+      rows_per_sec: Double,
+      trigger_ms: Long,
+      state_rows: Long)
+
+  /** Registers a fresh listener on the session and returns it — the
+    * caller owns deregistration (`spark.streams.removeListener`).
+    */
+  def attach(spark: SparkSession, capacity: Int = 1024): GateMetrics = {
+    val gm = new GateMetrics(capacity)
+    spark.streams.addListener(gm)
+    gm
+  }
+}

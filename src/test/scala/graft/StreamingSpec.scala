@@ -1958,6 +1958,63 @@ class StreamingSpec extends AnyFunSuite {
       "batch predicate must prune partitions")
   }
 
+  test("gate metrics listener retains batch progress bounded, with state rows for stateful queries") {
+    import graft.streaming.{FrequentItems, GateMetrics, TimedItem}
+    val gm = GateMetrics.attach(spark, capacity = 64)
+    val gmTiny = GateMetrics.attach(spark, capacity = 2)
+    try {
+      val enc = { import spark.implicits._; implicitly[Encoder[TimedItem]] }
+      val input = MemoryStream[TimedItem](enc, spark.sqlContext)
+      val checkpoint = Files.createTempDirectory("graft-spec-gm-ckpt").toString
+      def phase(is: Seq[TimedItem]): Unit = {
+        input.addData(is)
+        val q = FrequentItems.stream(spark, input.toDS(), k = 4, windowLength = "1 minute")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          // Spark 4.1 validates the state-store commit: foreachBatch must
+          // process all partitions, so even a drop-the-output body counts
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.count(): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      def at(item: String, sec: Long) = TimedItem(new java.sql.Timestamp(sec * 1000L), item)
+      phase(Seq(at("x", 61), at("x", 62), at("y", 63)))
+      phase(Seq(at("z", 300)))
+      phase(Seq(at("z", 400)))
+      // progress events are delivered async on the listener bus — wait
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (gm.snapshot.count(_.input_rows > 0) < 3 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      // scope to THIS query (the bus is session-global; a prior test's
+      // terminal event could still be in flight)
+      val qid = gm.snapshot.filter(_.input_rows > 0).groupBy(_.query_id)
+        .maxBy(_._2.size)._1
+      val withRows = gm.snapshot.filter(m => m.query_id == qid && m.input_rows > 0)
+      assert(withRows.size >= 3, s"row-bearing progress missing: ${gm.snapshot}")
+      assert(withRows.map(_.input_rows).sum == 5L, s"input rows drifted: $withRows")
+      // the windowed aggregate carries state — the curve ops watch
+      assert(gm.snapshot.exists(_.state_rows > 0),
+        s"stateful query reported no state rows: ${gm.snapshot}")
+      assert(gm.snapshot.forall(_.trigger_ms >= 0))
+      // bounded retention: the tiny ring holds only the most recent two,
+      // and they are the TAIL of the full listener's view
+      assert(gmTiny.snapshot.size <= 2, s"ring exceeded capacity: ${gmTiny.snapshot.size}")
+      assert(gm.snapshot.size >= gmTiny.snapshot.size)
+      assert(gmTiny.snapshot == gm.snapshot.takeRight(gmTiny.snapshot.size),
+        "the bounded ring must keep the most recent events")
+      val df = gm.toDf(spark)
+      assert(df.columns.toSeq == Seq("query_id", "run_id", "batch_id", "ts",
+        "input_rows", "rows_per_sec", "trigger_ms", "state_rows"))
+      assert(df.count() == gm.snapshot.size.toLong)
+    } finally {
+      spark.streams.removeListener(gm)
+      spark.streams.removeListener(gmTiny)
+    }
+  }
+
   test("incremental data card: per-batch cells fold to the corpus_stats shape, replay-idempotent") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.functions.{col, md5, min}
