@@ -538,8 +538,13 @@ object DedupOps {
   private def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = docs(spark, sfDir)
       .filter(col("doc_id") < 150)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))).as("g"))
+      // native one-pass trigrams (the quadratic-substring fix); docs
+      // shorter than 3 chars keep the legacy whole-text partial gram the
+      // oracle mirrors (char_grams returns EMPTY below n)
+      .select(col("doc_id"), explode(array_distinct(
+        when(length(col("text")) >= 3,
+          graft.functions.CharGrams.char_grams(col("text"), 3))
+          .otherwise(array(col("text"))))).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

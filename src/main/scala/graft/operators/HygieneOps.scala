@@ -400,12 +400,16 @@ object HygieneOps {
     * compares log ARGUMENTS for the same reason) — spec-verified against
     * an independent driver-side reference instead (CharLmSpec).
     */
-  /** `(doc_id, bg)` — one row per char-bigram occurrence. */
+  /** `(doc_id, bg)` — one row per char-bigram occurrence. Native
+    * one-pass generation: the explode(sequence)+substring form re-scans
+    * to the i-th code point per gram — quadratic per doc (the
+    * [[graft.functions.CharGrams]] finding; invisible on 540-char test
+    * docs, fatal on real 10-100 KB documents).
+    */
   private def bigramsOf(d: DataFrame): DataFrame =
     d.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text) - 1)")).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+      .select(col("doc_id"),
+        explode(graft.functions.CharGrams.char_grams(col("text"), 2)).as("bg"))
 
   /** Train the bigram model on a corpus: `(bigram counts, context counts,
     * 1-row vocab size)` — at most |charset|² + |charset| + 1 rows total.
@@ -413,9 +417,8 @@ object HygieneOps {
   private[graft] def charlmModelOf(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val counts = bigramsOf(d).groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("ch")).agg(sum("c_bg").as("c_a"))
-    val vocab = d.filter(length(col("text")) >= 1) // sequence(1,0) descends — SURVEY §7.5
-      .select(col("text"), explode(expr("sequence(1, length(text))")).as("i"))
-      .select(expr("substring(text, i, 1)").as("ch"))
+    val vocab = d.filter(length(col("text")) >= 1)
+      .select(explode(graft.functions.CharGrams.char_grams(col("text"), 1)).as("ch"))
       .agg(countDistinct("ch").as("v"))
     (counts, ctx, vocab)
   }
@@ -478,8 +481,10 @@ object HygieneOps {
       .withColumn("bits",
         when(col("n_bigrams") > 0,
           -aggregate(
-            transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
-              i => col("text").substr(i, lit(2))),
+            // one-pass native grams (the quadratic-substring fix); for
+            // len < 2 the array is empty, but this branch only runs with
+            // n_bigrams > 0, so the fold domain is unchanged
+            graft.functions.CharGrams.char_grams(col("text"), 2),
             lit(BigDecimal(0)).cast("decimal(28,6)"),
             // the cast back to the accumulator's type each step keeps the
             // fold well-typed (decimal + adds a digit of precision per

@@ -172,19 +172,22 @@ object SpanOps {
        |  FROM gaps JOIN t USING (doc_id) GROUP BY gaps.doc_id)""".stripMargin
 
   /** All K-gram sites of a `(doc_id, text)` frame as
-    * `(doc_id, pos, gram)` — 1-based pos, stride 1. The `size >= K`
-    * guard is load-bearing: Spark's `sequence(1, n)` with n < 1 yields a
-    * DESCENDING sequence, not an empty one (SURVEY §7.5). The substring
-    * is projected ABOVE the generator (it must run once per generated
-    * row; nothing expensive rides the generate — SURVEY §7.5 generator
-    * gotcha).
+    * `(doc_id, pos, gram)` — 1-based pos, stride 1, via one native
+    * [[graft.functions.CharGrams]] pass + posexplode. The previous
+    * explode(sequence)+substring form re-scanned to the pos-th code
+    * point per gram — QUADRATIC byte reads per doc (d²/2 for d chars;
+    * the `heavy_hitters` finding, here on the engine's two most
+    * expensive declared keys). Cost moved, honestly: the gram array
+    * materializes below the generator at ~K× the text bytes per row
+    * (transient, row-at-a-time) — the winnowed production path
+    * ([[winnowSites]], native selection) never pays either.
     */
   private[graft] def gramSites(d: DataFrame): DataFrame =
     d.filter(length(col("text")) >= GramK)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${GramK - 1})")).as("pos"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $GramK)").as("gram"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharGrams.char_grams(col("text"), GramK)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
 
   /** Merge marked positions into maximal spans. Positions are starts of
     * K-char windows: two marked starts ≤ K apart overlap or touch, so a
