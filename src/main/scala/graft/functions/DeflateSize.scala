@@ -61,6 +61,14 @@ case class DeflateSize(child: Expression)
 
 object DeflateSize {
 
+  // Per-thread native footprint (r16 ADVICE, accepted): each executor
+  // task thread lazily allocates ONE zlib Deflater (~256 KB native
+  // window at level 6) that is reused for every row and held for the
+  // thread's lifetime — bounded by the task-thread pool size (32 threads
+  // → ~8 MB/executor), invisible to JVM heap accounting, reclaimed only
+  // at thread death via the ThreadLocal. The alternative (end() per
+  // batch) re-pays native init per row group for memory the pool bound
+  // already caps.
   private val deflater: ThreadLocal[Deflater] =
     ThreadLocal.withInitial(() => new Deflater(6, false))
   private val scratch: ThreadLocal[Array[Byte]] =

@@ -29,21 +29,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *
   * The codebooks ride the expression as a bound constant (ks·S·d floats
   * ≈ 64 KB — shipped once per task with the serialized plan, the
-  * [[BpeEncode]] merge-table stance, not a per-row join). Input length
-  * must be exactly S·d; anything else yields NULL (a fail-loud schema
-  * drift signal, matching FloatDot's length-mismatch contract).
+  * [[BpeEncode]] merge-table stance, not a per-row join). They are held
+  * as nested IndexedSeq, NOT arrays: case-class equality over arrays is
+  * reference-based, so two logically identical encodes would never
+  * compare equal and canonicalization/subexpression reuse could not
+  * collapse them (r16 ADVICE; BpeEncode's Seq merge table is the same
+  * stance). The eval loops read a lazily materialized primitive-array
+  * mirror. Input length must be exactly S·d; anything else yields NULL
+  * (a fail-loud schema drift signal, matching FloatDot's
+  * length-mismatch contract).
   */
-case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+case class PqEncode(child: Expression, books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
     extends UnaryExpression with CodegenFallback {
   require(books.nonEmpty && books.forall(_.nonEmpty), "PqEncode needs non-empty codebooks")
 
   private val nSub = books.length
   private val subDim = books(0)(0).length
 
+  // primitive-array mirror for the tight eval loops (built once per task)
+  @transient private lazy val booksArr: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
   // |c|² per (subspace, centroid), precomputed once per task — the same
   // Scala double sum the Column form folds into its literal
   @transient private lazy val cn2: Array[Array[Double]] =
-    books.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    booksArr.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -84,7 +94,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
     val codes = new Array[Int](nSub)
     var s = 0
     while (s < nSub) {
-      val book = books(s)
+      val book = booksArr(s)
       val off = s * subDim
       var best = 0
       var bestDd = Double.MaxValue
@@ -119,14 +129,18 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
   * milliseconds). One opaque node fixes the plan cost; the row cost
   * (16k mult-adds) was never the problem. Bit-identity to the Column
   * form is pinned in VectorSpec. NULL on length mismatch or null
-  * elements, as FloatDot.
+  * elements, as FloatDot. Books as IndexedSeq for structural equality,
+  * as [[PqEncode]].
   */
-case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
+case class PqLut(child: Expression, books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]])
     extends UnaryExpression with CodegenFallback {
   require(books.nonEmpty && books.forall(_.nonEmpty), "PqLut needs non-empty codebooks")
 
   private val nSub = books.length
   private val subDim = books(0)(0).length
+
+  @transient private lazy val booksArr: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType =
     ArrayType(ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false),
@@ -156,7 +170,7 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
     val lut = new Array[ArrayData](nSub)
     var s = 0
     while (s < nSub) {
-      val book = books(s)
+      val book = booksArr(s)
       val off = s * subDim
       val row = new Array[Double](book.length)
       var c = 0
@@ -179,9 +193,13 @@ case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
 }
 
 object PqEncode {
+  private def structural(books: Array[Array[Array[Float]]])
+      : IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
+    books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+
   def pq_encode(vec: Column, books: Array[Array[Array[Float]]]): Column =
-    GraftShim.column(PqEncode(GraftShim.expression(vec), books))
+    GraftShim.column(PqEncode(GraftShim.expression(vec), structural(books)))
 
   def pq_lut(vec: Column, books: Array[Array[Array[Float]]]): Column =
-    GraftShim.column(PqLut(GraftShim.expression(vec), books))
+    GraftShim.column(PqLut(GraftShim.expression(vec), structural(books)))
 }

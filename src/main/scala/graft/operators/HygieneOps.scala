@@ -444,60 +444,103 @@ object HygieneOps {
           .as("bits"))
       .select("doc_id", "n_bigrams", "bits")
 
-  private[graft] def charlmScoreOf(d: DataFrame): DataFrame = {
-    val (counts, ctx, vocab) = charlmModelOf(d)
-    charlmScoreAgainst(d, counts, ctx, vocab)
+  /** Train-and-score in one call — the inline charlm_quality shape. The
+    * SCORING pass picks the narrow native form whenever the trained
+    * model fits the literal cap (any char-bigram model does): the join
+    * form explodes the corpus to one row per bigram and re-aggregates by
+    * doc_id — at 100 TB that shuffles a corpus-×-doc-length frame for a
+    * quantity computable in-row against a broadcast-sized model. Above
+    * the cap (word-level models) it falls back to the join form, which
+    * is correct at any size. Both forms are bit-identical (CharLmSpec);
+    * output rows are docs with ≥ 1 bigram, either way.
+    *
+    * TRAINING here is the one-heavy-scan form ([[trainCharLmDriver]]):
+    * collecting [[charlmModelOf]]'s three frames separately re-runs the
+    * corpus-wide bigram aggregation for `ctx` and a third explode scan
+    * for `vocab` — both derivable from the collected bigram counts plus
+    * the (filter-only, no-explode) single-char-doc residue. Three heavy
+    * scans → one; this was half the r16 charlm wall (verdict task 3).
+    */
+  private[graft] def charlmScoreOf(d: DataFrame): DataFrame =
+    trainCharLmDriver(d) match {
+      case Some((mBg, mA, vv)) =>
+        withCharLmScore(d, mBg, mA, vv)
+          .filter(col("n_bigrams") > 0)
+          .select("doc_id", "n_bigrams", "bits")
+      case None =>
+        val (counts, ctx, vocab) = charlmModelOf(d)
+        charlmScoreAgainst(d, counts, ctx, vocab)
+    }
+
+  /** Train the literal-form model with ONE scan: the
+    * [[graft.functions.BigramCounts]] aggregate folds every partition
+    * straight into a charset²-bounded counter buffer (no explode, no
+    * corpus-×-length hash aggregate) and also collects the distinct
+    * code points, so `ctx` (the bigram counts re-grouped by first code
+    * point) and the vocabulary size both derive driver-side. What
+    * [[charlmModelOf]] computes as three corpus scans — counts, ctx,
+    * vocab — costs one here; this plus the [[CharLmBitSum]] scoring
+    * pass was the whole r16 charlm wall (verdict task 3,
+    * CHARLM_BENCH.json). Returns None when the aggregate overflowed its
+    * domain bound or the model exceeds [[CharLmLiteralMax]] — the
+    * caller falls back to the join form, correct at any size.
+    * Value-identity to charlmModelOf's frames is pinned in CharLmSpec.
+    */
+  private[graft] def trainCharLmDriver(d: DataFrame)
+      : Option[(Map[String, Long], Map[String, Long], Long)] = {
+    val row = d.agg(graft.functions.BigramCounts.bigram_counts(col("text")).as("m"))
+      .selectExpr("m.bgs AS bgs", "m.chars AS chars", "m.overflow AS overflow")
+      .collect()(0)
+    if (row.getBoolean(2)) None
+    else {
+      val bgRows = row.getSeq[org.apache.spark.sql.Row](0)
+      if (bgRows.length > CharLmLiteralMax) None
+      else {
+        val mBg = bgRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mA = mBg.groupMapReduce { case (k, _) =>
+          k.substring(0, Character.charCount(k.codePointAt(0)))
+        }(_._2)(_ + _)
+        Some((mBg, mA, row.getSeq[String](1).size.toLong))
+      }
+    }
   }
 
   /** The NARROW (per-row, shuffle-free) scoring form: the trained model
     * collected into literal maps — legitimate because the model is
     * metadata-bounded (≤ |charset|² rows, the codebook-collect idiom) —
-    * and the per-doc mean surprisal computed by one higher-order fold
-    * over the document's own bigrams. No explode, no groupBy, no join:
-    * pure Column algebra, so it composes with a STREAMING frame per
-    * micro-batch unchanged (the `withQualityScore`/`withPiiScrub`
-    * composition contract). Term-wise decimal casts in the fold sum the
-    * SAME rounded terms as [[charlmScoreAgainst]]'s Num.dsum in document
-    * order — decimal addition is associative, so the two forms agree
-    * bit-for-bit (pinned in CharLmSpec).
+    * and the per-doc surprisal sum computed by ONE native per-row pass
+    * ([[graft.functions.CharLmBitSum]]). No explode, no groupBy, no
+    * join: a single narrow expression, so it composes with a STREAMING
+    * frame per micro-batch unchanged (the `withQualityScore`/
+    * `withPiiScrub` composition contract). The expression rounds each
+    * term to decimal(18,6) and sums exactly — the SAME rounded terms as
+    * [[charlmScoreAgainst]]'s Num.dsum, so the two forms agree
+    * bit-for-bit (pinned in CharLmSpec). (The r16 interim was a
+    * higher-order `aggregate` fold over `char_grams`: linear in doc
+    * size but every term paid ~7 interpreted Catalyst dispatches —
+    * charlm_quality 0.41 → 0.91 s on 540-char docs; the native loop
+    * removes the interpretation constant while keeping the linearity —
+    * r16 verdict task 3, CHARLM_BENCH.json.)
     *
     * Appends `n_bigrams` (0 for docs shorter than 2 chars) and `bits`
     * (null for such docs) to any frame with a `text` column.
     *
-    * SIZE LIMIT: a literal map materializes in the plan, so this form is
-    * for models up to [[CharLmLiteralMax]] entries (any char-bigram
-    * model qualifies — a full Unicode corpus charset does not). The cap
-    * is ENFORCED at [[collectCharLmModel]]; larger models (word-level,
-    * real KenLM tables) use [[charlmScoreAgainst]]'s broadcast-join
-    * form, the default scoring entry — same numbers, one broadcast
-    * instead of a literal.
+    * SIZE LIMIT: the model rides the expression as a plan constant, so
+    * this form is for models up to [[CharLmLiteralMax]] entries (any
+    * char-bigram model qualifies — a full Unicode corpus charset does
+    * not). The cap is ENFORCED at [[collectCharLmModel]]; larger models
+    * (word-level, real KenLM tables) use [[charlmScoreAgainst]]'s
+    * broadcast-join form — same numbers, one broadcast instead of a
+    * constant.
     */
   private[graft] def withCharLmScore(d: DataFrame,
-      mBg: Map[String, Long], mA: Map[String, Long], v: Long): DataFrame = {
-    val bgLit = typedlit(mBg)
-    val aLit = typedlit(mA)
+      mBg: Map[String, Long], mA: Map[String, Long], v: Long): DataFrame =
     d.withColumn("n_bigrams",
       greatest(length(col("text")) - 1, lit(0)).cast("long"))
       .withColumn("bits",
         when(col("n_bigrams") > 0,
-          -aggregate(
-            // one-pass native grams (the quadratic-substring fix); for
-            // len < 2 the array is empty, but this branch only runs with
-            // n_bigrams > 0, so the fold domain is unchanged
-            graft.functions.CharGrams.char_grams(col("text"), 2),
-            lit(BigDecimal(0)).cast("decimal(28,6)"),
-            // the cast back to the accumulator's type each step keeps the
-            // fold well-typed (decimal + adds a digit of precision per
-            // Spark's result-type rule) and is lossless: 6-dp sums stay
-            // exact at 6 dp, and sum(cast(term AS DECIMAL(18,6))) in
-            // charlmScoreAgainst ALSO lands in decimal(28,6) — bitwise
-            // the same value, so the two forms agree exactly
-            (acc, bg) => (acc +
-              log2((coalesce(element_at(bgLit, bg), lit(0L)) + lit(1L)) /
-                (coalesce(element_at(aLit, bg.substr(lit(1), lit(1))), lit(0L)) + lit(v)))
-                .cast("decimal(18,6)")).cast("decimal(28,6)"))
-            .cast("double") / col("n_bigrams")))
-  }
+          -graft.functions.CharLmBitSum.charlm_bitsum(col("text"), mBg, mA, v) /
+            col("n_bigrams")))
 
   /** Ceiling on the literal-map scoring form's model size (entries). Any
     * char-bigram model stays far under it (charset² for a realistic
@@ -518,16 +561,27 @@ object HygieneOps {
     * throws, steering the caller to the join form.
     */
   private[graft] def collectCharLmModel(counts: DataFrame, ctx: DataFrame,
-      vocab: DataFrame): (Map[String, Long], Map[String, Long], Long) = {
-    val n = counts.count()
-    require(n <= CharLmLiteralMax,
-      s"charlm model has $n bigram rows > CharLmLiteralMax ($CharLmLiteralMax): " +
+      vocab: DataFrame): (Map[String, Long], Map[String, Long], Long) =
+    collectCharLmModelOpt(counts, ctx, vocab).getOrElse(throw new IllegalArgumentException(
+      s"charlm model has more than CharLmLiteralMax ($CharLmLiteralMax) bigram rows: " +
         "the literal-map form would materialize the model into every plan — score " +
         "through charlmScoreAgainst / charlmScoreWithTable (broadcast-join form, " +
-        "bit-identical) instead")
-    val mBg = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val mA = ctx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (mBg, mA, vocab.collect()(0).getLong(0))
+        "bit-identical) instead"))
+
+  /** [[collectCharLmModel]] that reports over-cap as None instead of
+    * throwing — the [[charlmScoreOf]] form-selection probe. The cap
+    * check collects `limit(cap+1)` rows, NOT `count()`: one scan decides
+    * AND delivers the model when it fits.
+    */
+  private[graft] def collectCharLmModelOpt(counts: DataFrame, ctx: DataFrame,
+      vocab: DataFrame): Option[(Map[String, Long], Map[String, Long], Long)] = {
+    val bgRows = counts.limit(CharLmLiteralMax + 1).collect()
+    if (bgRows.length > CharLmLiteralMax) None
+    else {
+      val mBg = bgRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mA = ctx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Some((mBg, mA, vocab.collect()(0).getLong(0)))
+    }
   }
 
   /** Persist the trained model as catalog tables (`table` = bigram
@@ -548,6 +602,9 @@ object HygieneOps {
     graft.operators.VectorOps.clearStaleLocation(spark, table + "_ctx")
     counts.write.mode("overwrite").format("parquet").saveAsTable(table)
     ctx.crossJoin(vocab).write.mode("overwrite").format("parquet").saveAsTable(table + "_ctx")
+    // a REBUILD at the same (warehouse, name) must re-arm the streaming
+    // gate's once-per-JVM emptiness check (CharLmGate r16 ADVICE)
+    graft.streaming.CharLmGate.invalidate(spark, table)
   }
 
   /** Score `sfDir`'s documents against the PERSISTED model — no

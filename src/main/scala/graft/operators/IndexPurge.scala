@@ -171,7 +171,15 @@ object IndexPurge {
         s"purge marker $marker exists without its staging table $staging — " +
           "manual intervention required (the staged survivor set is gone)")
       spark.catalog.refreshTable(marker)
-      val claimed = spark.table(marker).collect().head.getLong(1)
+      // a crash between the marker table's creation and its (non-atomic)
+      // content write can leave a committed-but-EMPTY marker — surface
+      // that as an actionable state, not a bare NoSuchElementException
+      val claimed = spark.table(marker).collect().headOption.getOrElse(
+        throw new IllegalStateException(
+          s"purge marker $marker exists but is EMPTY (crash mid-marker-write) — " +
+            s"the claim epoch is unrecoverable from it; inspect $staging vs $table " +
+            "manually, then drop the marker (and staging if stale) to re-arm purge"))
+        .getLong(1)
       if (IndexEpoch.current(spark, table) == claimed) {
         spark.catalog.refreshTable(staging)
         writeLike(spark, staging, spark.table(staging), table)

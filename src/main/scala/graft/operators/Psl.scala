@@ -77,7 +77,15 @@ object Psl {
     "cdn.prod.atlassian-dev.net",
     "s3.eu-west-2.amazonaws.com",
     "s3.dualstack.eu-west-2.amazonaws.com",
-    "*.compute.amazonaws.com")
+    "*.compute.amazonaws.com",
+    // same-string normal + wildcard pair (real Platform.sh entries): the
+    // rule-kind shape whose collapse the r15 ADVICE flagged — a host
+    // EQUAL to the normal rule is a public suffix by the normal rule
+    // (the wildcard only fires one label deeper). Shipped so the
+    // DuckDB-oracled url_registrable key witnesses all three evaluation
+    // forms (Column, broadcast-join, generated SQL) on the pair every
+    // correctness run, not just in WebSpec's generated slice.
+    "platformsh.site", "*.platformsh.site")
 
   /** Longest rule length the evaluation chains check (labels, wildcard
     * star included) — 5, the full list's maximum (round 15; was 3).

@@ -603,6 +603,56 @@ object VectorOps {
     slice(reverse(array_sort(array(centSimsFor(cents, embCol, Some(nrmCol)): _*))), 1, m),
     s => s.getField("c"))
 
+  /** Cell assignment as a BROADCAST JOIN against the codebook table —
+    * the large-k form of [[topCellsFor]] (r16 verdict task 5). The
+    * literal form inlines every centroid as an expression constant:
+    * exactly right up to the few-hundred-centroid range (k = √N at sf
+    * scales, PqEncode's fixed ks = 256), but at 100 TB an IVF coarse
+    * quantizer carries k ≈ 10⁵–10⁶ centroids — megabytes of literals
+    * re-analyzed per plan and far past janino's method limit (the
+    * measured ann_pq failure mode). Here the codebook is DATA: one
+    * broadcast nested-loop join streams each vector past the k
+    * broadcast rows and a bounded [[graft.functions.TopK]] partial
+    * aggregation keeps the m best cells — the same N·k dot products
+    * the literal form computes (assignment cost is irreducible without
+    * a hierarchical quantizer), but the PLAN is O(1) in k and the only
+    * exchange carries N×m assignment rows (what the index write
+    * materializes anyway). Same similarity arithmetic, same
+    * (sim DESC, cell ASC) tie rule — pinned row-identical to the
+    * literal form in VectorSpec, with the plan asserted to carry the
+    * broadcast and no centroid literals. Crossover documented in
+    * SURVEY §6: inline up to ~10³ centroids, join beyond.
+    *
+    * Input frame needs `vec_id` + `embCol`; emits `(vec_id, cells)`
+    * with `cells` the m cell ids, best first. Zero-norm vectors keep
+    * the literal form's NaN ordering only when the corpus has none
+    * (the synthetic and any L2-normalized corpus) — documented, not
+    * pinned.
+    */
+  private[graft] def cellAssignJoin(e: DataFrame, centsDf: DataFrame,
+      embCol: String, m: Int): DataFrame = {
+    import graft.functions.TopK.top_k
+    e.select(col("vec_id"), col(embCol), normCol(embCol).as("__nrm"))
+      .crossJoin(broadcast(centsDf.select(col("c"), col("cent"), col("cn"))))
+      .select(col("vec_id"),
+        (float_dot(col(embCol), col("cent")) / (col("__nrm") * col("cn"))).as("__s"),
+        col("c"))
+      .groupBy("vec_id")
+      .agg(top_k(col("__s"), col("c").cast("long"), col("c").cast("long"), m).as("__tk"))
+      .select(col("vec_id"),
+        transform(col("__tk"), t => t.getField("id").cast("int")).as("cells"))
+  }
+
+  /** The codebook as the join-form table `(c, cent, cn)` — the shape
+    * [[cellAssignJoin]] consumes; at full scale this is the persisted
+    * codebook artifact read back, not an in-memory Seq.
+    */
+  private[graft] def centsDfOf(spark: SparkSession,
+      cents: Seq[(Int, Array[Float], Double)]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("c", "cent", "cn")
+  }
+
   /** The probe-join stage over any assignment frame `(vec_id, embedding,
     * nrm, cent, cidx, cell)` — shared by the inline path and the
     * persisted-index path ([[annIvfIndexed]] reads assignments from the

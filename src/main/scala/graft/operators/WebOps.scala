@@ -191,7 +191,18 @@ object WebOps {
         concat(lit(" unk https://x"), m(3), lit(".y"), m(2),
           lit(".unlisted/u"))).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(17)) === 0,
-        concat(lit(" apex https://co.uk/x"))).otherwise(lit(""))).as("text"))
+        concat(lit(" apex https://co.uk/x"))).otherwise(lit("")),
+      // the x + *.x rule-kind pair (platformsh.site + *.platformsh.site):
+      // host EQUAL to the normal rule (no registrable domain), one label
+      // under the wildcard (public suffix, null), and two labels under
+      // (registrable = the whole 4-label host) — the r15-ADVICE shape,
+      // oracle-witnessed on every correctness run
+      when(pmod(col("doc_id"), lit(19)) === 0,
+        lit(" pair https://platformsh.site/apex")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        concat(lit(" one https://a"), m(3), lit(".platformsh.site/w"),
+          lit(" two https://b"), m(2), lit(".a"), m(3),
+          lit(".platformsh.site/z"))).otherwise(lit(""))).as("text"))
   }
 
   /** Shared DuckDB fragment mirroring [[decoratedPsl]]. */
@@ -218,6 +229,14 @@ object WebOps {
       |            '.y' || CAST(doc_id % 2 AS VARCHAR) || '.unlisted/u'
       |       ELSE '' END ||
       |  CASE WHEN doc_id % 17 = 0 THEN ' apex https://co.uk/x'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 19 = 0 THEN ' pair https://platformsh.site/apex'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 23 = 0
+      |       THEN ' one https://a' || CAST(doc_id % 3 AS VARCHAR) ||
+      |            '.platformsh.site/w' ||
+      |            ' two https://b' || CAST(doc_id % 2 AS VARCHAR) ||
+      |            '.a' || CAST(doc_id % 3 AS VARCHAR) || '.platformsh.site/z'
       |       ELSE '' END AS text
       |FROM documents""".stripMargin
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.HygieneOps
 
@@ -61,10 +61,25 @@ object CharLmGate {
     */
   private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private def cacheKeyOf(s: SparkSession, lmTable: String): String =
+    s.sessionState.conf.warehousePath + "#" + lmTable
+
+  /** Drop a table's validation-cache entry so the next [[withLmDecisions]]
+    * re-runs the emptiness probe. The JVM-lifetime cache is sound only
+    * while the model artifact is train-once; a REBUILD at the same
+    * (warehouse, name) — legal via [[HygieneOps.writeCharLmTable]] — must
+    * re-arm the check or a rebuilt-empty table would skip the guard
+    * forever and surface as an opaque downstream join result (r16
+    * ADVICE). The writers call this on every (re)write.
+    */
+  def invalidate(s: SparkSession, lmTable: String): Unit = {
+    validated.remove(cacheKeyOf(s, lmTable)): Unit
+  }
+
   def withLmDecisions(batch: DataFrame, lmTable: String, maxBits: Double): DataFrame = {
     val s = batch.sparkSession
     val ctxV = s.table(lmTable + "_ctx")
-    val cacheKey = s.sessionState.conf.warehousePath + "#" + lmTable
+    val cacheKey = cacheKeyOf(s, lmTable)
     if (!validated.contains(cacheKey)) {
       require(ctxV.limit(1).count() == 1,
         s"charlm model table ${lmTable}_ctx is empty — train first (writeCharLmTable)")

@@ -591,12 +591,19 @@ object StreamMerge {
                 val (_, tSink) = timed(onBatch(out, batchId))
                 // novel unflagged rows keep their original-text
                 // signatures; scrubbed rows ALSO sign the post-surgery
-                // text (dual-sign — one idempotent append covers both)
+                // text (dual-sign — one idempotent append covers both).
+                // Bands a small cut leaves untouched re-sign to the SAME
+                // (doc_id, band_id, bh, sig) row — the common case —
+                // so dedupe before appending or the index (and its
+                // staleness accounting) permanently carries byte-equal
+                // twins (r16 ADVICE; flagging itself was immune via the
+                // min-struct agg)
                 val novel = banded.join(flags.select("doc_id"), Seq("doc_id"), "left_anti")
                 val resigned = DedupOps.bandedSigs(
                   scrubbed.filter(col("decision") === "scrubbed").select("doc_id", "text"))
                 val (appended, tAppend) = timed(DedupGate.appendBandedIdempotent(
-                  s, novel.unionByName(resigned), sigTable))
+                  s, novel.unionByName(resigned)
+                    .dropDuplicates("doc_id", "band_id", "bh", "sig"), sigTable))
                 onGateTimings(GateStageTimings(
                   batchId, tSig, tProbe, tSink, tAppend, appended))
                 onSpanTimings(SpanGateTimings(batchId, tSelect, tSpanProbe, tSink))

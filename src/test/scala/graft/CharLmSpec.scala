@@ -122,6 +122,37 @@ class CharLmSpec extends AnyFunSuite {
     }
   }
 
+  test("one-scan driver trainer ≡ the collected charlmModelOf frames (bigram, ctx, vocab)") {
+    import spark.implicits._
+    // corpus with the edge the vocab derivation must keep: a single-char
+    // doc whose char appears in NO bigram, plus a supplementary-plane
+    // code point (surrogate-pair first-char grouping)
+    val base = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, "Ø"), (900002L, "😀ab"), (900003L, ""))
+        .toDF("doc_id", "text"))
+    val (c, x, v) = HygieneOps.charlmModelOf(base)
+    val slow = HygieneOps.collectCharLmModel(c, x, v)
+    val fast = HygieneOps.trainCharLmDriver(base)
+    assert(fast.contains(slow),
+      s"driver trainer diverged: vocab ${fast.map(_._3)} vs ${slow._3}; " +
+        s"ctx diff ${fast.map(_._2.toSet.diff(slow._2.toSet))}")
+    // and over-cap reports None (the join-form fallback signal)
+    val chars = (0 until 105).map(i => (0x4E00 + i).toChar)
+    val big = chars.zipWithIndex.map { case (ch, i) =>
+      (i.toLong, chars.map(cj => s"$ch$cj").mkString)
+    }.toDF("doc_id", "text")
+    assert(HygieneOps.trainCharLmDriver(big).isEmpty)
+    // ...as does blowing the aggregate's own domain bound (buffer
+    // overflow path: >65536 distinct bigrams → counters stop admitting
+    // keys and the flag, not a wrong model, comes back)
+    val chars300 = (0 until 300).map(i => (0x4E00 + i).toChar)
+    val huge = chars300.zipWithIndex.map { case (ch, i) =>
+      (i.toLong, chars300.map(cj => s"$ch$cj").mkString)
+    }.toDF("doc_id", "text")
+    assert(HygieneOps.trainCharLmDriver(huge).isEmpty)
+  }
+
   test("a model above the literal cap scores through the join path; the literal collect refuses") {
     import spark.implicits._
     // 105 distinct CJK chars → >10k distinct bigrams: a stand-in for a

