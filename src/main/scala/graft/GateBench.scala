@@ -404,42 +404,7 @@ object GateBench {
       onSpanTimings = t => { scrubTimings.add(t): Unit })
       .option("checkpointLocation", ckpt4)
       .start()
-    val sWalls = ArrayBuffer.empty[Double]
-    for (b <- 0 until HygWarmup + HygieneBatches) {
-      // 6000000L base: disjoint from the novel-doc id range (5000000L +
-      // b*1000 + k) — a clashing id would cross-wire the per-doc span
-      // join inside the batch
-      val contam = (0 until 4).map { i =>
-        val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
-        (6000000L + b * 100 + i, "leading words " + t + " trailing words",
-          at(100L + b))
-      }
-      input4.addData(withInjected(batchRows(b), contam))
-      val t0 = System.nanoTime()
-      q4.processAllAvailable()
-      val wall = (System.nanoTime() - t0) / 1e9
-      if (b >= HygWarmup) sWalls += wall
-    }
-    q4.stop()
-    val scrubMed = median(sWalls.toSeq)
-    val scrubT = scrubTimings.asScala.toVector
-    def scrubMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
-      if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
-    val scrub =
-      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
-        s""""median_wall":${f4(scrubMed)},"walls":${wallsJson(sWalls.toSeq)},""" +
-        s""""flag_median_wall":${f4(decMed)},""" +
-        s""""scrub_vs_flag_ratio":${f4(scrubMed / decMed)},""" +
-        s""""overhead_ratio":${f4(scrubMed / baseEarlyMed)},""" +
-        s""""scrubbed_total":${scrubbedTotal.get()},""" +
-        s""""gutted_total":${guttedTotal.get()},""" +
-        s""""span_select_med":${f4(scrubMedOf(_.selectSec))},""" +
-        s""""span_probe_med":${f4(scrubMedOf(_.probeSec))},""" +
-        s""""span_sink_med":${f4(scrubMedOf(_.sinkSec))},""" +
-        s""""warm_jvm_bias":"epilogue runs in the baseline- and flag-warmed JVM; ratios are mild underestimates",""" +
-        s""""input_bias":"+4 contaminated docs/batch vs the baseline windows (same as the flag epilogue, so scrub_vs_flag_ratio carries no input bias)"}"""
-
-    // PRODUCTION-chain A/B epilogue (round 15): the complete stack —
+    // PRODUCTION-chain epilogue setup (round 15): the complete stack —
     // persisted-model LM gate + near-dup gate + span scrub + PII
     // redaction — through gatedIngestPipelineProduction with the same
     // generator and injection, measuring what the WHOLE curation chain
@@ -473,21 +438,71 @@ object GateBench {
       onSpanTimings = t => { prodTimings.add(t): Unit })
       .option("checkpointLocation", ckpt5)
       .start()
+
+    // INTERLEAVED A/B drive (r16 verdict task 2): scrub-only and
+    // production windows alternate batch-by-batch within ONE run, window
+    // order swapped every batch — a host burst then lands on ADJACENT
+    // windows of BOTH pipelines and cancels in the per-pair ratio. The
+    // sequential blocks this replaces showed 30-50% median swings between
+    // bit-identical runs (8.58/12.78/9.08 s across three r16 records),
+    // which made the level prod/scrub ratio unreadable as evidence.
+    // Inputs are IDENTICAL per pair: batchRows(b) + 4 contaminated docs
+    // (id bases 6000000L scrub / 7000000L production keep the streams'
+    // ids out of every batchRows range — withInjected asserts it).
+    val sWalls = ArrayBuffer.empty[Double]
     val pWalls = ArrayBuffer.empty[Double]
-    for (b <- 0 until HygWarmup + HygieneBatches) {
+    def driveWindow(input: MemoryStream[(Long, String, java.sql.Timestamp)],
+        q: org.apache.spark.sql.streaming.StreamingQuery, idBase: Long,
+        b: Int): Double = {
       val contam = (0 until 4).map { i =>
         val (_, t) = evalSlice((b * 4 + i) % evalSlice.length)
-        (7000000L + b * 100 + i, "leading words " + t + " trailing words",
+        (idBase + b * 100 + i, "leading words " + t + " trailing words",
           at(100L + b))
       }
-      input5.addData(withInjected(batchRows(b), contam))
+      input.addData(withInjected(batchRows(b), contam))
       val t0 = System.nanoTime()
-      q5.processAllAvailable()
-      val wall = (System.nanoTime() - t0) / 1e9
-      if (b >= HygWarmup) pWalls += wall
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
     }
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      val (sw, pw) = if (b % 2 == 0) {
+        val s = driveWindow(input4, q4, 6000000L, b)
+        val p = driveWindow(input5, q5, 7000000L, b)
+        (s, p)
+      } else {
+        val p = driveWindow(input5, q5, 7000000L, b)
+        val s = driveWindow(input4, q4, 6000000L, b)
+        (s, p)
+      }
+      if (b >= HygWarmup) { sWalls += sw; pWalls += pw }
+    }
+    q4.stop()
     q5.stop()
+    val scrubMed = median(sWalls.toSeq)
+    val scrubT = scrubTimings.asScala.toVector
+    def scrubMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
+      if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
+    val scrub =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(scrubMed)},"walls":${wallsJson(sWalls.toSeq)},""" +
+        s""""flag_median_wall":${f4(decMed)},""" +
+        s""""scrub_vs_flag_ratio":${f4(scrubMed / decMed)},""" +
+        s""""overhead_ratio":${f4(scrubMed / baseEarlyMed)},""" +
+        s""""scrubbed_total":${scrubbedTotal.get()},""" +
+        s""""gutted_total":${guttedTotal.get()},""" +
+        s""""span_select_med":${f4(scrubMedOf(_.selectSec))},""" +
+        s""""span_probe_med":${f4(scrubMedOf(_.probeSec))},""" +
+        s""""span_sink_med":${f4(scrubMedOf(_.sinkSec))},""" +
+        s""""warm_jvm_bias":"windows run interleaved with the production stream in the baseline- and flag-warmed JVM; ratios vs earlier blocks are mild underestimates",""" +
+        s""""input_bias":"+4 contaminated docs/batch vs the baseline windows (same as the flag epilogue, so scrub_vs_flag_ratio carries no input bias)"}"""
+
     val prodMed = median(pWalls.toSeq)
+    // burst-robust evidence: each pair's windows ran back-to-back on the
+    // same input, so their ratio is insensitive to the level shifts that
+    // moved whole sequential blocks; the MEDIAN of pair ratios is the
+    // number to read (a single stalled window perturbs one pair only)
+    val pairRatios = pWalls.zip(sWalls).map { case (p, s) => p / s }
+    val pairMed = median(pairRatios.toSeq)
     val prodT = prodTimings.asScala.toVector
     def prodMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (prodT.isEmpty) 0.0 else median(prodT.map(f))
@@ -498,11 +513,13 @@ object GateBench {
         s""""overhead_ratio":${f4(prodMed / baseEarlyMed)},""" +
         s""""scrub_only_median_wall":${f4(scrubMed)},""" +
         s""""prod_vs_scrub_ratio":${f4(prodMed / scrubMed)},""" +
+        s""""prod_vs_scrub_pair_ratios":${wallsJson(pairRatios.toSeq)},""" +
+        s""""prod_vs_scrub_pair_median":${f4(pairMed)},""" +
         s""""kept_total":${prodKept.get()},""" +
         s""""span_select_med":${f4(prodMedOf(_.selectSec))},""" +
         s""""span_probe_med":${f4(prodMedOf(_.probeSec))},""" +
         s""""span_sink_med":${f4(prodMedOf(_.sinkSec))},""" +
-        s""""warm_jvm_bias":"epilogue runs last in a fully warmed JVM; ratios are mild underestimates",""" +
+        s""""methodology":"scrub and production windows INTERLEAVED per batch, order alternating — pair ratios cancel host bursts (r16 task 2); read prod_vs_scrub_pair_median",""" +
         s""""input_bias":"+4 contaminated docs/batch vs the baseline windows; same volume as the flag/scrub epilogues"}"""
 
     val out =

@@ -389,6 +389,55 @@ object WebOps {
   private def domainCap(spark: SparkSession, sfDir: String): DataFrame =
     domainCapOf(decorated(docs(spark, sfDir))).orderBy("doc_id")
 
+  /** How many counters the domain heavy-hitter sketch carries — 5, so the
+    * share threshold is 1/6 ≈ 16.7 %: on the decorated corpus the CDN
+    * domain (~24 %) and the blocklisted domain (~19 %) are heavy while
+    * each content domain (~11 %) is not, and 7 distinct domains over 5
+    * slots means eviction genuinely fires.
+    */
+  private[graft] val DomainHeavyK = 5
+
+  /** Dominant registrable domains of the corpus' URLs — the crawl-ops
+    * question ("which domains dominate this snapshot?") behind per-domain
+    * budget decisions like [[domainCapOf]], computed as the same TWO-PASS
+    * heavy-hitters composition as `heavy_hitters` at its second grain
+    * (r16 verdict task 7): pass 1 runs `misra_gries(domain, k)` — one
+    * GLOBAL group, but every partial buffer is ≤ k counters, so the
+    * all-to-one merge moves |tasks|·k rows, never the domain domain;
+    * pass 2 recounts ONLY the ≤ k candidates exactly (broadcast map-side
+    * filter + a bounded-cardinality partial-agg groupBy) and keeps
+    * domains with cnt·(k+1) > n. The Misra-Gries superset guarantee
+    * makes the restriction lossless, so the output equals the exact
+    * full-domain answer — the DuckDB oracle computes exactly that, and
+    * an oracle pass IS the guarantee witness at this grain too.
+    *
+    * Scale shape (100 TB): URL extraction and domain resolution are
+    * narrow codegen'd maps; nothing domain-cardinality-sized ever
+    * shuffles (the exact `domain_stats` groupBy moves the whole distinct
+    * domain set — fine for stats, wasteful when only the ≥ 1/(k+1) head
+    * is wanted).
+    */
+  private def domainHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MisraGries.misra_gries
+    import org.apache.spark.sql.expressions.Window
+    val k = DomainHeavyK
+    val doms = urlsOf(decorated(docs(spark, sfDir)))
+      .filter(col("domain").isNotNull).select("domain")
+    val cand = doms
+      .agg(misra_gries(col("domain"), k).as("cands"), count(lit(1)).as("n"))
+      .select(col("n"), explode(col("cands")).as("c"))
+      .select(col("n"), col("c.item").as("domain"))
+    // the survivor set is ≤ k rows — the global rank window is bounded
+    val w = Window.orderBy(col("cnt").desc, col("domain"))
+    doms.join(broadcast(cand), Seq("domain"))
+      .groupBy("domain", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_ppm", expr("cnt * 1000000 DIV n"))
+      .select("rank", "domain", "cnt", "n", "share_ppm")
+      .orderBy("rank")
+  }
+
   // ---- declarations ------------------------------------------------------
 
   private val UrlsSqlCte: String =
@@ -433,6 +482,28 @@ object WebOps {
               |       (p.domain IS NULL OR r.rank <= $DomainCapN) AS keep
               |FROM p LEFT JOIN r USING (doc_id)
               |ORDER BY p.doc_id""".stripMargin)),
+
+    "domain_heavy_hitters" -> QueryDef(domainHeavyHitters,
+      // the oracle computes the EXACT full-domain answer; equality with
+      // the sketch-restricted two-pass form witnesses the Misra-Gries
+      // superset guarantee on this corpus (the heavy_hitters stance)
+      Some(s"""WITH d AS ($DecoratedSql),
+              |u AS (
+              |  SELECT unnest(regexp_extract_all(text, '$UrlRe')) AS url
+              |  FROM d),
+              |h AS (
+              |  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host
+              |  FROM u),
+              |dm AS (
+              |  SELECT domain FROM (
+              |    SELECT ${Psl.sqlRegistrableDomain("host")} AS domain FROM h)
+              |  WHERE domain IS NOT NULL),
+              |t AS (SELECT count(*) AS n FROM dm),
+              |c AS (SELECT domain, count(*) AS cnt FROM dm GROUP BY 1)
+              |SELECT row_number() OVER (ORDER BY cnt DESC, domain) AS rank,
+              |       domain, cnt, n, cnt * 1000000 // n AS share_ppm
+              |FROM c, t WHERE cnt * ${DomainHeavyK + 1} > n
+              |ORDER BY rank""".stripMargin)),
 
     "url_registrable" -> QueryDef(urlRegistrable,
       Some(s"""WITH d AS ($DecoratedPslSql),

@@ -16,7 +16,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * progress events, which are print-and-lose unless something retains
   * them. Retention is bounded by construction (`capacity` most-recent
   * events): an ops view wants the recent window; unbounded history
-  * belongs in an external sink, not driver memory.
+  * belongs in an external sink, not driver memory — [[flushTo]] is that
+  * handoff (idempotent ring → parquet rotation).
   *
   * Thread-safety: progress events arrive on Spark's listener bus thread
   * while readers snapshot from test/ops threads — all buffer access is
@@ -49,6 +50,52 @@ final class GateMetrics(capacity: Int = 1024) extends StreamingQueryListener {
     val out = Seq.newBuilder[GateMetrics.BatchMetric]
     buf.forEach(m => out += m)
     out.result()
+  }
+
+  /** Test/replay seam: re-offer a metric to the ring outside the listener
+    * bus (the bus event types have private constructors, so a crash
+    * between [[flushTo]]'s append and its rotation can only be simulated
+    * by refilling the ring with the already-persisted rows).
+    */
+  private[graft] def offer(m: GateMetrics.BatchMetric): Unit = buf.synchronized {
+    buf.addLast(m)
+    while (buf.size > capacity) { buf.removeFirst(): Unit }
+  }
+
+  /** Rotate the retained ring into a persisted parquet sink — the
+    * external-history handoff the class doc promises: the ring stays the
+    * bounded RECENT window, the sink owns unbounded history. Appends only
+    * snapshot rows whose (run_id, batch_id) — a progress event's identity
+    * — is not already persisted (the `appendNewSigsIdempotent` anti-join
+    * discipline), then drops the flushed rows from the ring. At-least-once
+    * callers are safe: a periodic flusher that retries after a failure, or
+    * a crash between append and rotation, re-offers the same rows and the
+    * anti-join lands them exactly once. Returns the rows appended.
+    *
+    * Scale shape: both sides of the anti-join are metric-scale (≤ capacity
+    * ring rows vs the sink's key projection — batch counts, not data), so
+    * a flush is a driver-cheap maintenance action at any corpus size; a
+    * deployment calls it on a timer or every N batches beside the query.
+    */
+  def flushTo(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    val snap = snapshot
+    if (snap.isEmpty) return 0L
+    val df = snap.toDF()
+    val existing =
+      try Some(spark.read.parquet(path).select("run_id", "batch_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = existing.fold(df)(e => df.join(e, Seq("run_id", "batch_id"), "left_anti"))
+      // toDF on the case class yields key columns first after the join
+      // moves them — restore the declared column order so every flush
+      // generation lands schema-identical
+      .select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val appended = novel.count()
+    if (appended > 0) novel.write.mode("append").parquet(path)
+    // rotation AFTER the append commits: a crash in between re-offers
+    // the rows and the anti-join absorbs them
+    buf.synchronized { snap.foreach(m => buf.removeFirstOccurrence(m): Unit) }
+    appended
   }
 
   /** The retained window as a DataFrame — joinable against the audit log

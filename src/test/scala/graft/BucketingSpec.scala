@@ -54,6 +54,86 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
   }
 
+  // ---- structural plan asserts (r16 ADVICE: matching plan-STRING
+  // fragments like "SelectedBucketsCount: 8 out of 8" / "INSET" /
+  // "Exchange" is brittle against Spark rendering changes — assert the
+  // plan STRUCTURE instead; the dense-probe test below set the pattern)
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+
+  // QueryStageExec nodes (AQE, present once the frame has EXECUTED) hide
+  // their subtree in `.plan` with no children — descend them too
+  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flattenPlan(a.executedPlan)
+    case q: QueryStageExec => p +: flattenPlan(q.plan)
+    case r: ReusedExchangeExec => p +: flattenPlan(r.child)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
+
+  /** File scans of `table` in df's EXECUTED plan; fails when there are none
+    * (a missing scan would make any per-scan assert vacuous).
+    */
+  private def bucketScansOf(df: DataFrame, table: String): Seq[FileSourceScanExec] = {
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == table) => s
+    }
+    assert(scans.nonEmpty,
+      s"no file scan of table $table in\n${df.queryExecution.executedPlan}")
+    scans
+  }
+
+  /** The structural fact behind the old `SelectedBucketsCount` string
+    * check, made strictly stronger: some scan of `table` is BUCKETED and
+    * carries a bucket-pruning set (`optionalBucketSet` defined — exactly
+    * the condition under which Spark prints that fragment, now pinned to
+    * the right table). With `maxSelected`, the set must also be a GENUINE
+    * subset of at most that many buckets — presence alone can be
+    * "N out of N" (see the dense-probe test's inverse assert).
+    */
+  private def assertBucketPruning(df: DataFrame, table: String, what: String,
+      maxSelected: Option[Int] = None): Unit = {
+    val ok = bucketScansOf(df, table).exists { s =>
+      s.relation.bucketSpec.isDefined && s.optionalBucketSet.isDefined &&
+        maxSelected.forall { m =>
+          val sel = s.optionalBucketSet.get.cardinality()
+          sel <= m && sel < s.relation.bucketSpec.get.numBuckets
+        }
+    }
+    assert(ok, s"$what: no bucket-pruned scan of $table" +
+      maxSelected.fold("")(m => s" selecting a strict subset of ≤ $m buckets") +
+      s" in\n${df.queryExecution.executedPlan}")
+  }
+
+  /** Some scan of `table` plants an In/InSet literal filter on `colName` —
+    * the sparse probe's pruning source (the structural form of the old
+    * `INSET`/`IN (` fragment match).
+    */
+  private def assertPlantedInFilter(df: DataFrame, table: String, colName: String,
+      what: String): Unit = {
+    val planted = bucketScansOf(df, table).exists { s =>
+      (s.dataFilters ++ s.partitionFilters).exists(_.exists {
+        case i: In => i.value.references.exists(_.name == colName)
+        case i: InSet => i.child.references.exists(_.name == colName)
+        case _ => false
+      })
+    }
+    assert(planted,
+      s"$what: no In/InSet literal filter on $colName over $table in\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  /** No Exchange (shuffle or broadcast) anywhere in the executed plan. */
+  private def assertNoExchange(df: DataFrame, what: String): Unit = {
+    val ex = flattenPlan(df.queryExecution.executedPlan).filter(_.isInstanceOf[Exchange])
+    assert(ex.isEmpty,
+      s"$what: expected an exchange-free plan, found ${ex.map(_.nodeName)} in\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("bucketed join on the bucket key plans no exchange on either side") {
     spark.read.parquet(s"$sfDir/orders.parquet")
       .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
@@ -66,11 +146,15 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(spark.table("customer_b"),
         spark.table("orders_b")("o_custkey") === spark.table("customer_b")("c_custkey"))
       .select("o_orderkey", "c_name")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must not shuffle either side:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
-    assert(plan.contains("Bucketed: true"), s"scan did not use buckets:\n$plan")
+    assertNoExchange(joined, "bucketed join must not shuffle either side")
+    assert(flattenPlan(joined.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }, s"expected a sort-merge or shuffled-hash join:\n${joined.queryExecution.executedPlan}")
+    assert(bucketScansOf(joined, "orders_b").exists(_.bucketedScan) &&
+      bucketScansOf(joined, "customer_b").exists(_.bucketedScan),
+      s"scan did not use buckets:\n${joined.queryExecution.executedPlan}")
 
     // and it computes the same rows as the plain shuffled join
     val plain = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -88,11 +172,8 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
     val probe = VectorOps.probeLshIndex(spark, "lsh_idx", qVec, nBits, k = 3)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"probe filter did not prune index buckets:\n$plan")
-    assert(!plan.contains("Exchange"),
-      s"single-query probe must be exchange-free (scan + TakeOrdered):\n$plan")
+    assertBucketPruning(probe, "lsh_idx", "single-query probe")
+    assertNoExchange(probe, "single-query probe (scan + TakeOrdered)")
     // the pruned probe returns exactly the brute-force top-3 of the
     // probed buckets (the query's own vector included, sim = 1)
     val got = probe.collect().map(_.getLong(0)).toSeq
@@ -118,11 +199,14 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 5), nBits)
       .select(col("vec_id").as("q_id"), col("bucket").as("probe"))
     val joined = spark.table("lsh_idx2").join(q, col("bucket") === col("probe"))
-    val plan = joined.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1,
-      s"expected exactly one exchange (query side only), got $exchanges:\n$plan")
-    assert(plan.contains("Bucketed: true"), s"index side did not use the bucketed scan:\n$plan")
+    val shuffles = flattenPlan(joined.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1,
+      s"expected exactly one shuffle (query side only), got ${shuffles.length}:\n" +
+        joined.queryExecution.executedPlan)
+    assert(bucketScansOf(joined, "lsh_idx2").exists(_.bucketedScan),
+      s"index side did not use the bucketed scan:\n${joined.queryExecution.executedPlan}")
     // every query matches its own signature row in the index (sanity)
     val hits = joined.filter(col("vec_id") === col("q_id")).count()
     assert(hits == 5, s"each query must at least hit its own bucket row, got $hits")
@@ -140,9 +224,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     VectorOps.appendToLshIndex(spark, Seq((999999L, qVec)).toDF("vec_id", "embedding"),
       "lsh_idx3", nBits)
     val probe = VectorOps.probeLshIndex(spark, "lsh_idx3", qVec, nBits, k = 2)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"probe after append lost bucket pruning:\n$plan")
+    assertBucketPruning(probe, "lsh_idx3", "probe after append")
     val top = probe.collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(top.map(_._1).toSet.intersect(Set(2L, 999999L)) == Set(2L, 999999L),
       s"appended vector must be probe-visible with sim 1: ${top.toSeq}")
@@ -244,9 +326,8 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probeCells = cents.map { case (i, arr, nrm) => (i, dot(qVec, arr) / nrm) }
       .sortBy { case (i, s) => (-s, i) }.take(2).map(_._1)
     val probed = spark.table("ivf_idx").filter(col("cell").isin(probeCells: _*))
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"cell probe did not prune the IVF index files:\n$plan")
+    // 2 cell literals over 8 buckets: a genuine strict subset is guaranteed
+    assertBucketPruning(probed, "ivf_idx", "cell probe", maxSelected = Some(2))
     assert(probed.count() > 0)
     // the query's own vector is assigned to its top cell, so it must be
     // among the probed candidates
@@ -277,9 +358,8 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cell-file pruning survives the append (the appended files carry the
     // table's bucket spec)
     val probed = spark.table("ivf_idx2").filter(col("cell") === primary(3L))
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"cell probe lost file pruning after append:\n$plan")
+    assertBucketPruning(probed, "ivf_idx2", "cell probe after append",
+      maxSelected = Some(1))
     assert(probed.filter(col("vec_id") === 999998L).count() >= 1,
       "appended vector must be probe-visible")
     // staleness: exactly one appended vec over the build-time corpus
@@ -384,8 +464,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!after.collect().map(_.getLong(0)).contains(2L),
       "the ANN index must not keep serving a purged vector")
     // the rewritten index still bucket-prunes the probe
-    assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
-      "purge broke bucket pruning")
+    assertBucketPruning(after, "purge_lsh", "probe after purge")
 
     // --- PQ code table: the UNBUCKETED artifact exercises the generic
     // layout path; the frozen books are corpus-level and must survive ---
@@ -493,9 +572,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup_gate_idx2", nBuckets = 8)
     val probe = DedupGate.flagDuplicates(spark,
       Seq(100L -> gateText("s7")).toDF("doc_id", "text"), "dedup_gate_idx2")
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"gate probe did not prune index buckets:\n$plan")
+    assertBucketPruning(probe, "dedup_gate_idx2", "gate probe")
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(100L -> 7L))
     // verification layer: a planted band collision agreeing on only 6/16
     // slots is a candidate, never a flag
@@ -540,8 +617,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a duplicate of the appended doc is flagged through pruned buckets
     val probe = DedupGate.flagDuplicates(spark,
       Seq(6L -> gateText("n")).toDF("doc_id", "text"), "dedup_gate_idx3")
-    assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
-      "append broke bucket pruning")
+    assertBucketPruning(probe, "dedup_gate_idx3", "probe after append")
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(6L -> 5L))
   }
 
@@ -609,8 +685,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // probes still flag and still file-prune on the re-bucketed layout
     val probe = DedupGate.flagDuplicates(spark,
       Seq(100L -> gateText("rb9")).toDF("doc_id", "text"), "dedup_gate_rebuild")
-    assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
-      "rebuild broke bucket pruning")
+    assertBucketPruning(probe, "dedup_gate_rebuild", "probe after rebuild")
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(100L -> 9L))
     // the staging table does not linger
     assert(!spark.catalog.tableExists("dedup_gate_rebuild_rebuild"),
@@ -715,11 +790,9 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> (sgFiller('w', 30) + runB2 + sgFiller('x', 33))) // leaks eval 9002
       .toDF("doc_id", "text")
     val flags = SpanGate.flagLeakSpans(spark, batch, "span_gate_idx")
-    val plan = flags.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"eval-gram probe must file-prune the bucketed index:\n$plan")
-    assert(plan.contains("INSET") || plan.contains(" IN "),
-      s"sparse probe must plant the literal gh filter (the pruning source):\n$plan")
+    assertBucketPruning(flags, "span_gate_idx", "eval-gram sparse probe")
+    assertPlantedInFilter(flags, "span_gate_idx", "gh",
+      "sparse probe must plant the literal gh filter (the pruning source)")
     val rows = flags.collect()
     val byDoc = rows.groupBy(_.getLong(0))
     assert(!byDoc.contains(2L), "clean doc must not flag")
@@ -746,8 +819,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = SpanGate.flagLeakSpans(spark, probe4, "span_gate_idx")
     assert(after.collect().exists(_.getAs[Long]("first_eval") == 9003L),
       "appended benchmark must be probe-visible")
-    assert(after.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
-      "probe must stay file-pruned after the append")
+    assertBucketPruning(after, "span_gate_idx", "probe after eval append")
 
     // DENSE batch (> ProbeLiteralPlanMax distinct gram hashes): the
     // probe must NOT plant tens of thousands of gh literals — that was
@@ -765,27 +837,16 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SpanOps.winnowSites(dense).select("gh").distinct().count() >
       SpanGate.ProbeLiteralPlanMax, "dense fixture must exceed the literal-plan ceiling")
     val denseFlags = SpanGate.flagLeakSpans(spark, dense, "span_gate_idx")
-    // Assert the STRUCTURAL facts, not plan-string rendering (r15 ADVICE:
-    // 'SelectedBucketsCount: 8 out of 8' / INSET fragments are brittle
-    // against Spark formatting changes): the index scan must plant no
+    // Assert the STRUCTURAL facts, not plan-string rendering (r15 ADVICE;
+    // the shared class-level helpers): the index scan must plant no
     // bucket-pruning subset and no gh literal list — the r14 driver-cost
     // trap — and the mark join must be the broadcast hash join.
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
-    val nodes = flatten(denseFlags.queryExecution.executedPlan)
+    val nodes = flattenPlan(denseFlags.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       s"dense probe must filter the index scan through the broadcast mark join:\n" +
         denseFlags.queryExecution.executedPlan)
-    val idxScans = nodes.collect {
-      case s: FileSourceScanExec if s.tableIdentifier.exists(_.table == "span_gate_idx") => s
-    }
-    assert(idxScans.nonEmpty, "the probe must scan the bucketed index table")
+    val idxScans = bucketScansOf(denseFlags, "span_gate_idx")
     idxScans.foreach { s =>
       assert(s.optionalBucketSet.forall(_.cardinality() == 8),
         "dense probe must not plant a bucket-pruning subset (all buckets are hit anyway)")

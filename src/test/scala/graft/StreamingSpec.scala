@@ -2015,6 +2015,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gate metrics flush rotates the ring into an idempotent parquet sink (r16 task 7)") {
+    import graft.streaming.{FrequentItems, GateMetrics, TimedItem}
+    val gm = GateMetrics.attach(spark, capacity = 64)
+    try {
+      val enc = { import spark.implicits._; implicitly[Encoder[TimedItem]] }
+      val input = MemoryStream[TimedItem](enc, spark.sqlContext)
+      val checkpoint = Files.createTempDirectory("graft-spec-gmf-ckpt").toString
+      def phase(is: Seq[TimedItem]): Unit = {
+        input.addData(is)
+        val q = FrequentItems.stream(spark, input.toDS(), k = 4, windowLength = "1 minute")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.count(): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      def at(item: String, sec: Long) = TimedItem(new java.sql.Timestamp(sec * 1000L), item)
+      phase(Seq(at("a", 61), at("b", 62)))
+      phase(Seq(at("c", 300)))
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (gm.snapshot.count(_.input_rows > 0) < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val sink = Files.createTempDirectory("graft-spec-gm-sink").toString + "/metrics"
+      def key(m: GateMetrics.BatchMetric) = (m.run_id, m.batch_id)
+      // listener events trail awaitTermination on the async bus — settle
+      // before snapshotting so the flush sees exactly what we counted
+      def settled(): Seq[GateMetrics.BatchMetric] = {
+        var prev = gm.snapshot
+        var same = 0
+        while (same < 2) {
+          Thread.sleep(200)
+          val now = gm.snapshot
+          if (now == prev) same += 1 else { same = 0; prev = now }
+        }
+        prev
+      }
+      val snap1 = settled()
+      assert(snap1.nonEmpty)
+      // first flush: everything retained lands, ring rotates it out
+      val n1 = gm.flushTo(spark, sink)
+      assert(n1 == snap1.size.toLong, s"first flush appended $n1 of ${snap1.size}")
+      assert(spark.read.parquet(sink).count() == n1)
+      assert(gm.snapshot.intersect(snap1).isEmpty,
+        "flushed rows must leave the ring (rotation)")
+      // replay: a crash between append and rotation re-offers the same
+      // rows — the anti-join lands nothing and the ring drains again
+      snap1.foreach(gm.offer)
+      assert(gm.flushTo(spark, sink) == 0L, "replayed flush must append nothing")
+      assert(spark.read.parquet(sink).count() == n1)
+      assert(gm.snapshot.intersect(snap1).isEmpty)
+      // incremental: new batches flush as NEW rows only
+      phase(Seq(at("d", 500)))
+      val d2 = System.nanoTime() + 30e9.toLong
+      while (gm.snapshot.count(_.input_rows > 0) < 1 && System.nanoTime() < d2)
+        Thread.sleep(100)
+      val snap2 = settled()
+      assert(snap2.map(key).toSet.intersect(snap1.map(key).toSet).isEmpty,
+        "post-rotation ring must hold only unflushed events")
+      val n2 = gm.flushTo(spark, sink)
+      assert(n2 == snap2.size.toLong)
+      val persisted = spark.read.parquet(sink)
+      assert(persisted.count() == n1 + n2)
+      assert(persisted.select("run_id", "batch_id").distinct().count() == n1 + n2,
+        "sink keys must stay unique across flush generations")
+      assert(persisted.columns.toSeq == Seq("query_id", "run_id", "batch_id", "ts",
+        "input_rows", "rows_per_sec", "trigger_ms", "state_rows"),
+        "every flush generation must land schema-identical")
+    } finally spark.streams.removeListener(gm)
+  }
+
   test("incremental data card: per-batch cells fold to the corpus_stats shape, replay-idempotent") {
     import graft.streaming.StreamMerge
     import org.apache.spark.sql.functions.{col, md5, min}

@@ -470,7 +470,8 @@ class VectorSpec extends AnyFunSuite {
   test("cellAssignJoin ≡ literal cell assignment row-for-row; plan broadcasts the codebook, no centroid literals (r16 task 5)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val (cents, e) = VectorOps.ivfAssignments(spark, sfDir, kOpt = None,
@@ -492,8 +493,12 @@ class VectorSpec extends AnyFunSuite {
     // structural plan facts: the codebook rides a broadcast join, and NO
     // centroid materializes as an ARRAY<FLOAT> expression literal (the
     // large-k failure mode the form exists to avoid)
+    // QueryStageExec nodes (AQE, present once the frame has EXECUTED)
+    // hide their subtree in `.plan` with no children — descend them too
     def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case r: ReusedExchangeExec => p +: flatten(r.child)
       case _ => p +: p.children.flatMap(flatten)
     }
     val nodes = flatten(joinForm.queryExecution.executedPlan)
