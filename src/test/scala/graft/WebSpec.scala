@@ -89,6 +89,34 @@ class WebSpec extends AnyFunSuite {
       s"ranks must be the dense 1..N by doc_id: $ranks")
   }
 
+  test("domain_heavy_hitters: eviction genuinely fires and the recount equals the exact head (r16 task 7)") {
+    import graft.functions.MisraGries.misra_gries
+    import graft.operators.{Psl, WebOps}
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val doms = WebOps.urlsOf(WebOps.decorated(docs))
+      .filter(col("domain").isNotNull)
+    // the fixture the key's honesty rests on: more distinct domains than
+    // sketch slots, so Misra-Gries eviction actually engages
+    val k = WebOps.DomainHeavyK
+    val distinctDomains = doms.select("domain").distinct().count()
+    assert(distinctDomains > k,
+      s"fixture must overflow the $k-slot sketch, got $distinctDomains domains")
+    // pass-1 candidates: ≤ k, and a SUPERSET of the true heavy set
+    val cands = doms.agg(misra_gries(col("domain"), k).as("c"))
+      .selectExpr("transform(c, s -> s.item) AS items")
+      .head().getSeq[String](0).toSet
+    assert(cands.size <= k)
+    assert(Set("mirror.io", "badsite.com").subsetOf(cands),
+      s"true heavy domains must survive the sketch: $cands")
+    // end-to-end: exactly the ≥ 1/(k+1)-share head, ranked
+    val got = SparkEntry.queries("domain_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "mirror.io", 2L -> "badsite.com"),
+      s"heavy head wrong: $got")
+    // content domains sit ~11% < 1/6 — present in the corpus, not heavy
+    assert(doms.filter(col("domain").startsWith("example")).count() > 0)
+  }
+
   test("raw-text hygiene: trailing sentence punctuation never rides into the host") {
     import spark.implicits._
     // the advice-r13 evasion scenario: a blocked domain followed by a
