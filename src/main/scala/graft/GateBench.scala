@@ -390,6 +390,8 @@ object GateBench {
     val guttedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     val scrubTimings =
       new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SpanGateTimings]()
+    val scrubGateTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings]()
     val q4 = StreamMerge.gatedIngestPipelineDecontamScrub(
       input4.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable4, evalTable,
       (df: DataFrame, _: Long) => {
@@ -401,6 +403,7 @@ object GateBench {
         guttedTotal.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1)): Unit
       },
       minTokens = 10, minQuality = 0.05,
+      onGateTimings = t => { scrubGateTimings.add(t): Unit },
       onSpanTimings = t => { scrubTimings.add(t): Unit })
       .option("checkpointLocation", ckpt4)
       .start()
@@ -424,6 +427,10 @@ object GateBench {
     val prodKept = new java.util.concurrent.atomic.AtomicLong(0L)
     val prodTimings =
       new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.SpanGateTimings]()
+    val prodGateTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings]()
+    val prodLmSecs =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     val q5 = StreamMerge.gatedIngestPipelineProduction(
       input5.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable5,
       evalTable, "gate_bench_lm_model", Double.MaxValue,
@@ -435,7 +442,9 @@ object GateBench {
         prodKept.addAndGet(if (r.isNullAt(0)) 0L else r.getLong(0)): Unit
       },
       minTokens = 10, minQuality = 0.05,
-      onSpanTimings = t => { prodTimings.add(t): Unit })
+      onGateTimings = t => { prodGateTimings.add(t): Unit },
+      onSpanTimings = t => { prodTimings.add(t): Unit },
+      onLmSec = (_, sec) => { prodLmSecs.add(sec): Unit })
       .option("checkpointLocation", ckpt5)
       .start()
 
@@ -503,6 +512,33 @@ object GateBench {
     // number to read (a single stalled window perturbs one pair only)
     val pairRatios = pWalls.zip(sWalls).map { case (p, s) => p / s }
     val pairMed = median(pairRatios.toSeq)
+    // decomposition of the production premium per ADDED gate, from the
+    // stage walls both pipelines already report: the LM pin is the only
+    // added model cost (onLmSec); dual-sign rides the signature append
+    // (prod appends novel + resigned, scrub novel only → append delta);
+    // PII is fused into the document sink (sink delta also carries the
+    // redacted-vs-text materialization difference). sig/probe deltas
+    // should read ~0 — both chains band and probe the same inserts.
+    def qMed(q: java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings],
+        f: GateStageTimings => Double): Double = {
+      val v = q.asScala.toVector
+      if (v.isEmpty) 0.0 else median(v.map(f))
+    }
+    val lmMed = {
+      val v = prodLmSecs.asScala.toVector.map(_.doubleValue())
+      if (v.isEmpty) 0.0 else median(v)
+    }
+    val decomposition =
+      s"""{"lm_pin_med":${f4(lmMed)},""" +
+        s""""append_med_prod":${f4(qMed(prodGateTimings, _.appendSec))},""" +
+        s""""append_med_scrub":${f4(qMed(scrubGateTimings, _.appendSec))},""" +
+        s""""sink_med_prod":${f4(qMed(prodGateTimings, _.sinkSec))},""" +
+        s""""sink_med_scrub":${f4(qMed(scrubGateTimings, _.sinkSec))},""" +
+        s""""sig_med_prod":${f4(qMed(prodGateTimings, _.sigSec))},""" +
+        s""""sig_med_scrub":${f4(qMed(scrubGateTimings, _.sigSec))},""" +
+        s""""probe_med_prod":${f4(qMed(prodGateTimings, _.probeSec))},""" +
+        s""""probe_med_scrub":${f4(qMed(scrubGateTimings, _.probeSec))},""" +
+        s""""read":"added-gate cost = lm_pin_med (LM) + (append_prod - append_scrub) (dual-sign) + (sink_prod - sink_scrub) (PII + redacted materialization)"}"""
     val prodT = prodTimings.asScala.toVector
     def prodMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (prodT.isEmpty) 0.0 else median(prodT.map(f))
@@ -515,6 +551,7 @@ object GateBench {
         s""""prod_vs_scrub_ratio":${f4(prodMed / scrubMed)},""" +
         s""""prod_vs_scrub_pair_ratios":${wallsJson(pairRatios.toSeq)},""" +
         s""""prod_vs_scrub_pair_median":${f4(pairMed)},""" +
+        s""""decomposition":$decomposition,""" +
         s""""kept_total":${prodKept.get()},""" +
         s""""span_select_med":${f4(prodMedOf(_.selectSec))},""" +
         s""""span_probe_med":${f4(prodMedOf(_.probeSec))},""" +

@@ -497,7 +497,8 @@ object StreamMerge {
       delayThreshold: String = Reassembly.DefaultTtl,
       minTokens: Int = 20, minQuality: Double = 0.4,
       onGateTimings: GateStageTimings => Unit = _ => (),
-      onSpanTimings: SpanGateTimings => Unit = _ => ()): DataStreamWriter[Row] = {
+      onSpanTimings: SpanGateTimings => Unit = _ => (),
+      onLmSec: (Long, Double) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
     val scored = graft.operators.WebOps.withDomainGate(
       graft.operators.TextOps.withQualityScore(docs))
     scored
@@ -517,7 +518,7 @@ object StreamMerge {
       .writeStream
       .outputMode("append")
       .foreachBatch(productionBatch(sigTable, evalGramTable, lmTable, maxBits,
-        minTokens, onBatch, onGateTimings, onSpanTimings) _)
+        minTokens, onBatch, onGateTimings, onSpanTimings, onLmSec) _)
   }
 
   /** The production chain's foreachBatch body — the gate cascade of
@@ -536,7 +537,9 @@ object StreamMerge {
       lmTable: String, maxBits: Double, minTokens: Int,
       onBatch: (DataFrame, Long) => Unit,
       onGateTimings: GateStageTimings => Unit,
-      onSpanTimings: SpanGateTimings => Unit)(batch: DataFrame, batchId: Long): Unit = {
+      onSpanTimings: SpanGateTimings => Unit,
+      onLmSec: (Long, Double) => Unit = (_, _) => ())(
+      batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.GraftShim
     import graft.operators.{DedupOps, SpanOps}
     val s = batch.sparkSession
@@ -550,10 +553,13 @@ object StreamMerge {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     // pin the LM-decided batch ONCE: every stage below filters or joins
-    // back into these rows (its evaluation time lands in the epilogue's
-    // `upstream` bucket, like the fused structural gates)
-    val (decided, decidedRdd) = GraftShim.localCheckpointTracked(
-      CharLmGate.withLmDecisions(batch, lmTable, maxBits))
+    // back into these rows. The pin's wall (the LM scoring join's
+    // materialization — the chain's only added MODEL cost vs the scrub
+    // sibling) is reported via onLmSec so the bench can decompose the
+    // production premium per added gate (r16 verdict task 2).
+    val ((decided, decidedRdd), tLm) = timed(GraftShim.localCheckpointTracked(
+      CharLmGate.withLmDecisions(batch, lmTable, maxBits)))
+    onLmSec(batchId, tLm)
     try {
       val inserts = decided.filter(col("decision") === "insert").select("doc_id", "text")
       val ((banded, bandedRdd), tSig) =
