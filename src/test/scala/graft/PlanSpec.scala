@@ -374,11 +374,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("charlm_quality broadcasts the model to the corpus, never the reverse") {
+  test("charlm_quality scores in one narrow pass — no join at all (r16 task 3)") {
     val p = plan("charlm_quality")
-    // two model joins (bigram counts, context counts) + the V scalar: all broadcast
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"corpus side must not shuffle through a model join:\n$p")
+    // r17: the charset-bounded model ships INSIDE the native CharLmBitSum
+    // constant, so the corpus-facing plan is a pure map — stronger than
+    // the r16 "broadcast the model, never the reverse" fact this test
+    // used to pin (the broadcast-join form remains the unbounded-model
+    // path: CharLmGate/charlmScoreAgainst, pinned bit-identical to this
+    // one in CharLmSpec)
+    assert(p.contains("charlm_bitsum"), s"native scorer missing:\n$p")
+    assert(!p.contains("Join"), s"native scorer must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"only the presentation sort may exchange:\n$p")
   }
 }
