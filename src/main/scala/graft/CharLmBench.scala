@@ -63,10 +63,17 @@ object CharLmBench {
     // warm
     scoreWall(corpus(1000))
     val walls = sizes.map { len =>
-      val d = corpus(len)
-      d.count() // materialize input outside the timed region? (cheap; text is generated in-plan anyway)
-      val reps = (0 until 5).map(_ => scoreWall(d))
-      len -> reps.sorted.apply(reps.length / 2)
+      // pin the generated corpus into executor blocks OUTSIDE the timed
+      // region: a LocalTableScan re-serializes the driver-local rows
+      // (~50 MB at 100 KB×512) into tasks on EVERY rep, which added a
+      // linear shipping constant to every published ns_per_char figure
+      // (r17 review) — localCheckpoint makes the timed region scorer-only
+      val d = corpus(len).localCheckpoint()
+      d.count()
+      try {
+        val reps = (0 until 5).map(_ => scoreWall(d))
+        len -> reps.sorted.apply(reps.length / 2)
+      } finally { d.unpersist(true): Unit }
     }
     val perChar = walls.map { case (len, w) => len -> w / (len.toDouble * nDocs) * 1e9 }
     val ratio = perChar.last._2 / perChar.head._2

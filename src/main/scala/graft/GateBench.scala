@@ -496,6 +496,7 @@ object GateBench {
         s""""median_wall":${f4(scrubMed)},"walls":${wallsJson(sWalls.toSeq)},""" +
         s""""flag_median_wall":${f4(decMed)},""" +
         s""""scrub_vs_flag_ratio":${f4(scrubMed / decMed)},""" +
+        s""""scrub_vs_flag_methodology":"CROSS-BLOCK: flag windows ran as an earlier sequential block, scrub windows interleaved with production — a host-level shift between blocks moves this ratio (the r16 lesson); the interleaved prod_vs_scrub pair ratios are the burst-robust number",""" +
         s""""overhead_ratio":${f4(scrubMed / baseEarlyMed)},""" +
         s""""scrubbed_total":${scrubbedTotal.get()},""" +
         s""""gutted_total":${guttedTotal.get()},""" +
@@ -513,12 +514,18 @@ object GateBench {
     val pairRatios = pWalls.zip(sWalls).map { case (p, s) => p / s }
     val pairMed = median(pairRatios.toSeq)
     // decomposition of the production premium per ADDED gate, from the
-    // stage walls both pipelines already report: the LM pin is the only
-    // added model cost (onLmSec); dual-sign rides the signature append
-    // (prod appends novel + resigned, scrub novel only → append delta);
-    // PII is fused into the document sink (sink delta also carries the
-    // redacted-vs-text materialization difference). sig/probe deltas
-    // should read ~0 — both chains band and probe the same inserts.
+    // COMPARABLE stage buckets only: the LM pin is the only added model
+    // cost (onLmSec); dual-sign rides the signature append (prod appends
+    // novel + resigned, scrub novel only — both pipelines' appendSec
+    // wraps appendBandedIdempotent alone, so the delta is clean); PII is
+    // fused into the DOCUMENT sink, which is SpanGateTimings.sinkSec on
+    // both sides. GateStageTimings' sig/probe/sink are NOT cross-
+    // pipeline comparable and are deliberately excluded: in the scrub
+    // chain gateDecisions' sinkSec wraps the ENTIRE span body
+    // (select+probe+surgery+sink) and its sigSec includes evaluating the
+    // un-pinned upstream plan, where productionBatch pins upstream into
+    // the LM bucket first — comparing those buckets mis-attributed the
+    // premium in the first r17 record (review finding).
     def qMed(q: java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings],
         f: GateStageTimings => Double): Double = {
       val v = q.asScala.toVector
@@ -528,17 +535,22 @@ object GateBench {
       val v = prodLmSecs.asScala.toVector.map(_.doubleValue())
       if (v.isEmpty) 0.0 else median(v)
     }
+    val scrubSpanT = scrubTimings.asScala.toVector
+    val prodSpanT = prodTimings.asScala.toVector
+    def spanMed(v: Vector[graft.streaming.SpanGateTimings],
+        f: graft.streaming.SpanGateTimings => Double): Double =
+      if (v.isEmpty) 0.0 else median(v.map(f))
     val decomposition =
       s"""{"lm_pin_med":${f4(lmMed)},""" +
         s""""append_med_prod":${f4(qMed(prodGateTimings, _.appendSec))},""" +
         s""""append_med_scrub":${f4(qMed(scrubGateTimings, _.appendSec))},""" +
-        s""""sink_med_prod":${f4(qMed(prodGateTimings, _.sinkSec))},""" +
-        s""""sink_med_scrub":${f4(qMed(scrubGateTimings, _.sinkSec))},""" +
-        s""""sig_med_prod":${f4(qMed(prodGateTimings, _.sigSec))},""" +
-        s""""sig_med_scrub":${f4(qMed(scrubGateTimings, _.sigSec))},""" +
-        s""""probe_med_prod":${f4(qMed(prodGateTimings, _.probeSec))},""" +
-        s""""probe_med_scrub":${f4(qMed(scrubGateTimings, _.probeSec))},""" +
-        s""""read":"added-gate cost = lm_pin_med (LM) + (append_prod - append_scrub) (dual-sign) + (sink_prod - sink_scrub) (PII + redacted materialization)"}"""
+        s""""doc_sink_med_prod":${f4(spanMed(prodSpanT, _.sinkSec))},""" +
+        s""""doc_sink_med_scrub":${f4(spanMed(scrubSpanT, _.sinkSec))},""" +
+        s""""span_select_med_prod":${f4(spanMed(prodSpanT, _.selectSec))},""" +
+        s""""span_select_med_scrub":${f4(spanMed(scrubSpanT, _.selectSec))},""" +
+        s""""span_probe_med_prod":${f4(spanMed(prodSpanT, _.probeSec))},""" +
+        s""""span_probe_med_scrub":${f4(spanMed(scrubSpanT, _.probeSec))},""" +
+        s""""read":"added-gate cost = lm_pin_med (LM) + (append_prod - append_scrub) (dual-sign) + (doc_sink_prod - doc_sink_scrub) (PII on keep rows); span select/probe meds are the shared work and should match"}"""
     val prodT = prodTimings.asScala.toVector
     def prodMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (prodT.isEmpty) 0.0 else median(prodT.map(f))

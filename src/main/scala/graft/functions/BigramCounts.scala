@@ -145,62 +145,14 @@ object BigramCounts {
     */
   val MaxChars = 65536
 
-  /** Growable open-addressed long→long counter (linear probing,
-    * Fibonacci hashing, power-of-two capacity) — per-gram updates must
-    * not box. Keys must be ≥ 0 (packed code points are); −1 marks empty.
-    */
-  private final class LongCounter(initialCap: Int) {
-    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2 - 1)
-    private var shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
-    private var keys = new Array[Long](cap)
-    private var vals = new Array[Long](cap)
-    private var n = 0
-
-    java.util.Arrays.fill(keys, -1L)
-
-    def size: Int = n
-
-    def add(k: Long, c: Long): Unit = {
-      var i = ((k * 0x9E3779B97F4A7C15L) >>> shift).toInt
-      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & (cap - 1)
-      if (keys(i) == k) vals(i) += c
-      else {
-        keys(i) = k; vals(i) = c; n += 1
-        if (n * 2 > cap) grow()
-      }
-    }
-
-    def contains(k: Long): Boolean = {
-      var i = ((k * 0x9E3779B97F4A7C15L) >>> shift).toInt
-      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & (cap - 1)
-      keys(i) == k
-    }
-
-    private def grow(): Unit = {
-      val ok = keys; val ov = vals
-      cap *= 2
-      shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
-      keys = new Array[Long](cap); java.util.Arrays.fill(keys, -1L)
-      vals = new Array[Long](cap)
-      n = 0
-      var i = 0
-      while (i < ok.length) { if (ok(i) != -1L) add(ok(i), ov(i)); i += 1 }
-    }
-
-    def entries: Array[(Long, Long)] = {
-      val out = new Array[(Long, Long)](n)
-      var i = 0; var j = 0
-      while (i < keys.length) {
-        if (keys(i) != -1L) { out(j) = (keys(i), vals(i)); j += 1 }
-        i += 1
-      }
-      out
-    }
-  }
+  // per-gram updates go through the shared no-boxing counter
+  // ([[LongTables]] — one probing/capacity implementation for both
+  // charlm halves); keys are packed code points, always ≥ 0
+  import LongTables.LongLongCounter
 
   final class Buf {
-    private val bgs = new LongCounter(1024)
-    private val chars = new LongCounter(256)
+    private val bgs = new LongLongCounter(1024)
+    private val chars = new LongLongCounter(256)
     private var overflow = false
 
     def overflowed: Boolean = overflow

@@ -73,32 +73,12 @@ case class CharLmBitSum(child: Expression, bg: Map[String, Long],
     */
   private def pack(cp1: Int, cp2: Int): Long = (cp1.toLong << 21) | cp2.toLong
 
-  /** Open-addressed long→long map (power-of-two capacity, linear
-    * probing, Fibonacci hashing): per-gram lookups must not box.
-    */
-  private final class LongMap(entries: Iterator[(Long, Long)], n: Int) {
-    private val cap = Integer.highestOneBit(math.max(4, n * 2) * 2 - 1)
-    private val shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
-    private val keys = Array.fill[Long](cap)(-1L)
-    private val vals = new Array[Long](cap)
-    entries.foreach { case (k, value) =>
-      var i = ((k * 0x9E3779B97F4A7C15L) >>> shift).toInt
-      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & (cap - 1)
-      keys(i) = k
-      vals(i) = value
-    }
-    def getOrZero(k: Long): Long = {
-      var i = ((k * 0x9E3779B97F4A7C15L) >>> shift).toInt
-      while (true) {
-        if (keys(i) == k) return vals(i)
-        if (keys(i) == -1L) return 0L
-        i = (i + 1) & (cap - 1)
-      }
-      0L // unreachable
-    }
-  }
+  // per-gram lookups go through the shared no-boxing table
+  // ([[LongTables]] — one probing/capacity implementation for both
+  // charlm halves)
+  import LongTables.LongLongMap
 
-  @transient private lazy val bgTable: LongMap = new LongMap(
+  @transient private lazy val bgTable: LongLongMap = new LongLongMap(
     bg.iterator.map { case (k, c) =>
       require(k.codePointCount(0, k.length) == 2,
         s"charlm bigram model key '$k' is not 2 code points")
@@ -106,7 +86,7 @@ case class CharLmBitSum(child: Expression, bg: Map[String, Long],
       pack(cp1, k.codePointAt(Character.charCount(cp1))) -> c
     }, bg.size)
 
-  @transient private lazy val aTable: LongMap = new LongMap(
+  @transient private lazy val aTable: LongLongMap = new LongLongMap(
     a.iterator.map { case (k, c) =>
       require(k.codePointCount(0, k.length) == 1,
         s"charlm context model key '$k' is not 1 code point")

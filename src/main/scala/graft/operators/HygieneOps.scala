@@ -454,23 +454,58 @@ object HygieneOps {
     * is correct at any size. Both forms are bit-identical (CharLmSpec);
     * output rows are docs with ≥ 1 bigram, either way.
     *
-    * TRAINING here is the one-heavy-scan form ([[trainCharLmDriver]]):
+    * TRAINING here is the one-heavy-scan form ([[trainCharLm]]):
     * collecting [[charlmModelOf]]'s three frames separately re-runs the
     * corpus-wide bigram aggregation for `ctx` and a third explode scan
     * for `vocab` — both derivable from the collected bigram counts plus
     * the (filter-only, no-explode) single-char-doc residue. Three heavy
     * scans → one; this was half the r16 charlm wall (verdict task 3).
+    * An over-cap-but-exact collect keeps that one-scan economy too: the
+    * collected rows become the join-form model frames driver-side
+    * (OverCap below) — only a genuine buffer OVERFLOW retrains through
+    * [[charlmModelOf]] (r17 review).
     */
   private[graft] def charlmScoreOf(d: DataFrame): DataFrame =
-    trainCharLmDriver(d) match {
-      case Some((mBg, mA, vv)) =>
+    trainCharLm(d) match {
+      case CharLmTrain.Literal(mBg, mA, vv) =>
         withCharLmScore(d, mBg, mA, vv)
           .filter(col("n_bigrams") > 0)
           .select("doc_id", "n_bigrams", "bits")
-      case None =>
+      case CharLmTrain.OverCap(bgRows, vv) =>
+        // the one-scan aggregate already paid the corpus pass and its
+        // counts are EXACT — only the literal cap failed, so build the
+        // join-form model frames from the collected rows driver-side
+        // (≤ MaxBigrams rows, the codebook-collect idiom) instead of
+        // re-scanning the corpus three more times through charlmModelOf
+        // (r17 review)
+        val spark = d.sparkSession
+        import spark.implicits._
+        val counts = bgRows.toDF("bg", "c_bg")
+        val ctx = bgRows.groupMapReduce { case (k, _) =>
+          k.substring(0, Character.charCount(k.codePointAt(0)))
+        }(_._2)(_ + _).toSeq.toDF("ch", "c_a")
+        val vocab = Seq(vv).toDF("v")
+        charlmScoreAgainst(d, counts, ctx, vocab)
+      case CharLmTrain.Overflowed =>
+        // the buffer stopped admitting keys: counts are unreliable by
+        // contract — retrain through the any-domain-size explode form
         val (counts, ctx, vocab) = charlmModelOf(d)
         charlmScoreAgainst(d, counts, ctx, vocab)
     }
+
+  /** Outcome of the one-scan trainer: the model as literal maps when it
+    * fits the plan-constant cap, the EXACT collected rows when only
+    * that cap failed (still a valid broadcast-join model — no corpus
+    * re-scan needed), or the overflow signal (counts unreliable,
+    * retrain via [[charlmModelOf]]).
+    */
+  private[graft] sealed trait CharLmTrain
+  private[graft] object CharLmTrain {
+    final case class Literal(bg: Map[String, Long], a: Map[String, Long],
+        v: Long) extends CharLmTrain
+    final case class OverCap(bgRows: Seq[(String, Long)], v: Long) extends CharLmTrain
+    case object Overflowed extends CharLmTrain
+  }
 
   /** Train the literal-form model with ONE scan: the
     * [[graft.functions.BigramCounts]] aggregate folds every partition
@@ -487,20 +522,32 @@ object HygieneOps {
     * Value-identity to charlmModelOf's frames is pinned in CharLmSpec.
     */
   private[graft] def trainCharLmDriver(d: DataFrame)
-      : Option[(Map[String, Long], Map[String, Long], Long)] = {
+      : Option[(Map[String, Long], Map[String, Long], Long)] = trainCharLm(d) match {
+    case CharLmTrain.Literal(bg, a, v) => Some((bg, a, v))
+    case _ => None
+  }
+
+  /** The one-scan trainer's full outcome — [[trainCharLmDriver]] is the
+    * literal-or-nothing view of this; [[charlmScoreOf]] consumes the
+    * OverCap case directly so an over-cap-but-exact collect is never
+    * thrown away and retrained.
+    */
+  private[graft] def trainCharLm(d: DataFrame): CharLmTrain = {
     val row = d.agg(graft.functions.BigramCounts.bigram_counts(col("text")).as("m"))
       .selectExpr("m.bgs AS bgs", "m.chars AS chars", "m.overflow AS overflow")
       .collect()(0)
-    if (row.getBoolean(2)) None
+    if (row.getBoolean(2)) CharLmTrain.Overflowed
     else {
       val bgRows = row.getSeq[org.apache.spark.sql.Row](0)
-      if (bgRows.length > CharLmLiteralMax) None
+        .map(r => r.getString(0) -> r.getLong(1))
+      val v = row.getSeq[String](1).size.toLong
+      if (bgRows.length > CharLmLiteralMax) CharLmTrain.OverCap(bgRows, v)
       else {
-        val mBg = bgRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val mBg = bgRows.toMap
         val mA = mBg.groupMapReduce { case (k, _) =>
           k.substring(0, Character.charCount(k.codePointAt(0)))
         }(_._2)(_ + _)
-        Some((mBg, mA, row.getSeq[String](1).size.toLong))
+        CharLmTrain.Literal(mBg, mA, v)
       }
     }
   }

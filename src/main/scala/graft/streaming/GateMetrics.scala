@@ -77,7 +77,16 @@ final class GateMetrics(capacity: Int = 1024) extends StreamingQueryListener {
     * a flush is a driver-cheap maintenance action at any corpus size; a
     * deployment calls it on a timer or every N batches beside the query.
     */
-  def flushTo(spark: SparkSession, path: String): Long = {
+  /** Serializes [[flushTo]]: two flushes racing the same path would both
+    * pass the anti-join before either append commits and land duplicate
+    * keys the sink can never shed (a timer tick overlapping a batch-hook
+    * call is exactly the documented usage). Cross-PROCESS flushers are
+    * out of scope — the ring is per-JVM driver state, so one listener
+    * has one flusher by construction.
+    */
+  private val flushLock = new Object
+
+  def flushTo(spark: SparkSession, path: String): Long = flushLock.synchronized {
     import spark.implicits._
     val snap = snapshot
     if (snap.isEmpty) return 0L
@@ -85,17 +94,21 @@ final class GateMetrics(capacity: Int = 1024) extends StreamingQueryListener {
     val existing =
       try Some(spark.read.parquet(path).select("run_id", "batch_id"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val novel = existing.fold(df)(e => df.join(e, Seq("run_id", "batch_id"), "left_anti"))
-      // toDF on the case class yields key columns first after the join
-      // moves them — restore the declared column order so every flush
-      // generation lands schema-identical
+    // materialize the novel rows ONCE (metric-scale: ≤ capacity rows) —
+    // count-then-write would run the anti-join and the sink scan twice
+    // and could report a count the write no longer matches
+    val novelRows = existing.fold(df)(e =>
+      df.join(e, Seq("run_id", "batch_id"), "left_anti"))
+      // the using-column join moves the keys to column 0 — restore the
+      // declared order so every flush generation lands schema-identical
       .select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-    val appended = novel.count()
-    if (appended > 0) novel.write.mode("append").parquet(path)
+      .as[GateMetrics.BatchMetric].collect()
+    if (novelRows.nonEmpty)
+      novelRows.toSeq.toDF().write.mode("append").parquet(path)
     // rotation AFTER the append commits: a crash in between re-offers
     // the rows and the anti-join absorbs them
     buf.synchronized { snap.foreach(m => buf.removeFirstOccurrence(m): Unit) }
-    appended
+    novelRows.length.toLong
   }
 
   /** The retained window as a DataFrame — joinable against the audit log

@@ -61,18 +61,9 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.catalyst.expressions.{In, InSet}
-  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-  import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
-
-  // QueryStageExec nodes (AQE, present once the frame has EXECUTED) hide
-  // their subtree in `.plan` with no children — descend them too
-  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: flattenPlan(a.executedPlan)
-    case q: QueryStageExec => p +: flattenPlan(q.plan)
-    case r: ReusedExchangeExec => p +: flattenPlan(r.child)
-    case _ => p +: p.children.flatMap(flattenPlan)
-  }
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.execution.exchange.Exchange
+  import PlanTestUtil.flattenPlan
 
   /** File scans of `table` in df's EXECUTED plan; fails when there are none
     * (a missing scan would make any per-scan assert vacuous).

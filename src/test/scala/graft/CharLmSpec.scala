@@ -178,6 +178,23 @@ class CharLmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CharLmLiteralMax") &&
       e.getMessage.contains("charlmScoreAgainst"),
       s"guard must name the cap and the join-path escape: ${e.getMessage}")
+    // r17: an over-cap-but-exact one-scan collect is NOT thrown away —
+    // the trainer surfaces the rows and charlmScoreOf builds the
+    // join-form model frames from them driver-side, scoring identically
+    // to the corpus-rescanning charlmModelOf frames
+    HygieneOps.trainCharLm(corpus) match {
+      case HygieneOps.CharLmTrain.OverCap(rows, vv) =>
+        assert(rows.size > HygieneOps.CharLmLiteralMax && vv == 105L,
+          s"over-cap collect wrong: ${rows.size} rows, v=$vv")
+      case o => fail(s"expected OverCap from the 105-char fixture, got $o")
+    }
+    val viaOverCap = HygieneOps.charlmScoreOf(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaRescan = HygieneOps.charlmScoreAgainst(corpus, c, x, v)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaOverCap == viaRescan,
+      "over-cap frames must score bit-identically to the rescanned model")
   }
 
   test("score is invariant to corpus partitioning (decimal-sum discipline)") {

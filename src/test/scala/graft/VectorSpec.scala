@@ -469,10 +469,8 @@ class VectorSpec extends AnyFunSuite {
 
   test("cellAssignJoin ≡ literal cell assignment row-for-row; plan broadcasts the codebook, no centroid literals (r16 task 5)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import PlanTestUtil.flattenPlan
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val (cents, e) = VectorOps.ivfAssignments(spark, sfDir, kOpt = None,
       lloydRounds = 2, multiAssign = 2)
@@ -493,15 +491,7 @@ class VectorSpec extends AnyFunSuite {
     // structural plan facts: the codebook rides a broadcast join, and NO
     // centroid materializes as an ARRAY<FLOAT> expression literal (the
     // large-k failure mode the form exists to avoid)
-    // QueryStageExec nodes (AQE, present once the frame has EXECUTED)
-    // hide their subtree in `.plan` with no children — descend them too
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case r: ReusedExchangeExec => p +: flatten(r.child)
-      case _ => p +: p.children.flatMap(flatten)
-    }
-    val nodes = flatten(joinForm.queryExecution.executedPlan)
+    val nodes = flattenPlan(joinForm.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       s"codebook must join broadcast:\n${joinForm.queryExecution.executedPlan}")
     val centLits = nodes.flatMap(_.expressions).flatMap(_.collect {
