@@ -1745,6 +1745,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CharLmGate picks its plan by artifact size: over-cap joins the tables, within-cap scores natively, rebuild re-arms (r17)") {
+    import graft.operators.HygieneOps
+    import graft.streaming.CharLmGate
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 105 distinct CJK chars → >10k distinct bigrams: over CharLmLiteralMax
+    val chars = (0 until 105).map(i => (0x4E00 + i).toChar)
+    val big = chars.zipWithIndex.map { case (c, i) =>
+      (i.toLong, chars.map(cj => s"$c$cj").mkString)
+    }.toDF("doc_id", "text")
+    HygieneOps.writeCharLmTableFrom(spark, big, "lmgate_sized_model")
+    assert(spark.table("lmgate_sized_model").count() > HygieneOps.CharLmLiteralMax,
+      "fixture model must exceed the literal cap")
+    // localCheckpoint: over a raw LocalRelation the optimizer pre-folds
+    // the literal-regime projection into rows (ConvertToLocalRelation)
+    // and the plan-shape asserts below would be vacuous
+    val batch = Seq(
+      (1L, chars.take(40).mkString, "insert"),
+      (2L, "zz", "insert"),                    // 1 bigram, all-miss smoothing path
+      (3L, "short stuff", "short")             // non-insert: unscored, n_bigrams 0
+    ).toDF("doc_id", "text", "decision").localCheckpoint()
+    val out = CharLmGate.withLmDecisions(batch, "lmgate_sized_model", maxBits = 1e9)
+    assert(out.queryExecution.optimizedPlan.toString.contains("lmgate_sized_model"),
+      "an over-cap artifact must keep the broadcast-join plan (tables in the plan)")
+    // scores through the gate ≡ charlmScoreAgainst directly
+    val ctxV = spark.table("lmgate_sized_model_ctx")
+    val want = HygieneOps.charlmScoreAgainst(
+      batch.filter(col("decision") === "insert").select("doc_id", "text"),
+      spark.table("lmgate_sized_model"), ctxV.select("ch", "c_a"),
+      ctxV.select("v").limit(1))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("decision"), r.getAs[Long]("n_bigrams"),
+        Option(r.getAs[java.lang.Double]("bits")).map(_.doubleValue())))).toMap
+    assert(got(1L) == (("insert", want(1L)._1, Some(want(1L)._2))), s"${got(1L)}")
+    assert(got(2L) == (("insert", want(2L)._1, Some(want(2L)._2))), s"${got(2L)}")
+    assert(got(3L) == (("short", 0L, None)), s"non-insert row drifted: ${got(3L)}")
+    // REBUILD at the same name with a charset-bounded model: the writer's
+    // invalidate re-arms the cache, the gate re-collects and switches to
+    // the narrow native plan — no model tables in the plan at all
+    HygieneOps.writeCharLmTableFrom(spark,
+      Seq((1L, "abcabcabc")).toDF("doc_id", "text"), "lmgate_sized_model")
+    val out2 = CharLmGate.withLmDecisions(batch, "lmgate_sized_model", maxBits = 1e9)
+    val plan2 = out2.queryExecution.optimizedPlan.toString
+    assert(!plan2.contains("lmgate_sized_model"),
+      s"within-cap rebuild must score natively, not join the tables:\n${plan2.take(600)}")
+    assert(plan2.contains("charlm_bitsum"),
+      s"native scorer missing from the literal-regime plan:\n${plan2.take(600)}")
+    assert(out2.filter(col("decision") === "insert").count() == 2)
+  }
+
   test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
