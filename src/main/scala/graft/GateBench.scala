@@ -430,7 +430,7 @@ object GateBench {
     val prodGateTimings =
       new java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings]()
     val prodLmSecs =
-      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
     val q5 = StreamMerge.gatedIngestPipelineProduction(
       input5.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable5,
       evalTable, "gate_bench_lm_model", Double.MaxValue,
@@ -444,7 +444,7 @@ object GateBench {
       minTokens = 10, minQuality = 0.05,
       onGateTimings = t => { prodGateTimings.add(t): Unit },
       onSpanTimings = t => { prodTimings.add(t): Unit },
-      onLmSec = (_, sec) => { prodLmSecs.add(sec): Unit })
+      onLmSec = (b, sec) => { prodLmSecs.add((b, sec)): Unit })
       .option("checkpointLocation", ckpt5)
       .start()
 
@@ -488,7 +488,17 @@ object GateBench {
     q4.stop()
     q5.stop()
     val scrubMed = median(sWalls.toSeq)
-    val scrubT = scrubTimings.asScala.toVector
+    // the walls above exclude the HygWarmup windows; the per-stage timing
+    // queues accumulated THROUGH them, so the decomposition medians must
+    // drop the same cold-JVM batches or they skew relative to the
+    // pair-ratio evidence they decompose (r17 ADVICE). Keyed on batchId
+    // rank, not value: the first HygWarmup DISTINCT ids in a queue are
+    // that query's warmup windows regardless of any startup-batch offset.
+    def dropWarm[T](v: Vector[T])(idOf: T => Long): Vector[T] = {
+      val warm = v.map(idOf).distinct.sorted.take(HygWarmup).toSet
+      v.filterNot(t => warm(idOf(t)))
+    }
+    val scrubT = dropWarm(scrubTimings.asScala.toVector)(_.batchId)
     def scrubMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
     val scrub =
@@ -528,15 +538,15 @@ object GateBench {
     // premium in the first r17 record (review finding).
     def qMed(q: java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings],
         f: GateStageTimings => Double): Double = {
-      val v = q.asScala.toVector
+      val v = dropWarm(q.asScala.toVector)(_.batchId)
       if (v.isEmpty) 0.0 else median(v.map(f))
     }
     val lmMed = {
-      val v = prodLmSecs.asScala.toVector.map(_.doubleValue())
+      val v = dropWarm(prodLmSecs.asScala.toVector)(_._1).map(_._2)
       if (v.isEmpty) 0.0 else median(v)
     }
-    val scrubSpanT = scrubTimings.asScala.toVector
-    val prodSpanT = prodTimings.asScala.toVector
+    val scrubSpanT = scrubT
+    val prodSpanT = dropWarm(prodTimings.asScala.toVector)(_.batchId)
     def spanMed(v: Vector[graft.streaming.SpanGateTimings],
         f: graft.streaming.SpanGateTimings => Double): Double =
       if (v.isEmpty) 0.0 else median(v.map(f))
@@ -551,7 +561,7 @@ object GateBench {
         s""""span_probe_med_prod":${f4(spanMed(prodSpanT, _.probeSec))},""" +
         s""""span_probe_med_scrub":${f4(spanMed(scrubSpanT, _.probeSec))},""" +
         s""""read":"added-gate cost = lm_pin_med (LM) + (append_prod - append_scrub) (dual-sign) + (doc_sink_prod - doc_sink_scrub) (PII on keep rows); span select/probe meds are the shared work and should match"}"""
-    val prodT = prodTimings.asScala.toVector
+    val prodT = prodSpanT
     def prodMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (prodT.isEmpty) 0.0 else median(prodT.map(f))
     val production =

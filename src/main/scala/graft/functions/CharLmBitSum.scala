@@ -34,8 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - lookup misses are 0 (`coalesce(…, 0)`), add-one smoothing on the
   *    bigram count, `+V` on the context count — both sums in Long;
   *  - the ratio divides as DOUBLE (Spark's Divide promotes the bigint
-  *    operands), log₂ via `math.log(x)/math.log(2)` (Spark's Log2 — the
-  *    argument is always > 0, the null asymptote is unreachable);
+  *    operands), log₂ via `StrictMath.log(x)/StrictMath.log(2)` —
+  *    Spark's Log2 codegen calls `java.lang.StrictMath.log`, and
+  *    Math.log differs from StrictMath.log in the last bit for ~4% of
+  *    inputs on this JVM, enough to flip a term sitting within 1 ulp of
+  *    a decimal(18,6) rounding boundary (r17 ADVICE — the argument is
+  *    always > 0, the null asymptote is unreachable);
   *  - each term rounds to decimal(18,6) exactly as Spark's double→
   *    decimal cast: `java.math.BigDecimal.valueOf` (shortest decimal
   *    representation) then HALF_UP at scale 6;
@@ -93,7 +97,7 @@ case class CharLmBitSum(child: Expression, bg: Map[String, Long],
       k.codePointAt(0).toLong -> c
     }, a.size)
 
-  private val log2d = math.log(2)
+  private val log2d = StrictMath.log(2)
 
   protected override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -108,7 +112,7 @@ case class CharLmBitSum(child: Expression, bg: Map[String, Long],
       val cur = s.codePointAt(i)
       val cBg = bgT.getOrZero(pack(prev, cur))
       val cA = aT.getOrZero(prev.toLong)
-      val term = math.log((cBg + 1L).toDouble / (cA + v).toDouble) / log2d
+      val term = StrictMath.log((cBg + 1L).toDouble / (cA + v).toDouble) / log2d
       sum = sum.add(java.math.BigDecimal.valueOf(term)
         .setScale(6, java.math.RoundingMode.HALF_UP))
       prev = cur

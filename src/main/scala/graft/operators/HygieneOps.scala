@@ -631,6 +631,33 @@ object HygieneOps {
     }
   }
 
+  /** Resolve the PERSISTED model tables into the literal-map form when
+    * the artifact fits [[CharLmLiteralMax]] (None above it — the caller
+    * keeps the broadcast-join plan), with the emptiness guard FOLDED
+    * into the vocab read: the `_ctx` head row both proves the artifact
+    * is trained and delivers `v`, so first use costs three
+    * metadata-scale jobs, not an extra probe plus three (r17 verdict
+    * task 6). The collects are metadata-bounded either way: the bigram
+    * read stops at cap+1 rows and `_ctx` is only collected once the cap
+    * is known to hold (≤ charset rows for any within-cap model).
+    */
+  private[graft] def collectCharLmModelFromTables(spark: SparkSession,
+      table: String): Option[(Map[String, Long], Map[String, Long], Long)] = {
+    val vHead = spark.table(table + "_ctx").select("v").limit(1).collect()
+    require(vHead.length == 1,
+      s"charlm model table ${table}_ctx is empty — train first (writeCharLmTable)")
+    val v = vHead(0).getLong(0)
+    val bgRows = spark.table(table).select("bg", "c_bg")
+      .limit(CharLmLiteralMax + 1).collect()
+    if (bgRows.length > CharLmLiteralMax) None
+    else {
+      val mBg = bgRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mA = spark.table(table + "_ctx").select("ch", "c_a").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Some((mBg, mA, v))
+    }
+  }
+
   /** Persist the trained model as catalog tables (`table` = bigram
     * counts, `table_ctx` = context counts WITH the vocab size stamped on
     * every row) — the KenLM-artifact analog of [[TextOps.writeMergeTable]]:
@@ -649,8 +676,16 @@ object HygieneOps {
     graft.operators.VectorOps.clearStaleLocation(spark, table + "_ctx")
     counts.write.mode("overwrite").format("parquet").saveAsTable(table)
     ctx.crossJoin(vocab).write.mode("overwrite").format("parquet").saveAsTable(table + "_ctx")
-    // a REBUILD at the same (warehouse, name) must re-arm the streaming
-    // gate's once-per-JVM emptiness check (CharLmGate r16 ADVICE)
+    // generation stamp AFTER the data lands (a bump the gate observes
+    // must always point at the new counts — the reverse order could
+    // cache the OLD model under the NEW epoch and never re-arm): gate
+    // JVMs in OTHER processes re-validate this epoch per batch and
+    // re-collect on drift (r17 verdict task 1 — the same discipline as
+    // the ANN `_meta` staleness signals)
+    IndexEpoch.bumpUnconditional(spark, table)
+    // a REBUILD at the same (warehouse, name) must also re-arm THIS
+    // JVM's gate cache immediately (CharLmGate r16 ADVICE) — same-JVM
+    // writers shouldn't wait a batch for the epoch read to notice
     graft.streaming.CharLmGate.invalidate(spark, table)
   }
 

@@ -12,9 +12,12 @@ import graft.operators.HygieneOps
   * surprisal exceeds `maxBits` are rewritten to `lm_tail` (CCNet's
   * tail cut).
   *
-  * The gate picks its scoring PLAN by artifact size, once per JVM per
-  * (warehouse, table) (r17 — the charlmScoreOf policy applied to the
-  * stream): an artifact within `CharLmLiteralMax` is collected
+  * The gate picks its scoring PLAN by artifact size, resolved once per
+  * artifact generation per (warehouse, table) and re-validated against
+  * the persisted [[graft.operators.IndexEpoch]] stamp each batch (r17
+  * introduced the memoization; r18 scoped it to the generation so a
+  * rebuild by ANOTHER process is picked up within one batch): an
+  * artifact within `CharLmLiteralMax` is collected
   * driver-side at first use and every batch scores through the NARROW
   * native form ([[HygieneOps.withCharLmScore]] — one codegen-friendly
   * projection, no explode, no join, no per-doc aggregation; the r17
@@ -49,11 +52,10 @@ object CharLmGate {
     * logic; the model tables must exist (`writeCharLmTable`) or this
     * fails loudly.
     */
-  /** Per-(warehouse, table) gate-side model state, resolved ONCE per JVM
-    * (the model is a train-once artifact — [[HygieneOps.writeCharLmTable]]
-    * always writes a non-empty `_ctx` — so it cannot change mid-query;
-    * r15 ADVICE removed the per-batch emptiness probe, and r17 extends
-    * the same memoization to the model itself): `Literal` carries the
+  /** Per-(warehouse, table) gate-side model state, resolved once per
+    * artifact GENERATION (r17 resolved once per JVM; r18 verdict task 1
+    * scoped the memoization to the [[graft.operators.IndexEpoch]] stamp
+    * [[HygieneOps.writeCharLmTableFrom]] writes): `Literal` carries the
     * collected maps for the narrow native scoring form, `JoinForm` marks
     * a model over [[HygieneOps.CharLmLiteralMax]] that must keep scoring
     * through the per-batch broadcast-join plan. Keyed by (warehouse,
@@ -61,14 +63,25 @@ object CharLmGate {
     * warehouses (sequential suites, maintenance beside a gate) can each
     * hold a same-named model table — a name-only key would serve the
     * first session's model for the second's different artifact.
+    *
+    * Why the epoch re-validation (every [[withLmDecisions]] call — one
+    * 1-row parquet read, ~ms against a multi-second batch): a model
+    * REBUILT BY ANOTHER PROCESS while this gate JVM is alive never
+    * calls this JVM's [[invalidate]], and both plans are decision-valid,
+    * so a JVM-lifetime cache would silently score every subsequent
+    * batch with the dead counts. Comparing the persisted generation per
+    * batch turns that into at most ONE stale batch (the writer stamps
+    * AFTER the data lands). Legacy artifacts with no epoch table read
+    * as generation 0 and gain the stamp on their next rebuild.
     */
   private sealed trait GateModel
   private final case class Literal(bg: Map[String, Long], a: Map[String, Long],
       v: Long) extends GateModel
   private case object JoinForm extends GateModel
+  private final case class Resolved(epoch: Long, model: GateModel)
 
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[String, GateModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, Resolved]()
 
   private def cacheKeyOf(s: SparkSession, lmTable: String): String =
     s.sessionState.conf.warehousePath + "#" + lmTable
@@ -87,17 +100,30 @@ object CharLmGate {
     models.remove(cacheKeyOf(s, lmTable)): Unit
   }
 
-  private def modelFor(s: SparkSession, lmTable: String): GateModel =
-    models.computeIfAbsent(cacheKeyOf(s, lmTable), _ => {
-      val ctxV = s.table(lmTable + "_ctx")
-      require(ctxV.limit(1).count() == 1,
-        s"charlm model table ${lmTable}_ctx is empty — train first (writeCharLmTable)")
-      HygieneOps.collectCharLmModelOpt(s.table(lmTable),
-        ctxV.select("ch", "c_a"), ctxV.select("v").limit(1)) match {
+  private def modelFor(s: SparkSession, lmTable: String): GateModel = {
+    val key = cacheKeyOf(s, lmTable)
+    // one 1-row read per batch: the generation stamp writeCharLmTableFrom
+    // bumps after every (re)write — the cache is valid exactly while the
+    // persisted generation matches the one it was collected under
+    val epoch = graft.operators.IndexEpoch.current(s, lmTable)
+    val cached = models.get(key)
+    if (cached != null && cached.epoch == epoch) cached.model
+    else {
+      // the artifact moved (or first use): drop relation caches first —
+      // a cross-process overwrite leaves this session's file listing
+      // pointing at the replaced parquet
+      if (s.catalog.tableExists(lmTable)) s.catalog.refreshTable(lmTable)
+      if (s.catalog.tableExists(lmTable + "_ctx")) s.catalog.refreshTable(lmTable + "_ctx")
+      // emptiness probe folded into the vocab read (r17 verdict task 6):
+      // one collect proves the artifact is trained AND delivers v
+      val model = HygieneOps.collectCharLmModelFromTables(s, lmTable) match {
         case Some((bg, a, v)) => Literal(bg, a, v)
         case None => JoinForm
       }
-    })
+      models.put(key, Resolved(epoch, model))
+      model
+    }
+  }
 
   def withLmDecisions(batch: DataFrame, lmTable: String, maxBits: Double): DataFrame = {
     val s = batch.sparkSession
@@ -112,7 +138,13 @@ object CharLmGate {
     // depend on which one the cap picks.
     val scores = modelFor(s, lmTable) match {
       case Literal(bg, a, v) =>
+        // n_bigrams > 0: the join regime emits NO row for 0-bigram docs
+        // (they never explode), so the literal regime must not either —
+        // otherwise the joined n_bigrams/bits a downstream consumer sees
+        // for short docs depends on which plan the artifact size picked
+        // (r17 ADVICE; same filter as charlmScoreOf)
         HygieneOps.withCharLmScore(inserts, bg, a, v)
+          .filter(col("n_bigrams") > 0)
           .select("doc_id", "n_bigrams", "bits")
       case JoinForm =>
         val ctxV = s.table(lmTable + "_ctx")

@@ -1796,6 +1796,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter(col("decision") === "insert").count() == 2)
   }
 
+  test("CharLmGate re-validates the artifact generation per batch: a rebuild by ANOTHER process (no invalidate) is picked up (r18 task 1)") {
+    import graft.operators.{HygieneOps, IndexEpoch, VectorOps}
+    import graft.streaming.CharLmGate
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = "lmgate_gen_model"
+    // model A: 'ab' is a seen bigram
+    HygieneOps.writeCharLmTableFrom(spark,
+      Seq((1L, "ababab")).toDF("doc_id", "text"), table)
+    val batch = Seq((7L, "ab", "insert")).toDF("doc_id", "text", "decision")
+      .localCheckpoint()
+    def gateBits(): Double = CharLmGate.withLmDecisions(batch, table, maxBits = 1e9)
+      .select("bits").collect()(0).getDouble(0)
+    val bitsA = gateBits() // primes the cache with model A
+    // simulate a rebuild by ANOTHER process: the writer's table writes +
+    // generation bump, but THIS JVM's CharLmGate.invalidate is never
+    // called — exactly what a second maintainer process looks like from
+    // this gate JVM. Model B has 'ab' unseen (different smoothing path),
+    // so a stale cache produces bitsA, a re-collected one produces bitsB.
+    val (counts, ctx, vocab) = HygieneOps.charlmModelOf(
+      Seq((1L, "azazaz")).toDF("doc_id", "text"))
+    VectorOps.clearStaleLocation(spark, table)
+    VectorOps.clearStaleLocation(spark, table + "_ctx")
+    counts.write.mode("overwrite").format("parquet").saveAsTable(table)
+    ctx.crossJoin(vocab).write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_ctx")
+    IndexEpoch.bumpUnconditional(spark, table)
+    // next batch must score against model B without any same-JVM signal
+    val bitsB = gateBits()
+    val ctxV = spark.table(table + "_ctx")
+    val want = HygieneOps.charlmScoreAgainst(
+      batch.filter(col("decision") === "insert").select("doc_id", "text"),
+      spark.table(table), ctxV.select("ch", "c_a"), ctxV.select("v").limit(1))
+      .select("bits").collect()(0).getDouble(0)
+    assert(bitsB == want,
+      s"gate must re-collect on generation drift: got $bitsB, model B gives $want")
+    assert(bitsB != bitsA,
+      "fixture is vacuous: models A and B must score the probe doc differently")
+  }
+
   test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
