@@ -641,6 +641,47 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The PRODUCTION composition of [[nearDupEdit]] (r18 verdict task 3 —
+    * previously scaladoc prose only): candidate pairs from the minhash
+    * band join (the same [[bandedSigs]] geometry as every minhash
+    * consumer — bucketed, star-guarded, never all-pairs and never
+    * bounded to an id range), then the IDENTICAL verify chain as the
+    * exact key — cheap length gate (`dist ≥ |la−lb|`, so `5·|la−lb| >
+    * max` can never pass) ahead of the banded THRESHOLD Levenshtein,
+    * keeping pairs whose exact distance is ≤ 20% of the longer text.
+    * This is what a 100 TB run executes: the exact key's log-length
+    * buckets guarantee coverage but admit every similar-length pair to
+    * the DP, which is only affordable on a bounded range; the band join
+    * admits only token-level near-dups, so the O(τ·n) DP runs on a
+    * candidate set proportional to the true duplicate mass.
+    *
+    * Recall contract (vs the exact relation): a pair must share ≥ 1 of
+    * 4 minhash bands to become a candidate — an edit-near pair with
+    * low TOKEN Jaccard (e.g. many single-character edits spread across
+    * every 3-token shingle) can be missed; DedupSpec measures the floor
+    * on planted near-dups. Precision is exact: every emitted pair
+    * carries the true distance and passes the same 20% rule, so
+    * emitted ⊆ the exact relation on any common range (also pinned).
+    */
+  private[graft] def nearDupEditMinhashOf(d: DataFrame): DataFrame = {
+    val cand = minhashPairsScored(d).select("doc_a", "doc_b")
+    val sides = d.select(col("doc_id"), col("text"), length(col("text")).as("l"))
+    cand
+      .join(sides.select(col("doc_id").as("doc_a"),
+        col("text").as("ta"), col("l").as("la")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"),
+        col("text").as("tb"), col("l").as("lb")), "doc_b")
+      .filter(abs(col("la") - col("lb")) * 5 <= greatest(col("la"), col("lb")))
+      .withColumn("dist",
+        expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))"))
+      .filter(col("dist") >= 0 && col("dist") * 5 <= greatest(col("la"), col("lb")))
+      .select(col("doc_a"), col("doc_b"), col("la").cast("long").as("la"),
+        col("lb").cast("long").as("lb"), col("dist").cast("long").as("dist"))
+  }
+
+  private def nearDupEditMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupEditMinhashOf(docs(spark, sfDir)).orderBy("doc_a", "doc_b")
+
   /** Buckets larger than this emit star pairs (each id linked to the
     * bucket's minimum id) instead of all pairs: a degenerate bucket — e.g.
     * thousands of near-empty docs sharing a shingle — would otherwise
@@ -816,8 +857,22 @@ object DedupOps {
     * bound. Deterministic; no SQL oracle (xxhash64 is not available in
     * DuckDB); property-tested in DedupSpec.
     */
-  private[graft] def simhashPairsScored(d: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val banded = withSimhash(d)
+  private[graft] def simhashPairsScored(d: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairsScored(withSimhash(d).select("doc_id", "simhash"), maxHamming)
+
+  /** The pigeonhole hamming join itself, over ANY `(doc_id, simhash:
+    * LONG)` frame — the banding/bucket/verify machinery is agnostic to
+    * WHERE the 64-bit code came from (token SimHash here, the raster
+    * dHash in [[MultimodalOps]]), so it is factored once rather than
+    * duplicated per signature family (r18 verdict task 2). Contract:
+    * 4 × 16-bit bands guarantee recall for `maxHamming` ≤ 3 (3 flipped
+    * bits disturb ≤ 3 bands, so one band always survives exact); a
+    * larger threshold would need wider banding, hence the guard.
+    */
+  private[graft] def hammingPairsScored(signed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit pigeonhole banding guarantees recall only for hamming <= 3, got $maxHamming")
+    val banded = signed
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 3), j -> struct(j AS band_id,
@@ -1061,6 +1116,8 @@ object DedupOps {
              |FROM d a JOIN d b ON a.doc_id < b.doc_id
              |WHERE 5 * levenshtein(a.text, b.text) <= greatest(a.l, b.l)
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "near_dup_edit_minhash" -> QueryDef(nearDupEditMinhash, None),
 
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
 

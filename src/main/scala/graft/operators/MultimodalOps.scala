@@ -138,6 +138,86 @@ object MultimodalOps {
     featuresOf(spark,
       docs(spark, sfDir).select(col("doc_id"), col("text").cast("binary").as("payload")))
 
+  /** Number of pooled bins behind the 64-bit dHash: 64 adjacent-bin
+    * comparisons need 65 bins (the classic 9×8-pixel image dHash, one
+    * dimension down — the decoders reduce a raster to its per-row
+    * intensity profile, so the difference hash runs over that profile).
+    */
+  private val DHashBins = 65
+
+  /** 64-bit difference hash of a decoded intensity profile: mean-pool to
+    * [[DHashBins]] bins (the same pooling scheme as the resize feature),
+    * bit i = 1 iff bin(i+1) > bin(i). Perceptual by construction — small
+    * pixel noise barely moves bin means, so near-identical rasters land
+    * within a few bits, while structurally different rasters (e.g. an
+    * inverted gradient) flip many comparisons. Deterministic, pure
+    * arithmetic; the nearest-match archetype of the reference's palette
+    * search (`src/ansi.tpp:339-363`) lifted to the raster grain.
+    * Caller filters empty frame arrays (no raster → no code — the
+    * 0-bigram charlm discipline).
+    */
+  private[graft] def dHashOf(frames: Array[Float]): Long = {
+    val n = frames.length
+    require(n > 0, "dHashOf needs a non-empty profile")
+    val bins = Array.tabulate(DHashBins) { b =>
+      val lo = b * n / DHashBins
+      val hi = math.min(n, math.max(lo + 1, (b + 1) * n / DHashBins))
+      var s = 0.0
+      var j = lo
+      while (j < hi) { s += frames(j); j += 1 }
+      s / (hi - lo)
+    }
+    var code = 0L
+    var i = 0
+    while (i < 64) {
+      if (bins(i + 1) > bins(i)) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  final case class DocHash(doc_id: Long, simhash: Long)
+
+  /** Perceptual near-dup pairs over opaque payloads: decode → [[dHashOf]]
+    * → the SAME 4×16-bit pigeonhole banding + `bit_count(xor)` verify as
+    * the token-SimHash family ([[DedupOps.hammingPairsScored]] — the
+    * machinery is shared, not duplicated). Decode is a second use of the
+    * documented typed-decode slot, kept LEAN on purpose: it emits only
+    * `(doc_id, code)` — at 100 TB the neardup pass must not carry frame
+    * arrays or payload bytes past the map, and the banding join then
+    * shuffles 16 bytes/doc, never pixels. Docs whose payload decodes to
+    * an empty profile (empty payload) carry no code and never pair.
+    */
+  private[graft] def perceptualPairs(
+      spark: SparkSession, payloads: DataFrame,
+      decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
+    import spark.implicits._
+    val signed = payloads.select(col("doc_id"), col("payload")).as[DocBytes]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val frames = decoder.decode(d.payload)
+          if (frames.isEmpty) None else Some(DocHash(d.doc_id, dHashOf(frames)))
+        }
+      }.toDF()
+    DedupOps.hammingPairsScored(signed)
+  }
+
+  /** Declared key: perceptual image near-dup over the corpus's image-kind
+    * payloads (the [[multimodalMeta]] `doc_id % 3 = 0` convention) —
+    * the missing dedup member of the multimodal family (r18 verdict
+    * task 2). Emits `(doc_a, doc_b, hamming)` with true hamming ≤ 3,
+    * exactly the `dedup_simhash_pairs` relation at the raster grain. No
+    * oracle (hash-derived, like the simhash family); MultimodalSpec pins
+    * planted near-identical rasters flagging, distinct rasters not, and
+    * stub-decoded text payloads passing through unflagged.
+    */
+  private def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    perceptualPairs(spark,
+      docs(spark, sfDir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .orderBy("doc_a", "doc_b")
+
   /** Opaque files through the REAL `binaryFile` source (SURVEY §1.4 row 1:
     * the client's `std::ifstream(..., std::ios::binary)`,
     * `transf_client.cpp:102`): one row per file with path/length/bytes,
@@ -179,6 +259,8 @@ object MultimodalOps {
              |       64 + doc_id % 576 AS width, 64 + doc_id % 416 AS height
              |FROM b ORDER BY doc_id""".stripMargin)),
 
-    "multimodal_features" -> QueryDef(multimodalFeatures, None)
+    "multimodal_features" -> QueryDef(multimodalFeatures, None),
+
+    "multimodal_neardup" -> QueryDef(multimodalNeardup, None)
   )
 }

@@ -456,6 +456,48 @@ class DedupSpec extends AnyFunSuite {
         s"missing=${(exhaustive -- bucketed).take(3)} extra=${(bucketed -- exhaustive).take(3)}")
   }
 
+  test("near_dup_edit_minhash: emitted pairs pass the 20% rule and are a subset of the exact relation; planted near-dup recall floored (r18 task 3)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // (a) + subset: on the exact key's bounded range, the production
+    // composition must emit only pairs the exact relation contains, with
+    // identical distances (precision is exact — only recall can differ,
+    // a pair must share >= 1 minhash band to become a candidate)
+    val bounded = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 400).select("doc_id", "text")
+    val prod = DedupOps.nearDupEditMinhashOf(bounded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val exact = SparkEntry.queries("near_dup_edit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(prod.nonEmpty, "production composition found nothing on the bounded range — vacuous")
+    assert(prod.subsetOf(exact),
+      s"emitted pairs must be a subset of the exact relation: extra=${(prod -- exact).take(3)}")
+    assert(prod.forall { case (_, _, la, lb, dist) => 5 * dist <= math.max(la, lb) },
+      "every emitted pair must pass the 20% rule with its exact distance")
+    info(s"bounded-range recall vs exact: ${prod.size}/${exact.size}")
+    // (b) planted near-dups: 12 pairs of 40-token docs differing in ONE
+    // token (shingle Jaccard ~0.85 -> band-collision recall ~0.95/pair,
+    // deterministic for this fixture). Every planted pair passes the 20%
+    // edit rule by construction, so misses are BAND misses, the quantity
+    // this floor pins.
+    val planted = (1 to 12).flatMap { i =>
+      val toks = (1 to 40).map(t => s"w${i}_$t")
+      val edited = toks.updated(17, s"x${i}_edit")
+      Seq((1000L + i, toks.mkString(" ")), (2000L + i, edited.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val found = DedupOps.nearDupEditMinhashOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (1 to 12).count(i => found.contains((1000L + i, 2000L + i)))
+    assert(hits >= 10, s"planted near-dup recall floor broken: $hits/12 found ($found)")
+    assert(found.forall { case (a, b) => (a % 1000L) == (b % 1000L) },
+      s"distinct planted groups must not cross-pair: $found")
+    // determinism: the seeded minhash makes the candidate set a pure
+    // function of the fixture
+    val again = DedupOps.nearDupEditMinhashOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == found, "candidate generation must be deterministic")
+  }
+
   test("dedup_keep_best: one keeper per cluster, the argmax-quality member, clusters match dedup_clusters") {
     val out = SparkEntry.queries("dedup_keep_best")(spark, sfDir).collect()
     assert(out.length == 300)

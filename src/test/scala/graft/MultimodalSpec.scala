@@ -153,6 +153,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(auto.sameElements(stub), "auto decoder changed the declared text-payload output")
   }
 
+  test("multimodal_neardup: near-identical rasters flag, distinct rasters and stub payloads do not (r18 task 2)") {
+    import spark.implicits._
+    // P5 grayscale, 4 wide x 64 tall: decoded profile = 64 per-row means
+    def p5(rows: Array[Int]): Array[Byte] =
+      s"P5\n4 ${rows.length}\n255\n".getBytes("US-ASCII") ++
+        rows.flatMap(v => Array.fill(4)(v.toByte))
+    val gradient = Array.tabulate(64)(r => r * 4)            // strictly rising
+    val nearDup = gradient.clone()
+    nearDup(31) = gradient(31) + 20                          // one row perturbed
+    val inverted = gradient.reverse                          // structurally different
+    val payloads = Seq(
+      3L -> p5(gradient),
+      9L -> p5(nearDup),
+      6L -> p5(inverted),
+      // stub-decoded opaque payloads (no image/RIFF magic), long enough
+      // that their 32-byte-frame profiles have real structure — a
+      // 2-frame payload's dHash is degenerately near 0, which is the
+      // CORRECT perceptual reading (everything that flat looks alike),
+      // but would make this assertion about stub pass-through vacuous
+      12L -> Array.tabulate[Byte](3200)(i => ((i * 7 + 13) % 251 + 1).toByte),
+      15L -> Array.tabulate[Byte](3200)(i => ((i * i * 31 + 5) % 251 + 1).toByte)
+    ).toDF("doc_id", "payload")
+    val pairs = MultimodalOps.perceptualPairs(spark, payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((3L, 9L)),
+      s"exactly the planted near-identical raster pair must flag: $pairs")
+    assert(pairs.forall(_._3 <= 3), s"emitted hamming must be verified <= 3: $pairs")
+    // dHash unit pins: determinism, and the structural distance that
+    // makes the banding meaningful (rising vs inverted profile differ in
+    // nearly every adjacent comparison)
+    val hA = MultimodalOps.dHashOf(gradient.map(_.toFloat))
+    assert(hA == MultimodalOps.dHashOf(gradient.map(_.toFloat)), "dHash must be deterministic")
+    val hB = MultimodalOps.dHashOf(inverted.map(_.toFloat))
+    assert(java.lang.Long.bitCount(hA ^ hB) > 3,
+      s"distinct rasters must land outside the neighbor threshold: ${java.lang.Long.bitCount(hA ^ hB)}")
+    // the declared key's contract on the real corpus: every emitted pair
+    // carries true verified hamming <= 3 and the image-kind filter holds
+    val key = SparkEntry.queries("multimodal_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(key.nonEmpty, "key must produce pairs on the corpus (stub near-identical texts exist)")
+    assert(key.forall(r => r.getInt(2) <= 3 && r.getLong(0) % 3 == 0 && r.getLong(1) % 3 == 0),
+      "key rows must be image-kind ids with verified hamming <= 3")
+  }
+
   test("metadata-only projection does not read payload bytes (column pruning)") {
     val dir = writeFixtures()
     val plan = MultimodalOps.readBinaryDir(spark, dir.toString)
