@@ -855,11 +855,10 @@ object SpanOps {
               |ub AS (
               |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked
               |  FROM (
-              |    SELECT doc_id,
-              |           nullif(regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
-              |                                 '([^.]+\\.[^.]+)$$', 1), '') AS domain
-              |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '${WebOps.UrlRe}')) AS url
-              |          FROM t0))
+              |    SELECT doc_id, ${Psl.sqlRegistrableDomain("host")} AS domain
+              |    FROM (SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host
+              |          FROM (SELECT doc_id, unnest(regexp_extract_all(text, '${WebOps.UrlRe}')) AS url
+              |                FROM t0)))
               |  WHERE domain IN (SELECT domain FROM (VALUES ${WebOps.blocklistValuesSql}) AS b(domain))
               |  GROUP BY doc_id),
               |cnt AS (

@@ -72,7 +72,19 @@ object WebOps {
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(9)) === 0,
         concat(lit(" via https://s"), pmod(col("doc_id"), lit(4)).cast("string"),
-          lit(".badsite.com/z"))).otherwise(lit(""))).as("text"))
+          lit(".badsite.com/z"))).otherwise(lit("")),
+      // multi-label-suffix witnesses (r17 verdict item 2): a co.uk-class
+      // host (PSL depth 2 — the 2-label regex the oracle used to carry
+      // would resolve these to 'co.uk') and a wildcard-class host
+      // (*.ck — registrable is THREE labels), rare enough (~1.7%/1.4% of
+      // docs) that the domain_heavy_hitters share structure is unmoved
+      when(pmod(col("doc_id"), lit(57)) === 0,
+        concat(lit(" shop https://v"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".outlet"), pmod(col("doc_id"), lit(2)).cast("string"),
+          lit(".co.uk/s"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(74)) === 0,
+        concat(lit(" isle https://t"), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".lagoon.ck/w"))).otherwise(lit(""))).as("text"))
 
   /** Shared DuckDB fragment mirroring [[decorated]] over an arbitrary
     * source relation. No continuation line may START with `||`: this
@@ -93,6 +105,14 @@ object WebOps {
        |  CASE WHEN doc_id % 9 = 0
        |       THEN ' via https://s' || CAST(doc_id % 4 AS VARCHAR) ||
        |            '.badsite.com/z'
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 57 = 0
+       |       THEN ' shop https://v' || CAST(doc_id % 5 AS VARCHAR) ||
+       |            '.outlet' || CAST(doc_id % 2 AS VARCHAR) || '.co.uk/s'
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 74 = 0
+       |       THEN ' isle https://t' || CAST(doc_id % 3 AS VARCHAR) ||
+       |            '.lagoon.ck/w'
        |       ELSE '' END AS text
        |FROM $src""".stripMargin
 
@@ -391,9 +411,10 @@ object WebOps {
 
   /** How many counters the domain heavy-hitter sketch carries — 5, so the
     * share threshold is 1/6 ≈ 16.7 %: on the decorated corpus the CDN
-    * domain (~24 %) and the blocklisted domain (~19 %) are heavy while
-    * each content domain (~11 %) is not, and 7 distinct domains over 5
-    * slots means eviction genuinely fires.
+    * domain (~23 %) and the blocklisted domain (~18 %) are heavy while
+    * each content domain (~11 %) is not, and 11 distinct domains (the
+    * r18 co.uk/wildcard witnesses added four sub-2% ones) over 5 slots
+    * means eviction genuinely fires.
     */
   private[graft] val DomainHeavyK = 5
 
@@ -440,17 +461,27 @@ object WebOps {
 
   // ---- declarations ------------------------------------------------------
 
+  /** Shared oracle CTE for the URL/domain family. `domain` is GENERATED
+    * from the SAME PSL slice the Column form evaluates
+    * ([[Psl.sqlRegistrableDomain]] — the `url_registrable` discipline,
+    * r17 verdict item 2): the 2-label regex this replaces passed only
+    * because every decorated host happened to be 2-label-registrable;
+    * with the co.uk/wildcard witnesses now planted in [[decorated]],
+    * PSL depth is oracle-witnessed on every domain key, every run.
+    */
   private val UrlsSqlCte: String =
     s"""WITH d AS ($DecoratedSql),
        |u AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe')) AS url
        |  FROM d),
-       |uu AS (
+       |uh AS (
        |  SELECT doc_id, url,
-       |         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
-       |         nullif(regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
-       |                               '([^.]+\\.[^.]+)$$', 1), '') AS domain
-       |  FROM u)""".stripMargin
+       |         regexp_extract(url, 'https?://([^/]+)', 1) AS host
+       |  FROM u),
+       |uu AS (
+       |  SELECT doc_id, url, host,
+       |         ${Psl.sqlRegistrableDomain("host")} AS domain
+       |  FROM uh)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "url_extract" -> QueryDef(urlExtract,
@@ -467,12 +498,14 @@ object WebOps {
 
     "domain_cap" -> QueryDef(domainCap,
       Some(s"""WITH d AS ($DecoratedSql),
-              |p AS (
+              |p0 AS (
               |  SELECT doc_id,
-              |         nullif(list_transform(regexp_extract_all(text, '$UrlRe'),
-              |           u -> regexp_extract(regexp_extract(u, 'https?://([^/]+)', 1),
-              |                               '([^.]+\\.[^.]+)$$', 1))[1], '') AS domain
+              |         regexp_extract(regexp_extract_all(text, '$UrlRe')[1],
+              |                        'https?://([^/]+)', 1) AS h
               |  FROM d),
+              |p AS (
+              |  SELECT doc_id, ${Psl.sqlRegistrableDomain("h")} AS domain
+              |  FROM p0),
               |r AS (
               |  SELECT doc_id, domain,
               |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank

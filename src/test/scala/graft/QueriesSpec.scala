@@ -41,7 +41,8 @@ class QueriesSpec extends AnyFunSuite {
       "ann_lsh", "ann_lsh_indexed", "ann_ivf",
       "ann_ivf_indexed", "ann_pq", "ann_pq_indexed", "ann_ivfpq",
       "embed_neardup_lsh", "embed_clusters_lsh",
-      "multimodal_features", "chunk_pack", "pack_sequences",
+      "multimodal_features", "multimodal_neardup", "near_dup_edit_minhash",
+      "chunk_pack", "pack_sequences",
       "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets",
       "quality_compress", "corpus_curate_full"),
       s"unexpected oracle-less keys: $noOracle")
