@@ -76,8 +76,14 @@ object Bench {
       }
 
     // warmup pass (codegen/caches) — also the error triage: a key that
-    // throws here is excluded from the timed passes entirely
-    names.foreach(n => guarded(n) { run(n) })
+    // throws here is excluded from the timed passes entirely. Its wall
+    // is RECORDED per key (cold_sec in BENCH_DETAIL): for artifact keys
+    // (corpus_curate_full, the *_indexed probes) the first-ever run pays
+    // the build (LM/index training) that the timed reps then reuse, so
+    // cold-vs-median is the build-vs-probe split — regression triage
+    // must not chase training cost as probe cost (r17 verdict task 5).
+    val coldSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.foreach(n => guarded(n) { coldSec(n) = run(n) })
     val timedKeys = names.filterNot(errors.contains)
 
     // per-key rep times and their bench-relative timestamps, in rep order
@@ -159,9 +165,19 @@ object Bench {
         s""""mid":${fmap(sentMid)},"end":${fmap(sentEnd)},"max_drift":${f4(maxDrift)},""" +
         s""""burst_suspect":$burstSuspect}"""
     val total = results.map(_.median).sum
+    // cold (first-ever, artifact-building) wall vs the warm median: the
+    // build-vs-probe split for artifact keys; ~1.0 ratio everywhere else
+    val cold = results.flatMap(r => coldSec.get(r.name).map(c =>
+      jstr(r.name) + ":" + f4(c))).mkString("{", ",", "}")
+    val buildPremium = results.flatMap(r => coldSec.get(r.name).collect {
+      case c if r.median > 0 => jstr(r.name) + ":" + f4(c / r.median)
+    }).mkString("{", ",", "}")
     val detail =
       s"""{"reps":$Reps,"interleaved":true,"total":$total,"queries":$qsFull,"spread":$spread,""" +
-        s""""reps_sec":$repsSec,"rep_ts":$repTs,"sentinel":$sentinel,"errors":$errs,"sf":"$sfDir"}"""
+        s""""reps_sec":$repsSec,"rep_ts":$repTs,"cold_sec":$cold,""" +
+        s""""cold_over_median":$buildPremium,""" +
+        s""""cold_read":"cold_sec is the warmup (first-ever) wall per key; for artifact keys (corpus_curate_full, *_indexed) it includes LM/index training the timed reps reuse — compare cold_over_median to split build from probe",""" +
+        s""""sentinel":$sentinel,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val primary =

@@ -354,6 +354,60 @@ class WebSpec extends AnyFunSuite {
     assert(literal(hosts.indexOf("b0.a0.p0.host")).contains("b0.a0.p0.host"))
   }
 
+  test("PSL at production cardinality: ~9k rules through the join form agree with the Column form on a 100-host sample (r18 task 7)") {
+    import graft.operators.Psl
+    import spark.implicits._
+    // the real public_suffix_list.dat is ~9.5k rules; the full file does
+    // not ship in this environment (no egress), so this generates a list
+    // with its SHAPE (every rule class, every depth the list uses, x +
+    // *.x pairs included) at its CARDINALITY — the r15 realistic-width
+    // test was ~290 rules, which exercises semantics but not the join
+    // form at the rule volume the production path is declared for
+    val rules: Seq[String] = (
+      (0 until 1500).map(i => s"t$i") ++
+        (0 until 4000).map(i => s"co$i.t${i % 1500}") ++
+        (0 until 2000).map(i => s"org$i.co${i % 400}.t${i % 300}") ++
+        (0 until 600).flatMap(i =>
+          Seq(s"pp$i.host${i % 97}.t${i % 100}", s"*.pp$i.host${i % 97}.t${i % 100}")) ++
+        (0 until 400).map(i => s"*.w$i.t${i % 50}") ++
+        (0 until 400).map(i => s"!ex.w$i.t${i % 50}") ++
+        (0 until 200).map(i => s"cdn$i.prod.vendor$i.net")
+      ).distinct
+    assert(rules.length >= 9000, s"fixture must reach production cardinality: ${rules.length}")
+    // a 100-host sample hitting every class: apex TLD hosts, 2/3-label
+    // suffixes, the x + *.x pair at all three depths, wildcard +
+    // exception, deep private chains, and misses (implicit *)
+    val hosts: Seq[String] =
+      (0 until 10).flatMap(i => Seq(
+        s"site$i.t${i * 7}", s"shop$i.co${i * 11}.t${i * 11 % 1500}",
+        s"x$i.org${i * 13}.co${i * 13 % 400}.t${i * 13 % 300}")) ++
+        (0 until 10).flatMap(i => Seq(
+          s"pp$i.host${i % 97}.t${i % 100}",          // = normal rule -> null
+          s"a$i.pp$i.host${i % 97}.t${i % 100}",      // under *.x -> null
+          s"b$i.a$i.pp$i.host${i % 97}.t${i % 100}")) ++ // registrable via wildcard
+        (0 until 10).flatMap(i => Seq(
+          s"q$i.w$i.t${i % 50}", s"ex.w$i.t${i % 50}", s"d$i.ex.w$i.t${i % 50}")) ++
+        (0 until 5).flatMap(i => Seq(
+          s"cdn$i.prod.vendor$i.net", s"acct$i.cdn$i.prod.vendor$i.net")) ++
+        Seq("unlisted.zz", "a.b.unlisted.zz", "t0", "", "lone")
+    assert(hosts.length >= 100, s"sample size: ${hosts.length}")
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+      .repartition(4) // off the LocalRelation fast path: the join must really join
+    val literal = df.withColumn("d", Psl.registrableDomainFrom(col("host"), rules))
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d"))).toSeq
+    val joined = Psl.withRegistrableDomainJoin(df, "host", Psl.rulesDfFrom(spark, rules), "d")
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("d"))).toSeq
+    assert(joined.length == hosts.length, "join form fanned rows out")
+    hosts.zip(literal.zip(joined)).zipWithIndex.foreach { case ((h, (l, j)), i) =>
+      assert(l == j, s"host '$h' (#$i) diverges at 9k rules: literal=$l join=$j")
+    }
+    // spot-pin the depth classes so the sample can't silently go shallow
+    assert(literal(hosts.indexOf("pp0.host0.t0")).isEmpty, "x + *.x apex must be a suffix")
+    assert(literal(hosts.indexOf("b0.a0.pp0.host0.t0")).contains("b0.a0.pp0.host0.t0"))
+    assert(literal(hosts.indexOf("ex.w0.t0")).contains("ex.w0.t0"),
+      "exception rule must yield the rule itself as registrable")
+  }
+
   test("PSL property: engine matches an independent reference on random hosts, both forms") {
     import graft.operators.Psl
     import spark.implicits._
