@@ -120,8 +120,9 @@ object MultimodalOps {
           val resized =
             if (n == 0) Array.fill(ResizeBins)(0f)
             else Array.tabulate(ResizeBins) { b =>
-              val lo = b * n / ResizeBins
-              val hi = math.min(n, math.max(lo + 1, (b + 1) * n / ResizeBins))
+              // Long arithmetic — b*n overflows Int past ~306M frames
+              val lo = (b.toLong * n / ResizeBins).toInt
+              val hi = math.min(n, math.max(lo + 1, ((b + 1).toLong * n / ResizeBins).toInt))
               val slice = frames.slice(lo, hi)
               slice.sum / slice.length
             }
@@ -160,8 +161,10 @@ object MultimodalOps {
     val n = frames.length
     require(n > 0, "dHashOf needs a non-empty profile")
     val bins = Array.tabulate(DHashBins) { b =>
-      val lo = b * n / DHashBins
-      val hi = math.min(n, math.max(lo + 1, (b + 1) * n / DHashBins))
+      // Long arithmetic: b*n overflows Int past ~33M frames (a long
+      // audio's loudness envelope is exactly that shape)
+      val lo = (b.toLong * n / DHashBins).toInt
+      val hi = math.min(n, math.max(lo + 1, ((b + 1).toLong * n / DHashBins).toInt))
       var s = 0.0
       var j = lo
       while (j < hi) { s += frames(j); j += 1 }
