@@ -412,9 +412,10 @@ object WebOps {
   /** How many counters the domain heavy-hitter sketch carries — 5, so the
     * share threshold is 1/6 ≈ 16.7 %: on the decorated corpus the CDN
     * domain (~23 %) and the blocklisted domain (~18 %) are heavy while
-    * each content domain (~11 %) is not, and 11 distinct domains (the
-    * r18 co.uk/wildcard witnesses added four sub-2% ones) over 5 slots
-    * means eviction genuinely fires.
+    * each content domain (~11 %) is not, and 12 distinct domains (the
+    * r18 co.uk/wildcard witnesses added five sub-2% ones:
+    * outlet{0,1}.co.uk and t{0,1,2}.lagoon.ck) over 5 slots means
+    * eviction genuinely fires.
     */
   private[graft] val DomainHeavyK = 5
 
