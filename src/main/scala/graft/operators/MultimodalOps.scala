@@ -214,12 +214,34 @@ object MultimodalOps {
     * planted near-identical rasters flagging, distinct rasters not, and
     * stub-decoded text payloads passing through unflagged.
     */
+  private def imagePayloads(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
   private def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    perceptualPairs(spark,
-      docs(spark, sfDir)
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+    perceptualPairs(spark, imagePayloads(spark, sfDir))
       .orderBy("doc_a", "doc_b")
+
+  /** Perceptual dedup CLUSTERS — the multimodal member of the production
+    * clustering family (token MinHash `dedup_clusters_minhash`, token
+    * hamming `dedup_clusters_simhash`, embedding cosine
+    * `embed_clusters_lsh`): [[perceptualPairs]] edges (true VERIFIED
+    * hamming ≤ 3, so as with simhash there is no false-edge class to
+    * gate before the transitive closure) → checkpointed connected
+    * components → min-id representative. Image-kind docs whose payload
+    * yields no code, or no neighbor, are singleton clusters — every doc
+    * gets a cluster row, the dedup-cluster contract. Path halving ON
+    * for the same reason as the simhash sibling: hamming neighborhoods
+    * chain into wide-diameter components.
+    */
+  private def multimodalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = imagePayloads(spark, sfDir)
+    val edges = perceptualPairs(spark, payloads)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    DedupOps.clusterReportReleased(payloads.select("doc_id"), edges,
+      s"multimodal_clusters_$sfDir", compress = true)
+  }
 
   /** Opaque files through the REAL `binaryFile` source (SURVEY §1.4 row 1:
     * the client's `std::ifstream(..., std::ios::binary)`,
@@ -264,6 +286,8 @@ object MultimodalOps {
 
     "multimodal_features" -> QueryDef(multimodalFeatures, None),
 
-    "multimodal_neardup" -> QueryDef(multimodalNeardup, None)
+    "multimodal_neardup" -> QueryDef(multimodalNeardup, None),
+
+    "multimodal_clusters" -> QueryDef(multimodalClusters, None)
   )
 }

@@ -1553,12 +1553,135 @@ object VectorOps {
   private def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     annIvfPq(spark, sfDir)
 
+  /** Persist the IVFADC index — the at-scale composition of the two
+    * persisted families (r18): ONE table `(vec_id, cent, cidx, cell,
+    * codes)` bucketed on `cell` (the probe key file-prunes exactly like
+    * the IVF-Flat index) whose payload per row is the 8-byte PQ code,
+    * NOT the vector — at 100 TB the embeddings go cold and a probe
+    * scans ~nProbe/k of the index at 32× fewer bytes per row, the two
+    * orthogonal cost cuts of `ann_ivfpq` now both AT REST. Both
+    * quantizers persist next to it (`_codebook` coarse cells, `_books`
+    * PQ subspaces) under the frozen-quantizer discipline every other
+    * index follows: any later JVM probes with exactly the artifacts the
+    * at-rest rows were assigned/encoded with. Rebuild bumps the epoch
+    * so in-flight appenders fail loudly ([[IndexEpoch]]).
+    */
+  def writeIvfPqIndex(spark: SparkSession, sfDir: String, table: String,
+      nBuckets: Int = 16): Unit = {
+    val base = emb(spark, sfDir)
+    val n = corpusCount(base, sfDir)
+    val books = pqBookCache.getOrElseUpdate(sfDir, trainPqBooks(base, n))
+    val (cents, e) = ivfAssignments(spark, sfDir, kOpt = None,
+      lloydRounds = 10, multiAssign = 2)
+    require(books.nonEmpty && cents.nonEmpty, "cannot index an empty corpus")
+    clearStaleLocation(spark, table)
+    withPqCodes(e, books)
+      .select(col("vec_id"), col("cent"), col("cidx"), col("cell"), col("codes"))
+      .write.mode("overwrite").bucketBy(nBuckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+    // coarse quantizer — the writeIvfIndex codebook discipline
+    clearStaleLocation(spark, codebookTableFor(table))
+    spark.createDataFrame(
+      cents.map { case (i, arr, _) => (i, arr.toSeq, n, 2) })
+      .toDF("cent", "embedding", "base_n", "multi_assign")
+      .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
+    // PQ books — the writePqIndex discipline
+    clearStaleLocation(spark, pqBooksTableFor(table))
+    val bookRows = for {
+      (book, s) <- books.zipWithIndex.toSeq
+      (cvec, c) <- book.zipWithIndex.toSeq
+    } yield (s, c, cvec.toSeq, n)
+    spark.createDataFrame(bookRows).toDF("sub", "cent", "centroid", "base_n")
+      .write.mode("overwrite").format("parquet").saveAsTable(pqBooksTableFor(table))
+    IndexEpoch.bumpUnconditional(spark, table)
+  }
+
+  /** Incremental maintenance for the persisted IVFADC index — both
+    * frozen-artifact obligations at once: arrivals are cell-assigned
+    * against the PERSISTED coarse codebook (its build-time multiAssign,
+    * never a retrain) AND encoded against the PERSISTED books, so new
+    * rows can never diverge from the at-rest geometry. Replay-safe by
+    * the same distinct-id anti-join as the siblings; `insertInto`
+    * writes by POSITION under the table's bucket spec, so the select is
+    * pinned to (vec_id, cent, cidx, cell, codes). Epoch-guarded: the
+    * span starts before the anti-join read and check-and-bumps right
+    * before the write. [[ivfPqIndexStaleness]] is the rebuild signal
+    * (distinct vec_ids vs the codebook's build-time corpus size — the
+    * code rows are ×multiAssign, so a raw count would double-read).
+    */
+  def appendToIvfPqIndexIdempotent(spark: SparkSession, newRows: DataFrame,
+      table: String): Unit = {
+    spark.catalog.refreshTable(table)
+    val epoch = IndexEpoch.current(spark, table)
+    val (books, _) = loadPqBooks(spark, table)
+    val (cents, _, builtMa) = loadIvfCodebookFull(spark, table)
+    require(books.nonEmpty && cents.nonEmpty,
+      s"IVFADC index $table is missing its quantizer tables — rebuild with writeIvfPqIndex")
+    val m = math.min(builtMa, cents.length)
+    val novel = newRows.dropDuplicates("vec_id")
+      .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti")
+    IndexEpoch.bump(spark, table, epoch)
+    withPqCodes(novel, books)
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"), col("codes"))
+      .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))
+      .select(col("vec_id"), col("cells")(0).as("cent"),
+        posexplode(col("cells")).as(Seq("cidx", "cell")), col("codes"))
+      .select("vec_id", "cent", "cidx", "cell", "codes")
+      .write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Fraction of the IVFADC index appended since its quantizers were
+    * trained — the rebuild signal, measured on distinct vec_ids against
+    * the codebook's build-time corpus size (the code rows are ×multiAssign).
+    */
+  def ivfPqIndexStaleness(spark: SparkSession, table: String): Double = {
+    val (_, baseN) = loadIvfCodebook(spark, table)
+    if (baseN <= 0L) return 1.0
+    val now = spark.table(table).select("vec_id").distinct().count()
+    math.max(0.0, (now - baseN).toDouble / baseN)
+  }
+
+  /** The IVFADC workload answered entirely from the PERSISTED artifacts
+    * (frozen-quantizer policy, the [[annIvfIndexed]]/[[annPqIndexed]]
+    * stance composed): query probes come from the persisted coarse
+    * codebook, ADC LUTs from the persisted books, candidates from the
+    * cell-bucketed code table — only the top-`refine` shortlist per
+    * query touches true embeddings (broadcast join, no corpus shuffle).
+    * Row-identical to `ann_ivfpq` on unchanged data (both quantizers
+    * are bit-stable across train/persist/load — floats roundtrip
+    * parquet exactly; asserted in VectorSpec).
+    */
+  private[graft] def annIvfPqIndexed(spark: SparkSession, sfDir: String,
+      nProbe: Int = 4, topK: Int = 3, refine: Int = 10): DataFrame = {
+    val table = "graft_ivfpq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    ensureIndexTable(spark, table)(writeIvfPqIndex(spark, sfDir, table))
+    val (books, _) = loadPqBooks(spark, table)
+    val (cents, _) = loadIvfCodebook(spark, table)
+    require(books.nonEmpty && cents.nonEmpty,
+      s"IVFADC index $table is missing its quantizer tables — rebuild with writeIvfPqIndex")
+    val base = emb(spark, sfDir)
+    val codes = spark.table(table)
+    val q = pqQueries(base, books)
+    val qProbed = q
+      .withColumn("q_probes",
+        topCellsFor(cents, "q_emb", "q_nrm", math.min(nProbe, cents.length)))
+      .withColumn("probe", explode(col("q_probes")))
+    val cands = codes.join(
+      broadcast(qProbed.select(col("q_id"), col("q_nrm"), col("q_lut"),
+        col("q_probes"), col("probe"))),
+      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
+    pqRerankTopK(base, q, cands, topK, refine)
+  }
+
   // ---- declarations ------------------------------------------------------
 
   val defs: Map[String, QueryDef] = Map(
     "ann_pq" -> QueryDef(annPqQuery, None),
     "ann_pq_indexed" -> QueryDef((s, d) => annPqIndexed(s, d), None),
     "ann_ivfpq" -> QueryDef(annIvfPqQuery, None),
+    "ann_ivfpq_indexed" -> QueryDef((s, d) => annIvfPqIndexed(s, d), None),
     "embed_centroid" -> QueryDef(embedCentroid,
       Some("""SELECT label, CAST(i AS BIGINT) AS pos, count(*) AS n,
              |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS q_sum,

@@ -197,6 +197,31 @@ class MultimodalSpec extends AnyFunSuite {
       "key rows must be image-kind ids with verified hamming <= 3")
   }
 
+  test("multimodal_clusters: every image-kind doc labeled, pairs co-clustered, min-id reps (r18)") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("multimodal_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val imageIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == imageIds,
+      "every image-kind doc must get a cluster row (singletons included)")
+    // every neardup pair lands in one cluster — the closure honors the edges
+    val pairs = SparkEntry.queries("multimodal_neardup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus lost its perceptual pairs — vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // min-id representative discipline and consistent sizes
+    rows.groupBy(_._2._1).foreach { case (cluster, members) =>
+      assert(cluster == members.keys.min, s"cluster $cluster is not its min member id")
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong),
+        s"cluster $cluster sizes inconsistent")
+    }
+    assert(rows.exists(r => r._2._3 && r._1 == r._2._1), "is_rep must mark the min-id member")
+  }
+
   test("metadata-only projection does not read payload bytes (column pruning)") {
     val dir = writeFixtures()
     val plan = MultimodalOps.readBinaryDir(spark, dir.toString)

@@ -39,9 +39,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(noOracle == Set("bpe_merges", "bpe_encode", "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
       "dedup_clusters_minhash", "dedup_keep_best_minhash", "dedup_clusters_simhash",
       "ann_lsh", "ann_lsh_indexed", "ann_ivf",
-      "ann_ivf_indexed", "ann_pq", "ann_pq_indexed", "ann_ivfpq",
+      "ann_ivf_indexed", "ann_pq", "ann_pq_indexed", "ann_ivfpq", "ann_ivfpq_indexed",
       "embed_neardup_lsh", "embed_clusters_lsh",
-      "multimodal_features", "multimodal_neardup", "near_dup_edit_minhash",
+      "multimodal_features", "multimodal_neardup", "multimodal_clusters",
+      "near_dup_edit_minhash",
       "chunk_pack", "pack_sequences",
       "dup_spans_winnow", "decontaminate_spans_winnow", "charlm_quality", "quality_buckets",
       "quality_compress", "corpus_curate_full"),

@@ -264,6 +264,24 @@ class VectorSpec extends AnyFunSuite {
       "persisted books must roundtrip bit-identical to the trained quantizer")
   }
 
+  test("ann_ivfpq_indexed: the persisted IVFADC index answers row-identical to inline ann_ivfpq; codes at rest carry no vectors (r18)") {
+    val inline = SparkEntry.queries("ann_ivfpq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val indexed = SparkEntry.queries("ann_ivfpq_indexed")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(inline.nonEmpty, "fixture corpus must produce IVFADC results")
+    assert(indexed == inline,
+      "the persisted IVFADC path must be row-identical to inline ann_ivfpq on unchanged data")
+    // the at-rest artifact IS the point: 8-byte codes + cell, no vectors
+    val table = "graft_ivfpq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val cols = spark.table(table).columns.toSet
+    assert(cols == Set("vec_id", "cent", "cidx", "cell", "codes"),
+      s"IVFADC index must persist codes, not embeddings: $cols")
+    // both quantizer artifacts sit next to the index for any later JVM
+    assert(spark.catalog.tableExists(table + "_codebook"), "coarse codebook missing")
+    assert(spark.catalog.tableExists(table + "_books"), "PQ books missing")
+  }
+
   test("native pq_encode is bit-identical to the Column-algebra encode") {
     // the independent-implementation pin (the bpe_encode stance): the
     // interpreted Column form — normalize in column space, S·ks literal
@@ -330,6 +348,42 @@ class VectorSpec extends AnyFunSuite {
     assert(spark.table(table).count() == n0 + 2, "replayed append must be a no-op")
     val staleness = VectorOps.pqIndexStaleness(spark, table)
     assert(staleness > 0.0 && staleness < 0.05, s"2/$n0 appended rows, got staleness $staleness")
+  }
+
+  test("IVFADC index append: frozen cells + frozen codes, idempotent replay, staleness (r18)") {
+    import spark.implicits._
+    val table = "ivfpq_append_test_idx"
+    Seq(table, table + "_codebook", table + "_books", table + "_epoch")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    VectorOps.writeIvfPqIndex(spark, sfDir, table)
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ids0 = spark.table(table).select("vec_id").distinct().count()
+    assert(VectorOps.ivfPqIndexStaleness(spark, table) == 0.0)
+    val dim = base.select("embedding").head().getSeq[Float](0).length
+    val arr1 = Array.tabulate(dim)(i => 0.01f * i)
+    val arrivals = Seq((900001L, arr1.toSeq), (0L, arr1.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    VectorOps.appendToIvfPqIndexIdempotent(spark, arrivals, table)
+    val after = spark.table(table).filter(col("vec_id") === 900001L).collect()
+    assert(after.length == 2, s"multiAssign=2 cell rows expected, got ${after.length}")
+    assert(after.forall(_.getSeq[Int](4).length == VectorOps.PqSub),
+      "appended rows must carry full-width codes in the codes slot")
+    assert(spark.table(table).select("vec_id").distinct().count() == ids0 + 1,
+      "one novel id appends; the replayed corpus id does not")
+    // the frozen artifacts mean the appended row's cells/codes equal a
+    // fresh assignment against the persisted quantizers
+    val (books, _) = VectorOps.loadPqBooks(spark, table)
+    val fresh = arrivals.filter(col("vec_id") === 900001L)
+      .withColumn("codes", graft.functions.PqEncode.pq_encode(col("embedding"), books))
+      .select("codes").head().getSeq[Int](0)
+    assert(after.forall(_.getSeq[Int](4) == fresh),
+      "appended codes must come from the persisted books")
+    // replay is a no-op
+    VectorOps.appendToIvfPqIndexIdempotent(spark, arrivals, table)
+    assert(spark.table(table).select("vec_id").distinct().count() == ids0 + 1)
+    val st = VectorOps.ivfPqIndexStaleness(spark, table)
+    assert(st > 0.0 && st < 0.05, s"1/$ids0 appended ids, got staleness $st")
   }
 
   test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
