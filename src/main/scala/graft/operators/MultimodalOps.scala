@@ -205,20 +205,23 @@ object MultimodalOps {
     DedupOps.hammingPairsScored(signed)
   }
 
-  /** Declared key: perceptual image near-dup over the corpus's image-kind
-    * payloads (the [[multimodalMeta]] `doc_id % 3 = 0` convention) —
-    * the missing dedup member of the multimodal family (r18 verdict
-    * task 2). Emits `(doc_a, doc_b, hamming)` with true hamming ≤ 3,
-    * exactly the `dedup_simhash_pairs` relation at the raster grain. No
-    * oracle (hash-derived, like the simhash family); MultimodalSpec pins
-    * planted near-identical rasters flagging, distinct rasters not, and
-    * stub-decoded text payloads passing through unflagged.
+  /** The corpus's image-kind payloads (the [[multimodalMeta]]
+    * `doc_id % 3 = 0` convention) — shared input of the perceptual
+    * dedup keys.
     */
   private def imagePayloads(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Declared key: perceptual image near-dup over [[imagePayloads]] —
+    * the dedup member of the multimodal family (r18 verdict task 2).
+    * Emits `(doc_a, doc_b, hamming)` with true hamming ≤ 3, exactly the
+    * `dedup_simhash_pairs` relation at the raster grain. No oracle
+    * (hash-derived, like the simhash family); MultimodalSpec pins
+    * planted near-identical rasters flagging, distinct rasters not, and
+    * stub-decoded text payloads passing through unflagged.
+    */
   private def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame =
     perceptualPairs(spark, imagePayloads(spark, sfDir))
       .orderBy("doc_a", "doc_b")

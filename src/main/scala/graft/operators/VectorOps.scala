@@ -851,6 +851,10 @@ object VectorOps {
     * the append itself changes. Full-refresh ([[writeLshIndex]]) remains
     * the compaction path; append handles arrival.
     */
+  // (The PQ/IVFADC appends carry an extra dual-store obligation — see
+  // appendToIvfPqIndexIdempotent — because their indexes hold codes,
+  // not vectors; the LSH/IVF-Flat indexes store the embeddings
+  // themselves, so appended rows are immediately probe-reachable.)
   def appendToLshIndex(spark: SparkSession, newRows: DataFrame, table: String, nBits: Int,
       beganEpoch: Option[Long] = None): Unit = {
     // epoch guard (see [[IndexEpoch]]): capture-or-inherit the span start,
@@ -970,16 +974,26 @@ object VectorOps {
     // codebook the cell assignments were actually built with, instead of
     // retraining on a corpus that appends may since have changed
     val baseN = corpusCount(emb(spark, sfDir), sfDir)
-    clearStaleLocation(spark, codebookTableFor(table))
-    spark.createDataFrame(
-      cents.map { case (i, arr, _) => (i, arr.toSeq, baseN, multiAssign) })
-      .toDF("cent", "embedding", "base_n", "multi_assign")
-      .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
+    persistIvfCodebook(spark, table, cents, baseN, multiAssign)
     IndexEpoch.bumpUnconditional(spark, table) // rebuild owns the index
     cents
   }
 
   private[graft] def codebookTableFor(table: String): String = table + "_codebook"
+
+  /** The ONE copy of the coarse-codebook artifact schema — both index
+    * writers that persist a codebook ([[writeIvfIndex]],
+    * [[writeIvfPqIndex]]) go through here, and the loaders read the
+    * columns positionally, so a schema change lives here or nowhere.
+    */
+  private def persistIvfCodebook(spark: SparkSession, table: String,
+      cents: Seq[(Int, Array[Float], Double)], baseN: Long, multiAssign: Int): Unit = {
+    clearStaleLocation(spark, codebookTableFor(table))
+    spark.createDataFrame(
+      cents.map { case (i, arr, _) => (i, arr.toSeq, baseN, multiAssign) })
+      .toDF("cent", "embedding", "base_n", "multi_assign")
+      .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
+  }
 
   /** The persisted quantizer for an IVF index: the codebook rows (sorted
     * by centroid id, norms recomputed — floats roundtrip parquet exactly,
@@ -1385,6 +1399,13 @@ object VectorOps {
     * the ranking. The top-`refine` shortlist — and only it — fetches
     * true embeddings through a broadcast join (no corpus shuffle) for
     * exact cosine ranking to `topK`.
+    *
+    * `base` is the EMBEDDING STORE for the re-rank fetch: a shortlist
+    * candidate with no row there is silently dropped (inner join) and
+    * its shortlist slot is wasted — so an index that has been APPENDED
+    * to must be probed with a store covering the appended ids (the
+    * `embStore` parameter on the indexed entries), or appended rows are
+    * ADC-scanned but can never reach the top-k (r18 review finding).
     */
   private def pqRerankTopK(base: DataFrame, q: DataFrame, cands: DataFrame,
       topK: Int, refine: Int): DataFrame = {
@@ -1439,21 +1460,32 @@ object VectorOps {
     }
     val codes = withPqCodes(e, books)
       .select(col("vec_id"), col("cent"), col("cidx"), col("cell"), col("codes"))
-    // the probe join needs the per-probe EXPLODED query frame; the
-    // re-rank tail must see each query ONCE (an exploded q there would
-    // duplicate every (query, candidate) pair nProbe times and crowd
-    // the TopK with copies)
     val q = pqQueries(base, books)
+    pqRerankTopK(base, q, ivfPqCandidatesFrom(codes, q, cents, nProbe), topK, refine)
+  }
+
+  /** The IVFADC probe-join stage over any code frame `(vec_id, cent,
+    * cidx, cell, codes)` — shared by the inline ([[annIvfPq]]) and
+    * persisted ([[annIvfPqIndexed]]) paths, the [[ivfCandidatesFrom]]
+    * discipline at the code grain. The probe join needs the per-probe
+    * EXPLODED query frame; the re-rank tail must see each query ONCE
+    * (an exploded q there would duplicate every (query, candidate)
+    * pair nProbe times and crowd the TopK with copies), which is why
+    * this takes and returns candidate rows while the caller keeps the
+    * un-exploded `q`. The multi-assign dedup filter keeps each
+    * (query, candidate) pair joined exactly once.
+    */
+  private def ivfPqCandidatesFrom(codes: DataFrame, q: DataFrame,
+      cents: Seq[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
     val qProbed = q
       .withColumn("q_probes",
         topCellsFor(cents, "q_emb", "q_nrm", math.min(nProbe, cents.length)))
       .withColumn("probe", explode(col("q_probes")))
-    val cands = codes.join(
+    codes.join(
       broadcast(qProbed.select(col("q_id"), col("q_nrm"), col("q_lut"),
         col("q_probes"), col("probe"))),
       col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
-    pqRerankTopK(base, q, cands, topK, refine)
   }
 
   private def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -1477,11 +1509,20 @@ object VectorOps {
     clearStaleLocation(spark, table)
     withPqCodes(base, books).select("vec_id", "codes")
       .write.mode("overwrite").format("parquet").saveAsTable(table)
+    persistPqBooks(spark, table, books, n)
+  }
+
+  /** The ONE copy of the PQ-books artifact schema — shared by
+    * [[writePqIndex]] and [[writeIvfPqIndex]]; [[loadPqBooks]] reads
+    * positionally, so the schema lives here or nowhere.
+    */
+  private def persistPqBooks(spark: SparkSession, table: String,
+      books: Array[Array[Array[Float]]], baseN: Long): Unit = {
     clearStaleLocation(spark, pqBooksTableFor(table))
     val rows = for {
       (book, s) <- books.zipWithIndex.toSeq
       (cvec, c) <- book.zipWithIndex.toSeq
-    } yield (s, c, cvec.toSeq, n)
+    } yield (s, c, cvec.toSeq, baseN)
     spark.createDataFrame(rows).toDF("sub", "cent", "centroid", "base_n")
       .write.mode("overwrite").format("parquet").saveAsTable(pqBooksTableFor(table))
   }
@@ -1508,6 +1549,9 @@ object VectorOps {
     * rebuild signal. Idempotent by vec_id anti-join with the same
     * stale-cache refreshes; `insertInto` writes by POSITION, so the
     * select is pinned to the table's (vec_id, codes) column order.
+    * Same dual-store obligation as [[appendToIvfPqIndexIdempotent]]:
+    * the re-rank store passed to [[annPqIndexed]] must cover appended
+    * ids or they are ADC-scanned but never reach the top-k.
     */
   def appendToPqIndexIdempotent(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
     val (books, _) = loadPqBooks(spark, table)
@@ -1536,7 +1580,8 @@ object VectorOps {
     * bit-stable, so inline training and the persisted artifact agree —
     * asserted in VectorSpec).
     */
-  private[graft] def annPqIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def annPqIndexed(spark: SparkSession, sfDir: String,
+      embStore: Option[DataFrame] = None): DataFrame = {
     val table = "graft_pq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     ensureIndexTable(spark, table)(writePqIndex(spark, sfDir, table))
     val (books, _) = loadPqBooks(spark, table)
@@ -1547,7 +1592,9 @@ object VectorOps {
     val cands = codes.join(
       broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
       col("vec_id") =!= col("q_id"))
-    pqRerankTopK(base, q, cands, topK = 3, refine = 10)
+    // embStore: see pqRerankTopK — an appended index must re-rank
+    // against a store that covers the appended ids
+    pqRerankTopK(embStore.getOrElse(base), q, cands, topK = 3, refine = 10)
   }
 
   private def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -1570,29 +1617,20 @@ object VectorOps {
       nBuckets: Int = 16): Unit = {
     val base = emb(spark, sfDir)
     val n = corpusCount(base, sfDir)
+    // the ONE multiAssign value: assigned with AND persisted (a literal
+    // in the codebook row could silently drift from the assignment call)
+    val multiAssign = 2
     val books = pqBookCache.getOrElseUpdate(sfDir, trainPqBooks(base, n))
     val (cents, e) = ivfAssignments(spark, sfDir, kOpt = None,
-      lloydRounds = 10, multiAssign = 2)
+      lloydRounds = 10, multiAssign = multiAssign)
     require(books.nonEmpty && cents.nonEmpty, "cannot index an empty corpus")
     clearStaleLocation(spark, table)
     withPqCodes(e, books)
       .select(col("vec_id"), col("cent"), col("cidx"), col("cell"), col("codes"))
       .write.mode("overwrite").bucketBy(nBuckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(table)
-    // coarse quantizer — the writeIvfIndex codebook discipline
-    clearStaleLocation(spark, codebookTableFor(table))
-    spark.createDataFrame(
-      cents.map { case (i, arr, _) => (i, arr.toSeq, n, 2) })
-      .toDF("cent", "embedding", "base_n", "multi_assign")
-      .write.mode("overwrite").format("parquet").saveAsTable(codebookTableFor(table))
-    // PQ books — the writePqIndex discipline
-    clearStaleLocation(spark, pqBooksTableFor(table))
-    val bookRows = for {
-      (book, s) <- books.zipWithIndex.toSeq
-      (cvec, c) <- book.zipWithIndex.toSeq
-    } yield (s, c, cvec.toSeq, n)
-    spark.createDataFrame(bookRows).toDF("sub", "cent", "centroid", "base_n")
-      .write.mode("overwrite").format("parquet").saveAsTable(pqBooksTableFor(table))
+    persistIvfCodebook(spark, table, cents, n, multiAssign)
+    persistPqBooks(spark, table, books, n)
     IndexEpoch.bumpUnconditional(spark, table)
   }
 
@@ -1608,6 +1646,13 @@ object VectorOps {
     * before the write. [[ivfPqIndexStaleness]] is the rebuild signal
     * (distinct vec_ids vs the codebook's build-time corpus size — the
     * code rows are ×multiAssign, so a raw count would double-read).
+    *
+    * DUAL-STORE OBLIGATION: the index holds codes, not vectors, and the
+    * probe's exact re-rank fetches true embeddings from the embedding
+    * store — an appender must land the same rows in that store and pass
+    * it as `embStore` to [[annIvfPqIndexed]], or the appended ids are
+    * ADC-scanned but silently dropped at the re-rank join (and waste
+    * shortlist slots). Pinned in VectorSpec's append test.
     */
   def appendToIvfPqIndexIdempotent(spark: SparkSession, newRows: DataFrame,
       table: String): Unit = {
@@ -1632,15 +1677,12 @@ object VectorOps {
   }
 
   /** Fraction of the IVFADC index appended since its quantizers were
-    * trained — the rebuild signal, measured on distinct vec_ids against
-    * the codebook's build-time corpus size (the code rows are ×multiAssign).
+    * trained — identical artifact layout (`_codebook` with base_n) and
+    * formula as the IVF-Flat signal, so it IS that function; a distinct
+    * name only so maintenance callers read as the family they maintain.
     */
-  def ivfPqIndexStaleness(spark: SparkSession, table: String): Double = {
-    val (_, baseN) = loadIvfCodebook(spark, table)
-    if (baseN <= 0L) return 1.0
-    val now = spark.table(table).select("vec_id").distinct().count()
-    math.max(0.0, (now - baseN).toDouble / baseN)
-  }
+  def ivfPqIndexStaleness(spark: SparkSession, table: String): Double =
+    ivfIndexStaleness(spark, table)
 
   /** The IVFADC workload answered entirely from the PERSISTED artifacts
     * (frozen-quantizer policy, the [[annIvfIndexed]]/[[annPqIndexed]]
@@ -1653,26 +1695,21 @@ object VectorOps {
     * parquet exactly; asserted in VectorSpec).
     */
   private[graft] def annIvfPqIndexed(spark: SparkSession, sfDir: String,
-      nProbe: Int = 4, topK: Int = 3, refine: Int = 10): DataFrame = {
-    val table = "graft_ivfpq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      nProbe: Int = 4, topK: Int = 3, refine: Int = 10,
+      embStore: Option[DataFrame] = None,
+      tableOpt: Option[String] = None): DataFrame = {
+    val table = tableOpt.getOrElse(
+      "graft_ivfpq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     ensureIndexTable(spark, table)(writeIvfPqIndex(spark, sfDir, table))
     val (books, _) = loadPqBooks(spark, table)
     val (cents, _) = loadIvfCodebook(spark, table)
     require(books.nonEmpty && cents.nonEmpty,
       s"IVFADC index $table is missing its quantizer tables — rebuild with writeIvfPqIndex")
     val base = emb(spark, sfDir)
+    val store = embStore.getOrElse(base)
     val codes = spark.table(table)
     val q = pqQueries(base, books)
-    val qProbed = q
-      .withColumn("q_probes",
-        topCellsFor(cents, "q_emb", "q_nrm", math.min(nProbe, cents.length)))
-      .withColumn("probe", explode(col("q_probes")))
-    val cands = codes.join(
-      broadcast(qProbed.select(col("q_id"), col("q_nrm"), col("q_lut"),
-        col("q_probes"), col("probe"))),
-      col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-      .filter(col("cidx") === 0 || !array_contains(col("q_probes"), col("cent")))
-    pqRerankTopK(base, q, cands, topK, refine)
+    pqRerankTopK(store, q, ivfPqCandidatesFrom(codes, q, cents, nProbe), topK, refine)
   }
 
   // ---- declarations ------------------------------------------------------

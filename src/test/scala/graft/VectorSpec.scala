@@ -384,6 +384,25 @@ class VectorSpec extends AnyFunSuite {
     assert(spark.table(table).select("vec_id").distinct().count() == ids0 + 1)
     val st = VectorOps.ivfPqIndexStaleness(spark, table)
     assert(st > 0.0 && st < 0.05, s"1/$ids0 appended ids, got staleness $st")
+    // DUAL-STORE contract, pinned end-to-end: append a twin of query 0's
+    // embedding — probed against the bare corpus store it is unreachable
+    // (no re-rank row), probed with a store covering it, it must rank #1
+    // for q_id 0 at sim ~1.0
+    val q0emb = base.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val twin = Seq((900099L, q0emb)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    VectorOps.appendToIvfPqIndexIdempotent(spark, twin, table)
+    val bare = VectorOps.annIvfPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
+    assert(!bare.exists(_.getLong(1) == 900099L),
+      "appended id must be unreachable when the re-rank store lacks it (documented drop)")
+    val store = base.select("vec_id", "embedding").union(twin)
+    val covered = VectorOps.annIvfPqIndexed(spark, sfDir,
+      embStore = Some(store), tableOpt = Some(table)).collect()
+    val q0top = covered.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+    assert(q0top.length == 1 && q0top.head.getLong(1) == 900099L &&
+      q0top.head.getDouble(2) > 0.9999,
+      s"twin must top q0's ranking once the store covers it: ${q0top.toSeq}")
   }
 
   test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
