@@ -1834,6 +1834,25 @@ class StreamingSpec extends AnyFunSuite {
       s"gate must re-collect on generation drift: got $bitsB, model B gives $want")
     assert(bitsB != bitsA,
       "fixture is vacuous: models A and B must score the probe doc differently")
+    // and the generation re-validation must also flip the PLAN REGIME
+    // when the rebuilt artifact crosses the literal cap — another
+    // process can grow the model past CharLmLiteralMax, and this JVM's
+    // next batch must switch to the broadcast-join plan, not score the
+    // big model through a stale literal projection
+    val chars = (0 until 105).map(i => (0x4E00 + i).toChar)
+    val big = chars.zipWithIndex.map { case (c, i) =>
+      (i.toLong, chars.map(cj => s"$c$cj").mkString)
+    }.toDF("doc_id", "text")
+    val (c2, x2, v2) = HygieneOps.charlmModelOf(big)
+    VectorOps.clearStaleLocation(spark, table)
+    VectorOps.clearStaleLocation(spark, table + "_ctx")
+    c2.write.mode("overwrite").format("parquet").saveAsTable(table)
+    x2.crossJoin(v2).write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_ctx")
+    IndexEpoch.bumpUnconditional(spark, table)
+    val out3 = CharLmGate.withLmDecisions(batch, table, maxBits = 1e9)
+    assert(out3.queryExecution.optimizedPlan.toString.contains(table),
+      "an over-cap cross-process rebuild must flip the gate to the join plan (tables in plan)")
   }
 
   test("gated ingestion pipeline: exact dedup -> quality -> merge -> near-dup gate in ONE query across batches") {
