@@ -1581,8 +1581,10 @@ object VectorOps {
     * asserted in VectorSpec).
     */
   private[graft] def annPqIndexed(spark: SparkSession, sfDir: String,
-      embStore: Option[DataFrame] = None): DataFrame = {
-    val table = "graft_pq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      embStore: Option[DataFrame] = None,
+      tableOpt: Option[String] = None): DataFrame = {
+    val table = tableOpt.getOrElse(
+      "graft_pq_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     ensureIndexTable(spark, table)(writePqIndex(spark, sfDir, table))
     val (books, _) = loadPqBooks(spark, table)
     require(books.nonEmpty, s"PQ index $table has an empty books table")

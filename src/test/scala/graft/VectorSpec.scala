@@ -348,6 +348,25 @@ class VectorSpec extends AnyFunSuite {
     assert(spark.table(table).count() == n0 + 2, "replayed append must be a no-op")
     val staleness = VectorOps.pqIndexStaleness(spark, table)
     assert(staleness > 0.0 && staleness < 0.05, s"2/$n0 appended rows, got staleness $staleness")
+    // DUAL-STORE contract (the IVFADC pin's PQ sibling): a twin of query
+    // 0's embedding is unreachable against the bare corpus store, and
+    // must rank #1 for q_id 0 at sim ~1.0 once the store covers it
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q0emb = base.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val twin = Seq((900099L, q0emb)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    VectorOps.appendToPqIndexIdempotent(spark, twin, table)
+    val bare = VectorOps.annPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
+    assert(!bare.exists(_.getLong(1) == 900099L),
+      "appended id must be unreachable when the re-rank store lacks it (documented drop)")
+    val store = base.select("vec_id", "embedding").union(twin)
+    val covered = VectorOps.annPqIndexed(spark, sfDir,
+      embStore = Some(store), tableOpt = Some(table)).collect()
+    val q0top = covered.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+    assert(q0top.length == 1 && q0top.head.getLong(1) == 900099L &&
+      q0top.head.getDouble(2) > 0.9999,
+      s"twin must top q0's ranking once the store covers it: ${q0top.toSeq}")
   }
 
   test("IVFADC index append: frozen cells + frozen codes, idempotent replay, staleness (r18)") {
