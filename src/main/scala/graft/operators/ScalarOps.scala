@@ -34,6 +34,28 @@ object ScalarOps {
   private val paletteValuesSql: String =
     SystemPalette.map { case (r, g, b, c) => s"($r, $g, $b, $c)" }.mkString(", ")
 
+  /** MAP_256C[16..255] — the range the reference's
+    * `find_closest_color_code` actually scans (`src/ansi.tpp:351-363`;
+    * it starts at 16 because terminal emulators redefine the SYSTEM
+    * entries): codes 16-231 are the standard xterm 6×6×6 cube over
+    * channel values {0,95,135,175,215,255} (code = 16 + 36·ri + 6·gi +
+    * bi), codes 232-255 the grayscale ramp v = 8 + 10·(code−232).
+    * COMPUTED from the defining formula — public xterm data, identical
+    * entry for entry to the reference's table (spot-pinned in
+    * QueriesSpec against `src/ansi.tpp:97-337` values).
+    */
+  val ExtendedPalette: Seq[(Int, Int, Int, Int)] = {
+    val vals = IndexedSeq(0, 95, 135, 175, 215, 255)
+    val cube = for {
+      ri <- 0 until 6; gi <- 0 until 6; bi <- 0 until 6
+    } yield (vals(ri), vals(gi), vals(bi), 16 + 36 * ri + 6 * gi + bi)
+    val gray = (0 until 24).map(i => (8 + 10 * i, 8 + 10 * i, 8 + 10 * i, 232 + i))
+    cube ++ gray
+  }
+
+  private val extendedPaletteValuesSql: String =
+    ExtendedPalette.map { case (r, g, b, c) => s"($r, $g, $b, $c)" }.mkString(", ")
+
   // ---- validate_ip_port (A26, A27) --------------------------------------
 
   /** IPv4 octet: 0-255, no leading zeros — `inet_pton(AF_INET, ...)`
@@ -115,6 +137,42 @@ object ScalarOps {
       .select(col("p_partkey"),
         col("best.r").as("r"), col("best.g").as("g"), col("best.b").as("b"),
         col("best.code").cast("int").as("code"), col("best.dist").as("dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** A28 at FULL reference fidelity: `find_closest_color_code` verbatim —
+    * the dark cutoff (`r<20 && g<15 && b<15` → code 16, "prevents
+    * artifacting from the redmean approximation", `src/ansi.tpp:354`)
+    * and the strict-< scan over MAP_256C[16..255] (first index wins
+    * ties = lowest code, the `min(struct)` order). Same ×512 integer
+    * redmean as [[colorNearest]] — algebraically exact against the
+    * reference's float form: 512·(2+(r+R)/512) = 1024+(r+R), 4·512 =
+    * 2048, 512·(2+(255−(r+R)/2)/256) = 1534−(r+R). The 240-row palette
+    * broadcasts; the per-key argmin is the same map-side-combining
+    * partial aggregation, so the exchange still moves one row per key.
+    * The cutoff is a post-aggregation override rather than a scan
+    * bypass: dark rows are a ~0.06% sliver, and a union split would
+    * cost a second branch of the plan to save 240 comparisons each.
+    */
+  private def colorNearest256(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val palette = ExtendedPalette.toDF("cr", "cg", "cb", "code")
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        (col("p_partkey") % 256).as("r"),
+        (col("p_partkey") * 7 % 256).as("g"),
+        (col("p_partkey") * 13 % 256).as("b"))
+      .crossJoin(broadcast(palette))
+      .withColumn("dist",
+        expr("""(1024 + (r + cr)) * (r - cr) * (r - cr)
+               | + 2048 * (g - cg) * (g - cg)
+               | + (1534 - (r + cr)) * (b - cb) * (b - cb)""".stripMargin))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("dist"), col("code"), col("r"), col("g"), col("b"))).as("best"))
+      .select(col("p_partkey"),
+        col("best.r").as("r"), col("best.g").as("g"), col("best.b").as("b"),
+        when(col("best.r") < 20 && col("best.g") < 15 && col("best.b") < 15, lit(16))
+          .otherwise(col("best.code")).cast("int").as("code"))
       .orderBy("p_partkey")
   }
 
@@ -245,6 +303,23 @@ object ScalarOps {
               |             + (1534 - (r + cr)) * (b - cb) * (b - cb), code) AS rn
               |  FROM pts CROSS JOIN pal)
               |SELECT p_partkey, r, g, b, code, dist
+              |FROM scored WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+
+    "color_nearest_256" -> QueryDef(colorNearest256,
+      Some(s"""WITH pal(cr, cg, cb, code) AS (VALUES $extendedPaletteValuesSql),
+              |pts AS (
+              |  SELECT p_partkey, p_partkey % 256 AS r, p_partkey * 7 % 256 AS g,
+              |         p_partkey * 13 % 256 AS b
+              |  FROM part),
+              |scored AS (
+              |  SELECT p_partkey, r, g, b, code,
+              |         row_number() OVER (PARTITION BY p_partkey ORDER BY
+              |           (1024 + (r + cr)) * (r - cr) * (r - cr)
+              |             + 2048 * (g - cg) * (g - cg)
+              |             + (1534 - (r + cr)) * (b - cb) * (b - cb), code) AS rn
+              |  FROM pts CROSS JOIN pal)
+              |SELECT p_partkey, r, g, b,
+              |       CASE WHEN r < 20 AND g < 15 AND b < 15 THEN 16 ELSE code END AS code
               |FROM scored WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
     "surrogate_id" -> QueryDef(surrogateId,

@@ -63,7 +63,7 @@ class PlanSpec extends AnyFunSuite {
     // embed_neardup/dedup_jaccard are bounded verification baselines and
     // color_nearest is a 16-row broadcast palette — everything else must
     // plan hash/sort-merge joins only
-    val exempt = Set("embed_neardup", "dedup_jaccard", "color_nearest")
+    val exempt = Set("embed_neardup", "dedup_jaccard", "color_nearest", "color_nearest_256")
     SparkEntry.queries.keys.filterNot(exempt).toSeq.sorted.foreach { k =>
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
@@ -128,6 +128,49 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("color_nearest")
     assert(!p.contains("Window"), s"argmin still plans a window over the 16x scored rows:\n$p")
     assert(p.contains("partial_min"), s"no map-side partial argmin:\n$p")
+    val p256 = plan("color_nearest_256")
+    assert(!p256.contains("Window") && p256.contains("partial_min"),
+      s"256-entry scan must keep the partial-agg argmin shape:\n${p256.take(400)}")
+  }
+
+  test("color_nearest_256: computed palette matches the reference table; dark cutoff and scan agree with a direct evaluation (r18)") {
+    import graft.operators.ScalarOps
+    // spot-pin the COMPUTED palette against reference entries
+    // (src/ansi.tpp:97-337): cube corners/interior and the gray ramp
+    val pal = ScalarOps.ExtendedPalette.map(e => e._4 -> ((e._1, e._2, e._3))).toMap
+    assert(pal(16) == ((0, 0, 0)) && pal(17) == ((0, 0, 95)) &&
+      pal(21) == ((0, 0, 255)) && pal(22) == ((0, 95, 0)) &&
+      pal(231) == ((255, 255, 255)) && pal(232) == ((8, 8, 8)) &&
+      pal(239) == ((78, 78, 78)) && pal(255) == ((238, 238, 238)),
+      s"computed MAP_256C drifted from the reference table")
+    assert(ScalarOps.ExtendedPalette.size == 240)
+    // direct reference-algorithm evaluation (driver-side, independent of
+    // the Spark plan) over the key's own point synthesis
+    def closest(r: Int, g: Int, b: Int): Int = {
+      if (r < 20 && g < 15 && b < 15) return 16
+      var bestC = -1; var bestD = Long.MaxValue
+      ScalarOps.ExtendedPalette.foreach { case (cr, cg, cb, code) =>
+        val d = (1024L + (r + cr)) * (r - cr) * (r - cr) +
+          2048L * (g - cg) * (g - cg) +
+          (1534L - (r + cr)) * (b - cb) * (b - cb)
+        if (d < bestD) { bestD = d; bestC = code } // strict <: first wins
+      }
+      bestC
+    }
+    val rows = SparkEntry.queries("color_nearest_256")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (k, r, g, b, code) = (row.getLong(0), row.getLong(1).toInt,
+        row.getLong(2).toInt, row.getLong(3).toInt, row.getInt(4))
+      assert(code == closest(r, g, b),
+        s"part $k ($r,$g,$b): engine code $code != reference algorithm ${closest(r, g, b)}")
+    }
+    assert(rows.exists(_.getInt(4) >= 232), "gray ramp never chosen — scan not exercised")
+    assert(rows.exists(r => r.getLong(1) < 20 && r.getLong(2) < 15 && r.getLong(3) < 15 &&
+      r.getInt(4) == 16) || !rows.exists(r =>
+      r.getLong(1) < 20 && r.getLong(2) < 15 && r.getLong(3) < 15),
+      "dark rows (if any) must take the cutoff")
   }
 
   test("decontaminate_strip joins only by broadcast: train text never shuffles for a join") {
