@@ -157,10 +157,9 @@ object MultimodalOps {
     * Caller filters empty frame arrays (no raster → no code — the
     * 0-bigram charlm discipline).
     */
-  private[graft] def dHashOf(frames: Array[Float]): Long = {
+  private def dHashBinsOf(frames: Array[Float]): Array[Double] = {
     val n = frames.length
-    require(n > 0, "dHashOf needs a non-empty profile")
-    val bins = Array.tabulate(DHashBins) { b =>
+    Array.tabulate(DHashBins) { b =>
       // Long arithmetic: b*n overflows Int past ~33M frames (a long
       // audio's loudness envelope is exactly that shape)
       val lo = (b.toLong * n / DHashBins).toInt
@@ -170,6 +169,12 @@ object MultimodalOps {
       while (j < hi) { s += frames(j); j += 1 }
       s / (hi - lo)
     }
+  }
+
+  private[graft] def dHashOf(frames: Array[Float]): Long = {
+    val n = frames.length
+    require(n > 0, "dHashOf needs a non-empty profile")
+    val bins = dHashBinsOf(frames)
     var code = 0L
     var i = 0
     while (i < 64) {
@@ -177,6 +182,42 @@ object MultimodalOps {
       i += 1
     }
     code
+  }
+
+  /** [[dHashOf]] with the DEGENERATE-PROFILE POLICY (r18 verdict task 3):
+    * a profile whose [[DHashBins]] pooled means collapse to fewer than
+    * two distinct values — a flat raster, a constant tone, or a payload
+    * too short to give the bins any structure — hashes to code ~0, and
+    * at corpus scale every such payload would cross-pair at hamming 0
+    * and chain into one giant vacuous "near-dup" class (bounded by the
+    * hot-bucket star guard, but a precision flood all the same). Such
+    * profiles emit NO signature: a flat icon is perceptually "like every
+    * other flat icon" only in the sense that tells a curation pipeline
+    * nothing, so the dedup keys treat it like an empty payload — present
+    * in the corpus, a singleton in the cluster view, never a pair.
+    * Profiles with any structure at all (≥ 2 distinct pooled bins) hash
+    * exactly as before.
+    */
+  private[graft] def dHashCodeOpt(frames: Array[Float]): Option[Long] = {
+    if (frames.isEmpty) return None
+    val bins = dHashBinsOf(frames)
+    val first = bins(0)
+    var degenerate = true
+    var i = 1
+    while (degenerate && i < DHashBins) {
+      if (bins(i) != first) degenerate = false
+      i += 1
+    }
+    if (degenerate) None
+    else {
+      var code = 0L
+      var j = 0
+      while (j < 64) {
+        if (bins(j + 1) > bins(j)) code |= (1L << j)
+        j += 1
+      }
+      Some(code)
+    }
   }
 
   final case class DocHash(doc_id: Long, simhash: Long)
@@ -189,20 +230,34 @@ object MultimodalOps {
     * `(doc_id, code)` — at 100 TB the neardup pass must not carry frame
     * arrays or payload bytes past the map, and the banding join then
     * shuffles 16 bytes/doc, never pixels. Docs whose payload decodes to
-    * an empty profile (empty payload) carry no code and never pair.
+    * an empty OR DEGENERATE profile (empty payload, flat raster,
+    * constant tone — [[dHashCodeOpt]]'s policy) carry no code and never
+    * pair: they stay in the corpus as singletons instead of flooding
+    * the hamming-0 bucket with vacuous pairs (r18 verdict task 3).
     */
   private[graft] def perceptualPairs(
       spark: SparkSession, payloads: DataFrame,
+      decoder: FrameDecoder = AutoFrameDecoder): DataFrame =
+    DedupOps.hammingPairsScored(perceptualCodes(spark, payloads, decoder))
+
+  /** The lean decode pass alone: one `(doc_id, simhash)` row per doc
+    * whose payload yields a non-degenerate profile (the column is named
+    * `simhash` because [[DedupOps.hammingPairsScored]] and the streaming
+    * gate's banding are agnostic to where the 64-bit code came from).
+    * Shared by the batch pair generation above and the streaming
+    * perceptual ingest gate ([[graft.streaming.PerceptGate]]), so the
+    * online and batch signatures can never drift.
+    */
+  private[graft] def perceptualCodes(
+      spark: SparkSession, payloads: DataFrame,
       decoder: FrameDecoder = AutoFrameDecoder): DataFrame = {
     import spark.implicits._
-    val signed = payloads.select(col("doc_id"), col("payload")).as[DocBytes]
+    payloads.select(col("doc_id"), col("payload")).as[DocBytes]
       .mapPartitions { it =>
         it.flatMap { d =>
-          val frames = decoder.decode(d.payload)
-          if (frames.isEmpty) None else Some(DocHash(d.doc_id, dHashOf(frames)))
+          dHashCodeOpt(decoder.decode(d.payload)).map(DocHash(d.doc_id, _))
         }
       }.toDF()
-    DedupOps.hammingPairsScored(signed)
   }
 
   /** The corpus's image-kind payloads (the [[multimodalMeta]]
@@ -233,8 +288,9 @@ object MultimodalOps {
     * hamming ≤ 3, so as with simhash there is no false-edge class to
     * gate before the transitive closure) → checkpointed connected
     * components → min-id representative. Image-kind docs whose payload
-    * yields no code, or no neighbor, are singleton clusters — every doc
-    * gets a cluster row, the dedup-cluster contract. Path halving ON
+    * yields no code (empty or degenerate profile — [[dHashCodeOpt]]),
+    * or no neighbor, are singleton clusters — every doc gets a cluster
+    * row, the dedup-cluster contract. Path halving ON
     * for the same reason as the simhash sibling: hamming neighborhoods
     * chain into wide-diameter components.
     */

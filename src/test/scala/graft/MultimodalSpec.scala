@@ -197,6 +197,41 @@ class MultimodalSpec extends AnyFunSuite {
       "key rows must be image-kind ids with verified hamming <= 3")
   }
 
+  test("degenerate-profile policy: a flood of tiny flat rasters yields zero vacuous pairs; real near-dups still flag (r19)") {
+    import spark.implicits._
+    def p5(rows: Array[Int]): Array[Byte] =
+      s"P5\n4 ${rows.length}\n255\n".getBytes("US-ASCII") ++
+        rows.flatMap(v => Array.fill(4)(v.toByte))
+    val gradient = Array.tabulate(64)(r => r * 4)
+    val nearDup = gradient.clone()
+    nearDup(31) = gradient(31) + 20
+    // the flood: 20 flat icons at assorted constant intensities and
+    // assorted tiny sizes — pre-r19 every one hashed to code ~0 and all
+    // 190 cross pairs flagged at hamming 0
+    val flood = (0 until 20).map { i =>
+      (100L + i * 3, p5(Array.fill(2 + i % 5)(i * 12 % 256)))
+    }
+    val payloads = (Seq(3L -> p5(gradient), 9L -> p5(nearDup)) ++ flood)
+      .toDF("doc_id", "payload")
+    val pairs = MultimodalOps.perceptualPairs(spark, payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 9L)),
+      s"flat-raster flood must produce no pairs while the planted near-dup still flags: $pairs")
+    // the policy's exact boundary: a constant profile emits no code, the
+    // minimal structured profile (one step) emits one
+    assert(MultimodalOps.dHashCodeOpt(Array.fill(64)(7f)).isEmpty,
+      "constant profile must emit no signature")
+    assert(MultimodalOps.dHashCodeOpt(Array.empty[Float]).isEmpty,
+      "empty profile must emit no signature")
+    val stepped = Array.tabulate(64)(i => if (i < 32) 0f else 255f)
+    assert(MultimodalOps.dHashCodeOpt(stepped).contains(MultimodalOps.dHashOf(stepped)),
+      "structured profiles must hash exactly as dHashOf")
+    // cluster view: degenerate image-kind docs stay PRESENT as singletons
+    val codes = MultimodalOps.perceptualCodes(spark, payloads)
+      .collect().map(_.getLong(0)).toSet
+    assert(codes == Set(3L, 9L), s"only structured profiles carry codes: $codes")
+  }
+
   test("multimodal_clusters: every image-kind doc labeled, pairs co-clustered, min-id reps (r18)") {
     import org.apache.spark.sql.functions.col
     val sfDir = "/root/testdata/sf0.001"
