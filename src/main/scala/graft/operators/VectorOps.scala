@@ -1402,10 +1402,12 @@ object VectorOps {
     *
     * `base` is the EMBEDDING STORE for the re-rank fetch: a shortlist
     * candidate with no row there is silently dropped (inner join) and
-    * its shortlist slot is wasted — so an index that has been APPENDED
-    * to must be probed with a store covering the appended ids (the
-    * `embStore` parameter on the indexed entries), or appended rows are
-    * ADC-scanned but can never reach the top-k (r18 review finding).
+    * its shortlist slot is wasted. The persisted-index probes therefore
+    * default the store to the index-owned `_emb` sidecar, which every
+    * append keeps a superset of the code table's ids
+    * ([[appendEmbSidecarIdempotent]]) — so appended rows are reachable
+    * by default (r18 review finding → r18 verdict task 2). A caller
+    * overriding `embStore` takes the coverage obligation back.
     */
   private def pqRerankTopK(base: DataFrame, q: DataFrame, cands: DataFrame,
       topK: Int, refine: Int): DataFrame = {
@@ -1493,6 +1495,76 @@ object VectorOps {
 
   private[graft] def pqBooksTableFor(table: String): String = table + "_books"
 
+  /** The codes-only indexes' EMBEDDING SIDECAR table: `(vec_id,
+    * embedding)` rows covering exactly the ids the code table holds, so
+    * the exact re-rank is reachable for appended rows BY DEFAULT (r18
+    * verdict task 2 — "documented footgun" was not the scale-safe
+    * default: at 100 TB the append path is the normal path). The build
+    * writes it from the corpus; every append lands the arrival's
+    * embeddings here FIRST, then its codes — so the sidecar id set is
+    * always a superset of the code table's and no code row can be
+    * re-rank-unreachable. The at-rest probe cost story is unchanged:
+    * the ADC scan still reads only 8-byte codes; the sidecar is touched
+    * only by the shortlist fetch (broadcast join, `refine` rows per
+    * query).
+    */
+  private[graft] def embTableFor(table: String): String = table + "_emb"
+
+  /** The default re-rank store for a persisted codes-only index: the
+    * index-owned sidecar when it exists (every index written since the
+    * sidecar landed), else the base corpus — the legacy fallback for an
+    * index at rest from an older build, which is exactly the pre-sidecar
+    * behavior with its documented appended-rows drop.
+    */
+  private def defaultEmbStore(spark: SparkSession, table: String, base: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(embTableFor(table))) {
+      spark.catalog.refreshTable(embTableFor(table))
+      spark.table(embTableFor(table))
+    } else base
+
+  /** Right-to-be-forgotten over a codes-only index AND its embedding
+    * sidecar: the sidecar holds the raw vectors — per-doc data, more
+    * sensitive than the codes — so a deletion request must purge both
+    * tables ([[graft.operators.IndexPurge]] is per-table by design; the
+    * quantizer side tables legitimately survive, the sidecar must not).
+    * Codes purge FIRST: a crash in between leaves sidecar ⊇ codes (the
+    * re-rank invariant intact, the embedding lingering until the
+    * deletion queue's at-least-once redelivery), never a code row whose
+    * re-rank fetch lost its embedding. Returns the code rows removed.
+    */
+  def purgeFromCodesIndex(spark: SparkSession, table: String, ids: Seq[Long]): Long = {
+    val removed = IndexPurge.purge(spark, table, "vec_id", ids)
+    if (spark.catalog.tableExists(embTableFor(table)))
+      IndexPurge.purge(spark, embTableFor(table), "vec_id", ids)
+    removed
+  }
+
+  private def writeEmbSidecar(spark: SparkSession, base: DataFrame, table: String): Unit = {
+    clearStaleLocation(spark, embTableFor(table))
+    base.select("vec_id", "embedding")
+      .write.mode("overwrite").format("parquet").saveAsTable(embTableFor(table))
+  }
+
+  /** Sidecar half of an idempotent append: lands the arrival embeddings
+    * not already in the sidecar. Runs BEFORE the code write, and
+    * anti-joins against the sidecar's OWN ids (not the code table's): a
+    * crash between the two writes leaves sidecar ⊇ codes, and the
+    * replay then skips the sidecar rows it already landed while the
+    * code write proceeds — the invariant "every code row is re-rank
+    * reachable" holds at every step. A legacy index without a sidecar
+    * skips this (its probes fall back to the base corpus as before).
+    */
+  private def appendEmbSidecarIdempotent(
+      spark: SparkSession, novel: DataFrame, table: String): Unit =
+    if (spark.catalog.tableExists(embTableFor(table))) {
+      spark.catalog.refreshTable(embTableFor(table))
+      novel.select("vec_id", "embedding")
+        .join(spark.table(embTableFor(table)).select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding") // insertInto writes by POSITION
+        .write.mode("append").insertInto(embTableFor(table))
+      spark.catalog.refreshTable(embTableFor(table))
+    }
+
   /** Persist the PQ index: the code table `(vec_id, codes)` — the 32×
     * at-rest artifact that IS the point of PQ (the vectors can go cold;
     * the scan works off codes alone) — plus the trained books next to it
@@ -1510,6 +1582,7 @@ object VectorOps {
     withPqCodes(base, books).select("vec_id", "codes")
       .write.mode("overwrite").format("parquet").saveAsTable(table)
     persistPqBooks(spark, table, books, n)
+    writeEmbSidecar(spark, base, table)
   }
 
   /** The ONE copy of the PQ-books artifact schema — shared by
@@ -1549,9 +1622,12 @@ object VectorOps {
     * rebuild signal. Idempotent by vec_id anti-join with the same
     * stale-cache refreshes; `insertInto` writes by POSITION, so the
     * select is pinned to the table's (vec_id, codes) column order.
-    * Same dual-store obligation as [[appendToIvfPqIndexIdempotent]]:
-    * the re-rank store passed to [[annPqIndexed]] must cover appended
-    * ids or they are ADC-scanned but never reach the top-k.
+    * The arrival's EMBEDDINGS land in the index-owned sidecar FIRST
+    * ([[appendEmbSidecarIdempotent]] — sidecar ⊇ codes at every step),
+    * so [[annPqIndexed]]'s default re-rank store reaches appended rows
+    * with no caller-threaded `embStore` (r18 verdict task 2; an
+    * explicit `embStore` still overrides, and then covering the
+    * appended ids is that caller's obligation as before).
     */
   def appendToPqIndexIdempotent(spark: SparkSession, newRows: DataFrame, table: String): Unit = {
     val (books, _) = loadPqBooks(spark, table)
@@ -1559,6 +1635,7 @@ object VectorOps {
     spark.catalog.refreshTable(table)
     val novel = newRows.dropDuplicates("vec_id")
       .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti")
+    appendEmbSidecarIdempotent(spark, novel, table)
     withPqCodes(novel, books).select("vec_id", "codes").write.insertInto(table)
     spark.catalog.refreshTable(table)
   }
@@ -1594,9 +1671,10 @@ object VectorOps {
     val cands = codes.join(
       broadcast(q.select(col("q_id"), col("q_nrm"), col("q_lut"))),
       col("vec_id") =!= col("q_id"))
-    // embStore: see pqRerankTopK — an appended index must re-rank
-    // against a store that covers the appended ids
-    pqRerankTopK(embStore.getOrElse(base), q, cands, topK = 3, refine = 10)
+    // re-rank store: the index-owned sidecar by default (covers appended
+    // ids — see pqRerankTopK); an explicit embStore overrides
+    pqRerankTopK(embStore.getOrElse(defaultEmbStore(spark, table, base)),
+      q, cands, topK = 3, refine = 10)
   }
 
   private def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -1633,6 +1711,7 @@ object VectorOps {
       .format("parquet").saveAsTable(table)
     persistIvfCodebook(spark, table, cents, n, multiAssign)
     persistPqBooks(spark, table, books, n)
+    writeEmbSidecar(spark, base, table)
     IndexEpoch.bumpUnconditional(spark, table)
   }
 
@@ -1649,12 +1728,17 @@ object VectorOps {
     * (distinct vec_ids vs the codebook's build-time corpus size — the
     * code rows are ×multiAssign, so a raw count would double-read).
     *
-    * DUAL-STORE OBLIGATION: the index holds codes, not vectors, and the
-    * probe's exact re-rank fetches true embeddings from the embedding
-    * store — an appender must land the same rows in that store and pass
-    * it as `embStore` to [[annIvfPqIndexed]], or the appended ids are
-    * ADC-scanned but silently dropped at the re-rank join (and waste
-    * shortlist slots). Pinned in VectorSpec's append test.
+    * DUAL-STORE, SOLVED BY DEFAULT (r18 verdict task 2): the index
+    * holds codes, not vectors, and the probe's exact re-rank fetches
+    * true embeddings from the embedding store — so the arrival's
+    * embeddings land in the index-owned `_emb` sidecar FIRST, inside
+    * the same epoch-guarded span as the code write
+    * ([[appendEmbSidecarIdempotent]]: sidecar ⊇ codes at every step,
+    * crash- and replay-safe), and [[annIvfPqIndexed]]'s default store
+    * reaches them with no caller-threaded `embStore`. An explicit
+    * `embStore` still overrides (eval-side stores, tiered storage), and
+    * then covering the appended ids is that caller's obligation.
+    * Pinned end-to-end in VectorSpec's append test.
     */
   def appendToIvfPqIndexIdempotent(spark: SparkSession, newRows: DataFrame,
       table: String): Unit = {
@@ -1668,6 +1752,7 @@ object VectorOps {
     val novel = newRows.dropDuplicates("vec_id")
       .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti")
     IndexEpoch.bump(spark, table, epoch)
+    appendEmbSidecarIdempotent(spark, novel, table)
     withPqCodes(novel, books)
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"), col("codes"))
       .withColumn("cells", topCellsFor(cents, "embedding", "nrm", m))
@@ -1708,7 +1793,9 @@ object VectorOps {
     require(books.nonEmpty && cents.nonEmpty,
       s"IVFADC index $table is missing its quantizer tables — rebuild with writeIvfPqIndex")
     val base = emb(spark, sfDir)
-    val store = embStore.getOrElse(base)
+    // re-rank store: the index-owned sidecar by default (covers appended
+    // ids); an explicit embStore overrides
+    val store = embStore.getOrElse(defaultEmbStore(spark, table, base))
     val codes = spark.table(table)
     val q = pqQueries(base, books)
     pqRerankTopK(store, q, ivfPqCandidatesFrom(codes, q, cents, nProbe), topK, refine)

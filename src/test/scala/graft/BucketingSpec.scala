@@ -462,11 +462,16 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     VectorOps.writePqIndex(spark, sfDir, "purge_pq")
     val codesBefore = spark.table("purge_pq").count()
     val booksBefore = spark.table(VectorOps.pqBooksTableFor("purge_pq")).count()
-    assert(IndexPurge.purge(spark, "purge_pq", "vec_id", Seq(2L)) == 1L)
+    assert(VectorOps.purgeFromCodesIndex(spark, "purge_pq", Seq(2L)) == 1L)
     assert(spark.table("purge_pq").count() == codesBefore - 1)
     assert(spark.table("purge_pq").filter(col("vec_id") === 2L).count() == 0)
     assert(spark.table(VectorOps.pqBooksTableFor("purge_pq")).count() == booksBefore,
       "purge must not touch the quantizer books")
+    // the embedding sidecar is PER-DOC data (the raw vector): the codes
+    // purge must take it too, or the deletion request is only half-honored
+    assert(spark.table(VectorOps.embTableFor("purge_pq"))
+      .filter(col("vec_id") === 2L).count() == 0,
+      "the sidecar must not keep serving a purged embedding")
 
     // --- crash windows: pre-commit rolls back, post-commit rolls forward ---
     DedupGate.writeSigIndex(spark,

@@ -326,6 +326,7 @@ class VectorSpec extends AnyFunSuite {
     val table = "pq_append_test_idx"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${VectorOps.pqBooksTableFor(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${VectorOps.embTableFor(table)}")
     VectorOps.writePqIndex(spark, sfDir, table)
     val n0 = spark.table(table).count()
     assert(VectorOps.pqIndexStaleness(spark, table) == 0.0, "fresh index must read staleness 0")
@@ -348,31 +349,42 @@ class VectorSpec extends AnyFunSuite {
     assert(spark.table(table).count() == n0 + 2, "replayed append must be a no-op")
     val staleness = VectorOps.pqIndexStaleness(spark, table)
     assert(staleness > 0.0 && staleness < 0.05, s"2/$n0 appended rows, got staleness $staleness")
-    // DUAL-STORE contract (the IVFADC pin's PQ sibling): a twin of query
-    // 0's embedding is unreachable against the bare corpus store, and
-    // must rank #1 for q_id 0 at sim ~1.0 once the store covers it
+    // INDEX-OWNED SIDECAR (r19): a twin of query 0's embedding appended
+    // through the normal maintenance path must be reachable BY DEFAULT —
+    // no caller-threaded embStore — because the append landed its
+    // embedding in the index's _emb sidecar before its codes
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q0emb = base.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
     val twin = Seq((900099L, q0emb)).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
     VectorOps.appendToPqIndexIdempotent(spark, twin, table)
-    val bare = VectorOps.annPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
-    assert(!bare.exists(_.getLong(1) == 900099L),
-      "appended id must be unreachable when the re-rank store lacks it (documented drop)")
-    val store = base.select("vec_id", "embedding").union(twin)
-    val covered = VectorOps.annPqIndexed(spark, sfDir,
-      embStore = Some(store), tableOpt = Some(table)).collect()
-    val q0top = covered.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+    // sidecar invariant: its id set covers the code table's exactly
+    val codeIds = spark.table(table).select("vec_id").collect().map(_.getLong(0)).toSet
+    val sideIds = spark.table(VectorOps.embTableFor(table))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sideIds == codeIds, "sidecar ids must mirror the code table after appends")
+    val byDefault = VectorOps.annPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
+    val q0top = byDefault.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
     assert(q0top.length == 1 && q0top.head.getLong(1) == 900099L &&
       q0top.head.getDouble(2) > 0.9999,
-      s"twin must top q0's ranking once the store covers it: ${q0top.toSeq}")
+      s"twin must top q0's default-store ranking (sidecar reachable): ${q0top.toSeq}")
+    // explicit override still works — and takes the coverage obligation
+    // back: a store lacking the twin drops it (the pre-r19 behavior, now
+    // opt-in instead of the default)
+    val lacking = VectorOps.annPqIndexed(spark, sfDir,
+      embStore = Some(base.select("vec_id", "embedding")), tableOpt = Some(table)).collect()
+    assert(!lacking.exists(_.getLong(1) == 900099L),
+      "an explicit store lacking the appended id must drop it (override respected)")
+    // staleness covers the sidecar-backed flow: 3 appended ids over n0/PqSub docs
+    val st2 = VectorOps.pqIndexStaleness(spark, table)
+    assert(st2 > staleness && st2 < 0.05, s"staleness must grow with the twin append: $st2")
   }
 
   test("IVFADC index append: frozen cells + frozen codes, idempotent replay, staleness (r18)") {
     import spark.implicits._
     val table = "ivfpq_append_test_idx"
-    Seq(table, table + "_codebook", table + "_books", table + "_epoch")
+    Seq(table, table + "_codebook", table + "_books", table + "_epoch", table + "_emb")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     VectorOps.writeIvfPqIndex(spark, sfDir, table)
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -403,25 +415,35 @@ class VectorSpec extends AnyFunSuite {
     assert(spark.table(table).select("vec_id").distinct().count() == ids0 + 1)
     val st = VectorOps.ivfPqIndexStaleness(spark, table)
     assert(st > 0.0 && st < 0.05, s"1/$ids0 appended ids, got staleness $st")
-    // DUAL-STORE contract, pinned end-to-end: append a twin of query 0's
-    // embedding — probed against the bare corpus store it is unreachable
-    // (no re-rank row), probed with a store covering it, it must rank #1
-    // for q_id 0 at sim ~1.0
+    // INDEX-OWNED SIDECAR, pinned end-to-end (r19): a twin of query 0's
+    // embedding appended through the normal maintenance path must rank
+    // #1 for q_id 0 at sim ~1.0 with NO caller-threaded embStore — the
+    // epoch-guarded append landed its embedding in the _emb sidecar
+    // before its codes
     val q0emb = base.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
     val twin = Seq((900099L, q0emb)).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
     VectorOps.appendToIvfPqIndexIdempotent(spark, twin, table)
-    val bare = VectorOps.annIvfPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
-    assert(!bare.exists(_.getLong(1) == 900099L),
-      "appended id must be unreachable when the re-rank store lacks it (documented drop)")
-    val store = base.select("vec_id", "embedding").union(twin)
-    val covered = VectorOps.annIvfPqIndexed(spark, sfDir,
-      embStore = Some(store), tableOpt = Some(table)).collect()
-    val q0top = covered.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+    val codeIds = spark.table(table).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val sideIds = spark.table(VectorOps.embTableFor(table))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sideIds == codeIds, "sidecar ids must mirror the code table after appends")
+    val byDefault = VectorOps.annIvfPqIndexed(spark, sfDir, tableOpt = Some(table)).collect()
+    val q0top = byDefault.filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
     assert(q0top.length == 1 && q0top.head.getLong(1) == 900099L &&
       q0top.head.getDouble(2) > 0.9999,
-      s"twin must top q0's ranking once the store covers it: ${q0top.toSeq}")
+      s"twin must top q0's default-store ranking (sidecar reachable): ${q0top.toSeq}")
+    // explicit override still works and takes the coverage obligation
+    // back: a store lacking the twin drops it (pre-r19 behavior, opt-in)
+    val lacking = VectorOps.annIvfPqIndexed(spark, sfDir,
+      embStore = Some(base.select("vec_id", "embedding")), tableOpt = Some(table)).collect()
+    assert(!lacking.exists(_.getLong(1) == 900099L),
+      "an explicit store lacking the appended id must drop it (override respected)")
+    // staleness covers the sidecar-backed flow
+    val st2 = VectorOps.ivfPqIndexStaleness(spark, table)
+    assert(st2 > st && st2 < 0.05, s"staleness must grow with the twin append: $st2")
   }
 
   test("ann_ivfpq: cell-bounded ADC recall is monotone in nProbe and clears the floor") {
