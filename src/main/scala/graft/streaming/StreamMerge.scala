@@ -489,6 +489,23 @@ object StreamMerge {
     * keep rows carry the `redacted` post-surgery payload plus the full
     * per-gate attribution trail (`n_urls`/`n_blocked`, `bits`/
     * `n_bigrams`, `dup_of`/`sig_match`, leak coordinates, PII counts).
+    *
+    * PERCEPTUAL gate (r19, opt-in via `perceptTable`): with a persisted
+    * dHash code index ([[PerceptGate.writeCodeIndex]]), image-kind rows
+    * (the multimodalMeta `doc_id % 3 = 0` convention) still `insert`
+    * after the text near-dup gate are decoded, dHashed and checked
+    * against the index AND their own batch's smaller-id siblings —
+    * flagged rows become `percept_dup` (with `percept_of`/
+    * `percept_hamming` riding to the sink), unflagged image inserts
+    * index their codes. This closes the family matrix's last streaming
+    * cell: every dedup family (exact, minhash, substring, quality,
+    * perceptual) now has an online gate member. Caveats mirror the
+    * text gates: a percept_dup row's TEXT signature has already
+    * appended to the sig index (conservative — it only makes future
+    * text near-dups flag), and percept codes append before the span
+    * verdicts exist (same conservatism, raster grain). Without
+    * `perceptTable` the chain and output schema are byte-identical to
+    * r18's.
     */
   def gatedIngestPipelineProduction(
       docs: DataFrame, baseIndex: DataFrame, sigTable: String,
@@ -498,7 +515,9 @@ object StreamMerge {
       minTokens: Int = 20, minQuality: Double = 0.4,
       onGateTimings: GateStageTimings => Unit = _ => (),
       onSpanTimings: SpanGateTimings => Unit = _ => (),
-      onLmSec: (Long, Double) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+      onLmSec: (Long, Double) => Unit = (_, _) => (),
+      perceptTable: Option[String] = None,
+      onPerceptTimings: PerceptGateTimings => Unit = _ => ()): DataStreamWriter[Row] = {
     val scored = graft.operators.WebOps.withDomainGate(
       graft.operators.TextOps.withQualityScore(docs))
     scored
@@ -518,7 +537,8 @@ object StreamMerge {
       .writeStream
       .outputMode("append")
       .foreachBatch(productionBatch(sigTable, evalGramTable, lmTable, maxBits,
-        minTokens, onBatch, onGateTimings, onSpanTimings, onLmSec) _)
+        minTokens, onBatch, onGateTimings, onSpanTimings, onLmSec,
+        perceptTable, onPerceptTimings) _)
   }
 
   /** The production chain's foreachBatch body — the gate cascade of
@@ -538,7 +558,9 @@ object StreamMerge {
       onBatch: (DataFrame, Long) => Unit,
       onGateTimings: GateStageTimings => Unit,
       onSpanTimings: SpanGateTimings => Unit,
-      onLmSec: (Long, Double) => Unit = (_, _) => ())(
+      onLmSec: (Long, Double) => Unit = (_, _) => (),
+      perceptTable: Option[String] = None,
+      onPerceptTimings: PerceptGateTimings => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.GraftShim
     import graft.operators.{DedupOps, SpanOps}
@@ -547,6 +569,10 @@ object StreamMerge {
     DedupGate.validateMeta(s, sigTable)
     s.catalog.refreshTable(evalGramTable)
     SpanGate.validateMeta(s, evalGramTable)
+    perceptTable.foreach { pt =>
+      s.catalog.refreshTable(pt)
+      PerceptGate.validateMeta(s, pt)
+    }
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = body
@@ -572,7 +598,51 @@ object StreamMerge {
           val deduped = decided.join(flags, Seq("doc_id"), "left")
             .withColumn("decision",
               when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
-          val still = deduped.filter(col("decision") === "insert").select("doc_id", "text")
+          // PERCEPTUAL near-dup gate (r19 — the raster-grain member of
+          // the dedup cascade): image-kind rows still decided `insert`
+          // are dHash-checked against the persisted code index AND
+          // their own batch's smaller-id siblings; flagged rows become
+          // `percept_dup` (with `percept_of`/`percept_hamming`).
+          // Placed with its text sibling — cheap 16-byte codes before
+          // the span probe, and a percept_dup needs no span check.
+          // Codes of unflagged image inserts index HERE, before the
+          // span verdicts exist — the same documented conservatism as
+          // the signature index: a later-gutted doc's code at rest only
+          // makes future dups of it flag. With no perceptTable the
+          // body runs on the text-gated frame unchanged (and without
+          // the two percept columns).
+          def withPercept[A](body: DataFrame => A): A = perceptTable match {
+            case None => body(deduped)
+            case Some(pt) =>
+              // image-kind = the multimodalMeta kind convention
+              // (doc_id % 3 = 0); payload = the text bytes, the same
+              // projection the batch keys decode
+              val img = deduped
+                .filter(col("decision") === "insert" && col("doc_id") % 3 === 0)
+                .select(col("doc_id"), col("text").cast("binary").as("payload"))
+              val ((pBanded, pBandedRdd), tPCode) = timed(GraftShim.localCheckpointTracked(
+                PerceptGate.bandedCodes(
+                  graft.operators.MultimodalOps.perceptualCodes(s, img))))
+              try {
+                val ((pFlags, pFlagsRdd), tPProbe) = timed(GraftShim.localCheckpointTracked(
+                  PerceptGate.combinedFlags(
+                    PerceptGate.prunedIndexSlice(s, pt, pBanded), pBanded)))
+                try {
+                  val (pAppended, tPAppend) = timed(PerceptGate.appendBandedIdempotent(
+                    s, pBanded.join(pFlags.select("doc_id"), Seq("doc_id"), "left_anti"), pt))
+                  onPerceptTimings(PerceptGateTimings(
+                    batchId, tPCode, tPProbe, tPAppend, pAppended))
+                  body(deduped.join(
+                    pFlags.select(col("doc_id"), col("dup_of").as("percept_of"),
+                      col("hamming").as("percept_hamming")), Seq("doc_id"), "left")
+                    .withColumn("decision",
+                      when(col("percept_of").isNotNull, "percept_dup")
+                        .otherwise(col("decision"))))
+                } finally GraftShim.releaseCheckpoint(pFlagsRdd)
+              } finally GraftShim.releaseCheckpoint(pBandedRdd)
+          }
+          withPercept { dedupedP =>
+          val still = dedupedP.filter(col("decision") === "insert").select("doc_id", "text")
           val ((sites, sitesRdd), tSelect) =
             timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(still)))
           try {
@@ -583,7 +653,7 @@ object StreamMerge {
               // pin the post-surgery decision frame: the PII/sink pass
               // AND the dual-sign append both read it
               val (scrubbed, scrubbedRdd) = GraftShim.localCheckpointTracked(
-                SpanGate.applyScrub(deduped, perDoc, minTokens))
+                SpanGate.applyScrub(dedupedP, perDoc, minTokens))
               try {
                 val keep = col("decision").isin("insert", "scrubbed")
                 val core = scrubbed.withColumn("txt",
@@ -616,6 +686,7 @@ object StreamMerge {
               } finally GraftShim.releaseCheckpoint(scrubbedRdd)
             } finally GraftShim.releaseCheckpoint(perDocRdd)
           } finally GraftShim.releaseCheckpoint(sitesRdd)
+          }
         } finally GraftShim.releaseCheckpoint(flagsRdd)
       } finally GraftShim.releaseCheckpoint(bandedRdd)
     } finally GraftShim.releaseCheckpoint(decidedRdd)

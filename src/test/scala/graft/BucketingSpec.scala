@@ -913,4 +913,199 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       inline.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
       "train-once path must reproduce the inline key exactly")
   }
+
+  // ---- PerceptGate (r19): the perceptual dedup family's ONLINE member ----
+
+  /** P5 grayscale raster, 4 wide × rows.length tall: the AutoFrameDecoder
+    * profile is exactly the per-row means — the MultimodalSpec fixture.
+    */
+  private def p5(rows: Array[Int]): Array[Byte] =
+    s"P5\n4 ${rows.length}\n255\n".getBytes("US-ASCII") ++
+      rows.flatMap(v => Array.fill(4)(v.toByte))
+  /** Rising gradient; its dHash is far (>3) from its reverse. */
+  private val rising: Array[Int] = Array.tabulate(64)(r => r * 4)
+  private def nearDupOf(rows: Array[Int]): Array[Byte] = {
+    val p = rows.clone(); p(31) = (p(31) + 20) % 256; p5(p)
+  }
+
+  test("PerceptGate: streaming gate flags cross-batch image dups against the growing index") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising)).toDF("doc_id", "payload"), "percept_gate_idx", nBuckets = 8)
+
+    val input = MemoryStream[(Long, Array[Byte])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Array[Byte])]], spark.sqlContext)
+    val seen = new scala.collection.concurrent.TrieMap[Long, (Boolean, Option[Long], Option[Int])]()
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-pgate-ckpt").toString
+    def phase(batch: Seq[(Long, Array[Byte])]): Unit = {
+      input.addData(batch)
+      val q = input.toDS().toDF("doc_id", "payload").writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(PerceptGate.gateBatch("percept_gate_idx", (df, _) =>
+          df.collect().foreach { r =>
+            seen.put(r.getAs[Long]("doc_id"), (r.getAs[Boolean]("is_dup"),
+              Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+              Option(r.getAs[java.lang.Integer]("hamming")).map(_.intValue())))
+          }) _)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: doc 10 is a near-identical raster of seed doc 1; doc 11
+    // (the inverted gradient) is novel
+    phase(Seq(10L -> nearDupOf(rising), 11L -> p5(rising.reverse)))
+    // batch 2: doc 12 near-dups doc 11 — only findable via batch 1's append
+    phase(Seq(12L -> nearDupOf(rising.reverse)))
+
+    assert(seen(10L)._1 && seen(10L)._2 == Some(1L) && seen(10L)._3.exists(_ <= 3),
+      s"10: ${seen.get(10L)}")
+    assert(seen(11L) == ((false, None, None)), s"11: ${seen.get(11L)}")
+    assert(seen(12L)._1 && seen(12L)._2 == Some(11L) && seen(12L)._3.exists(_ <= 3),
+      s"12: ${seen.get(12L)}")
+    // dedup policy: flagged docs are NOT indexed — one representative per
+    // perceptual class at rest
+    spark.catalog.refreshTable("percept_gate_idx")
+    val atRest = spark.table("percept_gate_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 11L), s"index ids drifted: $atRest")
+  }
+
+  test("PerceptGate: within-batch siblings resolve to one indexed representative; replay appends nothing") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising)).toDF("doc_id", "payload"), "percept_gate_within", nBuckets = 8)
+    // two sibling dups of a NOVEL raster arrive in ONE batch (plus the
+    // batch's own copy of an indexed raster)
+    val inverted = rising.reverse
+    val batch = Seq(
+      20L -> p5(inverted), 21L -> nearDupOf(inverted), 30L -> nearDupOf(rising))
+      .toDF("doc_id", "payload")
+    val seen = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    def run(): Unit = PerceptGate.gateBatchWithinAware("percept_gate_within", (df, _) =>
+      df.collect().foreach { r =>
+        seen.put(r.getAs[Long]("doc_id"), (r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+      })(batch, 0L)
+    run()
+    assert(seen(20L) == ((false, None)), s"min-id sibling must survive: ${seen.get(20L)}")
+    assert(seen(21L) == ((true, Some(20L))), s"larger-id sibling must flag: ${seen.get(21L)}")
+    assert(seen(30L) == ((true, Some(1L))), s"index dup must flag: ${seen.get(30L)}")
+    spark.catalog.refreshTable("percept_gate_within")
+    val ids = spark.table("percept_gate_within").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 20L), s"exactly the min-id sibling indexes: $ids")
+    val rows0 = spark.table("percept_gate_within").count()
+    assert(rows0 == 2L * PerceptGate.NBands, "one banded row set per indexed doc")
+    // replay (foreachBatch at-least-once): the index is replay-stable
+    run()
+    spark.catalog.refreshTable("percept_gate_within")
+    assert(spark.table("percept_gate_within").count() == rows0,
+      "replayed batch must append nothing")
+  }
+
+  test("PerceptGate: probe prunes index buckets via planted bk literals; verified hamming gates the flag") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    PerceptGate.writeCodeIndex(spark,
+      (1L to 8L).map(i => i -> p5(Array.tabulate(64)(r => (r * (2 * i.toInt + 1) + i.toInt * 37) % 256)))
+        .toDF("doc_id", "payload"),
+      "percept_gate_prune", nBuckets = 8)
+    val probe = PerceptGate.flagDuplicates(spark,
+      Seq(100L -> p5(Array.tabulate(64)(r => (r * 7 + 3 * 37) % 256))).toDF("doc_id", "payload"),
+      "percept_gate_prune")
+    assertBucketPruning(probe, "percept_gate_prune", "percept probe")
+    assertPlantedInFilter(probe, "percept_gate_prune", "bk", "percept probe")
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq(100L -> 3L) && got.forall(_._3 <= 3),
+      s"the identical-structure raster must flag with verified hamming <= 3: ${got.toSeq}")
+    // verification layer on synthetic banded rows: a band collision with
+    // true hamming > 3 is a candidate, never a flag
+    val index = Seq((1L, 0, 0x00AAL, 0x00AAL), (3L, 1, 0x0BB0L, 0x0BB00AA0L))
+      .toDF("doc_id", "band_id", "bk", "code")
+    val batch = Seq((9L, 0, 0x00AAL, 0xFF0F00AAL), (8L, 1, 0x0BB0L, 0x0BB00AA1L))
+      .toDF("doc_id", "band_id", "bk", "code")
+    val flags = PerceptGate.checkAgainst(index, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(flags == Set((8L, 3L, 1)),
+      s"band collision at hamming 12 must not flag; hamming 1 must: $flags")
+  }
+
+  test("PerceptGate: degenerate payloads are never flagged and never indexed; gate leaks no blocks") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising)).toDF("doc_id", "payload"), "percept_gate_degen", nBuckets = 8)
+    // a flood of flat icons + one real near-dup; pre-policy the flood
+    // would chain at hamming 0
+    val flood = (0 until 10).map(i => (50L + i) -> p5(Array.fill(3 + i % 4)(i * 20 % 256)))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    var flagged: Set[Long] = null
+    PerceptGate.gateBatchWithinAware("percept_gate_degen", (df, _) =>
+      flagged = df.filter(org.apache.spark.sql.functions.col("is_dup"))
+        .collect().map(_.getAs[Long]("doc_id")).toSet)(
+      (flood :+ (90L -> nearDupOf(rising))).toDF("doc_id", "payload"), 0L)
+    assert(flagged == Set(90L), s"only the real near-dup flags: $flagged")
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "gate must release every per-batch checkpoint block")
+    spark.catalog.refreshTable("percept_gate_degen")
+    val ids = spark.table("percept_gate_degen").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"degenerate payloads must not index: $ids")
+    // empty batch: reaches onBatch empty, touches nothing
+    var rows = -1L
+    PerceptGate.gateBatchWithinAware("percept_gate_degen",
+      (df, _) => { rows = df.count() })(
+      Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"), 1L)
+    assert(rows == 0L, "empty batch must still reach onBatch, empty")
+  }
+
+  test("PerceptGate: staleness grows with appends, in-place rebuild compacts/resets/fences") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    import graft.operators.IndexEpoch
+    def raster(i: Long) = p5(Array.tabulate(64)(r => (r * (2 * i.toInt + 1) + i.toInt * 53) % 256))
+    def batch(ids: Seq[Long]) = ids.map(i => i -> raster(i)).toDF("doc_id", "payload")
+    PerceptGate.writeCodeIndex(spark, batch(1L to 4L), "percept_gate_stale", nBuckets = 8)
+    assert(PerceptGate.codeIndexStaleness(spark, "percept_gate_stale") == 0.0)
+    assert(PerceptGate.appendNewCodesIdempotent(spark, batch(5L to 6L), "percept_gate_stale") == 2L)
+    assert(PerceptGate.appendNewCodesIdempotent(spark, batch(5L to 6L), "percept_gate_stale") == 0L,
+      "replayed append must be a no-op")
+    val s1 = PerceptGate.codeIndexStaleness(spark, "percept_gate_stale")
+    assert(math.abs(s1 - 0.5) < 1e-9, s"2 appends over base 4 must read 0.5: $s1")
+    assert(PerceptGate.appendNewCodesIdempotent(spark, batch(7L to 8L), "percept_gate_stale") == 2L)
+    val s2 = PerceptGate.codeIndexStaleness(spark, "percept_gate_stale")
+    assert(math.abs(s2 - 1.0) < 1e-9, s"staleness must keep growing: $s2")
+    val filesBefore = spark.table("percept_gate_stale").inputFiles.length
+    val rowsBefore = spark.table("percept_gate_stale").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val epochBefore = IndexEpoch.current(spark, "percept_gate_stale")
+    PerceptGate.rebuildCodeIndex(spark, "percept_gate_stale", nBuckets = 8)
+    val rowsAfter = spark.table("percept_gate_stale").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rowsAfter == rowsBefore, "rebuild changed code rows")
+    assert(spark.table("percept_gate_stale").inputFiles.length < filesBefore,
+      "rebuild must compact append slivers")
+    assert(PerceptGate.codeIndexStaleness(spark, "percept_gate_stale") == 0.0,
+      "rebuild must reset staleness")
+    assert(!spark.catalog.tableExists("percept_gate_stale_rebuild"),
+      "rebuild staging must drop")
+    intercept[java.util.ConcurrentModificationException] {
+      IndexEpoch.bump(spark, "percept_gate_stale", epochBefore)
+    }
+    // geometry validation: a foreign-geometry meta fails loudly
+    spark.createDataFrame(Seq((8, 8, 3, 4L)))
+      .toDF("n_bands", "band_bits", "max_hamming", "base_n")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(PerceptGate.metaTableFor("percept_gate_stale"))
+    val ex = intercept[IllegalArgumentException] {
+      PerceptGate.flagDuplicates(spark,
+        Seq(100L -> raster(1L)).toDF("doc_id", "payload"), "percept_gate_stale")
+    }
+    assert(ex.getMessage.contains("geometry"), ex.getMessage)
+  }
 }

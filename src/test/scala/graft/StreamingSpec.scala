@@ -1670,6 +1670,99 @@ class StreamingSpec extends AnyFunSuite {
       "replay must append no signature rows (idempotent by doc id)")
   }
 
+  test("production chain + PerceptGate: a cross-batch image dup becomes percept_dup; non-image kinds pass the same bytes (r19 task 1)") {
+    import graft.streaming.{DedupGate, PerceptGate, SpanGate, StreamMerge}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark,
+      (1L to 8L).map(i => i -> wt(s"plm$i")).toDF("doc_id", "text"), "pcpt_lm_model")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9500L -> wt("pevseed")).toDF("doc_id", "text"), "pcpt_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("pcorp")).toDF("doc_id", "text"), "pcpt_sig_idx", nBuckets = 8)
+    // EMPTY percept seed: the stream itself populates the code index
+    PerceptGate.writeCodeIndex(spark,
+      Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"), "pcpt_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("pknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    // textA/textB: byte-NEAR (one character substituted per token — the
+    // stub 32-byte-frame profile barely moves) but token-FAR (every token
+    // differs, so no shared shingles — the MINHASH gate must not flag,
+    // or the percept stage would never see the doc). Both asserted below.
+    val textA = wt("imga")
+    val textB = wt("imgb")
+    val preFlags = DedupGate.checkAgainst(
+      graft.operators.DedupOps.bandedSigs(Seq(900L -> textA).toDF("doc_id", "text")),
+      graft.operators.DedupOps.bandedSigs(Seq(903L -> textB).toDF("doc_id", "text")))
+    assert(preFlags.collect().isEmpty, "fixture vacuous: texts must NOT minhash-near-dup")
+    val codes = graft.operators.MultimodalOps.perceptualCodes(spark,
+      Seq(900L -> textA.getBytes("UTF-8"), 903L -> textB.getBytes("UTF-8"))
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(codes(900L) ^ codes(903L)) <= 3,
+      s"fixture vacuous: payloads must be perceptually near (got hamming " +
+        s"${java.lang.Long.bitCount(codes(900L) ^ codes(903L))})")
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-pcpt-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Option[Long], Option[Int], Option[String])]()
+    val timings = new ConcurrentLinkedQueue[graft.streaming.PerceptGateTimings]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    var lastStates: Seq[Int] = Nil
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        input.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        "pcpt_sig_idx", "pcpt_eval_idx", "pcpt_lm_model", Double.MaxValue,
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            Option(r.getAs[java.lang.Long]("percept_of")).map(_.longValue()),
+            Option(r.getAs[java.lang.Integer]("percept_hamming")).map(_.intValue()),
+            Option(r.getAs[String]("redacted"))))
+        },
+        minTokens = 10, minQuality = 0.05,
+        perceptTable = Some("pcpt_idx"),
+        onPerceptTimings = t => timings.add(t))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastStates = q.recentProgress.toIndexedSeq.map(_.stateOperators.length)
+    }
+    // batch 1: image-kind doc 900 (doc_id % 3 = 0) is novel — inserts and
+    // indexes its code
+    phase(Seq((900L, textA, at(10))))
+    // batch 2: image-kind 903 carries byte-near payload (percept dup of
+    // 900, only findable via batch 1's append); audio-kind 904 carries
+    // equally byte-near text and must pass untouched (kind filter)
+    phase(Seq((903L, textB, at(40)), (904L, wt("imgc"), at(41))))
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId(900L)._2 == "insert", s"900: ${byId(900L)}")
+    assert(byId(903L)._2 == "percept_dup" && byId(903L)._3.contains(900L) &&
+      byId(903L)._4.exists(_ <= 3), s"903 must flag against 900: ${byId(903L)}")
+    assert(byId(904L)._2 == "insert" && byId(904L)._3.isEmpty,
+      s"non-image kind must not be percept-gated: ${byId(904L)}")
+    // percept_dup is a drop path: no redacted payload persists
+    assert(byId(903L)._5.isEmpty, s"percept_dup must carry no payload: ${byId(903L)}")
+    assert(byId(900L)._5.contains(textA) && byId(904L)._5.isDefined,
+      "keep rows still carry their payload")
+    // index discipline: exactly the surviving image doc is at rest
+    spark.catalog.refreshTable("pcpt_idx")
+    assert(spark.table("pcpt_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(900L),
+      "only the unflagged image insert may index its code")
+    // the documented conservatism: the percept_dup's TEXT signature had
+    // already appended to the sig index at the minhash stage
+    spark.catalog.refreshTable("pcpt_sig_idx")
+    assert(spark.table("pcpt_sig_idx").filter(col("doc_id") === 903L).count() > 0,
+      "the text-signature conservatism must hold as documented")
+    // timings fired per batch; the composed chain added no stream state
+    assert(timings.asScala.nonEmpty && timings.asScala.forall(_.appended >= 0))
+    assert(lastStates.nonEmpty && lastStates.forall(_ == 1),
+      s"percept gate added stream state: $lastStates")
+  }
+
   test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
