@@ -473,6 +473,26 @@ object GateBench {
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
     }
+    // the walls exclude the HygWarmup windows; the per-stage timing
+    // queues accumulate THROUGH them, so the decomposition medians must
+    // drop the same cold-JVM batches or they skew relative to the
+    // pair-ratio evidence they decompose (r17 ADVICE). Keyed on the
+    // EXACT id set each queue observed during the untimed warmup
+    // iterations — a rank-based "first HygWarmup distinct ids" drop
+    // misaligns the moment the stream runs an extra or split micro-batch
+    // whose callbacks fire inside a timed window (r18 ADVICE).
+    val warmIds = scala.collection.mutable.Map.empty[String, Set[Long]]
+    def snapWarm(): Unit = {
+      warmIds("scrubSpan") = scrubTimings.asScala.map(_.batchId).toSet
+      warmIds("scrubGate") = scrubGateTimings.asScala.map(_.batchId).toSet
+      warmIds("prodSpan") = prodTimings.asScala.map(_.batchId).toSet
+      warmIds("prodGate") = prodGateTimings.asScala.map(_.batchId).toSet
+      warmIds("prodLm") = prodLmSecs.asScala.map(_._1).toSet
+    }
+    def dropWarm[T](v: Vector[T], key: String)(idOf: T => Long): Vector[T] = {
+      val warm = warmIds.getOrElse(key, Set.empty)
+      v.filterNot(t => warm(idOf(t)))
+    }
     for (b <- 0 until HygWarmup + HygieneBatches) {
       val (sw, pw) = if (b % 2 == 0) {
         val s = driveWindow(input4, q4, 6000000L, b)
@@ -483,22 +503,13 @@ object GateBench {
         val s = driveWindow(input4, q4, 6000000L, b)
         (s, p)
       }
+      if (b == HygWarmup - 1) snapWarm()
       if (b >= HygWarmup) { sWalls += sw; pWalls += pw }
     }
     q4.stop()
     q5.stop()
     val scrubMed = median(sWalls.toSeq)
-    // the walls above exclude the HygWarmup windows; the per-stage timing
-    // queues accumulated THROUGH them, so the decomposition medians must
-    // drop the same cold-JVM batches or they skew relative to the
-    // pair-ratio evidence they decompose (r17 ADVICE). Keyed on batchId
-    // rank, not value: the first HygWarmup DISTINCT ids in a queue are
-    // that query's warmup windows regardless of any startup-batch offset.
-    def dropWarm[T](v: Vector[T])(idOf: T => Long): Vector[T] = {
-      val warm = v.map(idOf).distinct.sorted.take(HygWarmup).toSet
-      v.filterNot(t => warm(idOf(t)))
-    }
-    val scrubT = dropWarm(scrubTimings.asScala.toVector)(_.batchId)
+    val scrubT = dropWarm(scrubTimings.asScala.toVector, "scrubSpan")(_.batchId)
     def scrubMedOf(f: graft.streaming.SpanGateTimings => Double): Double =
       if (scrubT.isEmpty) 0.0 else median(scrubT.map(f))
     val scrub =
@@ -537,23 +548,23 @@ object GateBench {
     // the LM bucket first — comparing those buckets mis-attributed the
     // premium in the first r17 record (review finding).
     def qMed(q: java.util.concurrent.ConcurrentLinkedQueue[GateStageTimings],
-        f: GateStageTimings => Double): Double = {
-      val v = dropWarm(q.asScala.toVector)(_.batchId)
+        key: String, f: GateStageTimings => Double): Double = {
+      val v = dropWarm(q.asScala.toVector, key)(_.batchId)
       if (v.isEmpty) 0.0 else median(v.map(f))
     }
     val lmMed = {
-      val v = dropWarm(prodLmSecs.asScala.toVector)(_._1).map(_._2)
+      val v = dropWarm(prodLmSecs.asScala.toVector, "prodLm")(_._1).map(_._2)
       if (v.isEmpty) 0.0 else median(v)
     }
     val scrubSpanT = scrubT
-    val prodSpanT = dropWarm(prodTimings.asScala.toVector)(_.batchId)
+    val prodSpanT = dropWarm(prodTimings.asScala.toVector, "prodSpan")(_.batchId)
     def spanMed(v: Vector[graft.streaming.SpanGateTimings],
         f: graft.streaming.SpanGateTimings => Double): Double =
       if (v.isEmpty) 0.0 else median(v.map(f))
     val decomposition =
       s"""{"lm_pin_med":${f4(lmMed)},""" +
-        s""""append_med_prod":${f4(qMed(prodGateTimings, _.appendSec))},""" +
-        s""""append_med_scrub":${f4(qMed(scrubGateTimings, _.appendSec))},""" +
+        s""""append_med_prod":${f4(qMed(prodGateTimings, "prodGate", _.appendSec))},""" +
+        s""""append_med_scrub":${f4(qMed(scrubGateTimings, "scrubGate", _.appendSec))},""" +
         s""""doc_sink_med_prod":${f4(spanMed(prodSpanT, _.sinkSec))},""" +
         s""""doc_sink_med_scrub":${f4(spanMed(scrubSpanT, _.sinkSec))},""" +
         s""""span_select_med_prod":${f4(spanMed(prodSpanT, _.selectSec))},""" +
@@ -581,14 +592,108 @@ object GateBench {
         s""""methodology":"scrub and production windows INTERLEAVED per batch, order alternating — pair ratios cancel host bursts (r16 task 2); read prod_vs_scrub_pair_median",""" +
         s""""input_bias":"+4 contaminated docs/batch vs the baseline windows; same volume as the flag/scrub epilogues"}"""
 
+    // PERCEPTUAL-gate A/B epilogue (round 19): the production chain WITH
+    // a persisted dHash code index vs the production chain WITHOUT, both
+    // on fresh seed-built artifacts, windows INTERLEAVED per batch with
+    // order alternating — the same burst-robust pair-ratio methodology
+    // as prod-vs-scrub. ~1/3 of each batch's novel docs are image-kind
+    // (doc_id % 3 = 0), so the gate does real decode+band+probe+append
+    // work per window; the code index GROWS across windows, which is
+    // exactly the regime the probe-cost claim is about. Detection
+    // behavior is StreamingSpec/BucketingSpec's job; this measures COST.
+    val gateTable6 = "gate_bench_pc_sig_idx"
+    val gateTable7 = "gate_bench_pp_sig_idx"
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable6)
+    DedupGate.writeSigIndex(spark, seed.toSeq.toDF("doc_id", "text"), gateTable7)
+    val perceptTable = "gate_bench_percept_codes"
+    graft.streaming.PerceptGate.writeCodeIndex(spark,
+      seed.toSeq.toDF("doc_id", "text")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      perceptTable)
+    val input6 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val input7 = MemoryStream[(Long, String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+      spark.sqlContext)
+    val ckpt6 = Files.createTempDirectory("graft-gate-bench-pc-ckpt").toString
+    val ckpt7 = Files.createTempDirectory("graft-gate-bench-pp-ckpt").toString
+    val perceptDups = new java.util.concurrent.atomic.AtomicLong(0L)
+    val perceptTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.PerceptGateTimings]()
+    def prodSink(extra: DataFrame => Unit): (DataFrame, Long) => Unit =
+      (df: DataFrame, _: Long) => {
+        val r = df.agg(
+          sum(when(col("decision").isin("insert", "scrubbed"), 1L).otherwise(0L)),
+          sum(length(col("redacted")))).collect()(0)
+        if (!r.isNullAt(0)) r.getLong(0): Unit
+        extra(df)
+      }
+    val q6 = StreamMerge.gatedIngestPipelineProduction(
+      input6.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable6,
+      evalTable, "gate_bench_lm_model", Double.MaxValue,
+      prodSink(df => perceptDups.addAndGet(
+        df.filter(col("decision") === "percept_dup").count()): Unit),
+      minTokens = 10, minQuality = 0.05,
+      perceptTable = Some(perceptTable),
+      onPerceptTimings = t => { perceptTimings.add(t): Unit })
+      .option("checkpointLocation", ckpt6)
+      .start()
+    val q7 = StreamMerge.gatedIngestPipelineProduction(
+      input7.toDS().toDF("doc_id", "text", "ts"), baseIdx, gateTable7,
+      evalTable, "gate_bench_lm_model", Double.MaxValue,
+      prodSink(_ => ()),
+      minTokens = 10, minQuality = 0.05)
+      .option("checkpointLocation", ckpt7)
+      .start()
+    val pcWalls = ArrayBuffer.empty[Double]
+    val ppWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      val (cw, pw) = if (b % 2 == 0) {
+        val c = driveWindow(input6, q6, 8000000L, b)
+        val p = driveWindow(input7, q7, 8500000L, b)
+        (c, p)
+      } else {
+        val p = driveWindow(input7, q7, 8500000L, b)
+        val c = driveWindow(input6, q6, 8000000L, b)
+        (c, p)
+      }
+      if (b == HygWarmup - 1)
+        warmIds("percept") = perceptTimings.asScala.map(_.batchId).toSet
+      if (b >= HygWarmup) { pcWalls += cw; ppWalls += pw }
+    }
+    q6.stop()
+    q7.stop()
+    val pcMed = median(pcWalls.toSeq)
+    val ppMed = median(ppWalls.toSeq)
+    val pcPairRatios = pcWalls.zip(ppWalls).map { case (c, p) => c / p }
+    val perceptT = dropWarm(perceptTimings.asScala.toVector, "percept")(_.batchId)
+    def pMedOf(f: graft.streaming.PerceptGateTimings => Double): Double =
+      if (perceptT.isEmpty) 0.0 else median(perceptT.map(f))
+    spark.catalog.refreshTable(perceptTable)
+    val perceptIdxFinal = spark.table(perceptTable).select("doc_id").distinct().count()
+    val percept =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(pcMed)},"walls":${wallsJson(pcWalls.toSeq)},""" +
+        s""""plain_median_wall":${f4(ppMed)},"plain_walls":${wallsJson(ppWalls.toSeq)},""" +
+        s""""percept_vs_plain_pair_ratios":${wallsJson(pcPairRatios.toSeq)},""" +
+        s""""percept_vs_plain_pair_median":${f4(median(pcPairRatios.toSeq))},""" +
+        s""""code_med":${f4(pMedOf(_.codeSec))},"probe_med":${f4(pMedOf(_.probeSec))},""" +
+        s""""append_med":${f4(pMedOf(_.appendSec))},""" +
+        s""""appended_total":${perceptT.map(_.appended).sum},""" +
+        s""""percept_dups_total":${perceptDups.get()},""" +
+        s""""index_docs_final":$perceptIdxFinal,""" +
+        s""""methodology":"percept-gated and plain production windows INTERLEAVED per batch on identical inputs, order alternating — read percept_vs_plain_pair_median as the gate's cost; the q6 sink additionally counts percept_dup rows (one extra batch-local count job), a mild overestimate of the gate itself"}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
         s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam,"span_scrub":$scrub,""" +
-        s""""production":$production}"""
+        s""""production":$production,"percept":$percept}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam " +
-      s"span_scrub=$scrub production=$production")
+      s"span_scrub=$scrub production=$production percept=$percept")
     spark.stop()
   }
 }
