@@ -23,6 +23,9 @@ object AnnSweep {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the persisted-index probes file-prune only with auto-bucketed-scan
+      // off (the documented probe-session conf — VectorOps.writeLshIndex)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -69,10 +72,24 @@ object AnnSweep {
       val (r, ms) = measure(VectorOps.annPq(spark, sfDir, refine = refine))
       println(f"ANN_SWEEP ann_pq refine=$refine recall@3=$r%.2f reranked_frac=${refine / corpus.toDouble}%.4f latency_ms=$ms%.0f")
     }
-    // IVFADC: both knobs — cells scanned × shortlist width
+    // IVFADC: both knobs — cells scanned × shortlist width; the PERSISTED
+    // index probe swept beside the inline form at every knob point (r18
+    // verdict task 4): the indexed plan differs (bucketed code scan +
+    // cell pruning + sidecar re-rank), and it is the plan an operator
+    // actually tunes in production — `match` pins that the frozen
+    // persisted quantizers return the indexed probe's rows IDENTICAL to
+    // inline training at every swept setting, not just the defaults
+    // VectorSpec checks. First indexed call pays the one-time index
+    // build (ensureIndexTable), excluded from the warm medians like the
+    // inline paths' cached training.
     for (nProbe <- Seq(2, 4, 8); refine <- Seq(10, 50)) {
-      val (r, ms) = measure(VectorOps.annIvfPq(spark, sfDir, nProbe = nProbe, refine = refine))
+      val inline = VectorOps.annIvfPq(spark, sfDir, nProbe = nProbe, refine = refine)
+      val (r, ms) = measure(inline)
       println(f"ANN_SWEEP ann_ivfpq nProbe=$nProbe refine=$refine recall@3=$r%.2f latency_ms=$ms%.0f")
+      val indexed = VectorOps.annIvfPqIndexed(spark, sfDir, nProbe = nProbe, refine = refine)
+      val (ri, msi) = measure(indexed)
+      val same = inline.collect().toSeq == indexed.collect().toSeq
+      println(f"ANN_SWEEP ann_ivfpq_indexed nProbe=$nProbe refine=$refine recall@3=$ri%.2f latency_ms=$msi%.0f match_inline=$same")
     }
     spark.stop()
   }
