@@ -102,26 +102,43 @@ object CharLmGate {
 
   private def modelFor(s: SparkSession, lmTable: String): GateModel = {
     val key = cacheKeyOf(s, lmTable)
-    // one 1-row read per batch: the generation stamp writeCharLmTableFrom
-    // bumps after every (re)write — the cache is valid exactly while the
-    // persisted generation matches the one it was collected under
-    val epoch = graft.operators.IndexEpoch.current(s, lmTable)
     val cached = models.get(key)
-    if (cached != null && cached.epoch == epoch) cached.model
-    else {
-      // the artifact moved (or first use): drop relation caches first —
-      // a cross-process overwrite leaves this session's file listing
-      // pointing at the replaced parquet
-      if (s.catalog.tableExists(lmTable)) s.catalog.refreshTable(lmTable)
-      if (s.catalog.tableExists(lmTable + "_ctx")) s.catalog.refreshTable(lmTable + "_ctx")
-      // emptiness probe folded into the vocab read (r17 verdict task 6):
-      // one collect proves the artifact is trained AND delivers v
-      val model = HygieneOps.collectCharLmModelFromTables(s, lmTable) match {
-        case Some((bg, a, v)) => Literal(bg, a, v)
-        case None => JoinForm
+    try {
+      // one 1-row read per batch: the generation stamp writeCharLmTableFrom
+      // bumps after every (re)write — the cache is valid exactly while the
+      // persisted generation matches the one it was collected under
+      val epoch = graft.operators.IndexEpoch.current(s, lmTable)
+      if (cached != null && cached.epoch == epoch) cached.model
+      else {
+        // the artifact moved (or first use): drop relation caches first —
+        // a cross-process overwrite leaves this session's file listing
+        // pointing at the replaced parquet
+        if (s.catalog.tableExists(lmTable)) s.catalog.refreshTable(lmTable)
+        if (s.catalog.tableExists(lmTable + "_ctx")) s.catalog.refreshTable(lmTable + "_ctx")
+        // emptiness probe folded into the vocab read (r17 verdict task 6):
+        // one collect proves the artifact is trained AND delivers v
+        val model = HygieneOps.collectCharLmModelFromTables(s, lmTable) match {
+          case Some((bg, a, v)) => Literal(bg, a, v)
+          case None => JoinForm
+        }
+        models.put(key, Resolved(epoch, model))
+        model
       }
-      models.put(key, Resolved(epoch, model))
-      model
+    } catch {
+      // a CROSS-PROCESS rebuild uses non-atomic drop+recreate writes
+      // (writeCharLmTableFrom, IndexEpoch.bump), so the per-batch
+      // validation can catch the artifact mid-overwrite: the epoch read,
+      // the refresh, or the re-collect transiently fails
+      // (table-not-found / empty _ctx) in exactly the scenario the
+      // generation check exists to serve. With a resolved model in hand,
+      // score THIS batch with it and retry validation next batch — at
+      // most one extra stale batch, strictly better than failing the
+      // streaming query (r18 ADVICE). First use has nothing to fall back
+      // to and still fails loudly; the failure is never cached. (A
+      // JoinForm model's per-batch table reads happen at the scoring
+      // site and keep their own failure semantics — this guard covers
+      // the validation/collect path only.)
+      case scala.util.control.NonFatal(_) if cached != null => cached.model
     }
   }
 

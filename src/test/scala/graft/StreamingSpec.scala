@@ -1763,6 +1763,40 @@ class StreamingSpec extends AnyFunSuite {
       s"percept gate added stream state: $lastStates")
   }
 
+  test("CharLmGate: a batch catching a cross-process rebuild mid-overwrite scores with the cached model instead of failing (r18 ADVICE)") {
+    import graft.streaming.CharLmGate
+    import graft.operators.IndexEpoch
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    val train = (1L to 8L).map(i => i -> wt(s"fb$i")).toDF("doc_id", "text")
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark, train, "fallback_lm")
+    val batch = Seq((700L, wt("fbq"), "insert"), (701L, wt("fb3"), "insert"))
+      .toDF("doc_id", "text", "decision")
+    def score() = CharLmGate.withLmDecisions(batch, "fallback_lm", 1e9)
+      .select("doc_id", "decision", "bits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val d1 = score() // resolves and caches the model under the live generation
+    // simulate the mid-overwrite window of a CROSS-PROCESS rebuild: the
+    // non-atomic drop+recreate has dropped the data tables, and the (new)
+    // generation stamp is visible — the per-batch validation sees a moved
+    // epoch but the re-collect finds no _ctx
+    spark.sql("DROP TABLE fallback_lm")
+    spark.sql("DROP TABLE fallback_lm_ctx")
+    IndexEpoch.bumpUnconditional(spark, "fallback_lm")
+    val d2 = score() // must not throw: falls back to the cached model
+    assert(d2 == d1, s"fallback batch must score with the cached model: $d2 vs $d1")
+    // the failure was not cached: once the rebuild completes, the next
+    // batch revalidates and scores against the NEW artifact generation
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark, train, "fallback_lm")
+    assert(score() == d1, "post-rebuild batch must revalidate cleanly (same data, same scores)")
+    // first use has nothing to fall back to: the failure stays loud
+    CharLmGate.invalidate(spark, "fallback_lm")
+    spark.sql("DROP TABLE fallback_lm")
+    spark.sql("DROP TABLE fallback_lm_ctx")
+    IndexEpoch.bumpUnconditional(spark, "fallback_lm")
+    intercept[Exception] { score() }
+  }
+
   test("LM-gated pipeline: stream scores vs the persisted model are bit-identical to batch charlm_quality; tail docs become lm_tail (r14 task 6)") {
     import graft.streaming.{DedupGate, StreamMerge}
     import org.apache.spark.sql.functions.{col, md5, min}
