@@ -686,14 +686,131 @@ object GateBench {
         s""""index_docs_final":$perceptIdxFinal,""" +
         s""""methodology":"percept-gated and plain production windows INTERLEAVED per batch on identical inputs, order alternating — read percept_vs_plain_pair_median as the gate's cost; the q6 sink additionally counts percept_dup rows (one extra batch-local count job), a mild overestimate of the gate itself"}"""
 
+    // EMBEDDING-gate A/B epilogue (round 19): GATED vs PLAIN persisted-LSH
+    // index maintenance over identical (vec_id, embedding) arrival
+    // streams, windows interleaved per batch — the cost record for
+    // EmbedGate.gatedIndexMaintenance vs VectorOps.lshIndexMaintenance.
+    // Each window lands real holdout vectors plus ~12% injected scaled
+    // duplicates of already-indexed directions (cosine exactly 1), so the
+    // gate does real sig+probe+flag work and the indexes genuinely
+    // DIVERGE: the plain maintainer appends the duplicates, the gated one
+    // keeps them out (index_rows_gated < index_rows_plain below is the
+    // behavioral witness, not just a timing). Detection correctness is
+    // BucketingSpec's job; this measures COST.
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val embCount = embAll.count()
+    val EmbSeedN = math.min(800L, embCount / 2)
+    val EmbNovelPerBatch = 448
+    val EmbDupsPerBatch = 64
+    val embSeedDf = embAll.filter(col("vec_id") < EmbSeedN)
+    val egTable = "gate_bench_embed_gated"
+    val epTable = "gate_bench_embed_plain"
+    graft.operators.VectorOps.writeLshIndexFrom(spark, embSeedDf, egTable)
+    val epBits = graft.operators.VectorOps.writeLshIndexFrom(spark, embSeedDf, epTable)
+    // arrival supply: PAIR-SUM mixtures of holdout vectors (the embedding
+    // analog of novelText's concatenation walk, each (i, i+o) pair used
+    // once) — on this near-random corpus parents are near-orthogonal, so
+    // a mixture sits at cosine ≈ 0.7 vs either parent and ≈ 0.5 vs a
+    // mixture sharing one parent, both under the 0.9 gate threshold —
+    // an unbounded mostly-novel supply; flags come from the injected
+    // scaled-duplicate directions (cosine exactly 1, ~12% of each batch)
+    val embHoldout = embAll.filter(col("vec_id") >= EmbSeedN)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Float](1).toArray)
+    val embSeedPool = embSeedDf.orderBy("vec_id").limit(512)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    def synthVec(n: Int): Array[Float] = {
+      val i = n % embHoldout.length
+      val o = 1 + n / embHoldout.length
+      val a = embHoldout(i)
+      val c = embHoldout((i + o) % embHoldout.length)
+      Array.tabulate(a.length)(d => a(d) + c(d))
+    }
+    def embBatch(b: Int): Seq[(Long, Array[Float])] = {
+      val novel = (0 until EmbNovelPerBatch).map { k =>
+        (8000000L + b * 1000L + k, synthVec(b * EmbNovelPerBatch + k))
+      }
+      val dups = (0 until EmbDupsPerBatch).map { i =>
+        val v = embSeedPool((b * EmbDupsPerBatch + i) % embSeedPool.length)
+        (9000000L + b * 1000L + i, v.map(_ * 2f))
+      }
+      novel ++ dups
+    }
+    val input8 = MemoryStream[(Long, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Array[Float])]], spark.sqlContext)
+    val input9 = MemoryStream[(Long, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Array[Float])]], spark.sqlContext)
+    val ckpt8 = Files.createTempDirectory("graft-gate-bench-eg-ckpt").toString
+    val ckpt9 = Files.createTempDirectory("graft-gate-bench-ep-ckpt").toString
+    val embFlagged = new java.util.concurrent.atomic.AtomicLong(0L)
+    val embTimings =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.EmbedGateTimings]()
+    val q8 = input8.toDS().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt8)
+      .foreachBatch(graft.streaming.EmbedGate.gateBatchWithinAwareTimed(egTable,
+        (df, _) => embFlagged.addAndGet(df.filter(col("is_dup")).count()): Unit,
+        t => { embTimings.add(t): Unit }) _)
+      .start()
+    val q9 = input9.toDS().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", ckpt9)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        graft.operators.VectorOps.appendToLshIndexIdempotent(spark, df, epTable, epBits): Unit
+      }
+      .start()
+    def driveEmbWindow(input: MemoryStream[(Long, Array[Float])],
+        q: org.apache.spark.sql.streaming.StreamingQuery, b: Int): Double = {
+      input.addData(embBatch(b))
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val egWalls = ArrayBuffer.empty[Double]
+    val epWalls = ArrayBuffer.empty[Double]
+    for (b <- 0 until HygWarmup + HygieneBatches) {
+      val (gw, pw) = if (b % 2 == 0) {
+        val g = driveEmbWindow(input8, q8, b)
+        val p = driveEmbWindow(input9, q9, b)
+        (g, p)
+      } else {
+        val p = driveEmbWindow(input9, q9, b)
+        val g = driveEmbWindow(input8, q8, b)
+        (g, p)
+      }
+      if (b == HygWarmup - 1)
+        warmIds("embed") = embTimings.asScala.map(_.batchId).toSet
+      if (b >= HygWarmup) { egWalls += gw; epWalls += pw }
+    }
+    q8.stop()
+    q9.stop()
+    val egPairRatios = egWalls.zip(epWalls).map { case (g, p) => g / p }
+    val embT = dropWarm(embTimings.asScala.toVector, "embed")(_.batchId)
+    def eMedOf(f: graft.streaming.EmbedGateTimings => Double): Double =
+      if (embT.isEmpty) 0.0 else median(embT.map(f))
+    spark.catalog.refreshTable(egTable)
+    spark.catalog.refreshTable(epTable)
+    val egRows = spark.table(egTable).count()
+    val epRows = spark.table(epTable).count()
+    val embed =
+      s"""{"batches":$HygieneBatches,"warmup_batches":$HygWarmup,""" +
+        s""""median_wall":${f4(median(egWalls.toSeq))},"walls":${wallsJson(egWalls.toSeq)},""" +
+        s""""plain_median_wall":${f4(median(epWalls.toSeq))},"plain_walls":${wallsJson(epWalls.toSeq)},""" +
+        s""""gated_vs_plain_pair_ratios":${wallsJson(egPairRatios.toSeq)},""" +
+        s""""gated_vs_plain_pair_median":${f4(median(egPairRatios.toSeq))},""" +
+        s""""sig_med":${f4(eMedOf(_.sigSec))},"probe_med":${f4(eMedOf(_.probeSec))},""" +
+        s""""append_med":${f4(eMedOf(_.appendSec))},""" +
+        s""""appended_total":${embT.map(_.appended).sum},""" +
+        s""""flagged_total":${embFlagged.get()},""" +
+        s""""index_rows_gated":$egRows,"index_rows_plain":$epRows,""" +
+        s""""methodology":"gated and plain LSH index maintenance windows INTERLEAVED per batch on identical (vec_id, embedding) inputs (~12% injected scaled duplicates), order alternating — read gated_vs_plain_pair_median as the gate's cost over the bare idempotent append; index_rows_gated < index_rows_plain witnesses the dedup behavior; the gated sink additionally counts flagged rows (one extra batch-local count job), a mild overestimate of the gate itself"}"""
+
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +
         s""""summary":$summary,"hygiene":$hygiene,"span_decontam":$decontam,"span_scrub":$scrub,""" +
-        s""""production":$production,"percept":$percept}"""
+        s""""production":$production,"percept":$percept,"embed":$embed}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("GATE_BENCH.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"GATE_BENCH summary=$summary hygiene=$hygiene span_decontam=$decontam " +
-      s"span_scrub=$scrub production=$production percept=$percept")
+      s"span_scrub=$scrub production=$production percept=$percept embed=$embed")
     spark.stop()
   }
 }

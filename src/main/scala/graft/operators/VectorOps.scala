@@ -791,7 +791,21 @@ object VectorOps {
   def writeLshIndex(spark: SparkSession, sfDir: String, table: String,
       nBuckets: Int = 16, nBitsOpt: Option[Int] = None): Int = {
     val base = emb(spark, sfDir)
-    val n = corpusCount(base, sfDir)
+    writeLshIndexCounted(spark, base, corpusCount(base, sfDir), table, nBuckets, nBitsOpt)
+  }
+
+  /** [[writeLshIndex]] from an arbitrary `(vec_id, embedding)` frame —
+    * the builder a production corpus needs (the sfDir form is the test
+    * layout's convenience). Same artifact, meta, and epoch discipline.
+    */
+  def writeLshIndexFrom(spark: SparkSession, vectors: DataFrame, table: String,
+      nBuckets: Int = 16, nBitsOpt: Option[Int] = None): Int = {
+    val base = vectors.select("vec_id", "embedding")
+    writeLshIndexCounted(spark, base, base.count(), table, nBuckets, nBitsOpt)
+  }
+
+  private def writeLshIndexCounted(spark: SparkSession, base: DataFrame, n: Long,
+      table: String, nBuckets: Int, nBitsOpt: Option[Int]): Int = {
     val nBits = nBitsOpt.getOrElse(bitsFor(n))
     // a previous JVM may have left the managed location while THIS
     // session's in-memory catalog has no entry — saveAsTable refuses to
@@ -899,10 +913,11 @@ object VectorOps {
     * [[ensureIndexTable]] documents.) Cost is one scan of the index's
     * vec_id column per batch — the price of idempotence on a plain
     * parquet table; a transactional table format would key a MERGE on
-    * vec_id instead.
+    * vec_id instead. Returns the rows actually appended (0 for a fully
+    * replayed batch — which then bumps no epoch and runs no insert).
     */
   def appendToLshIndexIdempotent(spark: SparkSession, newRows: DataFrame,
-      table: String, nBits: Int): Unit = {
+      table: String, nBits: Int): Long = {
     // refresh BEFORE the identity read and AFTER the insert: under
     // foreachBatch the insert executes through the micro-batch CLONE
     // session, which invalidates only the clone's table-relation cache —
@@ -917,11 +932,19 @@ object VectorOps {
     // span start for the epoch guard: BEFORE the anti-join reads the
     // at-rest identity set, so an interleaved writer invalidates it
     val epoch = IndexEpoch.current(spark, table)
-    appendToLshIndex(spark,
+    import org.apache.spark.sql.GraftShim
+    val (fresh, freshRdd) = GraftShim.localCheckpointTracked(
       newRows.dropDuplicates("vec_id")
-        .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"),
-      table, nBits, beganEpoch = Some(epoch))
-    spark.catalog.refreshTable(table)
+        .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti"))
+    try {
+      // rows actually appended — [[EmbedGate]]'s per-batch observability
+      // and a free no-op fast path (a fully-replayed batch bumps no
+      // epoch and runs no insert job)
+      val n = fresh.count()
+      if (n > 0) appendToLshIndex(spark, fresh, table, nBits, beganEpoch = Some(epoch))
+      spark.catalog.refreshTable(table)
+      n
+    } finally GraftShim.releaseCheckpoint(freshRdd)
   }
 
   /** Streaming LSH index maintenance: wires a `(vec_id, embedding)`
@@ -938,7 +961,7 @@ object VectorOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, _: Long) =>
-        appendToLshIndexIdempotent(spark, df, table, nBits)
+        appendToLshIndexIdempotent(spark, df, table, nBits): Unit
       }
 
   /** IVF sibling of [[lshIndexMaintenance]]: streams `(vec_id, embedding)`

@@ -1108,4 +1108,149 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("geometry"), ex.getMessage)
   }
+
+  // ---- EmbedGate (r19): the embedding dedup family's ONLINE member ----
+
+  /** Axis direction i in dim 64 (the LshBucket hyperplane dim), scaled —
+    * a positive scalar multiple has the SAME LSH bucket (hyperplane
+    * signs depend only on direction) and cosine exactly 1 with its base,
+    * so flag/bucket behavior is deterministic regardless of the seeded
+    * hyperplanes.
+    */
+  private def axis(i: Int, scale: Float = 1f): Array[Float] =
+    Array.tabulate(64)(d => if (d == i) scale else 0f)
+
+  test("EmbedGate: streaming gate flags cross-batch cosine dups against the growing LSH index") {
+    import spark.implicits._
+    import graft.streaming.EmbedGate
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    VectorOps.writeLshIndexFrom(spark,
+      (0 to 3).map(i => (i + 1).toLong -> axis(i)).toDF("vec_id", "embedding"),
+      "embed_gate_idx", nBuckets = 8)
+
+    val input = MemoryStream[(Long, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Array[Float])]], spark.sqlContext)
+    val seen = new scala.collection.concurrent.TrieMap[Long, (Boolean, Option[Long])]()
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-egate-ckpt").toString
+    def phase(batch: Seq[(Long, Array[Float])]): Unit = {
+      input.addData(batch)
+      val q = EmbedGate.gatedIndexMaintenance(
+        input.toDS().toDF("vec_id", "embedding"), "embed_gate_idx",
+        (df, _) => df.collect().foreach { r =>
+          seen.put(r.getAs[Long]("vec_id"), (r.getAs[Boolean]("is_dup"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+        })
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: vec 10 is a scaled copy of seed vec 1 (cosine 1); vec 11
+    // is a novel direction
+    phase(Seq(10L -> axis(0, 2f), 11L -> axis(4)))
+    // batch 2: vec 12 duplicates vec 11 — only findable via batch 1's append
+    phase(Seq(12L -> axis(4, 3f)))
+
+    assert(seen(10L) == ((true, Some(1L))), s"10: ${seen.get(10L)}")
+    assert(seen(11L) == ((false, None)), s"11: ${seen.get(11L)}")
+    assert(seen(12L) == ((true, Some(11L))), s"12: ${seen.get(12L)}")
+    // dedup policy: flagged vectors are NOT indexed — the ANN index keeps
+    // one representative per duplicate direction
+    spark.catalog.refreshTable("embed_gate_idx")
+    val atRest = spark.table("embed_gate_idx").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(atRest == Set(1L, 2L, 3L, 4L, 11L), s"index ids drifted: $atRest")
+    // the artifact stays the standard LSH index shape — the same table
+    // ann_lsh_indexed-style probes and the ungated maintainer consume
+    assert(spark.table("embed_gate_idx").columns.toSeq ==
+      Seq("vec_id", "embedding", "nrm", "bucket"))
+  }
+
+  test("EmbedGate: within-batch siblings resolve to one indexed vector; flood self-limits; replay appends nothing") {
+    import spark.implicits._
+    import graft.streaming.EmbedGate
+    import graft.operators.VectorOps
+    VectorOps.writeLshIndexFrom(spark,
+      Seq(1L -> axis(0)).toDF("vec_id", "embedding"), "embed_gate_within", nBuckets = 8)
+    // a FLOOD of one novel direction (70..74) + a dup of an indexed
+    // direction, all in ONE batch
+    val batch = ((0 until 5).map(i => (70L + i) -> axis(6, 1f + i)) :+ (30L -> axis(0, 5f)))
+      .toDF("vec_id", "embedding")
+    val seen = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    var timings: graft.streaming.EmbedGateTimings = null
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    def run(): Unit = EmbedGate.gateBatchWithinAwareTimed("embed_gate_within", (df, _) =>
+      df.collect().foreach { r =>
+        seen.put(r.getAs[Long]("vec_id"), (r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+      }, t => timings = t)(batch, 0L)
+    run()
+    assert(seen(70L) == ((false, None)), s"min-id flood member must survive: ${seen.get(70L)}")
+    (71L to 74L).foreach { i =>
+      assert(seen(i) == ((true, Some(70L))), s"flood member $i must flag to the rep: ${seen.get(i)}")
+    }
+    assert(seen(30L) == ((true, Some(1L))), s"index dup must flag: ${seen.get(30L)}")
+    assert(timings.appended == 1L, s"only the flood rep indexes: ${timings}")
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "gate must release every per-batch checkpoint block")
+    spark.catalog.refreshTable("embed_gate_within")
+    val ids = spark.table("embed_gate_within").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 70L), s"exactly the flood representative indexes: $ids")
+    // replay (foreachBatch at-least-once): the index is replay-stable,
+    // and a fully-replayed batch appends zero rows
+    run()
+    assert(timings.appended == 0L, s"replay must append nothing: $timings")
+    spark.catalog.refreshTable("embed_gate_within")
+    assert(spark.table("embed_gate_within").count() == 2L, "replayed batch must append nothing")
+  }
+
+  test("EmbedGate: probe prunes index buckets; true cosine gates the flag; zero-norm never flags") {
+    import spark.implicits._
+    import graft.streaming.EmbedGate
+    import graft.operators.VectorOps
+    VectorOps.writeLshIndexFrom(spark,
+      (0 to 7).map(i => (i + 1).toLong -> axis(i)).toDF("vec_id", "embedding"),
+      "embed_gate_prune", nBuckets = 8)
+    // scaled copies of every seed: ≥ 2 distinct buckets, so the sparse
+    // probe plants a multi-literal In filter (one bucket would optimize
+    // isin to EqualTo and make the planted-filter assert vacuous)
+    val probe = EmbedGate.flagDuplicates(spark,
+      (0 to 7).map(i => (100L + i) -> axis(i, 2f + i)).toDF("vec_id", "embedding"),
+      "embed_gate_prune")
+    assertBucketPruning(probe, "embed_gate_prune", "embed probe")
+    assertPlantedInFilter(probe, "embed_gate_prune", "bucket", "embed probe")
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == (0 to 7).map(i => (100L + i, i + 1L, 1.0)),
+      s"each scaled copy must flag against its base at cosine 1: ${got.toSeq}")
+    // verification layer on synthetic sig rows: a bucket collision below
+    // the cosine threshold is a candidate, never a flag
+    def sig(id: Long, e: Array[Float], bucket: Long) =
+      (id, e, math.sqrt(e.map(x => x.toDouble * x).sum), bucket)
+    val index = Seq(sig(1L, axis(0), 7L), sig(2L, axis(1), 7L))
+      .toDF("vec_id", "embedding", "nrm", "bucket")
+    val batch = Seq(sig(9L, axis(0, 2f), 7L), sig(8L, axis(1, -1f), 7L))
+      .toDF("vec_id", "embedding", "nrm", "bucket")
+    val flags = EmbedGate.checkAgainst(index, batch, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set(9L -> 1L),
+      s"orthogonal/antiparallel bucket collisions must not flag; the parallel pair must: $flags")
+    // ZERO-NORM guard: cosine of a zero vector is 0/0 = NaN, and Spark
+    // orders NaN above every number — unguarded, `sim >= t` would flag a
+    // zero vector against everything in its bucket
+    val zidx = Seq(sig(1L, Array.fill(64)(0f), 3L), sig(2L, axis(5), 3L))
+      .toDF("vec_id", "embedding", "nrm", "bucket")
+    val zbatch = Seq(sig(9L, Array.fill(64)(0f), 3L))
+      .toDF("vec_id", "embedding", "nrm", "bucket")
+    assert(EmbedGate.checkAgainst(zidx, zbatch, 0.9).isEmpty,
+      "zero-norm rows must never flag (NaN cosine)")
+    // meta-less index: the gate cannot validate its signature width
+    spark.sql("DROP TABLE IF EXISTS embed_gate_prune_meta")
+    val ex = intercept[IllegalStateException] {
+      EmbedGate.flagDuplicates(spark,
+        Seq(101L -> axis(1)).toDF("vec_id", "embedding"), "embed_gate_prune")
+    }
+    assert(ex.getMessage.contains("meta"), ex.getMessage)
+  }
 }
