@@ -55,10 +55,24 @@ object AnnSweep {
     println(s"ANN_SWEEP sfDir=$sfDir corpus=$corpus")
     // `cands` = scored candidates across the 10 queries — the latency
     // driver at scale (wall ms at test SF is fixed-overhead-dominated).
+    // the PERSISTED LSH index probe swept beside the inline form at every
+    // radius (the ivfpq_indexed closure's logic applied to this family):
+    // the indexed plan is the one an operator tunes in production
+    // (bucketed signature scan, file-pruned), and `match_inline` pins
+    // row-identity at every swept radius — the index and the inline path
+    // share nBits by construction only for the derived-bits (None) rows,
+    // so the Some(6) variants sweep inline-only.
     for (radius <- Seq(0, 1, 2); nBits <- Seq(None, Some(6))) {
-      val (r, ms) = measure(VectorOps.annLshAt(spark, sfDir, nBits, 3, probeRadius = radius))
+      val inline = VectorOps.annLshAt(spark, sfDir, nBits, 3, probeRadius = radius)
+      val (r, ms) = measure(inline)
       val cands = VectorOps.annLshCandidates(spark, sfDir, nBits, radius).count()
       println(f"ANN_SWEEP ann_lsh radius=$radius nBits=${nBits.getOrElse(-1)} recall@3=$r%.2f cands=$cands scanned_frac=${cands / (10.0 * corpus)}%.3f latency_ms=$ms%.0f")
+      if (nBits.isEmpty) {
+        val indexed = VectorOps.annLshIndexed(spark, sfDir, probeRadius = radius)
+        val (ri, msi) = measure(indexed)
+        val same = inline.collect().toSeq == indexed.collect().toSeq
+        println(f"ANN_SWEEP ann_lsh_indexed radius=$radius recall@3=$ri%.2f latency_ms=$msi%.0f match_inline=$same")
+      }
     }
     for (ma <- Seq(2, 3); nProbe <- Seq(1, 2, 4, 6, 8, 12)) {
       val (r, ms) = measure(VectorOps.annIvf(spark, sfDir, nProbe = nProbe, multiAssign = ma))

@@ -801,7 +801,7 @@ object GateBench {
         s""""appended_total":${embT.map(_.appended).sum},""" +
         s""""flagged_total":${embFlagged.get()},""" +
         s""""index_rows_gated":$egRows,"index_rows_plain":$epRows,""" +
-        s""""methodology":"gated and plain LSH index maintenance windows INTERLEAVED per batch on identical (vec_id, embedding) inputs (~12% injected scaled duplicates), order alternating — read gated_vs_plain_pair_median as the gate's cost over the bare idempotent append; index_rows_gated < index_rows_plain witnesses the dedup behavior; the gated sink additionally counts flagged rows (one extra batch-local count job), a mild overestimate of the gate itself"}"""
+        s""""methodology":"gated and plain LSH index maintenance windows INTERLEAVED per batch on identical (vec_id, embedding) inputs (~12% injected scaled duplicates), order alternating — read gated_vs_plain_pair_median as the gate's cost over the bare idempotent append; index_rows_gated < index_rows_plain witnesses the dedup behavior. Scope note: appended_total and the stage medians exclude the warmup batches (dropWarm), while flagged_total and index_rows_* cover ALL windows including warmup — the index math is seed + every window's novel rows. The gated sink additionally counts flagged rows (one extra batch-local count job), a mild overestimate of the gate itself"}"""
 
     val out =
       s"""{"sf":"$sfDir","n_batches":$NBatches,"per_batch":${recs.mkString("[", ",", "]")},""" +

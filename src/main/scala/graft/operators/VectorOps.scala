@@ -401,7 +401,8 @@ object VectorOps {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
 
-  private[graft] def annLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def annLshIndexed(spark: SparkSession, sfDir: String,
+      probeRadius: Int = 1): DataFrame = {
     val base = emb(spark, sfDir)
     val table = "graft_lsh_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     ensureIndexTable(spark, table)(writeLshIndex(spark, sfDir, table))
@@ -421,7 +422,7 @@ object VectorOps {
           "its signature width cannot be re-derived safely; rebuild with writeLshIndex")
       bitsFor(corpusN)
     }
-    lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius = 1), 3)
+    lshTopK(lshCandidatesFrom(spark.table(table), nBits, probeRadius), 3)
   }
 
   // ---- ann_ivf -----------------------------------------------------------

@@ -1253,4 +1253,51 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("meta"), ex.getMessage)
   }
+
+  test("purge reaches the r19 gate indexes: a purged identity stops flagging and re-enters through the gate") {
+    import spark.implicits._
+    import graft.streaming.{EmbedGate, PerceptGate}
+    import graft.operators.{IndexPurge, VectorOps}
+    import org.apache.spark.sql.functions.col
+    // --- percept code index: one doc identity = NBands banded rows ---
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising), 2L -> p5(rising.reverse)).toDF("doc_id", "payload"),
+      "purge_percept", nBuckets = 8)
+    val pre = PerceptGate.flagDuplicates(spark,
+      Seq(50L -> nearDupOf(rising)).toDF("doc_id", "payload"), "purge_percept").collect()
+    assert(pre.map(_.getLong(1)).toSeq == Seq(1L), "the copy must flag pre-purge")
+    assert(IndexPurge.purge(spark, "purge_percept", "doc_id", Seq(1L)) ==
+      PerceptGate.NBands.toLong, "a doc purge removes all its banded rows")
+    spark.catalog.refreshTable("purge_percept")
+    // the SAME arrival no longer flags — the gate cannot resurrect a
+    // purged identity — and it re-enters the index as the new rep
+    var pFlagged = -1L
+    PerceptGate.gateBatchWithinAware("purge_percept",
+      (df, _) => pFlagged = df.filter(col("is_dup")).count())(
+      Seq(50L -> nearDupOf(rising)).toDF("doc_id", "payload"), 0L)
+    assert(pFlagged == 0L, "purged identity must not flag the re-arrival")
+    spark.catalog.refreshTable("purge_percept")
+    val pIds = spark.table("purge_percept").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(pIds == Set(2L, 50L), s"re-arrival must index after the purge: $pIds")
+    // the purged-and-regrown index still bucket-prunes its probes
+    assertBucketPruning(PerceptGate.flagDuplicates(spark,
+      Seq(51L -> p5(rising.reverse)).toDF("doc_id", "payload"), "purge_percept"),
+      "purge_percept", "percept probe after purge")
+    // --- EmbedGate's LSH index: the same story at the vector grain ---
+    VectorOps.writeLshIndexFrom(spark,
+      Seq(1L -> axis(0), 2L -> axis(1)).toDF("vec_id", "embedding"),
+      "purge_embed", nBuckets = 8)
+    assert(EmbedGate.flagDuplicates(spark,
+      Seq(60L -> axis(0, 2f)).toDF("vec_id", "embedding"), "purge_embed").count() == 1L)
+    assert(IndexPurge.purge(spark, "purge_embed", "vec_id", Seq(1L)) == 1L)
+    var eFlagged = -1L
+    EmbedGate.gateBatchWithinAware("purge_embed",
+      (df, _) => eFlagged = df.filter(col("is_dup")).count())(
+      Seq(60L -> axis(0, 2f)).toDF("vec_id", "embedding"), 0L)
+    assert(eFlagged == 0L, "purged vector must not flag the re-arrival")
+    spark.catalog.refreshTable("purge_embed")
+    val eIds = spark.table("purge_embed").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(eIds == Set(2L, 60L), s"re-arrival must index after the purge: $eIds")
+  }
 }
