@@ -311,13 +311,47 @@ object StreamDemo {
       sSeen.get(501L).exists(t => t._1 == "scrubbed" && !t._2.contains(runS) &&
         t._2.length.toLong == leakyText.length - t._3)
 
+    // Perceptual gate (round 19): a near-identical raster of an indexed
+    // image flags with its hamming witness; the inverted gradient (far
+    // in dHash space) indexes as novel.
+    def p5(rows: Array[Int]): Array[Byte] =
+      s"P5\n4 ${rows.length}\n255\n".getBytes("US-ASCII") ++
+        rows.flatMap(v => Array.fill(4)(v.toByte))
+    val rising = Array.tabulate(64)(r => r * 4)
+    val nearRaster = { val p = rising.clone(); p(31) = (p(31) + 20) % 256; p5(p) }
+    val pTable = "stream_demo_percept_idx"
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising)).toDF("doc_id", "payload"), pTable, nBuckets = 4)
+    val pgSeen = new scala.collection.concurrent.TrieMap[Long, Boolean]()
+    PerceptGate.gateBatchWithinAware(pTable, (df, _) =>
+      df.collect().foreach(r =>
+        pgSeen.put(r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_dup"))))(
+      Seq(600L -> nearRaster, 601L -> p5(rising.reverse)).toDF("doc_id", "payload"), 0L)
+    val perceptGate = pgSeen.get(600L).contains(true) && pgSeen.get(601L).contains(false)
+
+    // Embedding gate (round 19): a scaled copy of an indexed vector
+    // (cosine 1) flags against the ANN family's own persisted LSH index;
+    // a novel direction passes and indexes.
+    def axis(i: Int, s: Float): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) s else 0f)
+    val eTable = "stream_demo_embed_idx"
+    graft.operators.VectorOps.writeLshIndexFrom(spark,
+      Seq(1L -> axis(0, 1f)).toDF("vec_id", "embedding"), eTable, nBuckets = 4)
+    val eSeen = new scala.collection.concurrent.TrieMap[Long, Boolean]()
+    EmbedGate.gateBatchWithinAware(eTable, (df, _) =>
+      df.collect().foreach(r =>
+        eSeen.put(r.getAs[Long]("vec_id"), r.getAs[Boolean]("is_dup"))))(
+      Seq(700L -> axis(0, 2f), 701L -> axis(1, 1f)).toDF("vec_id", "embedding"), 0L)
+    val embedGate = eSeen.get(700L).contains(true) && eSeen.get(701L).contains(false)
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
       s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub " +
-      s"hygieneChain=$hygieneChain lmGate=$lmGate scrubGate=$scrubGate")
+      s"hygieneChain=$hygieneChain lmGate=$lmGate scrubGate=$scrubGate " +
+      s"perceptGate=$perceptGate embedGate=$embedGate")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
         gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub &&
-        hygieneChain && lmGate && scrubGate)) sys.exit(1)
+        hygieneChain && lmGate && scrubGate && perceptGate && embedGate)) sys.exit(1)
   }
 }
