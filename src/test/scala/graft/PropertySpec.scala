@@ -231,4 +231,59 @@ class PropertySpec extends AnyFunSuite {
       assert(acks.sortBy(_.next_seq).map(_.chunk).mkString == text)
     }
   }
+
+  test("EmbedGate.checkAgainst ≡ plain-Scala reference on randomized sig frames") {
+    import spark.implicits._
+    val rnd = new Random(20260816L)
+    val threshold = 0.6
+    def randVec(): Array[Float] = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      // the FloatDot evaluation order: sequential double accumulation of
+      // float products — keeps the reference bit-comparable
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    for (_ <- 0 until 5) {
+      // synthetic sig frames: random vectors in 4 buckets; ~15% zero
+      // vectors (the NaN guard's class); some batch rows are scaled
+      // copies of index rows (guaranteed same-direction candidates when
+      // their buckets collide)
+      val idx = (0 until 5 + rnd.nextInt(12)).map { i =>
+        val v = if (rnd.nextDouble() < 0.15) Array.fill(8)(0f) else randVec()
+        (i.toLong, v, nrm(v), rnd.nextInt(4).toLong)
+      }
+      val batch = (0 until 3 + rnd.nextInt(8)).map { j =>
+        val v =
+          if (idx.nonEmpty && rnd.nextDouble() < 0.4) {
+            val base = idx(rnd.nextInt(idx.length))._2
+            base.map(_ * (1f + rnd.nextInt(3)))
+          } else if (rnd.nextDouble() < 0.15) Array.fill(8)(0f)
+          else randVec()
+        (100L + j, v, nrm(v), rnd.nextInt(4).toLong)
+      }
+      val ref = batch.filter(_._3 > 0).flatMap { case (bid, bv, bn, bb) =>
+        val cands = idx.filter(r => r._4 == bb && r._1 != bid && r._3 > 0)
+          .map(r => (dot(r._2, bv) / (r._3 * bn), r._1))
+          .filter(_._1 >= threshold)
+        if (cands.isEmpty) None
+        else {
+          val (sim, dupOf) = cands.minBy { case (s, id) => (-s, id) }
+          Some((bid, dupOf, sim))
+        }
+      }.toSet
+      val got = graft.streaming.EmbedGate.checkAgainst(
+        idx.toDF("vec_id", "embedding", "nrm", "bucket"),
+        batch.toDF("vec_id", "embedding", "nrm", "bucket"), threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.map(t => (t._1, t._2)) == ref.map(t => (t._1, t._2)),
+        s"flag pairs diverged\n got=$got\n ref=$ref")
+      // sims bit-comparable under the shared evaluation order
+      val refSim = ref.map(t => (t._1, t._2) -> t._3).toMap
+      got.foreach { case (b, d, s) =>
+        assert(math.abs(s - refSim((b, d))) < 1e-12, s"sim diverged for ($b,$d)")
+      }
+    }
+  }
 }
