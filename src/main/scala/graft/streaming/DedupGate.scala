@@ -293,32 +293,19 @@ object DedupGate {
   val DefaultMaxProbeLiterals = 65536
 
   /** The index slice the batch can possibly collide with: the batch's
-    * distinct band hashes as a literal bucket filter (file pruning). An
-    * empty batch probes a `limit(0)` slice instead of hardcoding a
-    * schema — the flags frame keeps the real doc_id type whatever the
-    * corpus keys on, so a downstream sink never sees the column type
-    * flip on an intermittently empty micro-batch.
+    * distinct band hashes as a literal bucket filter (file pruning) —
+    * [[IndexProbe.prunedSlice]] with this gate's policy: band hashes
+    * are an OPEN domain, so a dense batch fails loudly instead of
+    * falling back to a wider scan.
     */
   private[streaming] def prunedIndexSlice(
       spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
-    val bound = spark.conf.getOption("graft.dedupGate.maxProbeLiterals")
-      .map { raw =>
-        val parsed = try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.dedupGate.maxProbeLiterals must be a positive integer, got '$raw'")
-        }
-        require(parsed > 0,
-          s"graft.dedupGate.maxProbeLiterals must be positive, got $parsed — " +
-            "a non-positive bound would reject every non-empty batch")
-        parsed
-      }.getOrElse(DefaultMaxProbeLiterals)
-    val bhs = banded.select("bh").distinct().limit(bound + 1).collect().map(_.getLong(0))
-    require(bhs.length <= bound,
+    val bound = IndexProbe.confBound(
+      spark, "graft.dedupGate.maxProbeLiterals", DefaultMaxProbeLiterals)
+    IndexProbe.prunedSlice(spark, table, banded, "bh", bound, IndexProbe.FailFast(
       s"batch produced more than $bound distinct band hashes — the micro-batch-is-small " +
         "probe contract is broken (a literal filter this size would dominate the plan); " +
-        "use smaller triggers or the batch dedup path, or raise graft.dedupGate.maxProbeLiterals")
-    if (bhs.isEmpty) spark.table(table).limit(0)
-    else spark.table(table).filter(col("bh").isin(bhs.toIndexedSeq: _*))
+        "use smaller triggers or the batch dedup path, or raise graft.dedupGate.maxProbeLiterals"))
   }
 
   /** Appends the signatures of docs not already at rest — idempotent by

@@ -170,16 +170,9 @@ object EmbedGate {
     * broadcast semi-join, empty batches probe a `limit(0)` slice.
     */
   private[streaming] def prunedIndexSlice(
-      spark: SparkSession, table: String, sigs: DataFrame): DataFrame = {
-    val buckets = sigs.select("bucket").distinct()
-      .limit(DefaultMaxProbeLiterals + 1).collect().map(_.getLong(0))
-    if (buckets.isEmpty) spark.table(table).limit(0)
-    else if (buckets.length <= DefaultMaxProbeLiterals)
-      spark.table(table).filter(col("bucket").isin(buckets.toIndexedSeq: _*))
-    else
-      spark.table(table)
-        .join(broadcast(sigs.select("bucket").distinct()), Seq("bucket"), "left_semi")
-  }
+      spark: SparkSession, table: String, sigs: DataFrame): DataFrame =
+    IndexProbe.prunedSlice(spark, table, sigs, "bucket",
+      DefaultMaxProbeLiterals, IndexProbe.BroadcastSemiJoin)
 
   /** Flags the batch's cosine near-dups against the persisted index —
     * the lazy convenience form for plan inspection / one-shot use; the

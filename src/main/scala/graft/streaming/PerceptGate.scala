@@ -237,16 +237,9 @@ object PerceptGate {
     * for downstream sinks on intermittently empty micro-batches).
     */
   private[streaming] def prunedIndexSlice(
-      spark: SparkSession, table: String, banded: DataFrame): DataFrame = {
-    val bks = banded.select("bk").distinct()
-      .limit(DefaultMaxProbeLiterals + 1).collect().map(_.getLong(0))
-    if (bks.isEmpty) spark.table(table).limit(0)
-    else if (bks.length <= DefaultMaxProbeLiterals)
-      spark.table(table).filter(col("bk").isin(bks.toIndexedSeq: _*))
-    else
-      spark.table(table)
-        .join(broadcast(banded.select("bk").distinct()), Seq("bk"), "left_semi")
-  }
+      spark: SparkSession, table: String, banded: DataFrame): DataFrame =
+    IndexProbe.prunedSlice(spark, table, banded, "bk",
+      DefaultMaxProbeLiterals, IndexProbe.BroadcastSemiJoin)
 
   /** Flags the batch's perceptual dups against the persisted index —
     * the lazy convenience form ([[DedupGate.flagDuplicates]]'s stance):

@@ -177,25 +177,16 @@ object SpanGate {
     */
   private def prunedIndexSlice(spark: SparkSession, table: String,
       sites: DataFrame): DataFrame = {
-    val bound = spark.conf.getOption("graft.spanGate.maxProbeLiterals")
-      .map { raw =>
-        val parsed = try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.spanGate.maxProbeLiterals must be a positive integer, got '$raw'")
-        }
-        require(parsed > 0,
-          s"graft.spanGate.maxProbeLiterals must be positive, got $parsed")
-        parsed
-      }.getOrElse(DefaultMaxProbeLiterals)
-    val ghs = sites.select("gh").distinct().limit(bound + 1).collect().map(_.getLong(0))
-    require(ghs.length <= bound,
-      s"batch produced more than $bound distinct selected gram hashes — the " +
-        "micro-batch-is-small probe contract is broken; use smaller triggers, the " +
-        "offline decontaminate_spans path, or raise graft.spanGate.maxProbeLiterals")
-    if (ghs.isEmpty) spark.table(table).limit(0)
-    else if (ghs.length <= ProbeLiteralPlanMax)
-      spark.table(table).filter(col("gh").isin(ghs.toIndexedSeq: _*))
-    else spark.table(table) // dense batch: see ProbeLiteralPlanMax
+    val bound = IndexProbe.confBound(
+      spark, "graft.spanGate.maxProbeLiterals", DefaultMaxProbeLiterals)
+    // this gate's dense policy: the downstream broadcast mark join
+    // already restricts matched rows, so a dense batch scans plainly
+    // (see ProbeLiteralPlanMax) — up to the hard contract bound
+    IndexProbe.prunedSlice(spark, table, sites, "gh", ProbeLiteralPlanMax,
+      IndexProbe.PlainScanUpTo(bound,
+        s"batch produced more than $bound distinct selected gram hashes — the " +
+          "micro-batch-is-small probe contract is broken; use smaller triggers, the " +
+          "offline decontaminate_spans path, or raise graft.spanGate.maxProbeLiterals"))
   }
 
   /** Leak spans of a batch against the persisted index: one row per

@@ -1300,4 +1300,34 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eIds = spark.table("purge_embed").select("vec_id").collect().map(_.getLong(0)).toSet
     assert(eIds == Set(2L, 60L), s"re-arrival must index after the purge: $eIds")
   }
+
+  test("IndexProbe.prunedSlice: empty/sparse/dense shapes per dense policy (r19 verdict task 2)") {
+    import spark.implicits._
+    import graft.streaming.IndexProbe
+    (0L to 9L).map(k => (k, s"v$k")).toDF("bk", "payload")
+      .write.mode("overwrite").format("parquet").saveAsTable("probe_helper_t")
+    def slice(keys: Seq[Long], cap: Int, dense: IndexProbe.DenseProbePolicy) =
+      IndexProbe.prunedSlice(spark, "probe_helper_t", keys.toDF("bk"), "bk", cap, dense)
+    // empty batch: a limit(0) slice that keeps the table's REAL schema
+    val empty = slice(Nil, 4, IndexProbe.BroadcastSemiJoin)
+    assert(empty.columns.toSeq == Seq("bk", "payload") && empty.count() == 0)
+    // sparse: literal filter, only matching rows
+    assert(slice(Seq(1L, 3L), 4, IndexProbe.BroadcastSemiJoin)
+      .select("bk").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // dense + closed domain: the semi-join slice matches what literals would
+    assert(slice(Seq(1L, 2L, 3L, 4L, 5L), 4, IndexProbe.BroadcastSemiJoin)
+      .select("bk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // dense + open domain: the gate's contract message surfaces verbatim
+    val ex = intercept[IllegalArgumentException] {
+      slice(Seq(1L, 2L, 3L, 4L, 5L), 4, IndexProbe.FailFast("contract broken"))
+    }
+    assert(ex.getMessage == "contract broken")
+    // dense + mark-join caller: plain scan up to the hard cap, fail above it
+    assert(slice(Seq(1L, 2L, 3L, 4L, 5L), 4,
+      IndexProbe.PlainScanUpTo(8, "too many")).count() == 10)
+    val ex2 = intercept[IllegalArgumentException] {
+      slice((1L to 9L).toSeq, 4, IndexProbe.PlainScanUpTo(8, "too many"))
+    }
+    assert(ex2.getMessage == "too many")
+  }
 }
