@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -492,10 +492,9 @@ object StreamMerge {
     *
     * PERCEPTUAL gate (r19, opt-in via `perceptTable`): with a persisted
     * dHash code index ([[PerceptGate.writeCodeIndex]]), image-kind rows
-    * (the multimodalMeta `doc_id % 3 = 0` convention) still `insert`
-    * after the text near-dup gate are decoded, dHashed and checked
-    * against the index AND their own batch's smaller-id siblings —
-    * flagged rows become `percept_dup` (with `percept_of`/
+    * still `insert` after the text near-dup gate are decoded, dHashed
+    * and checked against the index AND their own batch's smaller-id
+    * siblings — flagged rows become `percept_dup` (with `percept_of`/
     * `percept_hamming` riding to the sink), unflagged image inserts
     * index their codes. This closes the family matrix's last streaming
     * cell: every dedup family (exact, minhash, substring, quality,
@@ -506,6 +505,17 @@ object StreamMerge {
     * verdicts exist (same conservatism, raster grain). Without
     * `perceptTable` the chain and output schema are byte-identical to
     * r18's.
+    *
+    * WHICH rows are image-kind and WHERE their bytes live is CALLER
+    * layout, not engine knowledge (r19 verdict task 1): `perceptKind`
+    * is the image-row predicate and `perceptPayload` the binary payload
+    * expression, both evaluated against the decided batch frame —
+    * which carries every EXTRA input column through unchanged (a
+    * `kind`/`blob`-shaped corpus just points the two expressions at its
+    * own columns; extras also ride to the sink as attribution). The
+    * defaults keep the historical test-layout convention (`doc_id % 3
+    * === 0`, payload = the text bytes), so existing records and specs
+    * stand. Both are only consulted when `perceptTable` is set.
     */
   def gatedIngestPipelineProduction(
       docs: DataFrame, baseIndex: DataFrame, sigTable: String,
@@ -517,15 +527,23 @@ object StreamMerge {
       onSpanTimings: SpanGateTimings => Unit = _ => (),
       onLmSec: (Long, Double) => Unit = (_, _) => (),
       perceptTable: Option[String] = None,
-      onPerceptTimings: PerceptGateTimings => Unit = _ => ()): DataStreamWriter[Row] = {
+      onPerceptTimings: PerceptGateTimings => Unit = _ => (),
+      perceptKind: Column = col("doc_id") % 3 === 0,
+      perceptPayload: Column = col("text").cast("binary")): DataStreamWriter[Row] = {
     val scored = graft.operators.WebOps.withDomainGate(
       graft.operators.TextOps.withQualityScore(docs))
+    // extra INPUT columns (a corpus's kind/blob/meta layout) ride through
+    // the classification select untouched: the percept hook's expressions
+    // and the sink's attribution trail may reference them
+    val consumed = Set("doc_id", "text", "ts", "h", "n_tok", "n_tokens",
+      "quality", "n_urls", "n_blocked", "decision", "existing_id")
+    val extras = docs.columns.toIndexedSeq.filterNot(consumed)
     scored
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", delayThreshold)
       .dropDuplicatesWithinWatermark("h")
       .join(baseIndex, Seq("h"), "left")
-      .select(col("doc_id"), col("h"),
+      .select(Seq(col("doc_id"), col("h"),
         col("n_tok").cast("long").as("n_tokens"), col("quality"),
         col("n_urls"), col("n_blocked"),
         when(col("n_tok") < minTokens, "short")
@@ -533,12 +551,12 @@ object StreamMerge {
           .when(col("n_blocked") > 0, "blocked_domain")
           .when(col("existing_id").isNotNull, "skip_dup")
           .otherwise("insert").as("decision"),
-        col("existing_id"), col("ts"), col("text"))
+        col("existing_id"), col("ts"), col("text")) ++ extras.map(col): _*)
       .writeStream
       .outputMode("append")
       .foreachBatch(productionBatch(sigTable, evalGramTable, lmTable, maxBits,
         minTokens, onBatch, onGateTimings, onSpanTimings, onLmSec,
-        perceptTable, onPerceptTimings) _)
+        perceptTable, onPerceptTimings, perceptKind, perceptPayload) _)
   }
 
   /** The production chain's foreachBatch body — the gate cascade of
@@ -560,7 +578,9 @@ object StreamMerge {
       onSpanTimings: SpanGateTimings => Unit,
       onLmSec: (Long, Double) => Unit = (_, _) => (),
       perceptTable: Option[String] = None,
-      onPerceptTimings: PerceptGateTimings => Unit = _ => ())(
+      onPerceptTimings: PerceptGateTimings => Unit = _ => (),
+      perceptKind: Column = col("doc_id") % 3 === 0,
+      perceptPayload: Column = col("text").cast("binary"))(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.GraftShim
     import graft.operators.{DedupOps, SpanOps}
@@ -614,12 +634,13 @@ object StreamMerge {
           def withPercept[A](body: DataFrame => A): A = perceptTable match {
             case None => body(deduped)
             case Some(pt) =>
-              // image-kind = the multimodalMeta kind convention
-              // (doc_id % 3 = 0); payload = the text bytes, the same
-              // projection the batch keys decode
+              // image-kind rows and their bytes are the CALLER's layout
+              // (perceptKind/perceptPayload); the defaults keep the
+              // multimodalMeta test convention (doc_id % 3 = 0, payload
+              // = the text bytes)
               val img = deduped
-                .filter(col("decision") === "insert" && col("doc_id") % 3 === 0)
-                .select(col("doc_id"), col("text").cast("binary").as("payload"))
+                .filter(col("decision") === "insert" && perceptKind)
+                .select(col("doc_id"), perceptPayload.as("payload"))
               val ((pBanded, pBandedRdd), tPCode) = timed(GraftShim.localCheckpointTracked(
                 PerceptGate.bandedCodes(
                   graft.operators.MultimodalOps.perceptualCodes(s, img))))

@@ -1763,6 +1763,102 @@ class StreamingSpec extends AnyFunSuite {
       s"percept gate added stream state: $lastStates")
   }
 
+  test("production percept hook is caller-parameterized: a kind/blob corpus layout reproduces the default convention's decisions (r20 task 1)") {
+    import graft.streaming.{DedupGate, PerceptGate, SpanGate, StreamMerge}
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark,
+      (1L to 8L).map(i => i -> wt(s"hk$i")).toDF("doc_id", "text"), "hook_lm_model")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9500L -> wt("hkevseed")).toDF("doc_id", "text"), "hook_eval_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("hkknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    // same fixture geometry as the r19 percept test: textA/textB byte-NEAR
+    // (percept dup) but token-FAR (no minhash flag); textC equally
+    // byte-near so only the KIND predicate keeps it out of the gate
+    val textA = wt("hima")
+    val textB = wt("himb")
+    val textC = wt("himc")
+    val codes = graft.operators.MultimodalOps.perceptualCodes(spark,
+      Seq(900L -> textA.getBytes("UTF-8"), 903L -> textB.getBytes("UTF-8"))
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(codes(900L) ^ codes(903L)) <= 3,
+      "fixture vacuous: payloads must be perceptually near")
+    def freshTables(tag: String): (String, String) = {
+      DedupGate.writeSigIndex(spark,
+        Seq(1L -> wt("hkcorp")).toDF("doc_id", "text"), s"hook_sig_$tag", nBuckets = 8)
+      PerceptGate.writeCodeIndex(spark,
+        Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"),
+        s"hook_pcpt_$tag", nBuckets = 8)
+      (s"hook_sig_$tag", s"hook_pcpt_$tag")
+    }
+    def decisionsOf(acc: ConcurrentLinkedQueue[(Long, String, Option[Long])]) =
+      acc.asScala.map(t => t._1 -> (t._2, t._3)).toMap
+    def collectInto(acc: ConcurrentLinkedQueue[(Long, String, Option[Long])])(
+        df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.collect().foreach { r =>
+        acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+          Option(r.getAs[java.lang.Long]("percept_of")).map(_.longValue())))
+      }
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // --- run 1: the DEFAULT convention (doc_id % 3 image-kind, text bytes)
+    val (sigD, pcptD) = freshTables("dflt")
+    val encD = implicitly[Encoder[(Long, String, java.sql.Timestamp)]]
+    val inD = MemoryStream[(Long, String, java.sql.Timestamp)](encD, spark.sqlContext)
+    val ckD = Files.createTempDirectory("graft-spec-hookd-ckpt").toString
+    val accD = new ConcurrentLinkedQueue[(Long, String, Option[Long])]()
+    def phaseD(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      inD.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        inD.toDS().toDF("doc_id", "text", "ts"), staticBase,
+        sigD, "hook_eval_idx", "hook_lm_model", Double.MaxValue,
+        collectInto(accD), minTokens = 10, minQuality = 0.05,
+        perceptTable = Some(pcptD))
+        .option("checkpointLocation", ckD).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    phaseD(Seq((900L, textA, at(10))))
+    phaseD(Seq((903L, textB, at(40)), (904L, textC, at(41))))
+    // --- run 2: a CUSTOM corpus layout — image-kind lives in a `kind`
+    // column, payload bytes in a `blob` column; same logical rows
+    val (sigC, pcptC) = freshTables("cust")
+    val encC = implicitly[Encoder[(Long, String, java.sql.Timestamp, String, Array[Byte])]]
+    val inC = MemoryStream[(Long, String, java.sql.Timestamp, String, Array[Byte])](
+      encC, spark.sqlContext)
+    val ckC = Files.createTempDirectory("graft-spec-hookc-ckpt").toString
+    val accC = new ConcurrentLinkedQueue[(Long, String, Option[Long])]()
+    @volatile var sinkCols: Seq[String] = Nil
+    def phaseC(rows: Seq[(Long, String, java.sql.Timestamp, String, Array[Byte])]): Unit = {
+      inC.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        inC.toDS().toDF("doc_id", "text", "ts", "kind", "blob"), staticBase,
+        sigC, "hook_eval_idx", "hook_lm_model", Double.MaxValue,
+        (df, id) => { sinkCols = df.columns.toSeq; collectInto(accC)(df, id) },
+        minTokens = 10, minQuality = 0.05,
+        perceptTable = Some(pcptC),
+        perceptKind = col("kind") === "img",
+        perceptPayload = col("blob"))
+        .option("checkpointLocation", ckC).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    phaseC(Seq((900L, textA, at(10), "img", textA.getBytes("UTF-8"))))
+    phaseC(Seq((903L, textB, at(40), "img", textB.getBytes("UTF-8")),
+      (904L, textC, at(41), "txt", textC.getBytes("UTF-8"))))
+    val dD = decisionsOf(accD)
+    val dC = decisionsOf(accC)
+    assert(dD(903L) == (("percept_dup", Some(900L))), s"default run: $dD")
+    assert(dC == dD, s"custom layout must reproduce the default decisions: $dC vs $dD")
+    // the caller's extra columns ride to the sink as attribution
+    assert(sinkCols.contains("kind") && sinkCols.contains("blob"),
+      s"extra input columns must reach the sink: $sinkCols")
+    // and the custom-kind predicate governed indexing: only 900 at rest
+    spark.catalog.refreshTable(pcptC)
+    assert(spark.table(pcptC).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(900L))
+  }
+
   test("CharLmGate: a batch catching a cross-process rebuild mid-overwrite scores with the cached model instead of failing (r18 ADVICE)") {
     import graft.streaming.CharLmGate
     import graft.operators.IndexEpoch
