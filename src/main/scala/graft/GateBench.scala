@@ -715,13 +715,27 @@ object GateBench {
     // mixture sharing one parent, both under the 0.9 gate threshold —
     // an unbounded mostly-novel supply; flags come from the injected
     // scaled-duplicate directions (cosine exactly 1, ~12% of each batch)
+    // the collect is CAPPED at the parents the driven batches can
+    // actually draw ((warmup + timed) × novel-per-batch), so the
+    // harness's driver footprint stays flat as SF grows (r19 ADVICE) —
+    // and with L ≥ the total novel draws, synthVec's offset o stays 1
+    val EmbHoldoutCap = (HygWarmup + HygieneBatches) * EmbNovelPerBatch
     val embHoldout = embAll.filter(col("vec_id") >= EmbSeedN)
-      .orderBy("vec_id").collect().map(r => r.getSeq[Float](1).toArray)
+      .orderBy("vec_id").limit(EmbHoldoutCap)
+      .collect().map(r => r.getSeq[Float](1).toArray)
     val embSeedPool = embSeedDf.orderBy("vec_id").limit(512)
       .collect().map(r => r.getSeq[Float](1).toArray)
     def synthVec(n: Int): Array[Float] = {
       val i = n % embHoldout.length
       val o = 1 + n / embHoldout.length
+      // "each pair used once" holds only for ORDERED pairs: unordered
+      // {i, j} regenerates as (j, o' = L - (j - i)) with the
+      // byte-identical sum vector once o reaches L/2 — a silent
+      // duplicate in the "novel" supply that would bias the A/B if
+      // batch counts or novel-per-batch ever grow (r19 ADVICE)
+      require(o < embHoldout.length / 2,
+        s"novel-vector supply crossed into duplicate territory: offset $o >= " +
+          s"${embHoldout.length}/2 — grow the holdout cap or shrink the batch plan")
       val a = embHoldout(i)
       val c = embHoldout((i + o) % embHoldout.length)
       Array.tabulate(a.length)(d => a(d) + c(d))

@@ -819,9 +819,16 @@ object VectorOps {
     // persist the signature width + build-time corpus size next to the
     // index (the LSH analog of the IVF codebook table): probes read the
     // nBits the cells were actually hashed with, appends VALIDATE against
-    // it, and staleness has its baseline
+    // it, and staleness has its baseline. base_n is counted from the rows
+    // ACTUALLY WRITTEN (a parquet-metadata count), not the caller's
+    // frame: a nondeterministic input (sample, shuffle+limit) can
+    // re-evaluate between the sizing count and the write, and the meta
+    // must describe the artifact it sits next to (r19 ADVICE) — the
+    // pre-count `n` only SIZES nBits, a heuristic, while `nbits` records
+    // the width actually hashed either way
     clearStaleLocation(spark, metaTableFor(table))
-    spark.createDataFrame(Seq((nBits, n))).toDF("nbits", "base_n")
+    val writtenN = spark.table(table).count()
+    spark.createDataFrame(Seq((nBits, writtenN))).toDF("nbits", "base_n")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTableFor(table))
     // rebuild owns the index: any in-flight appender fails its commit
     IndexEpoch.bumpUnconditional(spark, table)

@@ -37,10 +37,12 @@ final case class EmbedGateTimings(
   * [[gatedIndexMaintenance]] is therefore `lshIndexMaintenance` upgraded
   * in place: novel vectors append exactly as before (the same
   * [[VectorOps.appendToLshIndexIdempotent]] call — gated and ungated
-  * maintenance write byte-identical rows), near-dup arrivals are flagged
-  * to the caller and kept OUT, so the index stops accumulating
-  * duplicate vectors (which would otherwise waste probe candidates and
-  * skew every downstream top-k toward the duplicated direction).
+  * maintenance write byte-identical rows, except zero-norm arrivals,
+  * which the gate declines to index at all — see the degenerate policy
+  * below), near-dup arrivals are flagged to the caller and kept OUT, so
+  * the index stops accumulating duplicate vectors (which would
+  * otherwise waste probe candidates and skew every downstream top-k
+  * toward the duplicated direction).
   *
   * Candidate rule: EXACT bucket agreement — the same rule as the batch
   * `embed_neardup_lsh` frame (`VectorOps.embedNeardupLshFrame`), so an
@@ -71,20 +73,33 @@ final case class EmbedGateTimings(
   * the batch frame's hot-bucket star guard.
   *
   * Degenerate policy (the [[graft.operators.MultimodalOps.dHashCodeOpt]]
-  * analog): a ZERO-NORM embedding carries no direction, so its cosine
-  * is 0/0 — and Spark orders NaN ABOVE every number, so an unguarded
-  * `sim >= threshold` would flag a zero vector against everything in
-  * its bucket. Zero-norm rows are excluded from BOTH probe sides
-  * (never flagged, never flagged-against) and still index as inert
-  * singletons.
+  * analog, completed r20): a ZERO-NORM embedding carries no direction,
+  * so its cosine is 0/0 — and Spark orders NaN ABOVE every number, so
+  * an unguarded `sim >= threshold` would flag a zero vector against
+  * everything in its bucket. Zero-norm rows are excluded from BOTH
+  * probe sides (never flagged, never flagged-against) and are NOT
+  * indexed either: all zero vectors hash to the same bucket, so a
+  * zero-vector flood — the one duplicate class cosine cannot
+  * self-limit — would otherwise grow a dead hot bucket that every
+  * probe of that bucket scans. They are instead flagged to the caller
+  * via `is_degenerate` (route them to an audit sink like flagged
+  * dups); this is the one arrival class where gated and ungated
+  * maintenance diverge — the ungated maintainer indexes whatever it is
+  * fed.
   *
   * Dedup policy, contract boundaries, replay semantics: identical to
   * [[DedupGate]]/[[PerceptGate]] — novel vectors index (idempotently,
   * at-least-once-safe via the epoch-guarded anti-join append), flagged
   * vectors are annotated not dropped, [[gateBatch]] is batch-vs-index
-  * only, [[gateBatchWithinAware]] also resolves within-batch sibling
-  * pairs to the min-id representative, and annotations are advisory
-  * under replay while the INDEX is replay-stable.
+  * only, [[gateBatchWithinAware]] also resolves within-batch siblings
+  * to the surviving representative — `dup_of` chains are chased
+  * (A<B<C with C's strongest match B gives BOTH B and C `dup_of` = A,
+  * the vector actually at rest; `sim` stays the measured strongest-
+  * match similarity), exact in batch-only arrivals because
+  * within-batch edges strictly decrease vec_id; under REPLAY (rows
+  * already at rest flagging each other) chains can cycle and the chase
+  * stops at the cycle edge — annotations are advisory under replay
+  * anyway, while the INDEX is replay-stable.
   */
 object EmbedGate {
 
@@ -164,6 +179,34 @@ object EmbedGate {
       .agg(min(struct(negate(col("sim")).as("nsim"), col("dup_of"))).as("best"))
       .select(col("vec_id"), col("best.dup_of"), negate(col("best.nsim")).as("sim"))
 
+  /** `dup_of` chains chased to the SURVIVING representative: a flagged
+    * vector's strongest match may itself be a flagged sibling (A<B<C
+    * with sim(C,B) > sim(C,A) gives C → B while B → A), and an audit
+    * sink must not receive `dup_of` references to vectors that are
+    * neither at rest nor ever will be (r19 ADVICE). Flags are
+    * micro-batch metadata scale by the same contract that bounds the
+    * probe-literal collect, so the chase is a driver-side map walk —
+    * exact, one pass, no per-hop jobs. Batch-only chains terminate
+    * (within-batch edges strictly decrease vec_id); REPLAY can produce
+    * cycles among rows already at rest, where the walk stops at the
+    * cycle's re-entry edge (annotations are advisory under replay).
+    * `sim` is left as measured against the strongest match.
+    */
+  private[graft] def resolveToSurvivors(
+      spark: SparkSession, flags: DataFrame): DataFrame = {
+    val rows = flags.select("vec_id", "dup_of", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val parent = rows.map(t => t._1 -> t._2).toMap
+    def rep(start: Long): Long = {
+      var cur = start
+      val seen = scala.collection.mutable.Set.empty[Long]
+      while (parent.contains(cur) && seen.add(cur)) cur = parent(cur)
+      cur
+    }
+    val resolved = rows.map { case (v, d, s) => (v, rep(d), s) }.toIndexedSeq
+    spark.createDataFrame(resolved).toDF("vec_id", "dup_of", "sim")
+  }
+
   /** The index slice the batch can collide with — [[PerceptGate]]'s
     * probe shape over the `bucket` key: sparse batches prune index
     * FILES via a literal bucket filter, dense batches filter via a
@@ -235,13 +278,22 @@ object EmbedGate {
       val rawFlags =
         if (withinBatch) combinedFlags(prunedIndexSlice(s, table, sigs), sigs, threshold)
         else checkAgainst(prunedIndexSlice(s, table, sigs), sigs, threshold)
-      val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
+      val ((flags0, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
       try {
+        // chains only form when the batch checks against ITSELF; the
+        // resolved frame is a local relation read off the checkpoint
+        val flags = if (withinBatch) resolveToSurvivors(s, flags0) else flags0
         val annotated = batch.join(flags, Seq("vec_id"), "left")
+          .join(sigs.select(col("vec_id"), (col("nrm") === 0).as("is_degenerate")),
+            Seq("vec_id"), "left")
           .withColumn("is_dup", col("dup_of").isNotNull)
         onBatch(annotated, batchId)
+        // degenerate (zero-norm) arrivals never index — see the policy
+        // in the object doc: they all share one bucket and cosine
+        // cannot self-limit a flood of them
         val (appended, tAppend) = timed(VectorOps.appendToLshIndexIdempotent(s,
-          sigs.join(flags.select("vec_id"), Seq("vec_id"), "left_anti")
+          sigs.filter(col("nrm") > 0)
+            .join(flags.select("vec_id"), Seq("vec_id"), "left_anti")
             .select("vec_id", "embedding"),
           table, nBits))
         onTimings(EmbedGateTimings(batchId, tSig, tProbe, tAppend, appended))

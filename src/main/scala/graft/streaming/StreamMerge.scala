@@ -516,6 +516,26 @@ object StreamMerge {
     * defaults keep the historical test-layout convention (`doc_id % 3
     * === 0`, payload = the text bytes), so existing records and specs
     * stand. Both are only consulted when `perceptTable` is set.
+    *
+    * EMBEDDING gate (r20, opt-in via `embedTable` — r19 verdict task
+    * 4's composition): documents arriving WITH an embedding column
+    * (`embedPayload`, default `col("embedding")`, nullable — rows
+    * without one pass untouched) still `insert` after the perceptual
+    * stage are cosine-checked by [[EmbedGate]]'s primitives against a
+    * persisted DOC-KEYED LSH index ([[graft.operators.VectorOps
+    * .writeLshIndexFrom]] over `(doc_id, embedding)` rows) and their
+    * own batch's siblings; flagged rows become `embed_dup` (with
+    * `embed_of`/`embed_sim` riding to the sink, `dup_of` chains
+    * resolved to the surviving representative), unflagged novel
+    * embeddings index under their doc id. Placement and conservatism
+    * mirror the percept stage: an embed_dup's TEXT signature has
+    * already appended (it only makes future text near-dups flag), and
+    * embeddings append before the span verdicts exist; zero-norm
+    * embeddings are degenerate — never flagged, never indexed
+    * ([[EmbedGate]]'s documented policy). The standalone
+    * vector-stream deployment ([[EmbedGate.gatedIndexMaintenance]]
+    * over the shared ANN index) remains the right shape when
+    * embeddings arrive as their own stream rather than on documents.
     */
   def gatedIngestPipelineProduction(
       docs: DataFrame, baseIndex: DataFrame, sigTable: String,
@@ -529,7 +549,11 @@ object StreamMerge {
       perceptTable: Option[String] = None,
       onPerceptTimings: PerceptGateTimings => Unit = _ => (),
       perceptKind: Column = col("doc_id") % 3 === 0,
-      perceptPayload: Column = col("text").cast("binary")): DataStreamWriter[Row] = {
+      perceptPayload: Column = col("text").cast("binary"),
+      embedTable: Option[String] = None,
+      onEmbedTimings: EmbedGateTimings => Unit = _ => (),
+      embedPayload: Column = col("embedding"),
+      embedThreshold: Double = EmbedGate.DefaultThreshold): DataStreamWriter[Row] = {
     val scored = graft.operators.WebOps.withDomainGate(
       graft.operators.TextOps.withQualityScore(docs))
     // extra INPUT columns (a corpus's kind/blob/meta layout) ride through
@@ -556,7 +580,8 @@ object StreamMerge {
       .outputMode("append")
       .foreachBatch(productionBatch(sigTable, evalGramTable, lmTable, maxBits,
         minTokens, onBatch, onGateTimings, onSpanTimings, onLmSec,
-        perceptTable, onPerceptTimings, perceptKind, perceptPayload) _)
+        perceptTable, onPerceptTimings, perceptKind, perceptPayload,
+        embedTable, onEmbedTimings, embedPayload, embedThreshold) _)
   }
 
   /** The production chain's foreachBatch body — the gate cascade of
@@ -580,7 +605,11 @@ object StreamMerge {
       perceptTable: Option[String] = None,
       onPerceptTimings: PerceptGateTimings => Unit = _ => (),
       perceptKind: Column = col("doc_id") % 3 === 0,
-      perceptPayload: Column = col("text").cast("binary"))(
+      perceptPayload: Column = col("text").cast("binary"),
+      embedTable: Option[String] = None,
+      onEmbedTimings: EmbedGateTimings => Unit = _ => (),
+      embedPayload: Column = col("embedding"),
+      embedThreshold: Double = EmbedGate.DefaultThreshold)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.GraftShim
     import graft.operators.{DedupOps, SpanOps}
@@ -593,6 +622,7 @@ object StreamMerge {
       s.catalog.refreshTable(pt)
       PerceptGate.validateMeta(s, pt)
     }
+    embedTable.foreach(s.catalog.refreshTable) // nBits meta refreshes in requireNBits
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = body
@@ -662,7 +692,48 @@ object StreamMerge {
                 } finally GraftShim.releaseCheckpoint(pFlagsRdd)
               } finally GraftShim.releaseCheckpoint(pBandedRdd)
           }
-          withPercept { dedupedP =>
+          // EMBEDDING near-dup gate (r20 — the vector-grain member of
+          // the cascade): rows still `insert` that CARRY an embedding
+          // are cosine-checked against the persisted doc-keyed LSH
+          // index and their own batch's siblings; flagged rows become
+          // `embed_dup` (chains resolved to the surviving
+          // representative) and need no span check. Unflagged novel
+          // embeddings index HERE, before the span verdicts exist —
+          // the same documented conservatism as the signature and
+          // percept appends; zero-norm embeddings neither flag nor
+          // index (EmbedGate's degenerate policy).
+          def withEmbed[A](frame: DataFrame)(body: DataFrame => A): A = embedTable match {
+            case None => body(frame)
+            case Some(et) =>
+              val nBits = EmbedGate.requireNBits(s, et)
+              val vecs = frame
+                .filter(col("decision") === "insert" && embedPayload.isNotNull)
+                .select(col("doc_id").as("vec_id"), embedPayload.as("embedding"))
+              val ((eSigs, eSigsRdd), tESig) = timed(GraftShim.localCheckpointTracked(
+                EmbedGate.withSigs(vecs, nBits)))
+              try {
+                val ((eFlags0, eFlagsRdd), tEProbe) = timed(GraftShim.localCheckpointTracked(
+                  EmbedGate.combinedFlags(
+                    EmbedGate.prunedIndexSlice(s, et, eSigs), eSigs, embedThreshold)))
+                try {
+                  val eFlags = EmbedGate.resolveToSurvivors(s, eFlags0)
+                  val (eAppended, tEAppend) = timed(
+                    graft.operators.VectorOps.appendToLshIndexIdempotent(s,
+                      eSigs.filter(col("nrm") > 0)
+                        .join(eFlags.select("vec_id"), Seq("vec_id"), "left_anti")
+                        .select("vec_id", "embedding"), et, nBits))
+                  onEmbedTimings(EmbedGateTimings(batchId, tESig, tEProbe, tEAppend, eAppended))
+                  body(frame.join(
+                    eFlags.select(col("vec_id").as("doc_id"), col("dup_of").as("embed_of"),
+                      col("sim").as("embed_sim")), Seq("doc_id"), "left")
+                    .withColumn("decision",
+                      when(col("embed_of").isNotNull, "embed_dup")
+                        .otherwise(col("decision"))))
+                } finally GraftShim.releaseCheckpoint(eFlagsRdd)
+              } finally GraftShim.releaseCheckpoint(eSigsRdd)
+          }
+          withPercept { dedupedPOnly =>
+          withEmbed(dedupedPOnly) { dedupedP =>
           val still = dedupedP.filter(col("decision") === "insert").select("doc_id", "text")
           val ((sites, sitesRdd), tSelect) =
             timed(GraftShim.localCheckpointTracked(SpanOps.winnowSites(still)))
@@ -707,6 +778,7 @@ object StreamMerge {
               } finally GraftShim.releaseCheckpoint(scrubbedRdd)
             } finally GraftShim.releaseCheckpoint(perDocRdd)
           } finally GraftShim.releaseCheckpoint(sitesRdd)
+          }
           }
         } finally GraftShim.releaseCheckpoint(flagsRdd)
       } finally GraftShim.releaseCheckpoint(bandedRdd)

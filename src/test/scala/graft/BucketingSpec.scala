@@ -1254,6 +1254,81 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("meta"), ex.getMessage)
   }
 
+  test("EmbedGate: within-batch dup_of chains resolve to the surviving representative (r19 ADVICE)") {
+    import spark.implicits._
+    import graft.streaming.EmbedGate
+    import graft.operators.VectorOps
+    // A < B < C with sim(C,B) > sim(C,A): C's STRONGEST match is B, but
+    // B itself flags against A — dup_of must chase to A, the vector
+    // actually at rest
+    def vec(second: Float): Array[Float] =
+      Array.tabulate(64)(d => if (d == 0) 1f else if (d == 1) second else 0f)
+    val (a, b, c) = (vec(0f), vec(0.1f), vec(0.18f))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      def dot(p: Array[Float], q: Array[Float]) =
+        p.zip(q).map { case (u, v) => u.toDouble * v }.sum
+      dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+    }
+    assert(cos(c, b) > cos(c, a) && cos(c, a) > 0.9 && cos(b, a) > 0.9,
+      s"fixture vacuous: need a chain with C's strongest match = B " +
+        s"(got ${cos(c, b)}, ${cos(c, a)}, ${cos(b, a)})")
+    VectorOps.writeLshIndexFrom(spark,
+      Seq(1L -> axis(9)).toDF("vec_id", "embedding"), "embed_gate_chain", nBuckets = 8)
+    val nBits = VectorOps.loadLshMeta(spark, "embed_gate_chain").get._1
+    val batch = Seq(70L -> a, 71L -> b, 72L -> c).toDF("vec_id", "embedding")
+    assert(EmbedGate.withSigs(batch, nBits).select("bucket").distinct().count() == 1L,
+      "fixture vacuous: the chain must share one LSH bucket")
+    val seen = scala.collection.mutable.Map[Long, (Option[Long], Option[Double])]()
+    var timings: graft.streaming.EmbedGateTimings = null
+    EmbedGate.gateBatchWithinAwareTimed("embed_gate_chain", (df, _) =>
+      df.collect().foreach { r =>
+        seen.put(r.getAs[Long]("vec_id"),
+          (Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+            Option(r.getAs[java.lang.Double]("sim")).map(_.doubleValue())))
+      }, t => timings = t)(batch, 0L)
+    assert(seen(70L)._1.isEmpty, s"the min-id member survives: ${seen.get(70L)}")
+    assert(seen(71L)._1.contains(70L), s"B flags to A: ${seen.get(71L)}")
+    assert(seen(72L)._1.contains(70L),
+      s"C's dup_of must resolve THROUGH its strongest match B to A: ${seen.get(72L)}")
+    // sim stays the measured strongest-match similarity (vs B, not A)
+    assert(seen(72L)._2.exists(s => math.abs(s - cos(c, b)) < 1e-6),
+      s"C's sim must be the strongest-match cosine ${cos(c, b)}: ${seen.get(72L)}")
+    assert(timings.appended == 1L, s"only the representative indexes: $timings")
+    spark.catalog.refreshTable("embed_gate_chain")
+    assert(spark.table("embed_gate_chain").select("vec_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 70L), "exactly A joins the seed at rest")
+  }
+
+  test("EmbedGate: zero-norm arrivals are flagged degenerate and never indexed (r19 ADVICE)") {
+    import spark.implicits._
+    import graft.streaming.EmbedGate
+    import graft.operators.VectorOps
+    VectorOps.writeLshIndexFrom(spark,
+      Seq(1L -> axis(0)).toDF("vec_id", "embedding"), "embed_gate_zero", nBuckets = 8)
+    val batch = Seq(80L -> Array.fill(64)(0f), 81L -> axis(3)).toDF("vec_id", "embedding")
+    val seen = scala.collection.mutable.Map[Long, (Boolean, Boolean)]()
+    var timings: graft.streaming.EmbedGateTimings = null
+    def run(): Unit = EmbedGate.gateBatchWithinAwareTimed("embed_gate_zero", (df, _) =>
+      df.collect().foreach { r =>
+        seen.put(r.getAs[Long]("vec_id"),
+          (r.getAs[Boolean]("is_dup"), r.getAs[Boolean]("is_degenerate")))
+      }, t => timings = t)(batch, 0L)
+    run()
+    assert(seen(80L) == ((false, true)),
+      s"a zero vector is degenerate, not a dup: ${seen.get(80L)}")
+    assert(seen(81L) == ((false, false)), s"81: ${seen.get(81L)}")
+    assert(timings.appended == 1L, s"only the real vector indexes: $timings")
+    spark.catalog.refreshTable("embed_gate_zero")
+    val ids = spark.table("embed_gate_zero").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 81L), s"the zero vector must never reach the index: $ids")
+    // a zero-vector FLOOD cannot accumulate: the re-arrival appends nothing
+    run()
+    assert(timings.appended == 0L && seen(80L)._2,
+      s"replayed zero vector: flagged degenerate again, still not indexed: $timings")
+    spark.catalog.refreshTable("embed_gate_zero")
+    assert(spark.table("embed_gate_zero").count() == 2L)
+  }
+
   test("purge reaches the r19 gate indexes: a purged identity stops flagging and re-enters through the gate") {
     import spark.implicits._
     import graft.streaming.{EmbedGate, PerceptGate}

@@ -1859,6 +1859,79 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(900L))
   }
 
+  test("production chain + EmbedGate: docs carrying an embedding get the cosine gate; embedding-less docs pass untouched (r19 task 4)") {
+    import graft.streaming.{DedupGate, SpanGate, StreamMerge}
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions.{col, md5, min}
+    import spark.implicits._
+    def wt(seed: String) = (1 to 30).map(i => s"${seed}_$i").mkString(" ")
+    def axis(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) scale else 0f)
+    graft.operators.HygieneOps.writeCharLmTableFrom(spark,
+      (1L to 8L).map(i => i -> wt(s"em$i")).toDF("doc_id", "text"), "emb_lm_model")
+    SpanGate.writeEvalGramIndex(spark,
+      Seq(9500L -> wt("emevseed")).toDF("doc_id", "text"), "emb_eval_idx", nBuckets = 8)
+    DedupGate.writeSigIndex(spark,
+      Seq(1L -> wt("emcorp")).toDF("doc_id", "text"), "emb_sig_idx", nBuckets = 8)
+    // DOC-KEYED embedding index seeded with doc 10's vector
+    VectorOps.writeLshIndexFrom(spark,
+      Seq(10L -> axis(0)).toDF("vec_id", "embedding"), "emb_prod_idx", nBuckets = 8)
+    val staticBase = Seq((10L, wt("emknown"))).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("existing_id"))
+    val enc = implicitly[Encoder[(Long, String, java.sql.Timestamp, Option[Array[Float]])]]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Option[Array[Float]])](
+      enc, spark.sqlContext)
+    val checkpoint = Files.createTempDirectory("graft-spec-embp-ckpt").toString
+    val acc = new ConcurrentLinkedQueue[(Long, String, Option[Long], Option[Double], Option[String])]()
+    val timings = new ConcurrentLinkedQueue[graft.streaming.EmbedGateTimings]()
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def phase(rows: Seq[(Long, String, java.sql.Timestamp, Option[Array[Float]])]): Unit = {
+      input.addData(rows)
+      val q = StreamMerge.gatedIngestPipelineProduction(
+        input.toDS().toDF("doc_id", "text", "ts", "embedding"), staticBase,
+        "emb_sig_idx", "emb_eval_idx", "emb_lm_model", Double.MaxValue,
+        (df, _) => df.collect().foreach { r =>
+          acc.add((r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+            Option(r.getAs[java.lang.Long]("embed_of")).map(_.longValue()),
+            Option(r.getAs[java.lang.Double]("embed_sim")).map(_.doubleValue()),
+            Option(r.getAs[String]("redacted"))))
+        },
+        minTokens = 10, minQuality = 0.05,
+        embedTable = Some("emb_prod_idx"),
+        onEmbedTimings = t => timings.add(t))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 900 duplicates the SEEDED doc-10 direction (cosine 1);
+    // 901 is a novel direction (must index); 902 carries NO embedding
+    phase(Seq((900L, wt("eda"), at(10), Some(axis(0, 2f))),
+      (901L, wt("edb"), at(11), Some(axis(4))),
+      (902L, wt("edc"), at(12), None)))
+    // batch 2: 905 duplicates 901's direction — only findable via the
+    // batch-1 append
+    phase(Seq((905L, wt("edd"), at(40), Some(axis(4, 3f)))))
+    val byId = acc.asScala.map(t => t._1 -> t).toMap
+    assert(byId(900L)._2 == "embed_dup" && byId(900L)._3.contains(10L) &&
+      byId(900L)._4.exists(s => math.abs(s - 1.0) < 1e-6),
+      s"900 must flag against the seeded doc: ${byId(900L)}")
+    assert(byId(901L)._2 == "insert", s"901: ${byId(901L)}")
+    assert(byId(902L)._2 == "insert" && byId(902L)._3.isEmpty,
+      s"embedding-less doc must pass untouched: ${byId(902L)}")
+    assert(byId(905L)._2 == "embed_dup" && byId(905L)._3.contains(901L),
+      s"905 must flag cross-batch against 901: ${byId(905L)}")
+    // embed_dup is a drop path: no payload persists; keep rows carry theirs
+    assert(byId(900L)._5.isEmpty && byId(905L)._5.isEmpty)
+    assert(byId(901L)._5.isDefined && byId(902L)._5.isDefined)
+    // index discipline: exactly the seed + the novel embedded doc at rest
+    spark.catalog.refreshTable("emb_prod_idx")
+    assert(spark.table("emb_prod_idx").select("vec_id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 901L), "only unflagged embedded inserts may index")
+    assert(timings.asScala.nonEmpty && timings.asScala.map(_.appended).sum == 1L,
+      s"timings must attribute the one append: ${timings.asScala.toList}")
+  }
+
   test("CharLmGate: a batch catching a cross-process rebuild mid-overwrite scores with the cached model instead of failing (r18 ADVICE)") {
     import graft.streaming.CharLmGate
     import graft.operators.IndexEpoch
