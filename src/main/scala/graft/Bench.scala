@@ -174,6 +174,51 @@ object Bench {
         s""""mid":${fmap(sentMid)},"end":${fmap(sentEnd)},"max_drift":${f4(maxDrift)},""" +
         s""""burst_suspect":$burstSuspect}"""
     val total = results.map(_.median).sum
+    // host-elevation control (r19 verdict task 3): the r19 burst story
+    // needed a by-hand A/B (rebuild the old commit, re-run, compare) to
+    // prove an 80→93 s move was the HOST, not the code. Stamp that
+    // control into the record itself: THIS run's sentinel medians and
+    // total vs the committed BENCH_PRIMARY.json at HEAD. Sentinels are
+    // code-stable scan-bound probes, so when src/ is clean against HEAD
+    // a sentinel_ratio ≈ total_ratio says the whole delta is
+    // environmental; sentinel_ratio ≪ total_ratio says chase the code.
+    val elevationControl: Option[String] = try {
+      import scala.sys.process._
+      val devNull = ProcessLogger(_ => ())
+      val commit = Seq("git", "rev-parse", "--short", "HEAD").!!(devNull).trim
+      val committed = Seq("git", "show", "HEAD:BENCH_PRIMARY.json").!!(devNull)
+      val srcDirty = Seq("git", "status", "--porcelain", "--", "src/main").!!(devNull).trim.nonEmpty
+      def keyVal(json: String, key: String): Option[Double] =
+        ("\"" + java.util.regex.Pattern.quote(key) + "\":([0-9.]+)").r
+          .findFirstMatchIn(json).map(_.group(1).toDouble)
+      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(committed).map(_.group(1))
+      val prevTotal = keyVal(committed, "value")
+      val sentRatios = SentinelKeys.sorted.flatMap { k =>
+        for {
+          prev <- keyVal(committed, k) if prev > 0
+          cur <- results.find(_.name == k).map(_.median)
+        } yield cur / prev
+      }
+      for {
+        // only comparable against a committed record at the SAME sf
+        pt <- prevTotal if pt > 0 && sentRatios.nonEmpty && prevSf.contains(sfDir)
+      } yield {
+        val sentMed = sentRatios.sorted.apply(sentRatios.size / 2)
+        s"""{"commit":${jstr(commit)},"src_dirty_vs_commit":$srcDirty,""" +
+          s""""committed_total":${f4(pt)},"rerun_total":${f4(total)},""" +
+          s""""total_ratio":${f4(total / pt)},"sentinel_ratio_median":${f4(sentMed)},""" +
+          s""""read":"same-host A/B vs the committed record: sentinels are """ +
+          """code-stable, so (src clean) sentinel_ratio ~ total_ratio means the """ +
+          """delta vs the committed number is host-environmental, not a code """ +
+          """regression; sentinel_ratio well under total_ratio means chase the code"}"""
+      }
+    } catch { case _: Throwable => None }
+    val elevationJson = elevationControl.getOrElse("null")
+    // primary line carries the numbers only (it must stay small — the
+    // driver tail-scrapes it); the self-explaining "read" sentence
+    // lives in BENCH_DETAIL
+    val elevationJsonCompact = elevationControl
+      .map(_.replaceAll(""","read":"[^"]*"""", "")).getOrElse("null")
     // cold (first-ever, artifact-building) wall vs the warm median: the
     // build-vs-probe split for artifact keys; ~1.0 ratio everywhere else
     val cold = results.flatMap(r => coldSec.get(r.name).map(c =>
@@ -187,12 +232,14 @@ object Bench {
         s""""cold_over_median":$buildPremium,""" +
         s""""preexisting_artifact_tables":${preexistingArtifacts.map(jstr).mkString("[", ",", "]")},""" +
         s""""cold_read":"cold_sec is the warmup (first-ever) wall per key; for artifact keys (corpus_curate_full, *_indexed) it includes LM/index training the timed reps reuse — compare cold_over_median to split build from probe. VALID AS A BUILD WALL ONLY when preexisting_artifact_tables is empty: a bench re-run against a warehouse already holding graft_* artifacts records a warm wall as cold_sec",""" +
-        s""""sentinel":$sentinel,"errors":$errs,"sf":"$sfDir"}"""
+        s""""sentinel":$sentinel,"host_elevation_control":$elevationJson,""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val primary =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"reps":$Reps,""" +
         s""""interleaved":true,"sentinel_drift":${f4(maxDrift)},"burst_suspect":$burstSuspect,""" +
+        s""""host_elevation_control":$elevationJsonCompact,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     // the driver tail-scrapes stdout for this line and has parsed it as
     // null for five rounds running (capture-window truncation) — persist
