@@ -245,9 +245,11 @@ object DedupGate {
     * surviving representative — the min-id member — instead of both
     * passing, closing the gate's documented batch-vs-index-only blind
     * spot when composed ([[gateDecisions]]). In a chain (C≈B≈A, C≉A)
-    * `dup_of` points at the strongest verified smaller-id sibling, which
-    * may itself be flagged; the indexed representative is reachable
-    * transitively, and only unflagged docs index.
+    * this frame's raw `dup_of` points at the strongest verified
+    * smaller-id sibling, which may itself be flagged; the composed
+    * within-aware paths chase such chains to the surviving
+    * representative via [[Survivors.resolve]] (r20 — `sig_match` stays
+    * the strongest-match agreement), and only unflagged docs index.
     */
   private[graft] def withinBatchFlags(banded: DataFrame): DataFrame =
     checkAgainst(banded, banded, rest => rest < col("in_doc"))
@@ -416,8 +418,10 @@ object DedupGate {
       val rawFlags =
         if (withinBatch) combinedFlags(prunedIndexSlice(s, table, banded), banded)
         else checkAgainst(prunedIndexSlice(s, table, banded), banded)
-      val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
+      val ((flags0, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
       try {
+        // chains only form when the batch checks against ITSELF
+        val flags = if (withinBatch) Survivors.resolve(s, flags0, "doc_id") else flags0
         val annotated = batch.join(flags, Seq("doc_id"), "left")
           .withColumn("is_dup", col("dup_of").isNotNull)
         val (_, tSink) = timed(onBatch(annotated, batchId))

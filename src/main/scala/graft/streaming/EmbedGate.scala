@@ -179,33 +179,14 @@ object EmbedGate {
       .agg(min(struct(negate(col("sim")).as("nsim"), col("dup_of"))).as("best"))
       .select(col("vec_id"), col("best.dup_of"), negate(col("best.nsim")).as("sim"))
 
-  /** `dup_of` chains chased to the SURVIVING representative: a flagged
-    * vector's strongest match may itself be a flagged sibling (A<B<C
-    * with sim(C,B) > sim(C,A) gives C → B while B → A), and an audit
-    * sink must not receive `dup_of` references to vectors that are
-    * neither at rest nor ever will be (r19 ADVICE). Flags are
-    * micro-batch metadata scale by the same contract that bounds the
-    * probe-literal collect, so the chase is a driver-side map walk —
-    * exact, one pass, no per-hop jobs. Batch-only chains terminate
-    * (within-batch edges strictly decrease vec_id); REPLAY can produce
-    * cycles among rows already at rest, where the walk stops at the
-    * cycle's re-entry edge (annotations are advisory under replay).
-    * `sim` is left as measured against the strongest match.
+  /** `dup_of` chains chased to the SURVIVING representative — the
+    * shared [[Survivors.resolve]] walk (see its doc for the
+    * termination and replay-cycle contract); `sim` is left as measured
+    * against the strongest match.
     */
   private[graft] def resolveToSurvivors(
-      spark: SparkSession, flags: DataFrame): DataFrame = {
-    val rows = flags.select("vec_id", "dup_of", "sim").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val parent = rows.map(t => t._1 -> t._2).toMap
-    def rep(start: Long): Long = {
-      var cur = start
-      val seen = scala.collection.mutable.Set.empty[Long]
-      while (parent.contains(cur) && seen.add(cur)) cur = parent(cur)
-      cur
-    }
-    val resolved = rows.map { case (v, d, s) => (v, rep(d), s) }.toIndexedSeq
-    spark.createDataFrame(resolved).toDF("vec_id", "dup_of", "sim")
-  }
+      spark: SparkSession, flags: DataFrame): DataFrame =
+    Survivors.resolve(spark, flags, "vec_id")
 
   /** The index slice the batch can collide with — [[PerceptGate]]'s
     * probe shape over the `bucket` key: sparse batches prune index

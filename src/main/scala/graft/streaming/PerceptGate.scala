@@ -209,7 +209,11 @@ object PerceptGate {
 
   /** Within-batch perceptual flags, directional on doc id — siblings
     * arriving together resolve to one surviving (min-id) representative
-    * when composed ([[gateBatchWithinAware]] / the production chain).
+    * when composed ([[gateBatchWithinAware]] / the production chain);
+    * the composed paths also chase `dup_of` CHAINS (C near B near A
+    * with C far from A) to that representative via
+    * [[Survivors.resolve]] (r20 — `hamming` stays the strongest-match
+    * distance).
     */
   private[graft] def withinBatchFlags(banded: DataFrame): DataFrame =
     checkAgainst(banded, banded, rest => rest < col("in_doc"))
@@ -336,8 +340,10 @@ object PerceptGate {
       val rawFlags =
         if (withinBatch) combinedFlags(prunedIndexSlice(s, table, banded), banded)
         else checkAgainst(prunedIndexSlice(s, table, banded), banded)
-      val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
+      val ((flags0, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(rawFlags))
       try {
+        // chains only form when the batch checks against ITSELF
+        val flags = if (withinBatch) Survivors.resolve(s, flags0, "doc_id") else flags0
         val annotated = batch.join(flags, Seq("doc_id"), "left")
           .withColumn("is_dup", col("dup_of").isNotNull)
         onBatch(annotated, batchId)

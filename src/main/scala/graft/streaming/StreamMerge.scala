@@ -641,10 +641,14 @@ object StreamMerge {
       val ((banded, bandedRdd), tSig) =
         timed(GraftShim.localCheckpointTracked(DedupOps.bandedSigs(inserts)))
       try {
-        val ((flags, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(
+        val ((flags0, flagsRdd), tProbe) = timed(GraftShim.localCheckpointTracked(
           DedupGate.combinedFlags(
             DedupGate.prunedIndexSlice(s, sigTable, banded), banded)))
         try {
+          // within-batch dup_of chains resolve to the surviving
+          // representative (the audit trail must not point at docs
+          // that will never be at rest — Survivors.resolve's contract)
+          val flags = Survivors.resolve(s, flags0, "doc_id")
           val deduped = decided.join(flags, Seq("doc_id"), "left")
             .withColumn("decision",
               when(col("dup_of").isNotNull, "near_dup").otherwise(col("decision")))
@@ -675,10 +679,11 @@ object StreamMerge {
                 PerceptGate.bandedCodes(
                   graft.operators.MultimodalOps.perceptualCodes(s, img))))
               try {
-                val ((pFlags, pFlagsRdd), tPProbe) = timed(GraftShim.localCheckpointTracked(
+                val ((pFlags0, pFlagsRdd), tPProbe) = timed(GraftShim.localCheckpointTracked(
                   PerceptGate.combinedFlags(
                     PerceptGate.prunedIndexSlice(s, pt, pBanded), pBanded)))
                 try {
+                  val pFlags = Survivors.resolve(s, pFlags0, "doc_id")
                   val (pAppended, tPAppend) = timed(PerceptGate.appendBandedIdempotent(
                     s, pBanded.join(pFlags.select("doc_id"), Seq("doc_id"), "left_anti"), pt))
                   onPerceptTimings(PerceptGateTimings(

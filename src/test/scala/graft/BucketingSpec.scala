@@ -1329,6 +1329,69 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("embed_gate_zero").count() == 2L)
   }
 
+  test("Survivors.resolve: chains chase to the terminal id, cycles stop without self-pointers, schema and values survive") {
+    import spark.implicits._
+    import graft.streaming.Survivors
+    // chain C(3)->B(2)->A(1), A unflagged; D(9) points at an at-rest id
+    val flags = Seq((3L, 2L, 0.97), (2L, 1L, 0.95), (9L, 100L, 0.91))
+      .toDF("doc_id", "dup_of", "score")
+    val r = Survivors.resolve(spark, flags, "doc_id")
+    assert(r.schema == flags.schema, "schema must be preserved exactly")
+    val got = r.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got(3L) == ((1L, 0.97)), s"chain resolves, value column untouched: $got")
+    assert(got(2L) == ((1L, 0.95)) && got(9L) == ((100L, 0.91)), s"$got")
+    // replay 2-cycle 5<->9: the walk stops at the re-entry edge and
+    // never emits dup_of == own id
+    val cyc = Survivors.resolve(spark,
+      Seq((5L, 9L, 1.0), (9L, 5L, 1.0)).toDF("doc_id", "dup_of", "score"), "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cyc(5L) != 5L && cyc(9L) != 9L, s"no self-pointers under cycles: $cyc")
+    // empty flags stay empty with the same schema
+    val e = Survivors.resolve(spark, flags.limit(0), "doc_id")
+    assert(e.schema == flags.schema && e.count() == 0)
+  }
+
+  test("PerceptGate: within-batch dup_of chains resolve to the surviving representative (r20)") {
+    import spark.implicits._
+    import graft.streaming.PerceptGate
+    import graft.operators.MultimodalOps
+    // on the rising gradient a +20 bump of an isolated row flips exactly
+    // one profile bit: X=rising, Y=X+bump(15) (hamming 1), Z=X+bumps
+    // (15,40,45,50) (hamming 3 vs Y, 4 vs X) — Z's only flag is Y, and
+    // Y itself flags against X, the classic chain
+    def bumped(rows: Int*): Array[Byte] = {
+      val p = rising.clone(); rows.foreach(r => p(r) = (p(r) + 20) % 256); p5(p)
+    }
+    val (x, y, z) = (p5(rising), bumped(15), bumped(15, 40, 45, 50))
+    val codes = MultimodalOps.perceptualCodes(spark,
+      Seq(70L -> x, 71L -> y, 72L -> z).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h(a: Long, b: Long) = java.lang.Long.bitCount(codes(a) ^ codes(b))
+    assert(h(70L, 71L) <= 3 && h(71L, 72L) <= 3 && h(70L, 72L) > 3,
+      s"fixture vacuous: need a chain (got ${h(70L, 71L)}, ${h(71L, 72L)}, ${h(70L, 72L)})")
+    PerceptGate.writeCodeIndex(spark,
+      Seq(1L -> p5(rising.reverse)).toDF("doc_id", "payload"),
+      "percept_gate_chain", nBuckets = 8)
+    val seen = scala.collection.mutable.Map[Long, (Option[Long], Option[Int])]()
+    var timings: graft.streaming.PerceptGateTimings = null
+    PerceptGate.gateBatchWithinAwareTimed("percept_gate_chain", (df, _) =>
+      df.collect().foreach { r =>
+        seen.put(r.getAs[Long]("doc_id"),
+          (Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()),
+            Option(r.getAs[java.lang.Integer]("hamming")).map(_.intValue())))
+      }, t => timings = t)(
+      Seq(70L -> x, 71L -> y, 72L -> z).toDF("doc_id", "payload"), 0L)
+    assert(seen(70L)._1.isEmpty, s"the min-id member survives: ${seen.get(70L)}")
+    assert(seen(71L)._1.contains(70L), s"Y flags to X: ${seen.get(71L)}")
+    assert(seen(72L)._1.contains(70L) && seen(72L)._2.contains(h(71L, 72L)),
+      s"Z resolves THROUGH Y to X, hamming stays the strongest-match " +
+        s"distance ${h(71L, 72L)}: ${seen.get(72L)}")
+    spark.catalog.refreshTable("percept_gate_chain")
+    assert(spark.table("percept_gate_chain").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 70L),
+      "exactly X joins the seed at rest")
+  }
+
   test("purge reaches the r19 gate indexes: a purged identity stops flagging and re-enters through the gate") {
     import spark.implicits._
     import graft.streaming.{EmbedGate, PerceptGate}
