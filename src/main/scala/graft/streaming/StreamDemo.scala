@@ -344,14 +344,50 @@ object StreamDemo {
       Seq(700L -> axis(0, 2f), 701L -> axis(1, 1f)).toDF("vec_id", "embedding"), 0L)
     val embedGate = eSeen.get(700L).contains(true) && eSeen.get(701L).contains(false)
 
+    // Embedding COMPOSITION (round 20): the full production chain with a
+    // doc-keyed embed index — a doc arriving WITH a duplicate embedding
+    // becomes embed_dup (attributed to the at-rest doc), an
+    // embedding-less doc passes the stage untouched.
+    val ecSig = "stream_demo_ec_sig"
+    DedupGate.writeSigIndex(spark,
+      Seq(0L -> wt("ecseed")).toDF("doc_id", "text"), ecSig, nBuckets = 4)
+    val ecEmb = "stream_demo_ec_emb"
+    graft.operators.VectorOps.writeLshIndexFrom(spark,
+      Seq(10L -> axis(0, 1f)).toDF("vec_id", "embedding"), ecEmb, nBuckets = 4)
+    val ecInput = MemoryStream[(Long, String, java.sql.Timestamp, Option[Array[Float]])](
+      implicitly[org.apache.spark.sql.Encoder[
+        (Long, String, java.sql.Timestamp, Option[Array[Float]])]],
+      spark.sqlContext)
+    val ecSeen = new scala.collection.concurrent.TrieMap[Long, (String, Option[Long])]()
+    val ecCkpt = Files.createTempDirectory("graft-stream-ec-ckpt").toString
+    ecInput.addData(Seq(
+      (800L, wt("eca"), new java.sql.Timestamp(10000L), Some(axis(0, 3f))),
+      (801L, wt("ecb"), new java.sql.Timestamp(11000L), None)))
+    val ecq = StreamMerge.gatedIngestPipelineProduction(
+      ecInput.toDS().toDF("doc_id", "text", "ts", "embedding"), baseIdx,
+      ecSig, "stream_demo_eval_idx", "stream_demo_lm_model", Double.MaxValue,
+      (df, _) => df.collect().foreach { r =>
+        ecSeen.put(r.getAs[Long]("doc_id"), (r.getAs[String]("decision"),
+          Option(r.getAs[java.lang.Long]("embed_of")).map(_.longValue())))
+      },
+      minTokens = 10, minQuality = 0.0,
+      embedTable = Some(ecEmb))
+      .option("checkpointLocation", ecCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    ecq.awaitTermination()
+    val embedCompose = ecSeen.get(800L).contains(("embed_dup", Some(10L))) &&
+      ecSeen.get(801L).exists(t => t._1 == "insert" && t._2.isEmpty)
+
     println(s"STREAM_DEMO okA=$okA okB=$okB pendingC=$pendingC rejects=$rejects " +
       s"eventTimeExpired=$etExpired gateSeedDup=$gateSeedDup gateNovel=$gateNovel " +
       s"gateCrossBatch=$gateCrossBatch gatedSibling=$gatedSibling gatedScrub=$gatedScrub " +
       s"hygieneChain=$hygieneChain lmGate=$lmGate scrubGate=$scrubGate " +
-      s"perceptGate=$perceptGate embedGate=$embedGate")
+      s"perceptGate=$perceptGate embedGate=$embedGate embedCompose=$embedCompose")
     spark.stop()
     if (!(okA && okB && pendingC && rejects >= 2 && etExpired &&
         gateSeedDup && gateNovel && gateCrossBatch && gatedSibling && gatedScrub &&
-        hygieneChain && lmGate && scrubGate && perceptGate && embedGate)) sys.exit(1)
+        hygieneChain && lmGate && scrubGate && perceptGate && embedGate &&
+        embedCompose)) sys.exit(1)
   }
 }
