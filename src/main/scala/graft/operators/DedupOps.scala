@@ -624,19 +624,36 @@ object DedupOps {
       // cheap exact length gate ahead of the O(n·m) distance: a pair with
       // 5·|la−lb| > max can never pass (dist ≥ |la−lb|), so skip it
       .filter(abs(col("a.l") - col("b.l")) * 5 <= greatest(col("a.l"), col("b.l")))
-      // banded THRESHOLD Levenshtein (3-arg form): the DP fills only a
-      // 2τ-wide band and aborts once the band minimum exceeds τ — on the
-      // dominant non-duplicate candidates this exits after ~2τ rows
-      // instead of n·m cells (43.7 s → see BENCH at sf0.1). -1 encodes
-      // "above threshold"; kept pairs carry the EXACT distance
-      // (dist ≤ ⌊max/5⌋ ⟺ 5·dist ≤ max for integer dist), so the result
-      // set — and the plain theta-join oracle — is unchanged.
-      .withColumn("dist",
-        expr("levenshtein(a.text, b.text, CAST(greatest(a.l, b.l) / 5 AS INT))"))
-      .filter(col("dist") >= 0 && col("dist") * 5 <= greatest(col("a.l"), col("b.l")))
-      // long casts: DuckDB's length/levenshtein are BIGINT, Spark's INT
+      // banded THRESHOLD Levenshtein: the DP fills only a 2τ-wide band
+      // and aborts once the band minimum exceeds τ — on the dominant
+      // non-duplicate candidates this exits after ~τ rows instead of
+      // n·m cells (43.7 s → see BENCH at sf0.1). Native
+      // [[graft.functions.ThresholdLevenshtein]] rather than the builtin
+      // 3-arg form: the builtin re-decodes UTF-8 code points inside
+      // every DP cell, which was ~95% of this key's r20 wall (7.26 s);
+      // the native pass decodes each string once and runs the band on
+      // primitive ints — value-identical to the builtin (pinned in
+      // DedupSpec). -1 encodes "above threshold"; kept pairs carry the
+      // EXACT distance (dist ≤ ⌊max/5⌋ ⟺ 5·dist ≤ max for integer
+      // dist), so the result set — and the plain theta-join oracle — is
+      // unchanged. The explode(array(·)) wrapper is a GENERATE BARRIER:
+      // without it the optimizer inlines the projected `dist` into the
+      // filter conjuncts and the DP runs 3-4× per candidate pair
+      // (measured 1.7 s → 6.7 s on the same pair set — the guide §4.4
+      // duplicated-evaluation trap, here on a native expression);
+      // filters cannot be pushed into a generator's output, so the DP
+      // runs exactly once per pair. `dist >= 0` alone is the full kept
+      // predicate: the native form returns −1 above τ = ⌊max/5⌋ and the
+      // exact distance at or below it, and dist ≤ ⌊max/5⌋ ⟺ 5·dist ≤
+      // max for integer dist — the old second conjunct was implied.
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.l").cast("long").as("la"), col("b.l").cast("long").as("lb"),
+        explode(array(graft.functions.ThresholdLevenshtein.threshold_levenshtein(
+          col("a.text"), col("b.text"),
+          (greatest(col("a.l"), col("b.l")) / 5).cast("int")))).as("dist"))
+      .filter(col("dist") >= 0)
+      // long casts: DuckDB's length/levenshtein are BIGINT, Spark's INT
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"),
         col("dist").cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
   }
@@ -672,11 +689,17 @@ object DedupOps {
       .join(sides.select(col("doc_id").as("doc_b"),
         col("text").as("tb"), col("l").as("lb")), "doc_b")
       .filter(abs(col("la") - col("lb")) * 5 <= greatest(col("la"), col("lb")))
-      .withColumn("dist",
-        expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))"))
-      .filter(col("dist") >= 0 && col("dist") * 5 <= greatest(col("la"), col("lb")))
+      // same generate-barrier + implied-conjunct shape as the exact key
+      // (see nearDupEdit): the DP runs once per candidate, and dist >= 0
+      // IS the 5·dist ≤ max rule under the native threshold form
       .select(col("doc_a"), col("doc_b"), col("la").cast("long").as("la"),
-        col("lb").cast("long").as("lb"), col("dist").cast("long").as("dist"))
+        col("lb").cast("long").as("lb"),
+        explode(array(graft.functions.ThresholdLevenshtein.threshold_levenshtein(
+          col("ta"), col("tb"),
+          (greatest(col("la"), col("lb")) / 5).cast("int")))).as("dist"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"),
+        col("dist").cast("long").as("dist"))
   }
 
   private def nearDupEditMinhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -584,4 +584,39 @@ class DedupSpec extends AnyFunSuite {
     val na = r.getLong(2); val nb = r.getLong(3); val inter = r.getLong(4)
     assert(inter.toDouble / (na + nb - inter) < 0.5, "planted pair must be Jaccard-invisible")
   }
+
+  test("threshold_levenshtein native is value-identical to the builtin levenshtein(a, b, k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.ThresholdLevenshtein.threshold_levenshtein
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abcde ", "abcdefghij \u00e9\u00fc", "\u4e16\u754c\ud83d\ude00a")
+    def randStr(maxLen: Int): String = {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val n = rnd.nextInt(maxLen + 1)
+      (1 to n).map(_ => alpha.charAt(rnd.nextInt(alpha.length))).mkString
+    }
+    val cases = Seq(
+      ("", "", 0), ("", "", 5), ("a", "", 0), ("", "abc", 3), ("", "abc", 2),
+      ("abc", "abc", 0), ("kitten", "sitting", 3), ("kitten", "sitting", 2),
+      ("flaw", "lawn", 2), ("flaw", "lawn", 1)) ++
+      (1 to 400).map(_ => (randStr(30), randStr(30), rnd.nextInt(12))) ++
+      (1 to 50).map(_ => (randStr(200), randStr(200), rnd.nextInt(60)))
+    val df = cases.toDF("a", "b", "k")
+    val got = df.select(
+      threshold_levenshtein(col("a"), col("b"), col("k")).as("native"),
+      expr("levenshtein(a, b, k)").as("builtin")).collect()
+    got.zip(cases).foreach { case (r, c) =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"native=${r.getInt(0)} builtin=${r.getInt(1)} for $c")
+    }
+    // the exact call shape near_dup_edit uses: threshold from the lengths
+    val pairs = (1 to 200).map(_ => (randStr(120), randStr(120)))
+    val pdf = pairs.toDF("ta", "tb")
+      .selectExpr("ta", "tb", "CAST(greatest(length(ta), length(tb)) / 5 AS INT) AS k")
+    val g2 = pdf.select(
+      threshold_levenshtein(col("ta"), col("tb"), col("k")).as("native"),
+      expr("levenshtein(ta, tb, k)").as("builtin")).collect()
+    g2.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+  }
 }
