@@ -149,16 +149,22 @@ object DedupOps {
     // GraftShim.localCheckpointTracked — a registry diff would race with
     // concurrent jobs on the shared context)
     import org.apache.spark.sql.GraftShim
-    val ckpt: DataFrame => (DataFrame, org.apache.spark.rdd.RDD[_ <: Any]) =
-      if (reliable) df => GraftShim.reliableCheckpointTracked(df)
-      else df => GraftShim.localCheckpointTracked(df)
-    val (edges, edgeRdd) = ckpt(edges0
+    import org.apache.spark.sql.catalyst.InternalRow
+    // every checkpoint's convergence/size count rides the materializing
+    // job (one action per round instead of checkpoint + count — guide
+    // §1.2 "per-task work" applied to the round's fixed cost)
+    val ckptCount: (DataFrame, InternalRow => Boolean) =>
+        (DataFrame, org.apache.spark.rdd.RDD[_ <: Any], Long) =
+      if (reliable) (df, p) => GraftShim.reliableCheckpointTrackedCount(df, p)
+      else (df, p) => GraftShim.localCheckpointTrackedCount(df, p)
+    // sizes fused into the materializing jobs (no separate count jobs)
+    val (edges, edgeRdd, nEdges) = ckptCount(edges0
       .select(explode(expr(
         "array(struct(src AS src, dst AS dst), struct(dst AS src, src AS dst))")).as("e"))
-      .select(col("e.src"), col("e.dst")))
+      .select(col("e.src"), col("e.dst")), _ => true)
 
-    var (labels, prevRdd) = ckpt(
-      nodes.select(col("doc_id"), col("doc_id").as("lbl")))
+    var (labels, prevRdd, nNodes) = ckptCount(
+      nodes.select(col("doc_id"), col("doc_id").as("lbl")), _ => true)
     // SCHEDULING-FLOOR COALESCE: every round is 2-3 shuffles over the
     // label frame, and the session's shuffle-partition count is sized for
     // the CORPUS, not for a label frame that may hold a few hundred rows —
@@ -172,8 +178,6 @@ object DedupOps {
     // queries running CONCURRENTLY on this session during the loop would
     // plan with the reduced count (bench/verify run queries sequentially).
     val spark = nodes.sparkSession
-    val nNodes = labels.count()
-    val nEdges = edges.count()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.min(prevShuffle.toLong,
       math.max(nNodes, nEdges) / 32768L + 1L)
@@ -182,27 +186,41 @@ object DedupOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
-      // one propagation hop: adopt the min label among self and neighbors
-      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(labels("doc_id"), labels("lbl").as("old_lbl"),
-          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("mid"))
+      // one propagation hop: adopt the min label among self and neighbors.
+      // UNION-AGGREGATE form (guide §2.3 "aggregate before you shuffle" +
+      // §2.4): neighbor labels and the node's own (label, old-label) row
+      // meet in ONE partial-agg'd groupBy instead of the r7-r20 shape
+      // (groupBy(src) min THEN a second labels join) — one fewer join and
+      // one fewer exchange of the label frame per round, and a hot label
+      // (a mega-component's minimum) now rides map-side partial min/max
+      // instead of funneling through a join reducer. Every node
+      // contributes exactly one self row, so `max(old)` recovers its old
+      // label (the nbr branch carries null) and nodes without in-edges
+      // keep their label — semantics identical to the left-join form.
+      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("lbl"),
+          lit(null).cast("long").as("old"))
+      val self = labels.select(col("doc_id"), col("lbl"), col("lbl").as("old"))
+      val stepped = nbr.union(self).groupBy("doc_id")
+        .agg(max("old").as("old_lbl"), min("lbl").as("mid"))
       // the new label rides NEXT TO the old one through the round's
-      // single checkpoint, so convergence is a narrow filter-count over
-      // the materialized blocks — no extra job per round to compare
-      // generations. Path halving (see the method doc for when) applies
-      // the round's own label map to itself before the checkpoint.
+      // single checkpoint, and the convergence count is FUSED into the
+      // checkpoint's materializing job (ckptCount) — no extra job per
+      // round to compare generations. Path halving (see the method doc
+      // for when) applies the round's own label map to itself before
+      // the checkpoint.
       val rounded =
-        if (!compress) stepped.withColumnRenamed("mid", "lbl")
+        if (!compress) stepped.select(col("doc_id"), col("old_lbl"), col("mid").as("lbl"))
         else {
           val jump = stepped.select(col("doc_id").as("j_id"), col("mid").as("j_lbl"))
           stepped.join(jump, stepped("mid") === jump("j_id"), "left")
             .select(stepped("doc_id"), col("old_lbl"),
               least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl"))
         }
-      val (next, nextRdd) = ckpt(rounded)
-      changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      // schema is (doc_id, old_lbl, lbl) — ordinals 1 vs 2 below
+      val (next, nextRdd, nChanged) =
+        ckptCount(rounded, r => r.getLong(1) != r.getLong(2))
+      changed = nChanged
       GraftShim.releaseCheckpoint(prevRdd)
       prevRdd = nextRdd
       labels = next.select("doc_id", "lbl")

@@ -45,6 +45,47 @@ object GraftShim {
     (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd)
   }
 
+  /** [[localCheckpointTracked]] whose materializing job ALSO folds a
+    * per-row predicate count — iterative callers (the connected-components
+    * loop) fuse their convergence count into the checkpoint
+    * materialization, so each round costs ONE job instead of a
+    * materialize job plus a separate count job over the new blocks.
+    * The predicate sees the checkpointed row (post-copy), so ordinals
+    * match `df.schema`.
+    */
+  def localCheckpointTrackedCount(df: DataFrame, pred: InternalRow => Boolean)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    // runJob materializes the marked blocks (doCheckpoint runs at job end)
+    // while each task folds the predicate count over its partition
+    val counts = session.sparkContext.runJob(rdd, countFold(pred))
+    (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd, counts.sum)
+  }
+
+  /** RELIABLE sibling of [[localCheckpointTrackedCount]] — see
+    * [[reliableCheckpointTracked]] for the storage contract.
+    */
+  def reliableCheckpointTrackedCount(df: DataFrame, pred: InternalRow => Boolean)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    require(session.sparkContext.getCheckpointDir.isDefined,
+      "reliable checkpointing needs sparkContext.setCheckpointDir(<replicated storage>) first")
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    val counts = session.sparkContext.runJob(rdd, countFold(pred))
+    (session.internalCreateDataFrame(rdd, df.schema, isStreaming = false), rdd, counts.sum)
+  }
+
+  private def countFold(pred: InternalRow => Boolean): Iterator[InternalRow] => Long =
+    it => {
+      var n = 0L
+      while (it.hasNext) { if (pred(it.next())) n += 1L }
+      n
+    }
+
   /** RELIABLE sibling of [[localCheckpointTracked]]: blocks are persisted
     * for the iterative reads AND written to the context's checkpoint
     * directory, so an executor loss mid-iteration recomputes from
