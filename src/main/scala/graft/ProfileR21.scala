@@ -91,6 +91,24 @@ object ProfileR21 {
           .groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("gh"))
         timeNoop("dsp:full", SparkEntry.queries("dup_spans")(spark, sfDir))
       }),
+      "dsp2" -> (() => {
+        // dup_spans single-pass alternatives vs the two-pass HAVING join
+        val d = graft.operators.SpanOps.planted(docs)
+        val g = graft.operators.SpanOps.gramSites(d)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        val markedWin = g.withColumn("n_sites", count(lit(1)).over(w))
+          .filter(col("n_sites") >= 2).select("doc_id", "pos")
+        timeNoop("dsp2:marked-window", markedWin)
+        timeNoop("dsp2:full-window", graft.operators.SpanOps.mergeSpans(markedWin))
+        val markedCl = g.groupBy("gram")
+          .agg(collect_list(struct(col("doc_id"), col("pos"))).as("sites"))
+          .filter(size(col("sites")) >= 2)
+          .select(explode(col("sites")).as("s"))
+          .select(col("s.doc_id"), col("s.pos"))
+        timeNoop("dsp2:marked-collect", markedCl)
+        timeNoop("dsp2:full-collect", graft.operators.SpanOps.mergeSpans(markedCl))
+        timeNoop("dsp2:full-current", graft.operators.SpanOps.dupSpansOf(d))
+      }),
       "cc" -> (() => {
         // CC loop decomposition on the exact-jaccard 300-doc graph
         import graft.operators.DedupOps

@@ -212,17 +212,26 @@ object SpanOps {
         col("n_grams")) ++ extraAggs.map { case (_, n) => col(n) }: _*)
   }
 
-  /** Core: duplicated-span relation of a `(doc_id, text)` frame. The
-    * dup-gram sliver is a HAVING-count subset of the gram keys — at the
-    * test SFs it would broadcast, but it scales with corpus duplication,
-    * so the declared plan keeps the shuffle join (safe at any scale; the
-    * optimizer may still broadcast a small sliver under AQE).
+  /** Core: duplicated-span relation of a `(doc_id, text)` frame.
+    *
+    * SINGLE-PASS form (r21, guide §2.3/§2.4): a per-gram site count as a
+    * window over `partitionBy(gram)` marks dup sites in ONE shuffle of
+    * the site rows. The r7-r20 shape (groupBy(gram) HAVING count ≥ 2,
+    * then a join of the sites back onto the dup sliver) evaluated the
+    * K-gram generator TWICE and shuffled the gram strings twice (once as
+    * partial-agg keys, once as join keys) — measured 3.88 s vs 1.33 s at
+    * sf0.1 (ProfileR21 dsp2, noop sink). Skew exposure is UNCHANGED: the
+    * join form already funneled every site of a hot gram through one
+    * reducer partition (equi-join on gram), and WindowExec buffers with
+    * graceful spill; the scale-safe production sibling remains the
+    * salted winnow form ([[dupSpansWinnowOf]]).
     */
   private[graft] def dupSpansOf(d: DataFrame): DataFrame = {
-    val g = gramSites(d)
-    val dup = g.groupBy("gram").agg(count(lit(1)).as("n_sites"))
-      .filter(col("n_sites") >= 2).select("gram")
-    mergeSpans(g.join(dup, Seq("gram")).select("doc_id", "pos"))
+    val w = Window.partitionBy("gram")
+    mergeSpans(gramSites(d)
+      .withColumn("n_sites", count(lit(1)).over(w))
+      .filter(col("n_sites") >= 2)
+      .select("doc_id", "pos"))
   }
 
   private def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
