@@ -133,6 +133,52 @@ object ProfileR21 {
         res.release()
         timeNoop("cc:full", SparkEntry.queries("dedup_clusters")(spark, sfDir))
       }),
+      "kernels" -> (() => {
+        // r21 broadcast-probe kernels vs the retained join forms (same
+        // session, noop sink): the decontaminate family + heavy_hitters
+        import graft.operators.{DedupOps, SpanOps, TextOps}
+        val d = SpanOps.planted(docs)
+        val train = d.filter(col("doc_id") % 10 =!= 7)
+        val eval = d.filter(col("doc_id") % 10 === 7)
+        timeNoop("kern:cross-span-join", SpanOps.crossSpansJoinFormOf(train, eval))
+        timeNoop("kern:cross-span-kernel", SpanOps.crossSpansOf(train, eval))
+        val dr = docs
+        val tr = dr.filter(col("doc_id") % 10 =!= 7)
+        val ev = dr.filter(col("doc_id") % 10 === 7)
+        timeNoop("kern:decon-join", DedupOps.decontaminateAgainstJoinForm(tr, ev))
+        timeNoop("kern:decon-kernel", DedupOps.decontaminateAgainst(tr, ev))
+        timeNoop("kern:hh-join", TextOps.heavyHittersJoinFormOf(dr))
+        timeNoop("kern:hh-kernel", TextOps.heavyHittersOf(dr))
+        timeNoop("kern:decon-spans-full", SparkEntry.queries("decontaminate_spans")(spark, sfDir))
+        timeNoop("kern:decon-report-full", SparkEntry.queries("decontaminate_report")(spark, sfDir))
+        timeNoop("kern:corpus-curate-full-key", SparkEntry.queries("corpus_curate_full")(spark, sfDir))
+      }),
+      "hh" -> (() => {
+        // heavy_hitters decomposition: gram generation vs MG pass vs recount
+        import graft.functions.MisraGries.misra_gries
+        val k = 127
+        val grams = docs.filter(length(col("text")) >= 3)
+          .select(col("lang"),
+            explode(graft.functions.CharGrams.char_grams(col("text"), 3)).as("gram"))
+        timeNoop("hh:gram-gen", grams)
+        val cand = grams.groupBy("lang")
+          .agg(misra_gries(col("gram"), k).as("cands"), count(lit(1)).as("n"))
+          .select(col("lang"), col("n"), explode(col("cands")).as("c"))
+          .select(col("lang"), col("n"), col("c.item").as("gram"))
+        timeNoop("hh:mg-pass", cand)
+        timeNoop("hh:recount", grams.join(broadcast(cand), Seq("lang", "gram"))
+          .groupBy("lang", "gram", "n").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * (k + 1) > col("n")))
+        timeNoop("hh:full", SparkEntry.queries("heavy_hitters")(spark, sfDir))
+      }),
+      "dkb" -> (() => {
+        // dedup_keep_best decomposition: jaccard edges vs CC vs keep policy
+        import graft.operators.{DedupOps, TextOps}
+        timeNoop("dkb:quality", TextOps.withQualityScore(
+          docs.filter(col("doc_id") < 300)).select(col("doc_id"), col("quality")))
+        timeNoop("dkb:full", SparkEntry.queries("dedup_keep_best")(spark, sfDir))
+        timeNoop("dkb:clusters-full", SparkEntry.queries("dedup_clusters")(spark, sfDir))
+      }),
       "dec" -> (() => {
         val d = graft.operators.SpanOps.planted(docs)
         val train = d.filter(col("doc_id") % 10 =!= 7)

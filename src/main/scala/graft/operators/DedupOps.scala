@@ -978,6 +978,35 @@ object DedupOps {
     * kept raw here so DuckDB can replay the declared key exactly.
     */
   private[graft] def decontaminateAgainst(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // r21 (guide §2.3/§2.4 + §8): the eval shingle table was ALREADY
+    // driver-collected and shipped by the BroadcastHashJoin; keep that
+    // movement (one aggregated collect + one broadcast) but replace the
+    // train side's materialize-every-shingle-string + join-probe +
+    // re-aggregate-by-doc pipeline with one narrow zero-copy pass
+    // ([[graft.functions.ShingleProbe]] — n_shared/first_eval computed
+    // in-row; row domain and values replicate the join+groupBy exactly,
+    // DedupSpec pins identity against the join form and the oracle row
+    // is unchanged). The train corpus now contributes NO exchange at all.
+    val spark = trainDocs.sparkSession
+    val evalRows = shingleRows(evalDocs)
+      .groupBy("shingle").agg(min("doc_id").as("eval_id"))
+      .collect()
+    val tbl = spark.sparkContext.broadcast(graft.functions.CrossProbe.ShingleTable(
+      evalRows.map(_.getString(0)), evalRows.map(_.getLong(1))))
+    trainDocs.select(col("doc_id"),
+        explode(graft.functions.CrossProbe.shingle_probe(col("text"), tbl, 8)).as("p"))
+      .select(col("doc_id"), col("p.n_shared").as("n_shared"),
+        col("p.first_eval").as("first_eval"))
+      .orderBy("doc_id")
+  }
+
+  /** The r7-r20 join form of [[decontaminateAgainst]] — retained as the
+    * independent Column-algebra implementation the kernel is pinned
+    * row-identical against (DedupSpec), the [[graft.operators.TextOps]]
+    * `bpeEncodeFrom` stance.
+    */
+  private[graft] def decontaminateAgainstJoinForm(
+      trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
     val evalSh = shingleRows(evalDocs)
       .select(col("doc_id").as("eval_id"), col("shingle")).distinct()
     shingleRows(trainDocs).join(broadcast(evalSh), Seq("shingle"))

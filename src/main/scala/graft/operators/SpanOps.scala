@@ -421,6 +421,38 @@ object SpanOps {
       .groupBy("gram")
       .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
       .select(col("gram"), col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
+    // r21 (guide §2.3/§2.4 + §8): the eval gram table was ALREADY
+    // driver-collected and shipped by the BroadcastHashJoin; keep that
+    // exact movement (one collect of the same aggregated relation + one
+    // broadcast) but replace the train side's CharGrams-array + posexplode
+    // + join-probe + per-doc window merge with ONE narrow zero-copy pass
+    // ([[graft.functions.CrossSpanProbe]]): marked sites merge into spans
+    // inside the row that owns them, so the train side contributes no
+    // exchange at all (the mergeSpans window shuffle disappears). Span
+    // boundaries and min-pair attribution replicate mergeSpans exactly —
+    // SpanSpec pins row identity against the join form, and the family's
+    // oracle rows are unchanged.
+    val spark = train.sparkSession
+    val evalRows = evalGrams.collect()
+    val tbl = spark.sparkContext.broadcast(graft.functions.CrossProbe.GramTable(
+      evalRows.map(_.getString(0)), evalRows.map(_.getLong(1)), evalRows.map(_.getLong(2))))
+    train.select(col("doc_id"),
+        explode(graft.functions.CrossProbe.cross_span_probe(col("text"), tbl, GramK)).as("s"))
+      .select(col("doc_id"), col("s.span_start").as("span_start"),
+        col("s.span_end").as("span_end"), col("s.span_len").as("span_len"),
+        col("s.n_grams").as("n_grams"), col("s.first_eval").as("first_eval"),
+        col("s.first_eval_pos").as("first_eval_pos"))
+  }
+
+  /** The r7-r20 join+window form of [[crossSpansOf]] — retained as the
+    * independent Column-algebra implementation the kernel is pinned
+    * row-identical against (SpanSpec), the `bpeEncodeFrom` stance.
+    */
+  private[graft] def crossSpansJoinFormOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalGrams = gramSites(eval)
+      .groupBy("gram")
+      .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
+      .select(col("gram"), col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
     val marked = gramSites(train).join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id", "pos", "first_eval", "first_eval_pos")
     val fe = min(struct(col("first_eval"), col("first_eval_pos")))
@@ -625,9 +657,25 @@ object SpanOps {
     }
     val baseIndex = ingested.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("existing_id"))
-    val ctxV = spark.table(lmTable + "_ctx")
-    val maxBits = HygieneOps.charlmScoreAgainst(raw.select("doc_id", "text"),
-        spark.table(lmTable), ctxV.select("ch", "c_a"), ctxV.select("v").limit(1))
+    // threshold pass scores through the NARROW native form whenever the
+    // persisted model fits the literal cap (any char-bigram model does) —
+    // the join form explodes raw to one row per bigram and re-aggregates
+    // per doc for a quantity computable in-row (guide §2.3/§4: the same
+    // plan split CharLmGate already makes per batch; both forms are
+    // bit-identical by CharLmSpec's decimal-sum pin, and the join form
+    // emits only docs with ≥ 1 bigram, which the n_bigrams > 0 filter
+    // mirrors, so the percentile input set is row-identical). Over-cap
+    // models keep the broadcast-join plan, correct at any size.
+    val scoredRaw = HygieneOps.collectCharLmModelFromTables(spark, lmTable) match {
+      case Some((bg, a, v)) =>
+        HygieneOps.withCharLmScore(raw.select("doc_id", "text"), bg, a, v)
+          .filter(col("n_bigrams") > 0)
+      case None =>
+        val ctxV = spark.table(lmTable + "_ctx")
+        HygieneOps.charlmScoreAgainst(raw.select("doc_id", "text"),
+          spark.table(lmTable), ctxV.select("ch", "c_a"), ctxV.select("v").limit(1))
+    }
+    val maxBits = scoredRaw
       .agg(expr("percentile(bits, 0.9)")).collect()(0).getDouble(0)
     corpusCurateDecisionsOf(raw, eval, baseIndex, spark.table(sigTable),
         lmTable, maxBits)

@@ -545,14 +545,71 @@ object TextOps {
     * the ~0.78 % threshold keeps a stable multi-row head (top shares
     * ~1.8 %).
     */
-  private def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+  private def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHittersOf(docs(spark, sfDir))
+
+  private[graft] def heavyHittersOf(d: DataFrame): DataFrame = {
     import graft.functions.MisraGries.misra_gries
     import org.apache.spark.sql.expressions.Window
+    val spark = d.sparkSession
     val k = 127
     // native one-pass gram generation: the transform/substring Column
     // form is QUADRATIC per doc (each substring re-scans to its code
     // point) — see CharGrams; pinned ≡ that form in QueriesSpec
-    val grams = docs(spark, sfDir)
+    val grams = d
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(graft.functions.CharGrams.char_grams(col("text"), 3)).as("gram"))
+    val cand = grams.groupBy("lang")
+      .agg(misra_gries(col("gram"), k).as("cands"), count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), explode(col("cands")).as("c"))
+      .select(col("lang"), col("n"), col("c.item").as("gram"))
+    // r21 recount (guide §2.3/§4): the candidate set is metadata-scale
+    // and was already broadcast for the recount join — collect it once
+    // (the codebook-collect idiom) and recount per doc through the
+    // zero-copy [[graft.functions.CandGramCount]] kernel instead of
+    // re-materializing every gram occurrence as a join-probe row
+    // (ProfileR21: the join recount was 1.92 s of the key's 1.92 s at
+    // sf0.1). Summing per-doc counts per (lang, gram) is the same exact
+    // count; the Misra-Gries superset guarantee and the cnt·(k+1) > n
+    // filter are untouched, so the output still equals the exact
+    // full-domain answer (oracle unchanged; QueriesSpec pins identity
+    // against the join form).
+    val candRows = cand.collect()
+    val byLang = candRows.groupBy(_.getString(0))
+    val langs = byLang.keys.toArray.sorted
+    val tbl = spark.sparkContext.broadcast(graft.functions.CandGramCount.CandTable(
+      langs, langs.map(l => byLang(l).map(_.getString(2)))))
+    val langN = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        byLang.toSeq.map { case (l, rows) => org.apache.spark.sql.Row(l, rows.head.getLong(1)) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    d.filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(graft.functions.CandGramCount.cand_gram_count(
+          col("text"), col("lang"), tbl, 3)).as("c"))
+      .groupBy(col("lang"), col("c.gram").as("gram"))
+      .agg(sum(col("c.cnt")).as("cnt"))
+      .join(broadcast(langN), Seq("lang"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_ppm", expr("cnt * 1000000 DIV n"))
+      .select("lang", "rank", "gram", "cnt", "n", "share_ppm")
+      .orderBy("lang", "rank")
+  }
+
+  /** The r7-r20 broadcast-join recount form of [[heavyHittersOf]] —
+    * retained as the independent Column-algebra implementation the
+    * kernel recount is pinned row-identical against (QueriesSpec).
+    */
+  private[graft] def heavyHittersJoinFormOf(d: DataFrame): DataFrame = {
+    import graft.functions.MisraGries.misra_gries
+    import org.apache.spark.sql.expressions.Window
+    val k = 127
+    val grams = d
       .filter(length(col("text")) >= 3)
       .select(col("lang"),
         explode(graft.functions.CharGrams.char_grams(col("text"), 3)).as("gram"))

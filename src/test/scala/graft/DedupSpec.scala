@@ -318,14 +318,19 @@ class DedupSpec extends AnyFunSuite {
     assert(d.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("decontaminate: flags exactly the train docs sharing an 8-token shingle with the eval slice, via a broadcast join") {
+  test("decontaminate: flags exactly the train docs sharing an 8-token shingle with the eval slice, train side exchange-free") {
     import org.apache.spark.sql.functions.col
     val out = SparkEntry.queries("decontaminate")(spark, sfDir)
-    // the plan must broadcast the (small) eval shingle set — at 100 TB the
-    // corpus side must never shuffle for this op
+    // r21: the eval shingle set rides a broadcast VARIABLE probed by the
+    // ShingleProbe kernel — the train side contributes no join and no
+    // exchange at all (the r7-r20 plan broadcast-joined it; at 100 TB the
+    // corpus side must never shuffle for this op either way). The final
+    // orderBy is the only exchange left in the plan.
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"decontaminate must broadcast the eval side:\n$plan")
+    assert(plan.contains("shingle_probe"),
+      s"decontaminate must probe through the ShingleProbe kernel:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"decontaminate must not join the corpus side:\n$plan")
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty, "sf0.01 contains planted near-dups spanning the eval slice")
     // no eval doc may flag itself as contaminated train data
@@ -618,5 +623,35 @@ class DedupSpec extends AnyFunSuite {
       threshold_levenshtein(col("ta"), col("tb"), col("k")).as("native"),
       expr("levenshtein(ta, tb, k)").as("builtin")).collect()
     g2.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+  }
+
+  test("shingle-probe kernel ≡ join form: full corpus + adversarial whitespace (r21)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val eval = d.filter(col("doc_id") % 10 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val kernel = rows(DedupOps.decontaminateAgainst(train, eval))
+    val join = rows(DedupOps.decontaminateAgainstJoinForm(train, eval))
+    assert(kernel == join, s"kernel/join decontaminate outputs differ: " +
+      s"only-kernel=${(kernel -- join).take(3)} only-join=${(join -- kernel).take(3)}")
+    assert(kernel.nonEmpty, "pin is vacuous: no contamination on this corpus")
+    // adversarial whitespace: empty tokens (double/leading/trailing
+    // spaces) must tokenize exactly like split(text, ' ') with limit -1,
+    // multi-byte text must slice on code points — mirror a shared window
+    // across train/eval with varied space patterns
+    val w8 = "one two  three four five six seven eight" // double space inside
+    val tricky = Seq(
+      1L -> s"  $w8 tail-a", 2L -> s"$w8   ", 3L -> s"prefix-b $w8",
+      4L -> "日本 語 ち ょ う 文 字 列 extra 😀",
+      5L -> ("lone " * 3).trim)
+      .toDF("doc_id", "text")
+    val evalT = Seq(107L -> s"x $w8 y", 117L -> "日本 語 ち ょ う 文 字 列 extra 😀 z")
+      .toDF("doc_id", "text")
+    val k2 = rows(DedupOps.decontaminateAgainst(tricky, evalT))
+    val j2 = rows(DedupOps.decontaminateAgainstJoinForm(tricky, evalT))
+    assert(k2 == j2, s"kernel/join differ on adversarial whitespace: kernel=$k2 join=$j2")
+    assert(k2.nonEmpty, "adversarial fixture found no overlap — pin vacuous")
   }
 }

@@ -224,13 +224,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("heavy_hitters: sketch partial-aggregates map-side, recount joins by broadcast only") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MisraGries.misra_gries
+    // pass 1 (MG candidates — since r21 a separate metadata-scale collect
+    // inside the key, so it no longer appears in the declared plan; pin
+    // its shape directly): the bounded MG buffer must combine BEFORE the
+    // exchange — partial_misra_gries is the whole point of a mergeable
+    // sketch
+    val cand = graft.sources.Tables(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(graft.functions.CharGrams.char_grams(col("text"), 3)).as("gram"))
+      .groupBy("lang").agg(misra_gries(col("gram"), 127).as("cands"))
+    val cp = cand.queryExecution.executedPlan.toString
+    assert(cp.contains("partial_misra_gries"), s"no map-side sketch partial agg:\n$cp")
+    // pass 2 (r21 kernel recount): the collected candidates are probed
+    // in-row by cand_gram_count, so the gram stream is never materialized
+    // as join rows; the only join left is the per-lang totals broadcast
     val p = plan("heavy_hitters")
-    // pass 1: the bounded MG buffer must combine BEFORE the exchange —
-    // partial_misra_gries is the whole point of a mergeable sketch
-    assert(p.contains("partial_misra_gries"), s"no map-side sketch partial agg:\n$p")
-    // pass 2: the <=k·|langs| candidate rows broadcast; the gram stream
-    // must never shuffle for the recount join
-    assert(p.contains("BroadcastHashJoin"), s"recount join not broadcast:\n$p")
+    assert(p.contains("cand_gram_count"), s"recount does not probe candidates in-row:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-lang totals join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"recount must not sort-merge the gram stream:\n$p")
   }
 

@@ -79,6 +79,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters kernel recount ≡ join-form recount, incl. non-ASCII langs (r21)") {
+    import spark.implicits._
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet").select("lang", "text")
+      val k = graft.operators.TextOps.heavyHittersOf(d).collect().map(_.toSeq).toSeq
+      val j = graft.operators.TextOps.heavyHittersJoinFormOf(d).collect().map(_.toSeq).toSeq
+      assert(k == j, s"kernel/join heavy_hitters outputs differ at $dir")
+      assert(k.nonEmpty, "pin is vacuous")
+    }
+    // multi-script fixture: candidate grams with 2-4 byte code points
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("абвг", "日本語中", "😀😁a")
+    val docs = (1 to 120).map { i =>
+      val a = alphabets(i % 3)
+      val nCp = a.codePointCount(0, a.length)
+      val t = (0 until 40 + rnd.nextInt(60)).map(_ => new String(Character.toChars(
+        a.codePointAt(a.offsetByCodePoints(0, rnd.nextInt(nCp)))))).mkString
+      (s"l${i % 3}", t)
+    }.toDF("lang", "text")
+    val k2 = graft.operators.TextOps.heavyHittersOf(docs).collect().map(_.toSeq).toSeq
+    val j2 = graft.operators.TextOps.heavyHittersJoinFormOf(docs).collect().map(_.toSeq).toSeq
+    assert(k2 == j2, s"kernel/join differ on multi-script langs: kernel=${k2.take(3)} join=${j2.take(3)}")
+    assert(k2.nonEmpty, "multi-script pin vacuous")
+  }
+
   test("char_grams ≡ the transform/substring Column form ≡ String.codePoints reference, incl. non-ASCII") {
     import graft.functions.CharGrams.char_grams
     import org.apache.spark.sql.functions.{col, expr}

@@ -543,4 +543,44 @@ class SpanSpec extends AnyFunSuite {
       .select("doc_id").distinct().count()
     assert(hit == lens.count(), s"winnow missed the boiler in ${lens.count() - hit} docs")
   }
+
+  test("cross-span kernel ≡ join form: full planted corpus (r21 CrossSpanProbe pin)") {
+    val d = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val eval = d.filter(col("doc_id") % 10 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val kernel = rows(SpanOps.crossSpansOf(train, eval))
+    val join = rows(SpanOps.crossSpansJoinFormOf(train, eval))
+    assert(kernel == join,
+      s"kernel/join cross-span relations differ: only-kernel=${(kernel -- join).take(3)} " +
+        s"only-join=${(join -- kernel).take(3)}")
+    assert(kernel.nonEmpty, "pin is vacuous: no cross spans on the planted corpus")
+  }
+
+  test("cross-span kernel ≡ join form: randomized multi-script fixtures (r21)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    // alphabets spanning 1-4 byte UTF-8 (incl. supplementary-plane emoji)
+    val scripts = Seq("abcdef ", "äöüßéñ ", "日本語中文 ", "😀😁😂🤖🎉 ")
+    def doc(len: Int): String = {
+      val a = scripts(rnd.nextInt(scripts.length))
+      val nCp = a.codePointCount(0, a.length)
+      (0 until len).map(_ => a.codePointAt(
+        a.offsetByCodePoints(0, rnd.nextInt(nCp)))).flatMap(
+        Character.toChars(_).toSeq).mkString
+    }
+    // plant shared runs so the relation is non-empty across scripts
+    val shared = scripts.map(a => doc(K + 20))
+    val train = (1L to 40L).map(i =>
+      i -> (doc(rnd.nextInt(120)) + shared((i % 4).toInt) + doc(rnd.nextInt(80)))).toDF("doc_id", "text")
+    val eval = (100L to 108L).map(i =>
+      i -> (doc(rnd.nextInt(50)) + shared((i % 4).toInt) + doc(rnd.nextInt(60)))).toDF("doc_id", "text")
+    val kernel = SpanOps.crossSpansOf(train, eval).collect().map(_.toSeq).toSet
+    val join = SpanOps.crossSpansJoinFormOf(train, eval).collect().map(_.toSeq).toSet
+    assert(kernel == join,
+      s"kernel/join differ on multi-script input: only-kernel=${(kernel -- join).take(3)} " +
+        s"only-join=${(join -- kernel).take(3)}")
+    assert(kernel.nonEmpty, "pin is vacuous: planted shared runs not detected")
+  }
 }
