@@ -179,6 +179,33 @@ object ProfileR21 {
         timeNoop("dkb:full", SparkEntry.queries("dedup_keep_best")(spark, sfDir))
         timeNoop("dkb:clusters-full", SparkEntry.queries("dedup_clusters")(spark, sfDir))
       }),
+      "mmc" -> (() => {
+        // multimodal_clusters decomposition: decode vs pairs vs CC+sink
+        import graft.operators.MultimodalOps
+        val payloads = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val codes = MultimodalOps.perceptualCodes(spark, payloads)
+        timeNoop("mmc:decode", codes)
+        timeNoop("mmc:pairs", graft.operators.DedupOps.hammingPairsScored(codes))
+        timeNoop("mmc:full", SparkEntry.queries("multimodal_clusters")(spark, sfDir))
+      }),
+      "sim" -> (() => {
+        // dedup_clusters_simhash decomposition: sigs vs pairs vs CC+sink
+        import graft.operators.DedupOps
+        timeNoop("sim:pairs", DedupOps.simhashPairsScored(docs))
+        timeNoop("sim:full", SparkEntry.queries("dedup_clusters_simhash")(spark, sfDir))
+        timeNoop("sim:minhash-pairs", DedupOps.minhashPairsScored(docs))
+        timeNoop("sim:minhash-full", SparkEntry.queries("dedup_clusters_minhash")(spark, sfDir))
+      }),
+      "emb" -> (() => {
+        // embed cluster family decomposition
+        import graft.operators.VectorOps
+        timeNoop("emb:lsh-edges", VectorOps.embedClustersEdges(spark, sfDir))
+        timeNoop("emb:lsh-full", SparkEntry.queries("embed_clusters_lsh")(spark, sfDir))
+        timeNoop("emb:exact-full", SparkEntry.queries("embed_clusters")(spark, sfDir))
+        timeNoop("emb:keepbest-minhash-full",
+          SparkEntry.queries("dedup_keep_best_minhash")(spark, sfDir))
+      }),
       "dec" -> (() => {
         val d = graft.operators.SpanOps.planted(docs)
         val train = d.filter(col("doc_id") % 10 =!= 7)

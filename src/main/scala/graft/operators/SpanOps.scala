@@ -412,15 +412,6 @@ object SpanOps {
     * `dup_spans`' job.
     */
   private[graft] def crossSpansOf(train: DataFrame, eval: DataFrame): DataFrame = {
-    // per eval gram: the lexicographically earliest (doc_id, pos) eval
-    // site — so each reported train span carries not just WHICH eval doc
-    // it leaks but WHERE in it, making the report actionable for the
-    // benchmark owner (the min pair, not independent mins: the position
-    // must belong to the implicated doc)
-    val evalGrams = gramSites(eval)
-      .groupBy("gram")
-      .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
-      .select(col("gram"), col("fe.fd").as("first_eval"), col("fe.fp").as("first_eval_pos"))
     // r21 (guide §2.3/§2.4 + §8): the eval gram table was ALREADY
     // driver-collected and shipped by the BroadcastHashJoin; keep that
     // exact movement (one collect of the same aggregated relation + one
@@ -432,16 +423,32 @@ object SpanOps {
     // boundaries and min-pair attribution replicate mergeSpans exactly —
     // SpanSpec pins row identity against the join form, and the family's
     // oracle rows are unchanged.
-    val spark = train.sparkSession
-    val evalRows = evalGrams.collect()
-    val tbl = spark.sparkContext.broadcast(graft.functions.CrossProbe.GramTable(
-      evalRows.map(_.getString(0)), evalRows.map(_.getLong(1)), evalRows.map(_.getLong(2))))
+    val tbl = evalGramTable(train.sparkSession, eval)
     train.select(col("doc_id"),
         explode(graft.functions.CrossProbe.cross_span_probe(col("text"), tbl, GramK)).as("s"))
       .select(col("doc_id"), col("s.span_start").as("span_start"),
         col("s.span_end").as("span_end"), col("s.span_len").as("span_len"),
         col("s.n_grams").as("n_grams"), col("s.first_eval").as("first_eval"),
         col("s.first_eval_pos").as("first_eval_pos"))
+  }
+
+  /** The eval side of the cross-span kernels in broadcast form: per eval
+    * gram, the lexicographically earliest (doc_id, pos) eval site — so
+    * each reported train span carries not just WHICH eval doc it leaks
+    * but WHERE in it, making the report actionable for the benchmark
+    * owner (the min pair, not independent mins: the position must belong
+    * to the implicated doc). One aggregation + collect + broadcast —
+    * exactly the bytes the join form's BroadcastExchange shipped.
+    */
+  private def evalGramTable(spark: SparkSession, eval: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CrossProbe.GramTable] = {
+    val evalRows = gramSites(eval)
+      .groupBy("gram")
+      .agg(min(struct(col("doc_id").as("fd"), col("pos").as("fp"))).as("fe"))
+      .select(col("gram"), col("fe.fd"), col("fe.fp"))
+      .collect()
+    spark.sparkContext.broadcast(graft.functions.CrossProbe.GramTable(
+      evalRows.map(_.getString(0)), evalRows.map(_.getLong(1)), evalRows.map(_.getLong(2))))
   }
 
   /** The r7-r20 join+window form of [[crossSpansOf]] — retained as the
@@ -494,8 +501,35 @@ object SpanOps {
     * IDENTICAL inputs (a doc's cut depends only on its own text and the
     * eval set, never on which other train docs survive any filter).
     */
-  private[graft] def decontaminateStripOf(train: DataFrame, evalDocs: DataFrame): DataFrame =
-    stripWith(train, crossSpansOf(train, evalDocs), broadcastSpans = true)
+  private[graft] def decontaminateStripOf(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // r21: the kernel already merges a doc's spans INSIDE the row that
+    // owns them (ascending span_start — the order sort_array gave the
+    // join form), so the cut needs no groupBy and no join back at all:
+    // probe → fold, one narrow pass, zero exchanges contributed by the
+    // train side (guide §2.4; the r7-r20 form aggregated the span
+    // relation per doc and broadcast-joined it back to the same scan).
+    // cutSpansFold over the kernel's EMPTY array returns text unchanged —
+    // the left join's null branch, without the join. Row identity vs
+    // stripWith(train, crossSpansJoinFormOf(...)) is pinned in SpanSpec.
+    val tbl = evalGramTable(train.sparkSession, evalDocs)
+    train
+      .select(col("doc_id"), col("text"),
+        graft.functions.CrossProbe.cross_span_probe(col("text"), tbl, GramK).as("sps"))
+      .select(col("doc_id"), col("text"),
+        expr("transform(sps, s -> struct(s.span_start AS span_start, s.span_end AS span_end))")
+          .as("sp"))
+      .select(col("doc_id"), col("text"), cutSpansFold.as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long").as("n_removed"))
+  }
+
+  /** The r7-r20 aggregate-and-join-back strip — retained as the
+    * independent implementation the in-row form is pinned row-identical
+    * against (SpanSpec), the `bpeEncodeFrom` stance.
+    */
+  private[graft] def decontaminateStripJoinFormOf(
+      train: DataFrame, evalDocs: DataFrame): DataFrame =
+    stripWith(train, crossSpansJoinFormOf(train, evalDocs), broadcastSpans = true)
 
   private def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
     val d = planted(docs(spark, sfDir))
@@ -539,7 +573,7 @@ object SpanOps {
       .filter(col("doc_id") === col("keep_id")
         && col("n_tokens") >= 20 && col("quality") >= 0.4 && col("n_blocked") === 0L)
       .select("doc_id", "text")
-    val stripped = stripWith(kept, crossSpansOf(kept, eval), broadcastSpans = true)
+    val stripped = decontaminateStripOf(kept, eval)
     HygieneOps.withPiiScrub(stripped.select(col("doc_id"), col("n_removed"),
       concat(col("clean_text"), HygieneOps.PiiPlantSuffix).as("txt")))
       .select(col("doc_id"), col("redacted").as("final_text"), col("n_removed"),

@@ -237,7 +237,9 @@ object VectorOps {
     */
   private[graft] def embedClustersEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
-    embedNeardupLshFrame(base, bitsFor(corpusCount(base, sfDir)), 0.3)
+    // unsorted core (r21): CC discards edge order, so the declared pair
+    // key's output orderBy would cost a range exchange + sort for nothing
+    embedNeardupLshUnsorted(base, bitsFor(corpusCount(base, sfDir)), 0.3)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
   }
 
@@ -1183,6 +1185,18 @@ object VectorOps {
     * portable); flood-tested in DedupSpec.
     */
   private[graft] def embedNeardupLshFrame(base: DataFrame, nBits: Int,
+      threshold: Double = 0.3, hotCap: Int = 256): DataFrame =
+    embedNeardupLshUnsorted(base, nBits, threshold, hotCap)
+      .orderBy("id_a", "id_b")
+
+  /** [[embedNeardupLshFrame]] without the declared key's output ordering —
+    * the clustering consumer's view (r21, guide §2.4 "an orderBy used only
+    * to make output deterministic"): the CC loop discards edge order, so
+    * the range exchange + global sort of every candidate pair is pure
+    * waste there. Same relation, same columns; the simhash family's
+    * sorted-view/unsorted-core split applied to the embedding sibling.
+    */
+  private[graft] def embedNeardupLshUnsorted(base: DataFrame, nBits: Int,
       threshold: Double = 0.3, hotCap: Int = 256): DataFrame = {
     val e = base.select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"),
       bucketCol(nBits).as("bucket"))
@@ -1202,7 +1216,6 @@ object VectorOps {
     small.select("id_a", "id_b", "bucket", "sim")
       .union(large.select("id_a", "id_b", "bucket", "sim"))
       .filter(col("sim") > threshold)
-      .orderBy("id_a", "id_b")
   }
 
   private[graft] def embedNeardupLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {

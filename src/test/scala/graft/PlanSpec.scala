@@ -173,27 +173,35 @@ class PlanSpec extends AnyFunSuite {
       "dark rows (if any) must take the cutoff")
   }
 
-  test("decontaminate_strip joins only by broadcast: train text never shuffles for a join") {
-    // both joins broadcast their small-by-nature side (eval gram table;
-    // the rare leaked-doc span lists) — a sort-merge join here would
-    // shuffle the full corpus text at 100 TB. (The final orderBy's range
-    // exchange is the declared deterministic-output cost, not a join.)
+  test("decontaminate_strip is one narrow pass: no join, no exchange but the output sort") {
+    // r21: the cross-span kernel merges a doc's spans inside the row, so
+    // the cut is probe → fold with NO join at all (the r7-r20 form
+    // aggregated spans per doc and broadcast-joined them back; a
+    // sort-merge join here would have shuffled full corpus text at
+    // 100 TB). The final orderBy's range exchange is the declared
+    // deterministic-output cost.
     val p = plan("decontaminate_strip")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"decontaminate_strip must not sort-merge join (full-text shuffle):\n$p")
+    assert(p.contains("cross_span_probe"), s"no in-row span probe:\n$p")
+    assert(!p.contains("Join"), s"strip must not join at all:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the output-sort exchange, got $exchanges:\n$p")
+    // the probe must be evaluated ONCE per row: the fold referencing it
+    // lives in its own projection (clean_text), with n_removed derived
+    // in a later one — a collapsed plan would inline the probe twice
+    assert("cross_span_probe".r.findAllIn(p).length == 1,
+      s"span probe duplicated in the plan:\n$p")
   }
 
-  test("corpus_curate: canonical dedup partial-aggs and the strip joins broadcast") {
+  test("corpus_curate: canonical dedup partial-aggs and the strip runs in-row") {
     // the canonical groupBy(h).min(doc_id) must map-side combine (the
-    // 100 TB dedup shape) and the span-cut join must broadcast its span
-    // lists; kept text shuffles only for the canonical equi-join, which
-    // is hash-partitioned by design. (The plan's only windows are the
-    // span family's doc_id-partitioned merge — group size bounded by
-    // document length, the declared-sound shape.)
+    // 100 TB dedup shape); the span cut is the r21 in-row kernel (probe
+    // → fold, evaluated once — no span join at all), so kept text
+    // shuffles only for the canonical equi-join, which is
+    // hash-partitioned by design.
     val p = plan("corpus_curate")
     assert(p.contains("partial_min"), s"no map-side partial canonical argmin:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast strip join:\n$p")
+    assert("cross_span_probe".r.findAllIn(p).length == 1,
+      s"strip must probe in-row exactly once:\n$p")
   }
 
   test("dedup_keep_best_minhash: per-cluster argmax is a partial aggregation, not a window") {

@@ -582,5 +582,24 @@ class SpanSpec extends AnyFunSuite {
       s"kernel/join differ on multi-script input: only-kernel=${(kernel -- join).take(3)} " +
         s"only-join=${(join -- kernel).take(3)}")
     assert(kernel.nonEmpty, "pin is vacuous: planted shared runs not detected")
+    // the in-row strip (probe → fold, no join) must cut exactly what the
+    // aggregate-and-join-back form cuts — same fixture, full row identity
+    val sIn = SpanOps.decontaminateStripOf(train, eval).collect().map(_.toSeq).toSet
+    val sJn = SpanOps.decontaminateStripJoinFormOf(train, eval).collect().map(_.toSeq).toSet
+    assert(sIn == sJn,
+      s"in-row/join strips differ on multi-script input: only-inrow=${(sIn -- sJn).take(3)} " +
+        s"only-join=${(sJn -- sIn).take(3)}")
+  }
+
+  test("in-row strip ≡ aggregate-and-join-back strip: full planted corpus (r21)") {
+    val d = SpanOps.planted(graft.sources.Tables(spark, sfDir, "documents"))
+    val train = d.filter(col("doc_id") % 10 =!= 7)
+    val eval = d.filter(col("doc_id") % 10 === 7)
+    val inRow = SpanOps.decontaminateStripOf(train, eval).collect().map(_.toSeq).toSet
+    val joinF = SpanOps.decontaminateStripJoinFormOf(train, eval).collect().map(_.toSeq).toSet
+    assert(inRow == joinF,
+      s"strips differ: only-inrow=${(inRow -- joinF).take(3)} only-join=${(joinF -- inRow).take(3)}")
+    assert(inRow.exists(r => r(2).asInstanceOf[Long] > 0L),
+      "pin is vacuous: nothing was stripped on the planted corpus")
   }
 }
